@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory so every entry point (Verify, Bench, tests,
+  * user code) runs with the same scale-aware configuration.
+  *
+  * Design notes for cluster scale (the library itself never assumes local
+  * mode — `master` is injectable and all operators are expressed as
+  * declarative plans that Catalyst distributes):
+  *  - AQE on: runtime coalescing of post-shuffle partitions, skew-join
+  *    splitting, and dynamic join-strategy switching are the first line of
+  *    defense at 100 TB where static `shuffle.partitions` is always wrong
+  *    for at least one stage.
+  *  - `shuffle.partitions` defaults to the local core count here; on a real
+  *    cluster the caller passes ~2-3x total executor cores and AQE coalesces
+  *    down.
+  *  - Timestamps: session timezone pinned to UTC and parquet NTZ inference
+  *    disabled so naive timestamps written by arbitrary producers compare
+  *    identically across engines (see SURVEY §5.3 determinism rules).
+  */
+object GraftSession {
+  def defaultParallelism: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  def builder(master: String = s"local[$defaultParallelism]",
+              shufflePartitions: Int = defaultParallelism): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // The testdata events table carries TIMESTAMP(NANOS) parquet, which
+      // Spark has no native type for: read as long nanos and normalize to
+      // micros in Tables.events (same floor-to-micros DuckDB applies).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.schemaInference", "false")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,13 +1,483 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Schemas, Tables}
+import graft.silver.Silver
+import graft.gold.Gold
+import graft.quality.Quality
+import graft.warehouse.Warehouse
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-data extension operators), each with equivalent
+  * DuckDB SQL for the oracle harness.
+  *
+  * Determinism rules (SURVEY §5.3): every query ends in a total-order
+  * `ORDER BY`; timestamps are emitted as formatted strings; double-valued
+  * aggregates are rounded to 4 decimals on BOTH sides; large SUMs run in
+  * DECIMAL (exact) because double summation order differs across engines;
+  * ranking windows carry unique tie-break keys.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---- shared helpers -----------------------------------------------------
+
+  /** Round doubles to 4 decimals for cross-engine comparison. The +1e-9
+    * epsilon (applied identically in the oracle SQL) shifts values off
+    * exact .00005 halfway points, where Spark (HALF_UP on the shortest
+    * decimal repr) and other engines (binary-based rounding) disagree —
+    * clean-decimal inputs hit those halfway points systematically. */
+  private def R(c: Column): Column = round(c + lit(1e-9), 4)
+  private def fts(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private def ftsU(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Static range-anomaly condition as SQL — mirrors Silver.rangeFlag
+    * exactly (same per-type OR structure). */
+  private def rangeCondSqlFor(ranges: Map[String, (Double, Double)]): String =
+    ranges.toSeq.sortBy(_._1).map { case (t, (lo, hi)) =>
+      s"(event_type = '$t' AND (value < $lo OR value > $hi))"
+    }.mkString(" OR ")
+
+  private val rangeCondSql: String = rangeCondSqlFor(Schemas.eventValueRanges)
+
+  private val statsSelectSql =
+    """ROUND(AVG(value) + 1e-9, 4) AS avg_value, MIN(value) AS min_value,
+      | MAX(value) AS max_value, COUNT(*) AS reading_count,
+      | ROUND(STDDEV_SAMP(value) + 1e-9, 4) AS stddev_value,
+      | ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS p50_value,
+      | ROUND(quantile_cont(value, 0.95) + 1e-9, 4) AS p95_value,
+      | ROUND(quantile_cont(value, 0.99) + 1e-9, 4) AS p99_value""".stripMargin
+
+  private def statsSelectCols: Seq[Column] = Seq(
+    R(col("avg_value")).as("avg_value"), col("min_value"), col("max_value"),
+    col("reading_count"), R(col("stddev_value")).as("stddev_value"),
+    R(col("p50_value")).as("p50_value"), R(col("p95_value")).as("p95_value"),
+    R(col("p99_value")).as("p99_value"))
+
+  private val zoneSql =
+    "CONCAT('zone-', CAST(CAST(json_extract_string(props, '$.k') AS INT) % 4 AS VARCHAR))"
+
+  private case class Q(name: String, sql: Option[String],
+                       fn: (SparkSession, String) => DataFrame)
+
+  // ---- the inventory ------------------------------------------------------
+
+  private lazy val registry: Seq[Q] = Seq(
+
+    // S2/P1: parquet scan with filter + projection pushdown.
+    Q("s2_scan_filter_project",
+      Some("""SELECT event_id, user_id, value FROM events
+             | WHERE event_type = 'click' AND value > 100.0
+             | ORDER BY event_id""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("event_type") === "click" && col("value") > 100.0)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id")),
+
+    // P2: JSON field extraction against a fixed schema.
+    Q("p2_json_extract",
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+             | FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")),
+
+    // P10: static per-type range anomaly flag, aggregated per type.
+    Q("p10_range_anomaly",
+      Some(s"""SELECT event_type,
+              | CAST(SUM(CASE WHEN $rangeCondSql THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count,
+              | COUNT(*) AS total
+              | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("f", Silver.rangeFlag(col("event_type"), col("value"),
+          Schemas.eventValueRanges))
+        .groupBy("event_type")
+        .agg(sum(when(col("f"), 1L).otherwise(0L)).as("anomaly_count"),
+          count(lit(1)).as("total"))
+        .orderBy("event_type")),
+
+    // W1: keep-latest dedup via ranking window with total-order tie-break.
+    Q("w1_dedup_latest",
+      Some("""SELECT user_id, event_type, event_id, value,
+             | strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+             | FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |                                    ORDER BY ts DESC, event_id DESC) AS rn
+             |       FROM events)
+             | WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+      (s, dir) => Silver.dedupLatest(Tables.events(s, dir),
+          Seq("user_id", "event_type"), Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"),
+          ftsU(col("ts")).as("ts_str"))
+        .orderBy("user_id", "event_type")),
+
+    // W2/W3: rolling mean/stddev frame + z-score anomaly merge.
+    Q("w2_w3_zscore_anomaly",
+      Some(s"""WITH w AS (
+              |  SELECT event_id, value, $rangeCondSql AS range_anom,
+              |         AVG(value) OVER win AS ravg,
+              |         STDDEV_SAMP(value) OVER win AS rstd
+              |  FROM events
+              |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+              |                 ROWS BETWEEN 100 PRECEDING AND CURRENT ROW))
+              |SELECT event_id, ROUND(ravg + 1e-9, 4) AS rolling_avg,
+              | ROUND((CASE WHEN rstd IS NULL OR rstd <= 0 THEN 0.0
+              |            ELSE ABS((value - ravg) / rstd) END) + 1e-9, 4) AS zscore,
+              | CASE WHEN range_anom OR
+              |      (CASE WHEN rstd IS NULL OR rstd <= 0 THEN 0.0
+              |            ELSE ABS((value - ravg) / rstd) END) > 3.0
+              |      THEN TRUE ELSE FALSE END AS is_anomaly
+              |FROM w ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val flagged = Silver.zscoreFlags(
+          Tables.events(s, dir).withColumn("is_anomaly",
+            Silver.rangeFlag(col("event_type"), col("value"), Schemas.eventValueRanges)),
+          Seq("user_id"), Seq(col("ts").asc, col("event_id").asc), "value")
+        flagged.select(col("event_id"),
+          R(col("rolling_avg")).as("rolling_avg"),
+          R(col("zscore")).as("zscore"),
+          col("is_anomaly"))
+          .orderBy("event_id")
+      }),
+
+    // A1: tumbling 5-minute per-sensor aggregation with exact percentiles.
+    Q("a1_window_5min",
+      Some(s"""SELECT CAST(user_id AS VARCHAR) AS sensor_id, event_type AS sensor_type,
+              | strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+              | strftime(time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+              | $statsSelectSql
+              | FROM events
+              | GROUP BY 1, 2, time_bucket(INTERVAL '5 minutes', ts)
+              | ORDER BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val b = Tables.eventsAsReadings(Tables.events(s, dir))
+        Gold.windowAgg(b, Seq("sensor_id", "sensor_type"), "event_time", "value",
+            "5 minutes")
+          .select(Seq(col("sensor_id"), col("sensor_type"),
+            fts(col("window_start")).as("window_start"),
+            fts(col("window_end")).as("window_end")) ++ statsSelectCols: _*)
+          .orderBy("sensor_id", "sensor_type", "window_start")
+      }),
+
+    // A2: derived post-agg health percentage.
+    Q("a2_health_pct",
+      Some("""SELECT CAST(user_id AS VARCHAR) AS sensor_id, event_type AS sensor_type,
+             | strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             | COUNT(*) AS reading_count,
+             | ROUND(COUNT(*) * 100.0 / 300 + 1e-9, 4) AS sensor_health_pct
+             | FROM events GROUP BY 1, 2, time_bucket(INTERVAL '5 minutes', ts)
+             | ORDER BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val b = Tables.eventsAsReadings(Tables.events(s, dir))
+        Gold.withHealthPct(
+            Gold.windowAgg(b, Seq("sensor_id", "sensor_type"), "event_time",
+              "value", "5 minutes"))
+          .select(col("sensor_id"), col("sensor_type"),
+            fts(col("window_start")).as("window_start"),
+            col("reading_count"),
+            R(col("sensor_health_pct")).as("sensor_health_pct"))
+          .orderBy("sensor_id", "sensor_type", "window_start")
+      }),
+
+    // A3: hourly per-location aggregation + countDistinct.
+    Q("a3_hourly_location",
+      Some(s"""SELECT $zoneSql AS location, event_type AS sensor_type,
+              | strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+              | strftime(date_trunc('hour', ts) + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS hour_end,
+              | $statsSelectSql,
+              | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_sensor_count
+              | FROM events
+              | GROUP BY 1, 2, date_trunc('hour', ts)
+              | ORDER BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val b = Tables.eventsAsReadings(Tables.events(s, dir))
+        Gold.locationHourly(b, "location", "sensor_type", "event_time", "value",
+            "sensor_id")
+          .select(Seq(col("location"), col("sensor_type"),
+            fts(col("hour_start")).as("hour_start"),
+            fts(col("hour_end")).as("hour_end")) ++ statsSelectCols :+
+            col("unique_sensor_count"): _*)
+          .orderBy("location", "sensor_type", "hour_start")
+      }),
+
+    // A4: daily summary with conditional anomaly count.
+    Q("a4_daily_summary",
+      Some(s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS date_str,
+              | event_type AS sensor_type,
+              | ROUND(AVG(value) + 1e-9, 4) AS avg_value, MIN(value) AS min_value,
+              | MAX(value) AS max_value, COUNT(*) AS total_readings,
+              | ROUND(STDDEV_SAMP(value) + 1e-9, 4) AS stddev_value,
+              | CAST(SUM(CASE WHEN $rangeCondSql THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count,
+              | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_sensor_count
+              | FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val b = Silver.rangeAnomaly(
+          Tables.eventsAsReadings(Tables.events(s, dir)).withColumnRenamed("sensor_type", "event_type"),
+          "event_type", "value", Schemas.eventValueRanges)
+        Gold.dailySummary(b, "event_type", "event_time", "value", "sensor_id")
+          .select(col("date_str"), col("event_type").as("sensor_type"),
+            R(col("avg_value")).as("avg_value"), col("min_value"), col("max_value"),
+            col("total_readings"), R(col("stddev_value")).as("stddev_value"),
+            col("anomaly_count"), col("unique_sensor_count"))
+          .orderBy("date_str", "sensor_type")
+      }),
+
+    // U1: late-data merge (union-by-name + keep-latest re-dedup).
+    Q("u1_late_merge",
+      Some("""WITH late AS (
+             |  SELECT user_id, ts, value + 1000 AS value, event_id + 10000000 AS event_id
+             |  FROM events WHERE event_type = 'error'),
+             |all_rows AS (
+             |  SELECT user_id, ts, value, event_id FROM events
+             |  UNION ALL SELECT user_id, ts, value, event_id FROM late),
+             |d AS (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+             |                                   ORDER BY event_id DESC) AS rn
+             |      FROM all_rows)
+             |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+             |       event_id, value
+             |FROM d WHERE rn = 1 ORDER BY user_id, ts_str""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "ts", "value", "event_id")
+        val late = Tables.events(s, dir).filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), (col("value") + 1000).as("value"),
+            (col("event_id") + 10000000L).as("event_id"))
+        Silver.mergeLateData(ev, late, Seq("user_id", "ts"), Seq(col("event_id").desc))
+          .select(col("user_id"), ftsU(col("ts")).as("ts_str"), col("event_id"),
+            col("value"))
+          .orderBy("user_id", "ts_str")
+      }),
+
+    // A-family on TPC-H: classic pricing-summary aggregation (decimal-exact
+    // sums; rounded double averages).
+    Q("agg_tpch_q1_pricing",
+      Some("""SELECT l_returnflag, l_linestatus,
+             | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty,
+             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_base_price,
+             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_disc_price,
+             | ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
+             | ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
+             | ROUND(AVG(l_discount) + 1e-9, 4) AS avg_disc,
+             | COUNT(*) AS count_order
+             | FROM lineitem
+             | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             | GROUP BY l_returnflag, l_linestatus
+             | ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(38,6)").as("sum_disc_price"),
+          R(avg(col("l_quantity"))).as("avg_qty"),
+          R(avg(col("l_extendedprice"))).as("avg_price"),
+          R(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // J3: star join (fact ⋈ dims, broadcast dims) + aggregation.
+    Q("j3_star_join_revenue",
+      Some("""SELECT c_mktsegment,
+             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS revenue,
+             | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+             | COUNT(*) AS line_count
+             | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |               JOIN customer ON o_custkey = c_custkey
+             | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(38,6)").as("revenue"),
+          countDistinct(col("o_orderkey")).as("order_count"),
+          count(lit(1)).as("line_count"))
+        .orderBy("c_mktsegment")),
+
+    // J-semi: EXISTS.
+    Q("j_semi_customers_with_orders",
+      Some("""SELECT c_custkey, c_name FROM customer
+             | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             | ORDER BY c_custkey""".stripMargin),
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // J-anti: NOT EXISTS.
+    Q("j_anti_customers_without_orders",
+      Some("""SELECT c_custkey, c_name FROM customer
+             | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             | ORDER BY c_custkey""".stripMargin),
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // J-left: left outer join + per-key aggregation.
+    Q("j_left_order_counts",
+      Some("""SELECT c_custkey, COUNT(o_orderkey) AS order_count,
+             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS total_spend
+             | FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             | GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("order_count"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,6)").as("total_spend"))
+        .orderBy("c_custkey")),
+
+    // Sort/limit: deterministic top-k.
+    Q("sort_topk_orders",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             | ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+      (s, dir) => Tables.orders(s, dir)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+
+    // Set ops (beyond the reference's union: intersect/except coverage).
+    Q("set_intersect_nations",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             | INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin),
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    Q("set_except_nations",
+      Some("""SELECT n_nationkey AS nationkey FROM nation
+             | EXCEPT SELECT c_nationkey FROM customer ORDER BY nationkey""".stripMargin),
+      (s, dir) => Tables.nation(s, dir).select(col("n_nationkey").as("nationkey"))
+        .except(Tables.customer(s, dir).select(col("c_nationkey").as("nationkey")))
+        .orderBy("nationkey")),
+
+    // L3: calendar dimension seed, generated distributed.
+    Q("l3_dim_time_seed",
+      Some("""SELECT i + 1 AS time_key,
+             | strftime(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS ts_str,
+             | CAST(EXTRACT(hour FROM TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 hour') AS INT) AS hour,
+             | CAST(EXTRACT(day FROM TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 hour') AS INT) AS day,
+             | CAST(EXTRACT(month FROM TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 hour') AS INT) AS month,
+             | CAST(EXTRACT(year FROM TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 hour') AS INT) AS year,
+             | CAST(dayofweek(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 hour') + 1 AS INT) AS day_of_week,
+             | dayofweek(TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL '1 hour') IN (0, 6) AS is_weekend
+             | FROM range(0, 26280) t(i) ORDER BY time_key""".stripMargin),
+      (s, dir) => Warehouse.dimTime(s, "2024-01-01 00:00:00", 26280)
+        .select(col("time_key"), fts(col("full_timestamp")).as("ts_str"),
+          col("hour"), col("day"), col("month"), col("year"), col("day_of_week"),
+          col("is_weekend"))
+        .orderBy("time_key")),
+
+    // J1/L2: idempotent dimension upsert via full-outer join.
+    Q("j1_dim_upsert",
+      Some(s"""WITH dim AS (
+              |  SELECT CAST(user_id AS VARCHAR) AS sensor_id, MAX(event_type) AS sensor_type,
+              |         MAX($zoneSql) AS location, MIN(ts) AS first_seen, MAX(ts) AS last_seen
+              |  FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1),
+              |staging AS (
+              |  SELECT CAST(user_id AS VARCHAR) AS sensor_id, MAX(event_type) AS sensor_type,
+              |         MAX($zoneSql) AS location, MIN(ts) AS first_seen, MAX(ts) AS last_seen
+              |  FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00' GROUP BY 1)
+              |SELECT COALESCE(s.sensor_id, d.sensor_id) AS sensor_id,
+              |       COALESCE(s.sensor_type, d.sensor_type) AS sensor_type,
+              |       COALESCE(s.location, d.location) AS location,
+              |       strftime(COALESCE(d.first_seen, s.first_seen), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+              |       strftime(CASE WHEN s.last_seen IS NULL THEN d.last_seen
+              |                     WHEN d.last_seen IS NULL THEN s.last_seen
+              |                     ELSE GREATEST(d.last_seen, s.last_seen) END, '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+              |FROM dim d FULL OUTER JOIN staging s ON d.sensor_id = s.sensor_id
+              |ORDER BY sensor_id""".stripMargin),
+      (s, dir) => {
+        val readings = Tables.eventsAsReadings(Tables.events(s, dir))
+        def half(pred: Column): DataFrame = readings.filter(pred)
+          .groupBy("sensor_id")
+          .agg(max(col("sensor_type")).as("sensor_type"),
+            max(col("location")).as("location"),
+            min(col("event_time")).as("first_seen"),
+            max(col("event_time")).as("last_seen"))
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val dim = half(col("event_time") < cut)
+        val staging = half(col("event_time") >= cut)
+        Warehouse.upsertDim(dim, staging, "sensor_id",
+            stagingWins = Seq("sensor_type", "location"),
+            dimWins = Seq("first_seen"), maxMergeCols = Seq("last_seen"))
+          .select(col("sensor_id"), col("sensor_type"), col("location"),
+            ftsU(col("first_seen")).as("first_seen"),
+            ftsU(col("last_seen")).as("last_seen"))
+          .orderBy("sensor_id")
+      }),
+
+    // Q1-Q9: the whole quality suite as one single-pass aggregate.
+    Q("quality_suite_events",
+      Some(s"""SELECT COUNT(*) AS _total,
+              | CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_user_id,
+              | CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_ts,
+              | CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_value,
+              | CAST(SUM(CASE WHEN event_type NOT IN ('click','view','purchase','signup','error')
+              |                 OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS domain_event_type,
+              | CAST(SUM(CASE WHEN ${rangeCondSqlFor(Schemas.eventPhysicalRanges)} THEN 1 ELSE 0 END) AS BIGINT) AS physical_range,
+              | CAST(SUM(CASE WHEN props IS NULL OR NOT regexp_matches(props, '^\\{"k": \\d+\\}$$')
+              |               THEN 1 ELSE 0 END) AS BIGINT) AS regex_props,
+              | CAST(CASE WHEN AVG(CASE WHEN value IS NULL THEN 1 ELSE 0 END) > 0.01
+              |           THEN 1 ELSE 0 END AS BIGINT) AS null_rate_value
+              | FROM events""".stripMargin),
+      (s, dir) => Quality.suiteDf(Tables.events(s, dir),
+        Quality.notNull(Seq("user_id", "ts", "value")) ++ Seq(
+          Quality.inSet("event_type", Seq("click", "view", "purchase", "signup", "error")),
+          Quality.perTypeRange("event_type", "value", Schemas.eventPhysicalRanges),
+          Quality.regexMatch("props", "^\\{\"k\": \\d+\\}$")) ++
+          Quality.nullRate(Seq("value"), 0.01))),
+
+    // Scalar-function surface: date/time extraction, CASE bands, math.
+    Q("p_scalar_datetime_math",
+      Some("""SELECT event_id,
+             | CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+             | CAST(EXTRACT(day FROM ts) AS INT) AS d,
+             | CAST(EXTRACT(month FROM ts) AS INT) AS mo,
+             | CAST(EXTRACT(year FROM ts) AS INT) AS y,
+             | CAST(dayofweek(ts) + 1 AS INT) AS dow,
+             | ABS(value - 50.0) AS dist50,
+             | CASE WHEN value > 100.0 THEN 'high' WHEN value > 50.0 THEN 'mid' ELSE 'low' END AS band,
+             | CAST(FLOOR(value) AS BIGINT) AS vfloor,
+             | GREATEST(value, 50.0) AS vmax50, LEAST(value, 50.0) AS vmin50,
+             | UPPER(event_type) AS type_upper, SUBSTRING(event_type, 1, 3) AS type3,
+             | CONCAT(event_type, '-', CAST(user_id AS VARCHAR)) AS type_user
+             | FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => Tables.events(s, dir).select(
+        col("event_id"),
+        hour(col("ts")).as("h"),
+        dayofmonth(col("ts")).as("d"),
+        month(col("ts")).as("mo"),
+        year(col("ts")).as("y"),
+        dayofweek(col("ts")).as("dow"),
+        abs(col("value") - 50.0).as("dist50"),
+        when(col("value") > 100.0, "high").when(col("value") > 50.0, "mid")
+          .otherwise("low").as("band"),
+        floor(col("value")).as("vfloor"),
+        greatest(col("value"), lit(50.0)).as("vmax50"),
+        least(col("value"), lit(50.0)).as("vmin50"),
+        upper(col("event_type")).as("type_upper"),
+        substring(col("event_type"), 1, 3).as("type3"),
+        concat(col("event_type"), lit("-"), col("user_id").cast("string")).as("type_user"))
+        .orderBy("event_id")))
+
+  // ---- driver contract ----------------------------------------------------
+
+  /** Flagship query: the full medallion chain (events → silver flags →
+    * gold 5-minute aggregates) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.gold5Min(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.sql.map(sql => q.name -> sql)).toMap
 }

@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. All engine-portable (md5-based hashing, no
+  * engine-specific hash builtins) so results are reproducible across
+  * runtimes and verifiable by an external oracle.
+  *
+  * Scale notes (100 TB):
+  *  - Exact dedup: hash-groupBy on a 128-bit fingerprint — one shuffle of
+  *    (fingerprint, doc_id), never the document bodies.
+  *  - MinHash+LSH: the candidate generation is a self-join on (band_id,
+  *    band_hash) buckets — shuffle cost is O(#docs × #bands) small rows;
+  *    the quadratic Jaccard verification only runs inside buckets, which is
+  *    the whole point of LSH. Skewed buckets (boilerplate-heavy corpora)
+  *    should be capped (`maxBucketSize`) — a bucket with B docs generates
+  *    B² pairs.
+  *  - SimHash: one 64-bit signature per doc; near-dup = small Hamming
+  *    distance. Banding the 64 bits into k chunks gives the same
+  *    bucket-join trick for distance ≤ k-1.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id document per normalized-content
+    * fingerprint. Output keeps every column of the winning row. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
+      .orderBy(col(idCol).asc)
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** MinHash signature as `numPerms` independent minimums of md5(perm|token)
+    * over the document's distinct shingles. md5 is a fine stand-in for a
+    * universal hash family here and — crucially — is identical in every
+    * engine, so signatures are portable. Returns array<string> of length
+    * numPerms (null-free; empty-shingle docs get "" entries). */
+  def minhashSignature(shingleArr: Column, numPerms: Int): Column = {
+    val perms = (0 until numPerms).map { p =>
+      coalesce(
+        array_min(transform(shingleArr, s => md5(concat(lit(s"$p|"), s).cast("binary")))),
+        lit(""))
+    }
+    array(perms: _*)
+  }
+
+  /** Band hashes for LSH: split the signature into bands of `rowsPerBand`
+    * and hash each band. Docs sharing ANY band hash are candidates. */
+  def bandHashes(signature: Column, numPerms: Int, rowsPerBand: Int): Column = {
+    val bands = (0 until numPerms / rowsPerBand).map { b =>
+      md5(concat_ws("|",
+        (lit(b.toString) +: (0 until rowsPerBand).map(r =>
+          element_at(signature, b * rowsPerBand + r + 1))): _*).cast("binary"))
+    }
+    array(bands: _*)
+  }
+
+  /** MinHash+LSH near-duplicate candidate pairs with exact Jaccard
+    * verification. Returns (idA, idB, jaccard) with idA < idB and
+    * jaccard >= threshold.
+    *
+    * @param shingleN      word-shingle size
+    * @param numPerms      minhash permutations (signature length)
+    * @param rowsPerBand   LSH band height; bands = numPerms/rowsPerBand
+    * @param maxBucketSize drop pathological buckets larger than this
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, shingleN: Int = 3, numPerms: Int = 16,
+                      rowsPerBand: Int = 4,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val withSig = docs.select(
+      col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numPerms))
+      .withColumn("bands", bandHashes(col("sig"), numPerms, rowsPerBand))
+    val buckets = withSig
+      .select(col("id"), col("sh"), posexplode(col("bands")).as(Seq("band", "bh")))
+    // Cap pathological buckets before the quadratic self-join.
+    val bucketSizes = buckets.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+      .select("band", "bh")
+    val capped = buckets.join(bucketSizes, Seq("band", "bh"))
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
+  /** All-pairs n-gram Jaccard within an explicit blocking key (e.g. same
+    * source) — the quadratic baseline used to validate the LSH path at
+    * small scale. At 100 TB never call without a blocking key. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, shingleN: Int,
+                        threshold: Double): DataFrame = {
+    val pre = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+    val a = pre.as("a")
+    val b = pre.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash signatures, one 64-char bit-string per document: bit i of the
+    * signature is the majority vote of bit i of md5(shingle) across the
+    * document's distinct shingles (ties and empty docs → 0).
+    *
+    * Implemented as ONE explode + ONE hash aggregation with 64 conditional
+    * sums — a single shuffle of (id, 64 ints), no quadratic work. The bit
+    * string representation keeps the signature engine-portable (no
+    * engine-specific 64-bit unsigned semantics). */
+  def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3): DataFrame = {
+    val ex = docs.select(col(idCol).as("id"),
+        explode_outer(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
+          .as("sh"))
+      .withColumn("bits",
+        lpad(conv(substring(md5(col("sh").cast("binary")), 1, 16), 16, 2), 64, "0"))
+    val bitSums = (1 to 64).map(i =>
+      sum(when(substring(col("bits"), i, 1) === "1", 1).otherwise(0)).as(s"b$i"))
+    val aggs = count(col("sh")).as("n") +: bitSums
+    ex.groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        concat((1 to 64).map(i =>
+          when(col(s"b$i") * 2 > col("n"), lit("1")).otherwise(lit("0"))): _*)
+          .as("simhash"))
+  }
+
+  /** Hamming distance between two equal-length bit-string signatures. */
+  def hammingDist(a: Column, b: Column, bits: Int = 64): Column =
+    (1 to bits).map(i =>
+      when(substring(a, i, 1) =!= substring(b, i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** SimHash near-dup pairs: band the bit string into `bands` chunks and
+    * bucket-join on any equal chunk (guarantees recall for Hamming distance
+    * <= bands-1), then verify the exact distance. */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int, shingleN: Int = 3,
+                      bands: Int = 8): DataFrame = {
+    val sigs = simhashSignatures(docs, textCol, idCol, shingleN)
+    val width = 64 / bands
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        substring(col("simhash"), b * width + 1, width)): _*)).as(Seq("band", "chunk")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hammingDist(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (array<float>).
+  *
+  * Scale notes (100 TB):
+  *  - `bruteForceTopK` broadcasts the (small) query set against the corpus
+  *    — a map-side cross product scored inside codegen, then a per-query
+  *    top-k window. Cost O(|corpus| × |queries| × dim), embarrassingly
+  *    parallel, no corpus shuffle. Right answer for ≲ thousands of queries.
+  *  - `ivfTopK` is the scale path: corpus is pre-assigned to centroid
+  *    cells (one pass), queries probe only their nearest `nProbe` cells —
+  *    a bucket equi-join instead of a cross product. Centroids come from
+  *    any cheap clustering (here: caller-provided, e.g. per-label means);
+  *    cells should be 10³-10⁵ vectors at scale.
+  *  - All dot products accumulate in double after an explicit per-element
+  *    float→double cast so scores are reproducible across engines.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns, accumulated left-to-
+    * right in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** Brute-force cosine top-k: for every query vector, the k most similar
+    * corpus vectors (self-matches excluded when ids collide). Deterministic
+    * ordering: score desc, then corpus id asc. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** Near-duplicate vector pairs: all (a,b) with cosine >= threshold and
+    * idA < idB, within an optional blocking column (at scale always block —
+    * e.g. by LSH bucket or IVF cell — never the raw cross join). */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         blockCol: Option[String] = None): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"))
+    val a = base.as("a")
+    val b = base.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.vec"), col("b.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Mean vector per group — cheap centroids for IVF (e.g. per label or
+    * per LSH bucket). One explode + one hash agg; centroid components are
+    * rounded so downstream scoring is engine-reproducible. */
+  def centroids(vectors: DataFrame, groupCol: String, dim: Int,
+                vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
+    val ex = vectors.select(col(groupCol).as("cell"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    ex.groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), round(col("m"), roundTo).as("m")))),
+        s => s.getField("m")).as("centroid"))
+  }
+
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid cell
+    * (one scored broadcast join against the tiny centroid table), then for
+    * each query probe the `nProbe` nearest cells and rank only vectors in
+    * those cells. Returns (query_id, corpus_id, cosine, rank<=k). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
+              k: Int, nProbe: Int = 1, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    def nearestCells(df: DataFrame, outId: String, vec: String, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col(vec), col("centroid")))
+      val w = Window.partitionBy(outId).orderBy(col("csim").desc, col("cell").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .drop("csim", "crank", "centroid")
+    }
+    val assigned = nearestCells(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")),
+      "corpus_id", "cvec", 1)
+    val probed = nearestCells(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
+      "query_id", "qvec", nProbe)
+    val scored = assigned.join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+}

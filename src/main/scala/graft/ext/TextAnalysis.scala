@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: normalization,
+  * tokenization, token counting, quality scoring, language ID and document
+  * fingerprinting. All pure Column expressions (codegen'd, no UDFs) so a
+  * full-corpus pass is a single narrow projection — embarrassingly
+  * parallel, no shuffle at any scale.
+  */
+object TextAnalysis {
+
+  /** Canonical text normalization: lowercase, collapse whitespace, trim.
+    * The shared front-end for fingerprinting and exact dedup. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens over normalized text ([] for empty/blank input). */
+  def tokens(text: Column): Column =
+    when(length(normalize(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(normalize(text), " "))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs and single punctuation marks
+    * each count as one token (a cheap stand-in for a real BPE vocab; the
+    * regex matches common tokenizer pre-split behavior). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Fraction of non-alphanumeric, non-whitespace characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0 || text.isNull, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
+        / length(text))
+
+  val enStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are stopwords (proxy for natural-language
+    * likelihood; word-salad and code score low). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = enStopwords): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(stopwords: _*)))
+    when(size(toks) === 0, lit(0.0)).otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Mean token length (very long "tokens" suggest binary/garbage). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0.0), (acc, t) => acc + length(t).cast("double"))
+        / size(toks))
+  }
+
+  /** Composite document quality score in [0,1]: length band + stopword
+    * presence + penalty for punctuation soup. Weights are heuristic; the
+    * point is the shape (bounded, monotone in each signal, cheap). */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(2.0), lit(1.0))
+    greatest(lit(0.0),
+      least(lit(1.0), lit(0.5) * lenScore + lit(0.5) * stopScore
+        - lit(0.25) * punctPenalty))
+  }
+
+  /** Tiny per-language stopword tables for the heuristic language ID. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que"))
+
+  /** Heuristic language ID: count stopword hits per language over the
+    * token stream, argmax with fixed precedence order, "und" (undetermined)
+    * when nothing hits. Deterministic and SQL-expressible (n-gram models
+    * would be a custom Aggregator — overkill for the reference corpus). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = langStopwords.map { case (lang, sw) =>
+      lang -> size(filter(toks, t => t.isin(sw: _*)))
+    }
+    val best = counts.tail.foldLeft(
+      struct(counts.head._2.as("n"), lit(counts.head._1).as("lang"))) {
+      case (acc, (lang, n)) =>
+        when(n > acc.getField("n"), struct(n.as("n"), lit(lang).as("lang")))
+          .otherwise(acc)
+    }
+    when(best.getField("n") <= 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text. Stable across
+    * engines (the oracle computes the identical md5), used as the exact
+    * dedup key. */
+  def fingerprint(text: Column): Column = md5(normalize(text).cast("binary"))
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space) — the
+    * unit set for Jaccard/MinHash near-dup detection. Empty when the
+    * document has fewer than n tokens. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-native data-quality checks replacing the reference's pandas layer
+  * (SURVEY §2.12 Q1-Q10; reference: src/quality/expectations.py and the
+  * great_expectations suites).
+  *
+  * Every check is expressed as a conditional-count aggregate so an entire
+  * suite over one table collapses into ONE scan + ONE single-row aggregate
+  * (the reference's pandas layer loads the whole table into driver memory —
+  * a non-starter at 100 TB). Cross-table checks (row-ratio) add one count
+  * per extra table.
+  */
+object Quality {
+
+  final case class CheckResult(check: String, failed: Long, observed: Double)
+
+  /** A named conditional-count: `failedExpr` counts offending rows. */
+  final case class Check(name: String, failedExpr: Column)
+
+  def notEmpty(df: DataFrame): Check =
+    Check("not_empty", lit(0L)) // handled via total count; see run()
+
+  def notNull(cols: Seq[String]): Seq[Check] =
+    cols.map(c => Check(s"not_null_$c", sum(when(col(c).isNull, 1L).otherwise(0L))))
+
+  def inSet(colName: String, allowed: Seq[String]): Check =
+    Check(s"domain_$colName",
+      sum(when(!col(colName).isin(allowed: _*) || col(colName).isNull, 1L).otherwise(0L)))
+
+  /** Per-type physical range check (Q4): value outside the wide bounds for
+    * its type counts as a failure; unknown types are not range-checked. */
+  def perTypeRange(typeCol: String, valueCol: String,
+                   ranges: Map[String, (Double, Double)]): Check = {
+    val bad = ranges.toSeq.sortBy(_._1).foldLeft(lit(false)) {
+      case (acc, (t, (lo, hi))) =>
+        acc || (col(typeCol) === lit(t) && (col(valueCol) < lo || col(valueCol) > hi))
+    }
+    Check("physical_range", sum(when(bad, 1L).otherwise(0L)))
+  }
+
+  /** Null-rate <= maxRate for every listed column (Q5). Returns one check
+    * per column; `failed` is 1 when the column's null fraction exceeds the
+    * budget. */
+  def nullRate(cols: Seq[String], maxRate: Double): Seq[Check] =
+    cols.map { c =>
+      Check(s"null_rate_$c",
+        when(avg(col(c).isNull.cast("int")) > maxRate, 1L).otherwise(0L))
+    }
+
+  def regexMatch(colName: String, pattern: String): Check =
+    Check(s"regex_$colName",
+      sum(when(!col(colName).rlike(pattern) || col(colName).isNull, 1L).otherwise(0L)))
+
+  /** Uniqueness of a key tuple (Q6): number of extra rows beyond one per
+    * key = total - distinct keys. */
+  def uniqueKey(df: DataFrame, keys: Seq[String]): Long = {
+    val agg = df.agg(count(lit(1)).as("n"),
+      countDistinct(keys.head, keys.tail: _*).as("d")).head()
+    agg.getLong(0) - agg.getLong(1)
+  }
+
+  /** The whole suite as ONE single-row aggregate DataFrame (one scan, one
+    * job): a `_total` row count plus one failure-count column per check. */
+  def suiteDf(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggs = count(lit(1)).as("_total") +:
+      checks.map(c => coalesce(c.failedExpr, lit(0L)).as(c.name))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Run a suite of single-pass checks over one table. One job: a single
+    * aggregate producing every check's failure count plus the total row
+    * count (Q1). */
+  def run(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+    val row = suiteDf(df, checks).head()
+    val total = row.getLong(0)
+    CheckResult("not_empty", if (total == 0) 1L else 0L, total.toDouble) +:
+      checks.zipWithIndex.map { case (c, i) =>
+        CheckResult(c.name, row.getLong(i + 1), row.getLong(i + 1).toDouble)
+      }
+  }
+
+  /** Q8: downstream/upstream row-count ratio must stay within
+    * [lo, hi] (expectations.py:158-165). */
+  def rowRatio(upstream: DataFrame, downstream: DataFrame,
+               lo: Double, hi: Double): CheckResult = {
+    val up = upstream.count()
+    val down = downstream.count()
+    val ratio = if (up == 0) 0.0 else down.toDouble / up
+    CheckResult("row_ratio", if (ratio < lo || ratio > hi) 1L else 0L, ratio)
+  }
+
+  /** Q10: fail-fast contract — abort the pipeline on any failed check so an
+    * orchestrator marks the stage red (expectations.py:205-207). */
+  def enforce(results: Seq[CheckResult]): Unit = {
+    val failed = results.filter(_.failed > 0)
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        "data-quality checks failed: " +
+          failed.map(r => s"${r.check}(failed=${r.failed})").mkString(", "))
+  }
+}

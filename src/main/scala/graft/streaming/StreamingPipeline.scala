@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+import graft.ingest.JsonIngest
+
+/** Structured-Streaming ingest: source → schema-enforced parse →
+  * dead-letter split → watermark → partitioned append sinks (SURVEY §2.9).
+  *
+  * Differences from the reference, on purpose:
+  *  - The reference starts TWO independent streaming queries over the same
+  *    Kafka topic (valid + dead-letter), consuming the topic twice
+  *    (spark_streaming.py:100-154). Here one `foreachBatch` fans a single
+  *    consumption out to both sinks — half the source load, one checkpoint
+  *    lineage (SURVEY §3.1 notes this as the idiomatic collapse).
+  *  - The watermark is applied but, as in the reference, the sink is a
+  *    stateless append — late rows still land in Bronze and late-data
+  *    correctness is restored by the batch `Silver.mergeLateData` (T2
+  *    subtlety, SURVEY §7.4.4). Do NOT add stateful dropping here.
+  *
+  * Sources are injectable so the same pipeline runs from Kafka in
+  * production and from file/rate/memory sources in tests (no Kafka in this
+  * sandbox).
+  */
+object StreamingPipeline {
+
+  final case class Config(
+      watermark: String = "10 minutes",
+      triggerInterval: String = "30 seconds",
+      partitionBy: Seq[String] = Seq("sensor_type"),
+      checkpointDir: String = "/tmp/graft-checkpoints")
+
+  /** Kafka source plan (S1) — exactly the reference's options
+    * (spark_streaming.py:79-87). Not startable in the sandbox; the plan
+    * shape is what tests assert. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "latest"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** File-based source standing in for Kafka in tests: a directory of text
+    * files, one JSON event per line, payload column named `value` like
+    * Kafka's. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.text(dir).withColumnRenamed("value", "payload")
+      .withColumn("value", col("payload")).drop("payload")
+
+  /** One-consumption ingest: parse + split happen per micro-batch inside
+    * foreachBatch; valid rows append to partitioned parquet Bronze,
+    * malformed rows to a JSON dead-letter path. */
+  def start(source: DataFrame, schema: StructType, bronzePath: String,
+            deadLetterPath: String, cfg: Config = Config()): StreamingQuery = {
+    source.writeStream
+      .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val res = JsonIngest.parseAndSplit(batch, "value", schema)
+        val valid = res.valid.withWatermark("event_time", cfg.watermark)
+        valid.write.mode("append")
+          .partitionBy(cfg.partitionBy: _*).parquet(bronzePath)
+        val dead = res.deadLetter
+        if (!dead.isEmpty)
+          dead.write.mode("append").json(deadLetterPath)
+        ()
+      }
+      .start()
+  }
+
+  /** T9: progress metrics via the idiomatic StreamingQueryListener instead
+    * of the reference's polling loop (spark_streaming.py:167-184). */
+  final class MetricsListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    @volatile var lastRowsPerSecond: Double = 0.0
+    @volatile var lastNumInputRows: Long = 0L
+    @volatile var batches: Long = 0L
+    override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+      lastNumInputRows = e.progress.numInputRows
+      lastRowsPerSecond = e.progress.processedRowsPerSecond
+      batches += 1
+    }
+    override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+}

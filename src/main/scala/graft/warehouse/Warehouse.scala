@@ -1,0 +1,80 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark-native star-schema warehouse operators replacing the reference's
+  * Redshift path (SURVEY §2.11 L1-L3, §2.3 J1-J3).
+  *
+  * Scale notes:
+  *  - The idempotent load (L1) is a dynamic partition overwrite — only the
+  *    partitions present in the incoming batch are replaced, never the
+  *    whole table (the reference's DELETE-then-COPY window translates to
+  *    replacing the affected time partitions).
+  *  - Dimension upsert (J1/L2) is a full-outer join on the key; the dim
+  *    side is small (DISTSTYLE ALL in the reference ≙ broadcast), so we
+  *    broadcast the staging side when it fits and let AQE pick otherwise.
+  *  - Fact↔dim joins (J3) broadcast the dims explicitly.
+  */
+object Warehouse {
+
+  /** L3: hourly calendar dimension seed (redshift_schema.sql:48-68) —
+    * `hours` consecutive hours from `startTs` with a dense 1-based
+    * time_key. Generated distributed via spark.range (no driver loop). */
+  def dimTime(spark: SparkSession, startTs: String, hours: Int): DataFrame = {
+    val base = spark.range(hours.toLong).select(
+      (col("id") + 1L).as("time_key"),
+      expr(s"timestampadd(HOUR, id, timestamp'$startTs')").as("full_timestamp"))
+    base.select(
+      col("time_key"),
+      col("full_timestamp"),
+      hour(col("full_timestamp")).as("hour"),
+      dayofmonth(col("full_timestamp")).as("day"),
+      month(col("full_timestamp")).as("month"),
+      year(col("full_timestamp")).as("year"),
+      dayofweek(col("full_timestamp")).as("day_of_week"),
+      dayofweek(col("full_timestamp")).isin(1, 7).as("is_weekend"))
+  }
+
+  /** J1/L2: idempotent dimension upsert via full-outer join — matched keys
+    * take the staging row's `updateCols` (with `greatest` merge for
+    * `maxMergeCols`), unmatched keep the dim row, new keys insert.
+    * Equivalent to the reference's staging+MERGE (redshift_loader.py:136-189)
+    * and to Delta `MERGE INTO`. */
+  def upsertDim(dim: DataFrame, staging: DataFrame, key: String,
+                stagingWins: Seq[String], dimWins: Seq[String],
+                maxMergeCols: Seq[String]): DataFrame = {
+    val d = dim.as("d")
+    val s = staging.as("s")
+    val merged = d.join(s, col(s"d.$key") === col(s"s.$key"), "full_outer")
+    val outCols: Seq[Column] =
+      coalesce(col(s"s.$key"), col(s"d.$key")).as(key) +:
+        (stagingWins.map(c => coalesce(col(s"s.$c"), col(s"d.$c")).as(c)) ++
+          dimWins.map(c => coalesce(col(s"d.$c"), col(s"s.$c")).as(c)) ++
+          maxMergeCols.map(c =>
+            when(col(s"s.$c").isNull, col(s"d.$c"))
+              .when(col(s"d.$c").isNull, col(s"s.$c"))
+              .otherwise(greatest(col(s"d.$c"), col(s"s.$c"))).as(c)))
+    merged.select(outCols: _*)
+  }
+
+  /** L1: idempotent fact load — replace exactly the partitions carried by
+    * the batch (dynamic partition overwrite), the Spark-native analogue of
+    * the reference's transactional DELETE [start,end) + COPY
+    * (redshift_loader.py:84-133). */
+  def idempotentPartitionLoad(df: DataFrame, path: String,
+                              partitionCols: Seq[String]): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** J3: star join — fact joined to (small) dimensions with explicit
+    * broadcast, the Spark analogue of DISTSTYLE ALL dims
+    * (redshift_schema.sql:32,45). */
+  def starJoin(fact: DataFrame, dims: Seq[(DataFrame, Seq[String])]): DataFrame =
+    dims.foldLeft(fact) { case (f, (dim, keys)) =>
+      f.join(broadcast(dim), keys, "left")
+    }
+}

@@ -8,6 +8,7 @@ import graft.silver.Silver
 import graft.gold.Gold
 import graft.quality.Quality
 import graft.warehouse.Warehouse
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-data extension operators), each with equivalent
@@ -60,6 +61,38 @@ object SparkEntry {
 
   private case class Q(name: String, sql: Option[String],
                        fn: (SparkSession, String) => DataFrame)
+
+  // ---- oracle SQL builders for the extension operators --------------------
+  // (document text ops share one normalization/tokenization front-end; the
+  // SQL mirrors graft.ext.TextAnalysis exactly)
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksSql =
+    s"CASE WHEN len($normSql) = 0 THEN []::VARCHAR[] ELSE string_split($normSql, ' ') END"
+
+  /** 3-word shingle list (distinct), as SQL over a `toks` column. */
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+      |   ELSE list_transform(range(1, len(toks) - 1),
+      |        i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END)""".stripMargin
+
+  private val preShinglesSql =
+    s"""SELECT doc_id, source, $shinglesSql AS sh
+       | FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)""".stripMargin
+
+  private def jaccardSql(a: String, b: String): String =
+    s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
+       | ELSE len(list_intersect($a, $b))::DOUBLE
+       |      / len(list_distinct(list_concat($a, $b))) END""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0 OR sqrt(list_dot_product($b, $b)) = 0
+       | THEN 0.0
+       | ELSE list_dot_product($a, $b)
+       |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
+
+  private def listFilterSql(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
   // ---- the inventory ------------------------------------------------------
 
@@ -466,7 +499,201 @@ object SparkEntry {
         upper(col("event_type")).as("type_upper"),
         substring(col("event_type"), 1, 3).as("type3"),
         concat(col("event_type"), lit("-"), col("user_id").cast("string")).as("type_user"))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // ---- LLM-data extension operators (documents / embeddings) ----------
+
+    // X-text: token counting (whitespace + BPE-ish), punctuation/stopword
+    // ratios, mean token length, composite quality score.
+    Q("x_text_stats",
+      Some {
+        val stop = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
+        val stopRatio = s"CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> t IN ($stop)))::DOUBLE / len(toks) END"
+        val punct = "CASE WHEN text IS NULL OR len(text) = 0 THEN 0.0 ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / len(text) END"
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+           |SELECT doc_id,
+           | CAST(len(toks) AS INT) AS n_tokens,
+           | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish,
+           | ROUND($punct + 1e-9, 4) AS punct_ratio,
+           | ROUND($stopRatio + 1e-9, 4) AS stopword_ratio,
+           | ROUND((CASE WHEN len(toks) = 0 THEN 0.0 ELSE list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) END) + 1e-9, 4) AS mean_token_len,
+           | ROUND(GREATEST(0.0, LEAST(1.0,
+           |   0.5 * LEAST(len(toks) / 50.0, 1.0)
+           |   + 0.5 * LEAST(($stopRatio) * 4.0, 1.0)
+           |   - 0.25 * LEAST(($punct) * 2.0, 1.0))) + 1e-9, 4) AS quality_score
+           |FROM t ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        R(TextAnalysis.punctRatio(col("text"))).as("punct_ratio"),
+        R(TextAnalysis.stopwordRatio(col("text"))).as("stopword_ratio"),
+        R(TextAnalysis.meanTokenLen(col("text"))).as("mean_token_len"),
+        R(TextAnalysis.qualityScore(col("text"))).as("quality_score"))
+        .orderBy("doc_id")),
+
+    // X-lang: heuristic stopword-vote language ID.
+    Q("x_lang_id",
+      Some {
+        val cs = TextAnalysis.langStopwords.map { case (l, sw) =>
+          s"${listFilterSql(sw)} AS c_$l"
+        }.mkString(",\n  ")
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |c AS (SELECT doc_id,
+           |  $cs
+           | FROM t)
+           |SELECT doc_id, CASE WHEN GREATEST(c_en, c_de, c_fr, c_es) <= 0 THEN 'und'
+           |  WHEN c_es > GREATEST(c_en, c_de, c_fr) THEN 'es'
+           |  WHEN c_fr > GREATEST(c_en, c_de) THEN 'fr'
+           |  WHEN c_de > c_en THEN 'de' ELSE 'en' END AS lang
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+        .orderBy("doc_id")),
+
+    // X-dedup-exact: md5-fingerprint groups (hash-groupBy dedup).
+    Q("x_fingerprint_dedup",
+      Some(s"""SELECT md5($normSql) AS fingerprint, MIN(doc_id) AS keep_id,
+              | COUNT(*) AS n_dups
+              | FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("fingerprint")),
+
+    // X-dedup-jaccard: blocked all-pairs 3-shingle Jaccard (quadratic
+    // baseline; blocking key = source).
+    Q("x_jaccard_pairs",
+      Some(s"""WITH pre AS ($preShinglesSql)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              | ROUND((${jaccardSql("a.sh", "b.sh")}) + 1e-9, 4) AS jaccard
+              |FROM pre a JOIN pre b ON a.source = b.source AND a.doc_id < b.doc_id
+              |WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02
+              |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text",
+          "doc_id", "source", 3, 0.02)
+        .select(col("id_a"), col("id_b"), R(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // X-dedup-minhash: MinHash(16 perms) + LSH(4 bands) candidate pairs,
+    // verified with exact Jaccard >= 0.3.
+    Q("x_minhash_lsh_neardups",
+      Some(s"""WITH pre AS ($preShinglesSql),
+              |tok AS (SELECT doc_id, unnest(sh) AS s FROM pre),
+              |mh AS (SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || s)) AS m
+              |       FROM tok CROSS JOIN range(0, 16) r(p) GROUP BY doc_id, p),
+              |bands AS (SELECT doc_id, p // 4 AS b,
+              |            md5(CAST(p // 4 AS VARCHAR) || '|' || string_agg(m, '|' ORDER BY p)) AS bh
+              |          FROM mh GROUP BY doc_id, p // 4),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bands a JOIN bands b
+              |           ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |j AS (SELECT c.id_a, c.id_b, (${jaccardSql("pa.sh", "pb.sh")}) AS jaccard
+              |      FROM cand c JOIN pre pa ON pa.doc_id = c.id_a
+              |                  JOIN pre pb ON pb.doc_id = c.id_b)
+              |SELECT id_a, id_b, ROUND(jaccard + 1e-9, 4) AS jaccard
+              |FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.minhashNearDups(Tables.documents(s, dir), "text",
+          "doc_id", threshold = 0.3, shingleN = 3, numPerms = 16,
+          rowsPerBand = 4, maxBucketSize = 1000000)
+        .select(col("id_a"), col("id_b"), R(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // X-dedup-simhash: 64-bit majority-vote signatures as bit strings.
+    Q("x_simhash_signatures",
+      Some {
+        val bitSums = (1 to 64).map { i =>
+          val d = (i - 1) / 4 + 1
+          val p = 1 << (3 - ((i - 1) % 4))
+          s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, $d, 1)) - 1) // $p) % 2 = 1 THEN 1 ELSE 0 END) AS b$i"
+        }.mkString(", ")
+        val bitsConcat = (1 to 64)
+          .map(i => s"CASE WHEN b$i * 2 > n THEN '1' ELSE '0' END")
+          .mkString("concat(", ", ", ")")
+        s"""WITH pre AS ($preShinglesSql),
+           |ex AS (SELECT doc_id, unnest(sh) AS s FROM pre),
+           |h AS (SELECT doc_id, md5(s) AS hx FROM ex),
+           |agg AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM h GROUP BY doc_id)
+           |SELECT doc_id, $bitsConcat AS simhash FROM agg ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir), "text",
+          "doc_id", shingleN = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    // X-sim-topk: brute-force cosine top-k (broadcast query set).
+    Q("x_cosine_topk",
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+              |s AS (SELECT q.qid, e.vec_id AS cid, (${cosSql("e.v", "q.qv")}) AS cosine
+              |      FROM e CROSS JOIN q WHERE e.vec_id <> q.qid)
+              |SELECT qid AS query_id, cid AS corpus_id,
+              |       ROUND(cosine + 1e-9, 4) AS cosine, CAST(rn AS INT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY cosine DESC, cid) AS rn FROM s)
+              |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+          .select(col("query_id"), col("corpus_id"), R(col("cosine")).as("cosine"),
+            col("rank"))
+          .orderBy("query_id", "rank")
+      }),
+
+    // X-sim-neardup: all-pairs cosine near-duplicate vectors.
+    Q("x_embedding_neardups",
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              | ROUND((${cosSql("a.v", "b.v")}) + 1e-9, 4) AS cosine
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE (${cosSql("a.v", "b.v")}) >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
+        .select(col("id_a"), col("id_b"), R(col("cosine")).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
+    // X-sim-ivf: IVF-style ANN — label-mean centroids, nearest-cell
+    // assignment, probe 1 cell, rank top-5 within it.
+    Q("x_ivf_topk",
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |dims AS (SELECT label, i, AVG(v[i]) AS m
+              |         FROM e, range(1, 65) r(i) GROUP BY label, i),
+              |cent AS (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv
+              |         FROM dims GROUP BY label),
+              |assign AS (
+              |  SELECT vec_id, v, cell FROM (
+              |    SELECT e.vec_id, e.v, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |                         ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+              |probe AS (SELECT vec_id AS qid, v AS qv, cell FROM assign WHERE vec_id < 5),
+              |scored AS (SELECT p.qid, a.vec_id AS cid, (${cosSql("a.v", "p.qv")}) AS cosine
+              |           FROM assign a JOIN probe p ON a.cell = p.cell AND a.vec_id <> p.qid)
+              |SELECT qid AS query_id, cid AS corpus_id,
+              |       ROUND(cosine + 1e-9, 4) AS cosine, CAST(rn AS INT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY cosine DESC, cid) AS rn FROM scored)
+              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.centroids(emb, "label", 64)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), cents, k = 5,
+            nProbe = 1)
+          .select(col("query_id"), col("corpus_id"), R(col("cosine")).as("cosine"),
+            col("rank"))
+          .orderBy("query_id", "rank")
+      }),
+
+    // X-multimodal: opaque-binary column metadata view (byte length +
+    // content key), no decode — proves column pruning drops payloads.
+    Q("x_multimodal_meta",
+      Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+             | md5(text) AS content_key
+             | FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Multimodal.metadataView(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")))
 
   // ---- driver contract ----------------------------------------------------
 

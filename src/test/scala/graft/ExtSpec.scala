@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data extension operators: text analysis, dedup family, similarity,
+  * multimodal plumbing. */
+class ExtSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("text analysis: tokens, ratios, fingerprint on crafted strings") {
+    val df = Seq(
+      (1L, "The quick  brown fox"),
+      (2L, "the quick brown fox"), // same after normalization
+      (3L, ""),
+      (4L, "!!! ???")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.fingerprint(col("text")).as("fp"),
+      TextAnalysis.punctRatio(col("text")).as("pr"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n") === 4)
+    assert(out(3L).getAs[Int]("n") === 0)
+    assert(out(1L).getAs[String]("fp") === out(2L).getAs[String]("fp"))
+    assert(out(4L).getAs[Double]("pr") > 0.5)
+  }
+
+  test("language ID votes stopwords with fixed precedence") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is happy"),
+      (2L, "der hund und die katze und das haus"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "und")
+  }
+
+  test("exact dedup keeps lowest-id doc per normalized content") {
+    val df = Seq(
+      (10L, "Hello   World"), (5L, "hello world"), (7L, "something else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+    assert(out.count() === 2)
+    assert(out.filter($"text".contains("ello")).select("doc_id").as[Long].head() === 5L)
+  }
+
+  test("minhash LSH finds a high-jaccard pair and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(df, "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs share signatures; near-dups have small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 57).map(i => s"tok$i").mkString(" ") + " a b c"
+    val far = (200 to 260).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far)).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(df, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+    assert(sigs(1L).length === 64)
+  }
+
+  test("cosine similarity: identity 1, orthogonal 0, zero-vector guard") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(0.0f, 0.0f)),
+      (4L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(df, -1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(pairs((1L, 4L)) - 1.0) < 1e-12) // parallel vectors
+    assert(pairs((1L, 2L)) === 0.0) // orthogonal
+    assert(pairs((1L, 3L)) === 0.0) // zero vector guarded
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break and excludes self") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)), (3L, Array(0.0f, 1.0f)),
+      (4L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 1), 2)
+    val rows = top.orderBy("rank").select("corpus_id").as[Long].collect()
+    assert(rows.toSeq === Seq(4L, 2L)) // exact match first, then near
+  }
+
+  test("IVF with per-label centroids returns neighbors from the probed cell") {
+    val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), 1))
+    val cluster2 = (6 to 10).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.01f), 2))
+    val df = (cluster1 ++ cluster2).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(df, "label", 2)
+    val out = Similarity.ivfTopK(df, df.filter($"vec_id" === 1), cents, k = 3)
+    val ids = out.select("corpus_id").as[Long].collect().toSet
+    assert(ids.subsetOf(Set(2L, 3L, 4L, 5L))) // same-cell members only
+    assert(ids.size === 3)
+  }
+
+  test("multimodal: decode stub is deterministic, batched, and keeps schema through resize") {
+    val df = Seq((1L, "some fake image bytes"), (2L, "")).toDF("doc_id", "payload")
+    val recs = Multimodal.asMediaRecords(df, "doc_id", "payload", "image")
+    val feats = Multimodal.decodeStub(recs, featureDim = 8)
+    val resized = Multimodal.resize(feats, 224, 224)
+    val rows = resized.collect().map(f => f.media_id -> f).toMap
+    assert(rows(1L).features.length === 8)
+    assert(rows(1L).width === 224 && rows(1L).height === 224)
+    assert(rows(2L).features.forall(_ === 0.0f)) // empty payload → zero features
+    // determinism: run twice, same features
+    val again = Multimodal.decodeStub(recs, featureDim = 8).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(again(1L) === rows(1L).features.toSeq)
+  }
+
+  test("metadataView never touches payload bytes in the plan output columns") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "payload")
+    val out = Multimodal.metadataView(df, "doc_id", "payload")
+    assert(out.columns.toSeq === Seq("doc_id", "n_bytes", "content_key"))
+    assert(out.head().getAs[Int]("n_bytes") === 3)
+  }
+}

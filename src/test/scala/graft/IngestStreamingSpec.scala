@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ingest.JsonIngest
+import graft.model.Schemas
+import graft.streaming.StreamingPipeline
+
+/** Schema-enforced JSON parse + dead-letter split, batch and streaming. */
+class IngestStreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val goodJson =
+    """{"sensor_id":"sensor-001","sensor_type":"temperature","timestamp":"2024-06-15T10:00:00+00:00","value":22.5,"unit":"celsius","location":"floor-1-zone-A"}"""
+  private val badJson = """{"sensor_id": BROKEN"""
+
+  test("P2/P3: valid rows flatten with event_time; malformed rows dead-letter with error metadata") {
+    val raw = Seq(goodJson, badJson).toDF("value")
+    val res = JsonIngest.parseAndSplit(raw, "value", Schemas.sensorSchema)
+    assert(res.valid.count() === 1)
+    assert(res.deadLetter.count() === 1)
+    val v = res.valid.head()
+    assert(v.getAs[String]("sensor_id") === "sensor-001")
+    assert(v.getAs[java.sql.Timestamp]("event_time") ===
+      java.sql.Timestamp.valueOf("2024-06-15 10:00:00")) // session UTC
+    val d = res.deadLetter.head()
+    assert(d.getAs[String]("error_type") === "json_parse_failure")
+    assert(d.getAs[String]("raw_value") === badJson)
+  }
+
+  test("T1-T5: streaming file source -> foreachBatch fan-out writes bronze + dead letters once") {
+    val inDir = Files.createTempDirectory("graft-stream-in").toString
+    val bronze = Files.createTempDirectory("graft-bronze").toString + "/data"
+    val dead = Files.createTempDirectory("graft-dead").toString + "/data"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    Files.writeString(java.nio.file.Path.of(inDir, "batch1.txt"),
+      s"$goodJson\n$badJson\n")
+
+    val q = StreamingPipeline.start(
+      StreamingPipeline.fileSource(spark, inDir), Schemas.sensorSchema,
+      bronze, dead,
+      StreamingPipeline.Config(triggerInterval = "1 second", checkpointDir = ckpt))
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val bronzeDf = spark.read.parquet(bronze)
+    assert(bronzeDf.count() === 1)
+    assert(bronzeDf.select("sensor_id").as[String].head() === "sensor-001")
+    // partitioned layout by sensor_type (S4)
+    assert(bronzeDf.select("sensor_type").as[String].head() === "temperature")
+    val deadDf = spark.read.json(dead)
+    assert(deadDf.count() === 1)
+    assert(deadDf.select("error_type").as[String].head() === "json_parse_failure")
+  }
+}

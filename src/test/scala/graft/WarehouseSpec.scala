@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.warehouse.Warehouse
+
+/** Star-schema warehouse operators: calendar seed, dim upsert, idempotent
+  * partition load. */
+class WarehouseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("L3 dim_time: dense keys, correct fields, weekend flags") {
+    val dt = Warehouse.dimTime(spark, "2024-01-01 00:00:00", 48)
+    assert(dt.count() === 48)
+    val first = dt.orderBy("time_key").head()
+    assert(first.getAs[Long]("time_key") === 1L)
+    assert(first.getAs[Int]("hour") === 0)
+    assert(first.getAs[Int]("year") === 2024)
+    // 2024-01-06/07 are Sat/Sun
+    val weekend = Warehouse.dimTime(spark, "2024-01-06 00:00:00", 24)
+    assert(weekend.filter(!$"is_weekend").count() === 0)
+  }
+
+  test("J1/L2 upsert: staging wins updates, dim keeps first_seen, greatest merges last_seen") {
+    val dim = Seq(
+      ("s1", "temperature", Timestamp.valueOf("2024-01-01 00:00:00"), Timestamp.valueOf("2024-01-10 00:00:00")),
+      ("s2", "humidity", Timestamp.valueOf("2024-01-02 00:00:00"), Timestamp.valueOf("2024-01-11 00:00:00"))
+    ).toDF("sensor_id", "sensor_type", "first_seen", "last_seen")
+    val staging = Seq(
+      ("s2", "pressure", Timestamp.valueOf("2024-01-05 00:00:00"), Timestamp.valueOf("2024-01-20 00:00:00")),
+      ("s3", "vibration", Timestamp.valueOf("2024-01-15 00:00:00"), Timestamp.valueOf("2024-01-16 00:00:00"))
+    ).toDF("sensor_id", "sensor_type", "first_seen", "last_seen")
+    val out = Warehouse.upsertDim(dim, staging, "sensor_id",
+      stagingWins = Seq("sensor_type"), dimWins = Seq("first_seen"),
+      maxMergeCols = Seq("last_seen"))
+    assert(out.count() === 3)
+    val s2 = out.filter($"sensor_id" === "s2").head()
+    assert(s2.getAs[String]("sensor_type") === "pressure") // staging update
+    assert(s2.getAs[Timestamp]("first_seen") === Timestamp.valueOf("2024-01-02 00:00:00")) // dim kept
+    assert(s2.getAs[Timestamp]("last_seen") === Timestamp.valueOf("2024-01-20 00:00:00")) // greatest
+    val s1 = out.filter($"sensor_id" === "s1").head()
+    assert(s1.getAs[String]("sensor_type") === "temperature") // untouched survives
+  }
+
+  test("L1 idempotent load replaces only the partitions present in the batch") {
+    val path = Files.createTempDirectory("graft-warehouse").toString + "/fact"
+    val batch1 = Seq(("A", 1), ("A", 2), ("B", 10)).toDF("part", "v")
+    Warehouse.idempotentPartitionLoad(batch1, path, Seq("part"))
+    val batch2 = Seq(("B", 99)).toDF("part", "v") // re-run window for B only
+    Warehouse.idempotentPartitionLoad(batch2, path, Seq("part"))
+    val out = spark.read.parquet(path)
+    assert(out.filter($"part" === "A").count() === 2) // untouched
+    val bVals = out.filter($"part" === "B").select("v").as[Int].collect().toSeq
+    assert(bVals === Seq(99)) // replaced, not appended
+  }
+}

@@ -61,36 +61,65 @@ object Dedup {
     * verification. Returns (idA, idB, jaccard) with idA < idB and
     * jaccard >= threshold.
     *
+    * Implementation shape (matters at scale): signatures come from ONE
+    * explode + ONE (doc, perm) hash aggregation so each md5 is computed
+    * exactly once — expressing the signature as a nested array expression
+    * lets CollapseProject inline it into every band reference and
+    * recompute the hashing numPerms^2 times (measured 30x slower).
+    * Candidate buckets carry only (id, band, hash) — never the shingle
+    * arrays — and the quadratic verification joins shingles back by id
+    * afterwards, only for deduplicated candidates.
+    *
     * @param shingleN      word-shingle size
     * @param numPerms      minhash permutations (signature length)
     * @param rowsPerBand   LSH band height; bands = numPerms/rowsPerBand
     * @param maxBucketSize drop pathological buckets larger than this
+    *                      (a bucket of B docs generates B^2 pairs)
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double, shingleN: Int = 3, numPerms: Int = 16,
                       rowsPerBand: Int = 4,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val withSig = docs.select(
+    // The shingle table feeds three consumers (signature explode + both
+    // sides of the candidate-verification join); persist it instead of
+    // recomputing tokenization three times. MEMORY_AND_DISK: shingle sets
+    // are ~the corpus size, which may exceed executor memory at 100 TB.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val pre = docs.repartition(par).select(
       col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numPerms))
-      .withColumn("bands", bandHashes(col("sig"), numPerms, rowsPerBand))
-    val buckets = withSig
-      .select(col("id"), col("sh"), posexplode(col("bands")).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val permIds = array((0 until numPerms).map(lit): _*)
+    // (id, perm, min-hash) — each shingle hashed once per permutation.
+    val mh = pre.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), col("s"), explode(permIds).as("p"))
+      .select(col("id"), col("p"),
+        md5(concat(col("p").cast("string"), lit("|"), col("s")).cast("binary")).as("h"))
+      .groupBy("id", "p").agg(min(col("h")).as("m"))
+    // Band hashes from the 16 per-perm minima: md5("b|m1|m2|m3|m4").
+    val banded = mh
+      .withColumn("band", (col("p") / rowsPerBand).cast("int"))
+      .groupBy("id", "band")
+      .agg(md5(concat_ws("|",
+        col("band").cast("string"),
+        concat_ws("|", transform(
+          array_sort(collect_list(struct(col("p"), col("m")))),
+          x => x.getField("m")))).cast("binary")).as("bh"))
     // Cap pathological buckets before the quadratic self-join.
-    val bucketSizes = buckets.groupBy("band", "bh").count()
+    val bucketSizes = banded.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
       .select("band", "bh")
-    val capped = buckets.join(bucketSizes, Seq("band", "bh"))
+    val capped = banded.join(bucketSizes, Seq("band", "bh"))
     val a = capped.as("a")
     val b = capped.as("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
+      .join(pre.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(pre.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -103,20 +132,39 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** All-pairs n-gram Jaccard within an explicit blocking key (e.g. same
-    * source) — the quadratic baseline used to validate the LSH path at
-    * small scale. At 100 TB never call without a blocking key. */
+  /** N-gram Jaccard pairs within an explicit blocking key (e.g. same
+    * source), via a sparse inverted-index join: explode (id, shingle),
+    * self-join on (block, shingle) to count intersections, then
+    * |union| = |a| + |b| - |intersect|. Pairs sharing no shingle never
+    * materialize (jaccard 0 — requires threshold > 0), so the cost is
+    * proportional to actual shingle co-occurrence instead of |block|^2
+    * array comparisons. At 100 TB never call without a blocking key. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, shingleN: Int,
                         threshold: Double): DataFrame = {
-    val pre = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+    require(threshold > 0.0,
+      "inverted-index jaccard never materializes zero-overlap pairs; threshold must be > 0")
+    // Repartition before tokenization: a single-file corpus otherwise runs
+    // the whole per-row pipeline on one task (one parquet row group = one
+    // input partition).
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val pre = docs.repartition(par).select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
-    val a = pre.as("a")
-    val b = pre.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+    val ex = pre.select(col("id"), col("blk"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val a = ex.as("a")
+    val b = ex.as("b")
+    val inter = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** SimHash signatures, one 64-char bit-string per document: bit i of the
@@ -129,7 +177,8 @@ object Dedup {
     * engine-specific 64-bit unsigned semantics). */
   def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3): DataFrame = {
-    val ex = docs.select(col(idCol).as("id"),
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val ex = docs.repartition(par).select(col(idCol).as("id"),
         explode_outer(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
           .as("sh"))
       .withColumn("bits",

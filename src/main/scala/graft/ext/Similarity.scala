@@ -4,37 +4,44 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** Similarity search over embedding columns (array<float>).
   *
   * Scale notes (100 TB):
+  *  - The dot-product inner loop is a custom codegen Catalyst expression
+  *    ([[graft.functions.DotProduct]]) — the declarative
+  *    `aggregate(zip_with(...))` form is evaluated interpreted and is the
+  *    bottleneck of every cosine workload (it made all-pairs scoring ~50x
+  *    slower at sf0.1).
+  *  - Norms are computed ONCE per vector in a narrow projection before any
+  *    join, so the quadratic stage does exactly one dot product per pair.
   *  - `bruteForceTopK` broadcasts the (small) query set against the corpus
   *    — a map-side cross product scored inside codegen, then a per-query
-  *    top-k window. Cost O(|corpus| × |queries| × dim), embarrassingly
-  *    parallel, no corpus shuffle. Right answer for ≲ thousands of queries.
+  *    top-k window. Cost O(|corpus| x |queries| x dim), embarrassingly
+  *    parallel, no corpus shuffle. Right answer for <= thousands of queries.
   *  - `ivfTopK` is the scale path: corpus is pre-assigned to centroid
   *    cells (one pass), queries probe only their nearest `nProbe` cells —
-  *    a bucket equi-join instead of a cross product. Centroids come from
-  *    any cheap clustering (here: caller-provided, e.g. per-label means);
-  *    cells should be 10³-10⁵ vectors at scale.
-  *  - All dot products accumulate in double after an explicit per-element
-  *    float→double cast so scores are reproducible across engines.
+  *    a bucket equi-join instead of a cross product. Cells should hold
+  *    10^3-10^5 vectors at scale.
+  *  - All accumulation is double, left-to-right, so scores are
+  *    reproducible across engines.
   */
 object Similarity {
 
-  /** Dot product of two array<float|double> columns, accumulated left-to-
-    * right in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two array<float|double> columns (codegen'd). */
+  def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
-    val na = l2Norm(a)
-    val nb = l2Norm(b)
+  /** Cosine similarity; 0.0 when either vector has zero norm. Prefer the
+    * precomputed-norm overload inside joins. */
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, l2Norm(a), l2Norm(b))
+
+  /** Cosine from precomputed norms — one dot product per evaluation. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
-  }
 
   /** Brute-force cosine top-k: for every query vector, the k most similar
     * corpus vectors (self-matches excluded when ids collide). Deterministic
@@ -42,11 +49,16 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val c = corpus.repartition(par)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+      .withColumn("cosine",
+        cosineWithNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -56,17 +68,32 @@ object Similarity {
 
   /** Near-duplicate vector pairs: all (a,b) with cosine >= threshold and
     * idA < idB, within an optional blocking column (at scale always block —
-    * e.g. by LSH bucket or IVF cell — never the raw cross join). */
+    * e.g. by LSH bucket or IVF cell — the unblocked variant is a broadcast
+    * cross join, only viable while one copy of the corpus fits in an
+    * executor).
+    *
+    * Without a block column this must NOT be an equi-join on a constant
+    * key: a constant join key hashes every row to ONE shuffle partition —
+    * a single task does all |V|^2 work regardless of cluster size. */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
                          idCol: String = "vec_id", vecCol: String = "embedding",
                          blockCol: Option[String] = None): DataFrame = {
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      blockCol.map(col).getOrElse(lit(0)).as("blk"))
-    val a = base.as("a")
+        blockCol.map(col).getOrElse(lit(0)).as("blk"))
+      .withColumn("nrm", l2Norm(col("vec")))
+    val a = base.repartition(par).as("a")
     val b = base.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    val joined = blockCol match {
+      case Some(_) =>
+        a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      case None =>
+        a.crossJoin(broadcast(b)).filter(col("a.id") < col("b.id"))
+    }
+    joined
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.vec"), col("b.vec")).as("cosine"))
+        cosineWithNorms(col("a.vec"), col("b.vec"), col("a.nrm"), col("b.nrm"))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -102,12 +129,15 @@ object Similarity {
     val assigned = nearestCells(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")),
       "corpus_id", "cvec", 1)
+      .withColumn("cnorm", l2Norm(col("cvec")))
     val probed = nearestCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
       "query_id", "qvec", nProbe)
+      .withColumn("qnorm", l2Norm(col("qvec")))
     val scored = assigned.join(probed, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("cvec"), col("qvec")))
+      .withColumn("cosine",
+        cosineWithNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

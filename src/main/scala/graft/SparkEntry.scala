@@ -9,6 +9,7 @@ import graft.gold.Gold
 import graft.quality.Quality
 import graft.warehouse.Warehouse
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.AsOf
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-data extension operators), each with equivalent
@@ -693,7 +694,107 @@ object SparkEntry {
              | md5(text) AS content_key
              | FROM documents ORDER BY doc_id""".stripMargin),
       (s, dir) => Multimodal.metadataView(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // ---- dashboard-family aggregations (A6) + producer/serialization ----
+
+    // A6: pivot table — avg value per sensor pivoted by type.
+    Q("a6_pivot_avg_by_type",
+      Some {
+        val cases = Seq("click", "view", "purchase", "signup", "error").map(t =>
+          s"ROUND(AVG(CASE WHEN event_type = '$t' THEN value END) + 1e-9, 4) AS $t")
+          .mkString(",\n ")
+        s"""SELECT user_id,
+           | $cases
+           | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+      },
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        Tables.events(s, dir).groupBy("user_id")
+          .pivot("event_type", types)
+          .agg(avg(col("value")))
+          .select(col("user_id") +: types.map(t => R(col(t)).as(t)): _*)
+          .orderBy("user_id")
+      }),
+
+    // A6: histogram via fixed-width value bucketing.
+    Q("a6_value_histogram",
+      Some("""SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket, COUNT(*) AS n
+             | FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(floor(col("value") / 50.0).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // A6: global single-row stats (dashboard headline tiles).
+    Q("a6_global_stats",
+      Some("""SELECT COUNT(*) AS n_events,
+             | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             | ROUND(AVG(value) + 1e-9, 4) AS avg_value,
+             | MIN(value) AS min_value, MAX(value) AS max_value,
+             | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_value
+             | FROM events""".stripMargin),
+      (s, dir) => Tables.events(s, dir).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        R(avg(col("value"))).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_value"))),
+
+    // P9: date-partition predicate (pushed to the scan).
+    Q("p9_date_filter",
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             | WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+             | GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .filter(to_date(col("ts")) === lit("2024-01-15").cast("date"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // S8: Kafka-producer-shaped serialization — key = sensor id, value =
+    // JSON of the event struct.
+    Q("s8_kafka_json_serialize",
+      Some("""SELECT event_id, CAST(user_id AS VARCHAR) AS key,
+             | to_json(struct_pack(user_id := user_id, event_type := event_type,
+             |                     value := value))::VARCHAR AS value
+             | FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => Tables.events(s, dir).select(
+        col("event_id"),
+        col("user_id").cast("string").as("key"),
+        to_json(struct(col("user_id"), col("event_type"), col("value"))).as("value"))
+        .orderBy("event_id")),
+
+    // As-of self-lookup: most recent prior signup event per user.
+    Q("w_asof_prior_signup",
+      Some("""SELECT event_id,
+             | last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+             |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_signup_id
+             | FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => AsOf.asofSelf(Tables.events(s, dir), Seq("user_id"),
+          Seq(col("ts").asc, col("event_id").asc),
+          col("event_id"), col("event_type") === "signup", "prior_signup_id")
+        .select(col("event_id"), col("prior_signup_id"))
+        .orderBy("event_id")),
+
+    // As-of join: purchases enriched with the signup "rate" in effect.
+    Q("j_asof_enrichment",
+      Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT user_id, ts, value AS rate FROM events WHERE event_type = 'signup')
+             |SELECT l.event_id, r.rate AS rate_asof
+             |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val left = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val right = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("value").as("rate"))
+        AsOf.asofJoin(left, right, "user_id", "ts", "ts", Seq("rate"))
+          .select(col("event_id"), col("rate_asof"))
+          .orderBy("event_id")
+      }))
 
   // ---- driver contract ----------------------------------------------------
 

@@ -53,4 +53,24 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(deadDf.count() === 1)
     assert(deadDf.select("error_type").as[String].head() === "json_parse_failure")
   }
+
+  test("S7/S8: CSV replay source round-trips through producer-shaped JSON") {
+    val csvDir = Files.createTempDirectory("graft-csv").toString
+    Files.writeString(java.nio.file.Path.of(csvDir, "replay.csv"),
+      "sensor_id,sensor_type,timestamp,value,unit,location\n" +
+        "sensor-001,temperature,2024-06-15T10:00:00+00:00,22.5,celsius,floor-1-zone-A\n" +
+        "sensor-002,humidity,2024-06-15T10:00:05+00:00,45.0,percent,\n")
+    val csv = spark.read.option("header", "true").csv(csvDir)
+      .withColumn("value", col("value").cast("double"))
+    assert(csv.count() === 2)
+    // producer serialization: key = sensor_id, value = JSON event
+    val wire = csv.select(col("sensor_id").as("key"),
+      to_json(struct(csv.columns.map(col): _*)).as("value"))
+    // consumer parse of the produced payload must round-trip losslessly
+    val parsed = JsonIngest.parseAndSplit(wire, "value", Schemas.sensorSchema)
+    assert(parsed.deadLetter.count() === 0)
+    assert(parsed.valid.count() === 2)
+    assert(parsed.valid.filter(col("sensor_id") === "sensor-001")
+      .select("value").as[Double].head() === 22.5)
+  }
 }

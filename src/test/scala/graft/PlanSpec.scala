@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the scale properties the engine promises must be
+  * visible in the executed plan, not just hoped for. A regression that
+  * adds a shuffle, drops a pushed filter, or de-broadcasts a dim join
+  * fails here before it fails at 100 TB. */
+class PlanSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("S2: filters and projection reach the parquet scan") {
+    val p = plan(SparkEntry.queries("s2_scan_filter_project")(spark, dir))
+    assert(p.contains("PushedFilters:"), "no pushed filters in scan")
+    assert(p.contains("EqualTo(event_type,click)") || p.contains("IsNotNull(event_type)"),
+      s"event_type filter not pushed:\n$p")
+    // projection pruning: the scan must not read props/ts
+    assert(!p.contains("props"), "scan reads unused column props")
+  }
+
+  test("J3: dimension joins broadcast, no shuffled dim") {
+    val p = plan(SparkEntry.queries("j3_star_join_revenue")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"customer join is not broadcast:\n$p")
+  }
+
+  test("silver chain: exactly two exchanges (dedup key + zscore key)") {
+    val p = plan(Pipeline.silver(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, found $exchanges:\n$p")
+  }
+
+  test("brute-force topk: corpus never shuffles, queries broadcast") {
+    val emb = model.Tables.embeddings(spark, dir)
+    val p = plan(ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query set not broadcast:\n$p")
+  }
+
+  test("A1 aggregation is partial+final hash aggregation over one shuffle") {
+    val b = model.Tables.eventsAsReadings(model.Tables.events(spark, dir))
+    val p = plan(gold.Gold.windowAgg(b, Seq("sensor_id"), "event_time", "value",
+      "5 minutes", approxPercentiles = true))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, found $exchanges")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"))
+  }
+
+  test("graft_dot registers for SQL and is codegen (no Filter/UDF fallback)") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("vecs")
+    val out = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs").as[Double].head()
+    assert(out === 11.0)
+  }
+}

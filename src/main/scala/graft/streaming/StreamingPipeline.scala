@@ -74,6 +74,35 @@ object StreamingPipeline {
       .start()
   }
 
+  /** T7 (extension): in-stream tumbling-window aggregation with watermark —
+    * the streaming counterpart of Gold.windowAgg. The reference computes
+    * windows only in batch (silver_to_gold.py:57,106); this gives the same
+    * aggregate shape with streaming state: partial aggregation per
+    * micro-batch, state keyed by (window, keys), watermark bounding state
+    * size (state for windows older than the watermark is evicted — the
+    * knob that keeps a 100 TB/day stream's state finite). */
+  def windowedAgg(events: DataFrame, timeCol: String, keys: Seq[String],
+                  valueCol: String, windowDuration: String,
+                  watermark: String): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .groupBy(window(col(timeCol), windowDuration) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("reading_count"),
+        avg(col(valueCol)).as("avg_value"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** T8 (extension): streaming keep-one dedup bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` keeps (key) state only within the
+    * watermark horizon, unlike `dropDuplicates` whose state grows forever.
+    * Batch late-data correctness still comes from Silver.mergeLateData. */
+  def streamingDedup(events: DataFrame, timeCol: String, keys: Seq[String],
+                     watermark: String): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** T9: progress metrics via the idiomatic StreamingQueryListener instead
     * of the reference's polling loop (spark_streaming.py:167-184). */
   final class MetricsListener extends org.apache.spark.sql.streaming.StreamingQueryListener {

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{AsOf, Skew}
+import graft.streaming.StreamingPipeline
+
+/** As-of lookups, skew-salted aggregation, and the in-stream windowed
+  * aggregation / streaming-dedup extensions. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("asofSelf carries the last prior matching value per key") {
+    val df = Seq(
+      ("u1", 1L, "signup"), ("u1", 2L, "click"), ("u1", 3L, "signup"),
+      ("u1", 4L, "purchase"), ("u2", 5L, "click")
+    ).toDF("user", "seq", "typ")
+    val out = AsOf.asofSelf(df, Seq("user"), Seq(col("seq").asc),
+        col("seq"), col("typ") === "signup", "prior_signup")
+      .select("seq", "prior_signup").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) === None)       // nothing before the first row
+    assert(out(2L) === Some(1L))
+    assert(out(4L) === Some(3L))   // most recent, not first
+    assert(out(5L) === None)       // other key unaffected
+  }
+
+  test("asofJoin attaches the right row in effect at each left time") {
+    val left = Seq(("k", 10L, "a"), ("k", 20L, "b"), ("k", 5L, "c"))
+      .toDF("key", "t", "tag")
+    val right = Seq(("k", 8L, 1.0), ("k", 20L, 2.0)).toDF("key", "t", "rate")
+    val out = AsOf.asofJoin(left, right, "key", "t", "t", Seq("rate"))
+      .select("tag", "rate_asof").as[(String, Option[Double])].collect().toMap
+    assert(out("c") === None)        // before any right row
+    assert(out("a") === Some(1.0))
+    assert(out("b") === Some(2.0))   // right row at exactly t is visible
+  }
+
+  test("saltedStats equals the direct aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("key", "value")
+    val direct = df.groupBy("key")
+      .agg(sum("value").as("sum_value"), count("value").as("count_value"),
+        min("value").as("min_value"), max("value").as("max_value"),
+        (sum("value") / count("value")).as("avg_value"))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val salted = Skew.saltedStats(df, Seq("key"), "value", buckets = 8)
+      .select("key", "sum_value", "count_value", "min_value", "max_value", "avg_value")
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(salted === direct)
+  }
+
+  test("saltedJoin equals the plain join") {
+    val probe = (1 to 500).map(i => (s"k${i % 3}", i)).toDF("key", "v")
+    val build = Seq(("k0", "zero"), ("k1", "one"), ("k2", "two")).toDF("key", "name")
+    val direct = probe.join(build, Seq("key")).count()
+    assert(Skew.saltedJoin(probe, build, "key", 8).count() === direct)
+  }
+
+  test("streaming windowed agg with watermark emits finalized windows") {
+    val inDir = Files.createTempDirectory("graft-swin").toString
+    def writeBatch(name: String, lines: Seq[String]): Unit =
+      Files.writeString(java.nio.file.Path.of(inDir, name), lines.mkString("\n"))
+    // JSON lines with event time + key + value
+    writeBatch("b1.json", Seq(
+      """{"ts":"2024-06-15 10:00:10","k":"a","v":1.0}""",
+      """{"ts":"2024-06-15 10:01:10","k":"a","v":3.0}""",
+      """{"ts":"2024-06-15 10:07:00","k":"a","v":5.0}"""))
+    val schema = "ts timestamp, k string, v double"
+    val src = spark.readStream.schema(schema).json(inDir)
+    val agg = StreamingPipeline.windowedAgg(src, "ts", Seq("k"), "v",
+      "5 minutes", "1 minute")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("swin").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past the first window with a later batch
+      writeBatch("b2.json", Seq("""{"ts":"2024-06-15 10:20:00","k":"a","v":7.0}"""))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("swin")
+      .select("k", "window_start", "reading_count", "avg_value")
+      .collect()
+    assert(rows.nonEmpty, "no finalized windows emitted")
+    val first = rows.find(_.getAs[Timestamp]("window_start") ===
+      Timestamp.valueOf("2024-06-15 10:00:00"))
+    assert(first.isDefined)
+    assert(first.get.getAs[Long]("reading_count") === 2L)
+    assert(first.get.getAs[Double]("avg_value") === 2.0)
+  }
+
+  test("streaming dedup within watermark keeps one row per key") {
+    val inDir = Files.createTempDirectory("graft-sdedup").toString
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"), Seq(
+      """{"ts":"2024-06-15 10:00:10","k":"a","v":1.0}""",
+      """{"ts":"2024-06-15 10:00:11","k":"a","v":2.0}""",
+      """{"ts":"2024-06-15 10:00:12","k":"b","v":3.0}""").mkString("\n"))
+    val src = spark.readStream.schema("ts timestamp, k string, v double").json(inDir)
+    val deduped = StreamingPipeline.streamingDedup(src, "ts", Seq("k"), "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("sdedup").count() === 2)
+  }
+}

@@ -90,6 +90,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(first.get.getAs[Double]("avg_value") === 2.0)
   }
 
+  test("T9: MetricsListener observes progress of a running query") {
+    val inDir = Files.createTempDirectory("graft-listen").toString
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"),
+      """{"ts":"2024-06-15 10:00:10","k":"a","v":1.0}""")
+    val listener = new StreamingPipeline.MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val src = spark.readStream.schema("ts timestamp, k string, v double").json(inDir)
+      val q = src.writeStream.outputMode("append").format("memory")
+        .queryName("listend").start()
+      try q.processAllAvailable() finally q.stop()
+      // progress events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (listener.batches == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(listener.batches > 0)
+      assert(listener.lastNumInputRows === 1L)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("streaming dedup within watermark keeps one row per key") {
     val inDir = Files.createTempDirectory("graft-sdedup").toString
     Files.writeString(java.nio.file.Path.of(inDir, "b1.json"), Seq(

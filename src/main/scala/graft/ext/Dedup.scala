@@ -150,8 +150,11 @@ object Dedup {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val pre = docs.repartition(par).select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
+    // Both sides of the self-join consume the exploded index; persist it
+    // once (ReuseExchange does not fire across the aliased self-join).
     val ex = pre.select(col("id"), col("blk"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = ex.as("a")
     val b = ex.as("b")
     val inter = a.join(b,

@@ -34,12 +34,15 @@ object Bench {
       val times = (1 to 2).map { _ =>
         time { try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () } }
       }
+      // operators may persist intermediates; drop them so later queries
+      // aren't taxed by accumulated cache + GC pressure
+      spark.catalog.clearCache()
       name -> times.min
     }
 
     // Medallion chain throughput: events -> silver flags -> gold 5-min aggs.
     val chainRows = graft.model.Tables.events(spark, sfDir).count()
-    val chainSec = time { Pipeline.gold5Min(spark, sfDir).count(); () }
+    val chainSec = (1 to 2).map(_ => time { Pipeline.gold5Min(spark, sfDir).count(); () }).min
     val chainRps = if (chainSec > 0) chainRows / chainSec else 0.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

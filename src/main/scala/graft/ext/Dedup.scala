@@ -89,22 +89,24 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val permIds = array((0 until numPerms).map(lit): _*)
-    // (id, perm, min-hash) — each shingle hashed once per permutation.
-    val mh = pre.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), col("s"), explode(permIds).as("p"))
-      .select(col("id"), col("p"),
-        md5(concat(col("p").cast("string"), lit("|"), col("s")).cast("binary")).as("h"))
-      .groupBy("id", "p").agg(min(col("h")).as("m"))
-    // Band hashes from the 16 per-perm minima: md5("b|m1|m2|m3|m4").
-    val banded = mh
-      .withColumn("band", (col("p") / rowsPerBand).cast("int"))
-      .groupBy("id", "band")
-      .agg(md5(concat_ws("|",
-        col("band").cast("string"),
-        concat_ws("|", transform(
-          array_sort(collect_list(struct(col("p"), col("m")))),
-          x => x.getField("m")))).cast("binary")).as("bh"))
+    // All numPerms minima in ONE hash aggregation over the exploded
+    // shingles: the md5s are evaluated inside the partial (map-side)
+    // aggregate, so the shuffle carries only |docs| x numPerms partial
+    // minima — no (id, shingle, perm) materialization.
+    val mins = (0 until numPerms).map { p =>
+      min(md5(concat(lit(s"$p|"), col("s")).cast("binary"))).as(s"m$p")
+    }
+    val sig = pre.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+    // Band hashes from the per-perm minima: md5("b|m1|m2|m3|m4").
+    val bandCols = (0 until numPerms / rowsPerBand).map { b =>
+      md5(concat_ws("|",
+        lit(b.toString) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+        .cast("binary"))
+    }
+    val banded = sig
+      .select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
     // Cap pathological buckets before the quadratic self-join.
     val bucketSizes = banded.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)

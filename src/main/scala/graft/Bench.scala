@@ -45,10 +45,36 @@ object Bench {
     val chainSec = (1 to 2).map(_ => time { Pipeline.gold5Min(spark, sfDir).count(); () }).min
     val chainRps = if (chainSec > 0) chainRows / chainSec else 0.0
 
+    // Streaming ingest throughput: the events table streamed through the
+    // watermarked in-stream windowed aggregation to a noop sink (the
+    // reference's headline metric is ingest events/sec).
+    val streamRps = try {
+      import java.nio.file.{Files, Path}
+      val streamDir = Files.createTempDirectory("graft-bench-stream")
+      Files.copy(Path.of(s"$sfDir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val raw = spark.read.parquet(streamDir.toString)
+      val src0 = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
+      val src =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          src0.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        else src0
+      val agg = graft.streaming.StreamingPipeline.windowedAgg(
+        src, "ts", Seq("event_type"), "value", "5 minutes", "10 minutes")
+      val ckpt = Files.createTempDirectory("graft-bench-ckpt").toString
+      val sec = time {
+        val q = agg.writeStream.outputMode("update").format("noop")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      if (sec > 0) chainRows / sec else 0.0
+    } catch { case _: Throwable => 0.0 }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps}""")
     spark.stop()
   }
 }

@@ -655,6 +655,33 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), R(col("cosine")).as("cosine"))
         .orderBy("id_a", "id_b")),
 
+    // X-sim-lsh: signed-random-projection LSH — the linear-time candidate
+    // path for cosine near-dups. The hyperplane matrix is deterministic
+    // (seeded) and embedded in BOTH the Spark operator and this SQL.
+    Q("x_srp_lsh_neardups",
+      Some {
+        val planes = Similarity.srpPlanes(16, 64)
+        val sigSql = planes.map { p =>
+          val arr = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"CASE WHEN list_dot_product(v, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+        }.mkString("concat(", ",\n ", ")")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |sig AS (SELECT vec_id, v, $sigSql AS s FROM e),
+           |bands AS (SELECT vec_id, b, substr(s, b*4 + 1, 4) AS chunk
+           |          FROM sig CROSS JOIN range(0, 4) r(b)),
+           |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |         FROM bands a JOIN bands b
+           |           ON a.b = b.b AND a.chunk = b.chunk AND a.vec_id < b.vec_id),
+           |j AS (SELECT c.id_a, c.id_b, (${cosSql("ea.v", "eb.v")}) AS cosine
+           |      FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+           |                  JOIN e eb ON eb.vec_id = c.id_b)
+           |SELECT id_a, id_b, ROUND(cosine + 1e-9, 4) AS cosine
+           |FROM j WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin
+      },
+      (s, dir) => Similarity.srpNearDups(Tables.embeddings(s, dir), 0.4)
+        .select(col("id_a"), col("id_b"), R(col("cosine")).as("cosine"))
+        .orderBy("id_a", "id_b")),
+
     // X-sim-ivf: IVF-style ANN — label-mean centroids, nearest-cell
     // assignment, probe 1 cell, rank top-5 within it.
     Q("x_ivf_topk",

@@ -97,6 +97,56 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Deterministic signed-random-projection hyperplanes (±1 components,
+    * fixed seed) — shared by the Spark operator and any external oracle so
+    * LSH bucketing is engine-reproducible. */
+  def srpPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** SRP-LSH signature: bit j = sign(v . plane_j), as a bit string. */
+  def srpSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    concat(planes.map(p =>
+      when(dot(vec, typedlit(p.toSeq)) >= 0.0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** The scale path for cosine near-duplicate pairs: SRP-LSH banding.
+    * Vectors sharing ANY band of their sign signature become candidates
+    * (shuffle of (id, band, chunk) tuples only), then exact cosine
+    * verifies. Approximate by construction — recall is
+    * 1-(1-p^rowsPerBand)^bands with p = 1 - theta/pi — but candidate
+    * generation is linear in |V|, not quadratic. */
+  def srpNearDups(vectors: DataFrame, threshold: Double,
+                  numPlanes: Int = 16, rowsPerBand: Int = 4,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  seed: Long = 42L): DataFrame = {
+    val par = vectors.sparkSession.sparkContext.defaultParallelism
+    val dim = vectors.select(size(col(vecCol))).first().getInt(0)
+    val planes = srpPlanes(numPlanes, dim, seed)
+    val base = vectors.repartition(par)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("nrm", l2Norm(col("vec")))
+      .withColumn("sig", srpSignature(col("vec"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = base.select(col("id"),
+      posexplode(array((0 until numPlanes / rowsPerBand).map(b =>
+        substring(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
+        .as(Seq("band", "chunk")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("cosine", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Mean vector per group — cheap centroids for IVF (e.g. per label or
     * per LSH bucket). One explode + one hash agg; centroid components are
     * rounded so downstream scoring is engine-reproducible. */

@@ -93,6 +93,18 @@ class ExtSpec extends SparkTestBase {
     assert(rows.toSeq === Seq(4L, 2L)) // exact match first, then near
   }
 
+  test("SRP-LSH finds parallel vectors and never reports sub-threshold pairs") {
+    val near = (1 to 3).map(i => (i.toLong, Array.tabulate(64)(d => (d + 1).toFloat * (1.0f + i * 0.001f))))
+    val far = (10 to 12).map(i => (i.toLong, Array.tabulate(64)(d => if (d % 2 == 0) i.toFloat else -i.toFloat)))
+    val df = (near ++ far).toDF("vec_id", "embedding")
+    val pairs = Similarity.srpNearDups(df, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) && pairs.contains((1L, 3L)))
+    // vectors 10-12 are mutually parallel too, but near-orthogonal to 1-3:
+    // no cross-group pair may pass the threshold
+    assert(pairs.forall { case (a, b) => (a < 10) == (b < 10) })
+  }
+
   test("IVF with per-label centroids returns neighbors from the probed cell") {
     val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), 1))
     val cluster2 = (6 to 10).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.01f), 2))

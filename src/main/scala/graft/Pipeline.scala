@@ -49,4 +49,18 @@ object Pipeline {
   def goldDaily(spark: SparkSession, dir: String): DataFrame =
     Gold.dailySummary(silver(spark, dir), "sensor_type", "event_time",
       "value", "sensor_id")
+
+  /** Silver with observable row/anomaly counts in ONE action. The
+    * reference re-runs the lineage up to 5x through repeated `count()`
+    * calls between stages (SURVEY §3.2); `observe()` attaches the metrics
+    * to the single materializing action instead, so stage counts come for
+    * free with the write. */
+  def silverObserved(spark: SparkSession, dir: String):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("silver_metrics")
+    val df = silver(spark, dir).observe(obs,
+      count(lit(1)).as("rows"),
+      sum(when(col("is_anomaly"), 1L).otherwise(0L)).as("anomalies"))
+    (df, obs)
+  }
 }

@@ -805,6 +805,20 @@ object SparkEntry {
         .select(col("event_id"), col("prior_signup_id"))
         .orderBy("event_id")),
 
+    // Sketch-based scale path: approximate percentiles (KLL-style sketch,
+    // fixed-size state) + HLL distinct counts — the variants the engine
+    // swaps in when groups are unbounded. Approximate by nature, so no
+    // SQL oracle (driver records a rows-only check).
+    Q("scale_approx_window_stats", None,
+      (s, dir) => {
+        val b = Tables.eventsAsReadings(Tables.events(s, dir))
+        Gold.windowAgg(b, Seq("sensor_type"), "event_time", "value", "1 hour",
+            approxPercentiles = true,
+            extraAggs = Seq(approx_count_distinct(col("sensor_id"))
+              .as("approx_sensor_count")))
+          .orderBy("sensor_type", "window_start")
+      }),
+
     // As-of join: purchases enriched with the signup "rate" in effect.
     Q("j_asof_enrichment",
       Some("""WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

@@ -77,4 +77,28 @@ object Warehouse {
     dims.foldLeft(fact) { case (f, (dim, keys)) =>
       f.join(broadcast(dim), keys, "left")
     }
+
+  /** Co-located join via bucketing: write both sides bucketed+sorted on
+    * the join key (`saveAsTable` — bucketing metadata lives in the
+    * catalog) so repeated fact↔fact joins on that key run with NO shuffle
+    * on either side. This is the KEYED-layout strategy for 100 TB fact
+    * tables: pay the partitioning once at write time, amortize it over
+    * every downstream join/aggregation on the same key. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int, path: Option[String] = None): Unit = {
+    // Overwrite only replaces tables the catalog knows about; drop first so
+    // a re-run against a fresh (in-memory) catalog doesn't trip over the
+    // previous run's managed location. For cross-session idempotence pass
+    // an explicit `path` (external table): Spark refuses to re-create a
+    // MANAGED table over a stale location by design.
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
 }

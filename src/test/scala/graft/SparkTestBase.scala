@@ -6,7 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session for the whole suite (one JVM under Test/fork). */
 object SparkTestSession {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("local[4]", 4).getOrCreate()
+    val s = GraftSession.builder("local[4]", 4)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-test").toString)
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }

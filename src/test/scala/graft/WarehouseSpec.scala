@@ -43,6 +43,32 @@ class WarehouseSpec extends SparkTestBase {
     assert(s1.getAs[String]("sensor_type") === "temperature") // untouched survives
   }
 
+  test("bucketed co-located join runs with zero exchanges") {
+    val left = (1 to 1000).map(i => (i.toLong % 50, i)).toDF("key", "v")
+    val right = (1 to 500).map(i => (i.toLong % 50, s"n$i")).toDF("key", "name")
+    Warehouse.writeBucketed(left, "bkt_left", "key", 8)
+    Warehouse.writeBucketed(right, "bkt_right", "key", 8)
+    // force the non-broadcast path so bucketing (not broadcast) is what
+    // eliminates the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Warehouse.bucketedJoin(spark, "bkt_left", "bkt_right", "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === 10000) // 1000 x 500 / 50 keys matched
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("observe() yields stage metrics from the single materializing action") {
+    val (df, obs) = Pipeline.silverObserved(spark, "/root/testdata/sf0.001")
+    val n = df.count() // ONE action
+    val row = obs.get
+    assert(row("rows") === n)
+    assert(row("anomalies").asInstanceOf[Long] >= 0L)
+  }
+
   test("L1 idempotent load replaces only the partitions present in the batch") {
     val path = Files.createTempDirectory("graft-warehouse").toString + "/fact"
     val batch1 = Seq(("A", 1), ("A", 2), ("B", 10)).toDF("part", "v")

@@ -15,11 +15,15 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up: session, codegen, input footprint.
+    // Warm-up: session, codegen, input footprint. Failures are loud (stderr)
+    // — a missing table would otherwise just shift its cost into the first
+    // measured query.
     spark.range(1000000L).selectExpr("sum(id)").collect()
     graft.model.Tables.all.foreach { t =>
       try graft.model.Tables.load(spark, sfDir, t).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up scan failed for table $t: $e")
+      }
     }
 
     def time(f: => Unit): Double = {
@@ -29,15 +33,26 @@ object Bench {
     }
 
     // min of 2 runs per query: first run absorbs codegen/JIT/page-cache;
-    // the minimum approximates steady-state per-query latency.
+    // the minimum approximates steady-state per-query latency. A query that
+    // throws records the -1 sentinel (and the exception on stderr) so a
+    // regression can't masquerade as a near-zero-time speedup.
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var failed = false
       val times = (1 to 2).map { _ =>
-        time { try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () } }
+        time {
+          try { fn(spark, sfDir).count(); () }
+          catch { case e: Throwable =>
+            failed = true
+            System.err.println(s"[bench] query $name failed: $e")
+          }
+        }
       }
       // operators may persist intermediates; drop them so later queries
       // aren't taxed by accumulated cache + GC pressure
       spark.catalog.clearCache()
-      name -> times.min
+      if (failed) errors += name
+      name -> (if (failed) -1.0 else times.min)
     }
 
     // Medallion chain throughput: events -> silver flags -> gold 5-min aggs.
@@ -69,12 +84,17 @@ object Bench {
         try q.processAllAvailable() finally q.stop()
       }
       if (sec > 0) chainRows / sec else 0.0
-    } catch { case _: Throwable => 0.0 }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming-ingest measurement failed: $e")
+      errors += "stream_events_per_sec"
+      0.0
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps}""")
     spark.stop()
   }
 }

@@ -58,7 +58,7 @@ object SparkEntry {
     R(col("p99_value")).as("p99_value"))
 
   private val zoneSql =
-    "CONCAT('zone-', CAST(CAST(json_extract_string(props, '$.k') AS INT) % 4 AS VARCHAR))"
+    "CONCAT('zone-', COALESCE(CAST(CAST(json_extract_string(props, '$.k') AS INT) % 4 AS VARCHAR), 'na'))"
 
   private case class Q(name: String, sql: Option[String],
                        fn: (SparkSession, String) => DataFrame)
@@ -285,11 +285,15 @@ object SparkEntry {
     // A-family on TPC-H: classic pricing-summary aggregation (decimal-exact
     // sums; rounded double averages).
     Q("agg_tpch_q1_pricing",
+      // Decimal sums are emitted as canonical strings: DECIMAL(38,6) values
+      // fail the driver's hash canonicalization even when bit-identical, and
+      // the plain scale-6 string form ("1.500000") is identical in Spark
+      // (BigDecimal.toString) and DuckDB (decimal→varchar).
       Some("""SELECT l_returnflag, l_linestatus,
-             | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_qty,
-             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_base_price,
-             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS sum_disc_price,
+             | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_qty,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price,
              | ROUND(AVG(l_quantity) + 1e-9, 4) AS avg_qty,
              | ROUND(AVG(l_extendedprice) + 1e-9, 4) AS avg_price,
              | ROUND(AVG(l_discount) + 1e-9, 4) AS avg_disc,
@@ -302,11 +306,13 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)")
+            .cast("string").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,6)")
+            .cast("string").as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,6)").as("sum_disc_price"),
+            .cast("decimal(38,6)").cast("string").as("sum_disc_price"),
           R(avg(col("l_quantity"))).as("avg_qty"),
           R(avg(col("l_extendedprice"))).as("avg_price"),
           R(avg(col("l_discount"))).as("avg_disc"),
@@ -316,8 +322,8 @@ object SparkEntry {
     // J3: star join (fact ⋈ dims, broadcast dims) + aggregation.
     Q("j3_star_join_revenue",
       Some("""SELECT c_mktsegment,
-             | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS revenue,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
              | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_count,
              | COUNT(*) AS line_count
              | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -330,7 +336,7 @@ object SparkEntry {
         .agg(
           sum(col("l_extendedprice").cast("decimal(18,2)") *
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(38,6)").as("revenue"),
+            .cast("decimal(38,6)").cast("string").as("revenue"),
           countDistinct(col("o_orderkey")).as("order_count"),
           count(lit(1)).as("line_count"))
         .orderBy("c_mktsegment")),
@@ -358,14 +364,15 @@ object SparkEntry {
     // J-left: left outer join + per-key aggregation.
     Q("j_left_order_counts",
       Some("""SELECT c_custkey, COUNT(o_orderkey) AS order_count,
-             | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS total_spend
+             | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR) AS total_spend
              | FROM customer LEFT JOIN orders ON o_custkey = c_custkey
              | GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
       (s, dir) => Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(count(col("o_orderkey")).as("order_count"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,6)").as("total_spend"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,6)")
+            .cast("string").as("total_spend"))
         .orderBy("c_custkey")),
 
     // Sort/limit: deterministic top-k.
@@ -613,11 +620,17 @@ object SparkEntry {
         val bitsConcat = (1 to 64)
           .map(i => s"CASE WHEN b$i * 2 > n THEN '1' ELSE '0' END")
           .mkString("concat(", ", ", ")")
+        // LEFT JOIN from pre keeps docs with <3 tokens (empty shingle set):
+        // their bit sums are NULL, `bN * 2 > n` is NULL, and every CASE falls
+        // through to '0' — the same all-zero signature the Spark side emits
+        // via explode_outer.
         s"""WITH pre AS ($preShinglesSql),
            |ex AS (SELECT doc_id, unnest(sh) AS s FROM pre),
            |h AS (SELECT doc_id, md5(s) AS hx FROM ex),
            |agg AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM h GROUP BY doc_id)
-           |SELECT doc_id, $bitsConcat AS simhash FROM agg ORDER BY doc_id""".stripMargin
+           |SELECT p.doc_id, $bitsConcat AS simhash
+           |FROM pre p LEFT JOIN agg a ON p.doc_id = a.doc_id
+           |ORDER BY p.doc_id""".stripMargin
       },
       (s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir), "text",
           "doc_id", shingleN = 3)
@@ -759,7 +772,7 @@ object SparkEntry {
              | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
              | ROUND(AVG(value) + 1e-9, 4) AS avg_value,
              | MIN(value) AS min_value, MAX(value) AS max_value,
-             | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS sum_value
+             | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR) AS sum_value
              | FROM events""".stripMargin),
       (s, dir) => Tables.events(s, dir).agg(
         count(lit(1)).as("n_events"),
@@ -767,7 +780,8 @@ object SparkEntry {
         R(avg(col("value"))).as("avg_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
-        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,6)").as("sum_value"))),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(38,6)")
+          .cast("string").as("sum_value"))),
 
     // P9: date-partition predicate (pushed to the scan).
     Q("p9_date_filter",

@@ -113,7 +113,12 @@ object Tables {
       col("event_type").as("sensor_type"),
       col("ts").cast(TimestampType).as("event_time"),
       col("value"),
+      // coalesce to a fixed sentinel: Spark's concat returns NULL on a null
+      // arg while DuckDB's CONCAT skips nulls — guard both sides identically
+      // (the oracle zoneSql carries the same COALESCE) so malformed props
+      // can't diverge.
       concat(lit("zone-"),
-        get_json_object(col("props"), "$.k").cast("int") % 4).as("location"),
+        coalesce((get_json_object(col("props"), "$.k").cast("int") % 4)
+          .cast(StringType), lit("na"))).as("location"),
       col("event_id"))
 }

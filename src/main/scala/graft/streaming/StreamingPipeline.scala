@@ -17,10 +17,12 @@ import graft.ingest.JsonIngest
   *    (spark_streaming.py:100-154). Here one `foreachBatch` fans a single
   *    consumption out to both sinks — half the source load, one checkpoint
   *    lineage (SURVEY §3.1 notes this as the idiomatic collapse).
-  *  - The watermark is applied but, as in the reference, the sink is a
-  *    stateless append — late rows still land in Bronze and late-data
-  *    correctness is restored by the batch `Silver.mergeLateData` (T2
-  *    subtlety, SURVEY §7.4.4). Do NOT add stateful dropping here.
+  *  - The ingest path is a stateless append, so no watermark is set here —
+  *    late rows still land in Bronze (matching the reference, where the
+  *    declared watermark also never drops anything because nothing stateful
+  *    follows it) and late-data correctness is restored by the batch
+  *    `Silver.mergeLateData` (T2 subtlety, SURVEY §7.4.4). Watermarks appear
+  *    only on the genuinely stateful stages: `windowedAgg`/`streamingDedup`.
   *
   * Sources are injectable so the same pipeline runs from Kafka in
   * production and from file/rate/memory sources in tests (no Kafka in this
@@ -63,7 +65,7 @@ object StreamingPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = JsonIngest.parseAndSplit(batch, "value", schema)
-        val valid = res.valid.withWatermark("event_time", cfg.watermark)
+        val valid = res.valid
         valid.write.mode("append")
           .partitionBy(cfg.partitionBy: _*).parquet(bronzePath)
         val dead = res.deadLetter

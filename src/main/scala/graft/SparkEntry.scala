@@ -588,12 +588,19 @@ object SparkEntry {
     // X-dedup-minhash: MinHash(16 perms) + LSH(4 bands) candidate pairs,
     // verified with exact Jaccard >= 0.3.
     Q("x_minhash_lsh_neardups",
+      // Double-hashed MinHash family (mirrors Dedup.uvHalves): u/v are the
+      // two 40-bit halves of one md5 per shingle; permutation p's hash is
+      // u + p*v, min'd numerically.
       Some(s"""WITH pre AS ($preShinglesSql),
               |tok AS (SELECT doc_id, unnest(sh) AS s FROM pre),
-              |mh AS (SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || '|' || s)) AS m
-              |       FROM tok CROSS JOIN range(0, 16) r(p) GROUP BY doc_id, p),
+              |uv AS (SELECT doc_id,
+              |         CAST(concat('0x', substr(md5(s), 1, 10)) AS BIGINT) AS u,
+              |         CAST(concat('0x', substr(md5(s), 11, 10)) AS BIGINT) AS v
+              |       FROM tok),
+              |mh AS (SELECT doc_id, p, MIN(u + p * v) AS m
+              |       FROM uv CROSS JOIN range(0, 16) r(p) GROUP BY doc_id, p),
               |bands AS (SELECT doc_id, p // 4 AS b,
-              |            md5(CAST(p // 4 AS VARCHAR) || '|' || string_agg(m, '|' ORDER BY p)) AS bh
+              |            md5(CAST(p // 4 AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), '|' ORDER BY p)) AS bh
               |          FROM mh GROUP BY doc_id, p // 4),
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               |         FROM bands a JOIN bands b

@@ -32,16 +32,31 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
-  /** MinHash signature as `numPerms` independent minimums of md5(perm|token)
-    * over the document's distinct shingles. md5 is a fine stand-in for a
-    * universal hash family here and — crucially — is identical in every
-    * engine, so signatures are portable. Returns array<string> of length
-    * numPerms (null-free; empty-shingle docs get "" entries). */
+  /** The double-hashed MinHash family: one md5 per shingle, split into two
+    * 40-bit halves (u, v), with permutation p's hash h_p = u + p·v
+    * (Kirsch–Mitzenmacher double hashing — p pairwise-combined hashes from
+    * one strong hash). One hash invocation per shingle instead of numPerms,
+    * and the minima are NUMERIC, so the signature aggregation stays a
+    * HashAggregate (min over var-length strings forces sort-based
+    * aggregation). 40-bit halves keep u + 15·v < 2^44, safely inside a
+    * 64-bit long on every engine. md5 keeps the family portable: the oracle
+    * recomputes identical values in SQL. */
+  private[ext] def uvHalves(shingle: Column): (Column, Column) = {
+    val hx = md5(shingle.cast("binary"))
+    (conv(substring(hx, 1, 10), 16, 10).cast("long"),
+      conv(substring(hx, 11, 10), 16, 10).cast("long"))
+  }
+
+  /** MinHash signature as `numPerms` double-hashed minimums over the
+    * document's distinct shingles. Returns array<bigint> of length numPerms
+    * (empty-shingle docs get null entries). */
   def minhashSignature(shingleArr: Column, numPerms: Int): Column = {
+    val uvs = transform(shingleArr, s => {
+      val (u, v) = uvHalves(s)
+      struct(u.as("u"), v.as("v"))
+    })
     val perms = (0 until numPerms).map { p =>
-      coalesce(
-        array_min(transform(shingleArr, s => md5(concat(lit(s"$p|"), s).cast("binary")))),
-        lit(""))
+      array_min(transform(uvs, x => x("u") + lit(p.toLong) * x("v")))
     }
     array(perms: _*)
   }
@@ -52,7 +67,8 @@ object Dedup {
     val bands = (0 until numPerms / rowsPerBand).map { b =>
       md5(concat_ws("|",
         (lit(b.toString) +: (0 until rowsPerBand).map(r =>
-          element_at(signature, b * rowsPerBand + r + 1))): _*).cast("binary"))
+          element_at(signature, b * rowsPerBand + r + 1).cast("string"))): _*)
+        .cast("binary"))
     }
     array(bands: _*)
   }
@@ -62,10 +78,12 @@ object Dedup {
     * jaccard >= threshold.
     *
     * Implementation shape (matters at scale): signatures come from ONE
-    * explode + ONE (doc, perm) hash aggregation so each md5 is computed
-    * exactly once — expressing the signature as a nested array expression
-    * lets CollapseProject inline it into every band reference and
-    * recompute the hashing numPerms^2 times (measured 30x slower).
+    * explode + ONE hash aggregation of NUMERIC minima (see [[uvHalves]]) so
+    * md5 runs once per shingle, not once per (shingle, perm) — and min(long)
+    * stays a HashAggregate where min(string) would fall back to sort-based.
+    * Expressing the signature as a nested array expression instead lets
+    * CollapseProject inline it into every band reference and recompute the
+    * hashing numPerms^2 times (measured 30x slower).
     * Candidate buckets carry only (id, band, hash) — never the shingle
     * arrays — and the quadratic verification joins shingles back by id
     * afterwards, only for deduplicated candidates.
@@ -90,19 +108,22 @@ object Dedup {
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // All numPerms minima in ONE hash aggregation over the exploded
-    // shingles: the md5s are evaluated inside the partial (map-side)
+    // shingles: (u, v) are evaluated inside the partial (map-side)
     // aggregate, so the shuffle carries only |docs| x numPerms partial
-    // minima — no (id, shingle, perm) materialization.
+    // numeric minima — no (id, shingle, perm) materialization.
+    val (u, v) = uvHalves(col("s"))
     val mins = (0 until numPerms).map { p =>
-      min(md5(concat(lit(s"$p|"), col("s")).cast("binary"))).as(s"m$p")
+      min(col("u") + lit(p.toLong) * col("v")).as(s"m$p")
     }
     val sig = pre.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), u.as("u"), v.as("v"))
       .groupBy("id")
       .agg(mins.head, mins.tail: _*)
     // Band hashes from the per-perm minima: md5("b|m1|m2|m3|m4").
     val bandCols = (0 until numPerms / rowsPerBand).map { b =>
       md5(concat_ws("|",
-        lit(b.toString) +: (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+        lit(b.toString) +: (0 until rowsPerBand).map(r =>
+          col(s"m${b * rowsPerBand + r}").cast("string")): _*)
         .cast("binary"))
     }
     val banded = sig

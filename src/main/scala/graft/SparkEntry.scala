@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.{Schemas, Tables}
@@ -8,8 +9,8 @@ import graft.silver.Silver
 import graft.gold.Gold
 import graft.quality.Quality
 import graft.warehouse.Warehouse
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.operators.AsOf
+import graft.ext.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Sessionize}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-data extension operators), each with equivalent
@@ -856,7 +857,274 @@ object SparkEntry {
         AsOf.asofJoin(left, right, "user_id", "ts", "ts", Seq("rate"))
           .select(col("event_id"), col("rate_asof"))
           .orderBy("event_id")
-      }))
+      }),
+
+    // W-extension: lag/lead/rank/dense_rank/ntile — the full ranking-window
+    // surface over a totally-ordered per-user stream.
+    Q("w_lag_lead_rank",
+      Some("""SELECT event_id,
+             | lag(value) OVER w AS prev_value,
+             | lead(value) OVER w AS next_value,
+             | ROUND(value - COALESCE(lag(value) OVER w, value) + 1e-9, 4) AS delta,
+             | CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank,
+             | CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS BIGINT) AS type_rank,
+             | CAST(ntile(4) OVER w AS INT) AS quartile
+             | FROM events
+             | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             | ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val wRank = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+        val wType = Window.partitionBy("user_id").orderBy(col("event_type").asc)
+        Tables.events(s, dir).select(
+          col("event_id"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          R(col("value") - coalesce(lag(col("value"), 1).over(w), col("value"))).as("delta"),
+          rank().over(wRank).cast("long").as("value_rank"),
+          dense_rank().over(wType).cast("long").as("type_rank"),
+          ntile(4).over(w).as("quartile"))
+          .orderBy("event_id")
+      }),
+
+    // W-extension: share-of-total + distribution ranks (percent_rank,
+    // cume_dist) — partition-relative analytics.
+    Q("w_share_of_total",
+      Some("""SELECT event_id,
+             | ROUND(value * 100.0 / SUM(value) OVER (PARTITION BY event_type) + 1e-9, 4) AS share_pct,
+             | ROUND(percent_rank() OVER wo + 1e-9, 4) AS pct_rank,
+             | ROUND(cume_dist() OVER wo + 1e-9, 4) AS cume
+             | FROM events
+             | WINDOW wo AS (PARTITION BY event_type ORDER BY value, event_id)
+             | ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wp = Window.partitionBy("event_type")
+        val wo = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+        Tables.events(s, dir).select(
+          col("event_id"),
+          R(col("value") * 100.0 / sum(col("value")).over(wp)).as("share_pct"),
+          R(percent_rank().over(wo)).as("pct_rank"),
+          R(cume_dist().over(wo)).as("cume"))
+          .orderBy("event_id")
+      }),
+
+    // W-extension: correlated-subquery shape via a partition window —
+    // customers above their nation's average balance.
+    Q("w_above_nation_avg",
+      Some("""SELECT c_custkey, ROUND(c_acctbal - avg_bal + 1e-9, 4) AS above_by
+             | FROM (SELECT c_custkey, c_acctbal,
+             |         AVG(c_acctbal) OVER (PARTITION BY c_nationkey) AS avg_bal
+             |       FROM customer)
+             | WHERE c_acctbal > avg_bal ORDER BY c_custkey""".stripMargin),
+      (s, dir) => Tables.customer(s, dir)
+        .withColumn("avg_bal",
+          avg(col("c_acctbal")).over(Window.partitionBy("c_nationkey")))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select(col("c_custkey"), R(col("c_acctbal") - col("avg_bal")).as("above_by"))
+        .orderBy("c_custkey")),
+
+    // A-extension: ROLLUP hierarchy totals (nation → segment → grand
+    // total). Group keys are coalesced to 'ALL' so no NULL sort-order
+    // divergence between engines.
+    Q("a_rollup_nation_segment",
+      Some("""SELECT COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+             | COALESCE(c_mktsegment, 'ALL') AS segment,
+             | COUNT(*) AS n_orders,
+             | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR) AS total_price,
+             | ROUND(AVG(o_totalprice) + 1e-9, 4) AS avg_price
+             | FROM customer JOIN orders ON o_custkey = c_custkey
+             | GROUP BY ROLLUP(c_nationkey, c_mktsegment)
+             | ORDER BY nation, segment""".stripMargin),
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,6)")
+            .cast("string").as("total_price"),
+          R(avg(col("o_totalprice"))).as("avg_price"))
+        .select(coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nation"),
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          col("n_orders"), col("total_price"), col("avg_price"))
+        .orderBy("nation", "segment")),
+
+    // A-extension: CUBE over (event_type, day-of-week) — all four grouping
+    // combinations in one pass.
+    Q("a_cube_type_dow",
+      Some("""WITH e AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, value
+             |           FROM events)
+             |SELECT COALESCE(event_type, 'ALL') AS etype,
+             | COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow_s,
+             | COUNT(*) AS n, ROUND(AVG(value) + 1e-9, 4) AS avg_value
+             |FROM e GROUP BY CUBE(event_type, dow) ORDER BY etype, dow_s""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"), col("value"))
+        .cube(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n"), R(avg(col("value"))).as("avg_value"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("dow").cast("string"), lit("ALL")).as("dow_s"),
+          col("n"), col("avg_value"))
+        .orderBy("etype", "dow_s")),
+
+    // J-extension: range (band) join — a tiny bounds table broadcast
+    // against the fact, joined on an interval predicate. The right plan at
+    // any scale: BroadcastNestedLoopJoin with a handful of bands evaluates
+    // the predicate map-side with zero fact shuffle.
+    Q("j_range_join_bands",
+      Some {
+        val values = (0 until 10)
+          .map(i => s"(${i * 50}.0, ${(i + 1) * 50}.0, 'b$i')").mkString(", ")
+        s"""SELECT b.band, COUNT(*) AS n, ROUND(AVG(e.value) + 1e-9, 4) AS avg_value
+           | FROM events e JOIN (VALUES $values) b(lo, hi, band)
+           |   ON e.value >= b.lo AND e.value < b.hi
+           | GROUP BY b.band ORDER BY b.band""".stripMargin
+      },
+      (s, dir) => {
+        val bands = s.createDataFrame(
+          (0 until 10).map(i => (i * 50.0, (i + 1) * 50.0, s"b$i")))
+          .toDF("lo", "hi", "band")
+        Tables.events(s, dir)
+          .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), R(avg(col("value"))).as("avg_value"))
+          .orderBy("band")
+      }),
+
+    // X-sessionize: gaps-and-islands sessionization (30-min inactivity
+    // gap) with per-session rollup.
+    Q("x_sessionize",
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts,
+             |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+             |  FROM x)
+             |SELECT user_id, session_idx, COUNT(*) AS n_events,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+             |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+             |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+             |FROM s GROUP BY user_id, session_idx
+             |ORDER BY user_id, session_idx""".stripMargin),
+      (s, dir) => Sessionize.sessionAgg(Tables.events(s, dir), Seq("user_id"),
+          "ts", Seq(col("ts").asc, col("event_id").asc), gapSeconds = 1800)
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          ftsU(col("session_start")).as("session_start"),
+          ftsU(col("session_end")).as("session_end"),
+          col("duration_us"))
+        .orderBy("user_id", "session_idx")),
+
+    // X-array: higher-order array functions over embeddings (filter,
+    // transform+aggregate, codegen dot product, element extrema).
+    Q("x_array_hof",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+             |SELECT vec_id,
+             | CAST(len(list_filter(v, x -> x > 0)) AS INT) AS n_pos,
+             | ROUND(list_sum(list_transform(v, x -> abs(x))) + 1e-9, 4) AS l1_norm,
+             | ROUND(sqrt(list_dot_product(v, v)) + 1e-9, 4) AS l2_norm,
+             | ROUND(list_max(v) + 1e-9, 4) AS vmax,
+             | ROUND(list_min(v) + 1e-9, 4) AS vmin
+             |FROM e ORDER BY vec_id""".stripMargin),
+      (s, dir) => Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        R(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + abs(x.cast("double")))).as("l1_norm"),
+        R(sqrt(Similarity.dot(col("embedding"), col("embedding")))).as("l2_norm"),
+        R(array_max(col("embedding")).cast("double")).as("vmax"),
+        R(array_min(col("embedding")).cast("double")).as("vmin"))
+        .orderBy("vec_id")),
+
+    // X-quantize: symmetric int8 scalar quantization of embeddings — the
+    // storage/bandwidth path for ANN at scale (oracle checks scale +
+    // quantized-array aggregates).
+    Q("x_embedding_quantize",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+             |sc AS (SELECT vec_id, v,
+             |         CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS scale FROM m),
+             |qq AS (SELECT vec_id, scale,
+             |         list_transform(v, x ->
+             |           LEAST(GREATEST(CAST(round(x * scale + 1e-9) AS INT), -127), 127)) AS qa
+             |       FROM sc)
+             |SELECT vec_id, ROUND(scale + 1e-9, 4) AS scale_r,
+             | CAST(list_sum(qa) AS BIGINT) AS sum_q,
+             | CAST(list_min(qa) AS INT) AS min_q,
+             | CAST(list_max(qa) AS INT) AS max_q,
+             | CAST(len(list_filter(qa, x -> abs(x) = 127)) AS INT) AS n_sat
+             |FROM qq ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val qa = Quantize.int8Quantize(col("embedding"))
+        Tables.embeddings(s, dir).select(
+          col("vec_id"),
+          R(Quantize.int8Scale(col("embedding"))).as("scale_r"),
+          aggregate(qa, lit(0L), (acc, x) => acc + x.cast("long")).as("sum_q"),
+          array_min(qa).as("min_q"),
+          array_max(qa).as("max_q"),
+          size(filter(qa, x => abs(x) === 127)).as("n_sat"))
+          .orderBy("vec_id")
+      }),
+
+    // P-extension: string-function surface (regex strip, pad, reverse,
+    // repeat, find, edit distance, translate).
+    Q("p_string_suite",
+      Some("""SELECT doc_id,
+             | CAST(len(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_novowel,
+             | lpad(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
+             | reverse(source) AS src_rev,
+             | repeat(upper(lang), 2) AS lang2,
+             | CAST(strpos(lower(text), 'the') AS INT) AS pos_the,
+             | CAST(levenshtein(source, lang) AS INT) AS lev_src_lang,
+             | translate(source, 'aeiou', '01234') AS src_translated
+             | FROM documents ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("n_novowel"),
+        lpad(col("doc_id").cast("string"), 8, "0").as("id_pad"),
+        reverse(col("source")).as("src_rev"),
+        repeat(upper(col("lang")), 2).as("lang2"),
+        instr(lower(col("text")), "the").as("pos_the"),
+        levenshtein(col("source"), col("lang")).as("lev_src_lang"),
+        translate(col("source"), "aeiou", "01234").as("src_translated"))
+        .orderBy("doc_id")),
+
+    // Agg/join: TPC-H Q3-shaped shipping-priority top-k (selective dim
+    // filter → broadcast, two-stage join, decimal revenue, ordered limit).
+    Q("agg_tpch_q3_topk",
+      Some("""SELECT l_orderkey,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+             | strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+             | FROM customer JOIN orders ON o_custkey = c_custkey
+             |               JOIN lineitem ON l_orderkey = o_orderkey
+             | WHERE c_mktsegment = 'BUILDING'
+             |   AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |   AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+             | GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             | ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC, l_orderkey
+             | LIMIT 10""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,6)").as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("rev_dec").cast("string").as("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))))
 
   // ---- driver contract ----------------------------------------------------
 

@@ -123,4 +123,52 @@ class OperatorsSpec extends SparkTestBase {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("sdedup").count() === 2)
   }
+
+  test("sessionize splits on gaps > threshold and rolls up durations") {
+    import graft.operators.Sessionize
+    val t0 = Timestamp.valueOf("2024-06-15 10:00:00")
+    def ts(offsetSec: Long) = new Timestamp(t0.getTime + offsetSec * 1000)
+    // u1: events at 0s, 60s, [gap 40min] 2460s, 2470s; u2: one event
+    val df = Seq(
+      ("u1", ts(0), 1L), ("u1", ts(60), 2L), ("u1", ts(2460), 3L),
+      ("u1", ts(2470), 4L), ("u2", ts(0), 5L)
+    ).toDF("user", "t", "eid")
+    val out = Sessionize.sessionAgg(df, Seq("user"), "t",
+        Seq(col("t").asc, col("eid").asc), gapSeconds = 1800)
+      .select("user", "session_idx", "n_events", "duration_us")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      ("u1", 1L, 2L, 60000000L),   // first session: 2 events over 60s
+      ("u1", 2L, 2L, 10000000L),   // second session after the 40-min gap
+      ("u2", 1L, 1L, 0L)))
+  }
+
+  test("sessionize assign is a per-key monotone 1-based index") {
+    import graft.operators.Sessionize
+    val t0 = Timestamp.valueOf("2024-06-15 10:00:00")
+    def ts(offsetSec: Long) = new Timestamp(t0.getTime + offsetSec * 1000)
+    val df = Seq(("u", ts(0), 1L), ("u", ts(10000), 2L), ("u", ts(20000), 3L))
+      .toDF("user", "t", "eid")
+    val idx = Sessionize.assign(df, Seq("user"), "t",
+        Seq(col("t").asc, col("eid").asc), gapSeconds = 1800)
+      .orderBy("eid").select("session_idx").as[Long].collect().toSeq
+    assert(idx === Seq(1L, 2L, 3L)) // every event its own session
+  }
+
+  test("int8 quantization: scale, clamp, saturation, zero-vector guard") {
+    import graft.ext.Quantize
+    val df = Seq(
+      (1L, Seq(2.0f, -4.0f, 1.0f)), // maxabs 4 → scale 31.75
+      (2L, Seq(0.0f, 0.0f, 0.0f))   // zero vector → scale 0, q all 0
+    ).toDF("id", "vec")
+    val out = df.select(col("id"),
+        Quantize.int8Scale(col("vec")).as("s"),
+        Quantize.int8Quantize(col("vec")).as("q"))
+      .as[(Long, Double, Seq[Int])].collect()
+      .map { case (k, s, q) => k -> ((s, q)) }.toMap
+    val (s1, q1) = (out(1L)._1, out(1L)._2)
+    assert(math.abs(s1 - 31.75) < 1e-12)
+    assert(q1 === Seq(64, -127, 32)) // round(2*31.75)=64, maxabs saturates at -127
+    assert(out(2L) === ((0.0, Seq(0, 0, 0))))
+  }
 }

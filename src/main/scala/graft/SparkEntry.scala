@@ -1124,7 +1124,108 @@ object SparkEntry {
         .limit(10)
         .select(col("l_orderkey"), col("rev_dec").cast("string").as("revenue"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-          col("o_orderpriority"))))
+          col("o_orderpriority"))),
+
+    // X-vocab: corpus vocabulary statistics — explode tokens, top-20 terms
+    // by frequency with a total-order tie-break.
+    Q("x_token_freq",
+      Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+              |tok AS (SELECT unnest(toks) AS term FROM t)
+              |SELECT term, COUNT(*) AS n FROM tok
+              |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(20)),
+
+    // X-split: deterministic hash-based train/valid/test split — engine-
+    // portable (md5 of the id), stable under repartitioning, never rand().
+    Q("x_deterministic_split",
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 80 THEN 'train'
+             |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+             | COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("split", graft.ext.Sampling.deterministicSplit(col("doc_id"),
+          Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("split")),
+
+    // X-tfidf: per-document top-3 terms by TF-IDF (idf = ln(N/df)).
+    Q("x_tfidf",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+              |df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term),
+              |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.term, tf.tf, tf.tf * ln(n.n_docs / df.df) AS tfidf
+              |       FROM tf JOIN df USING (term) CROSS JOIN n),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              |                                   ORDER BY tfidf DESC, term) AS term_rank
+              |      FROM sc)
+              |SELECT doc_id, term, tf, ROUND(tfidf + 1e-9, 4) AS tfidf_r,
+              |  CAST(term_rank AS INT) AS term_rank
+              |FROM r WHERE term_rank <= 3 ORDER BY doc_id, term_rank""".stripMargin),
+      (s, dir) => TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "text",
+          "doc_id", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          R(col("tfidf")).as("tfidf_r"), col("term_rank"))
+        .orderBy("doc_id", "term_rank")),
+
+    // A-extension: unpivot (melt) — the inverse reshape of the pivot,
+    // wide per-type averages back to long (user, type, value) rows.
+    // Nulls are filtered on both sides (DuckDB UNPIVOT drops them by
+    // default; Spark unpivot keeps them).
+    Q("a_unpivot_melt",
+      Some {
+        val cases = Seq("click", "view", "purchase", "signup", "error").map(t =>
+          s"AVG(CASE WHEN event_type = '$t' THEN value END) AS $t").mkString(",\n ")
+        s"""WITH p AS (SELECT user_id, $cases FROM events GROUP BY user_id)
+           |SELECT user_id, etype, ROUND(v + 1e-9, 4) AS avg_value
+           |FROM p UNPIVOT (v FOR etype IN (click, view, purchase, signup, error))
+           |ORDER BY user_id, etype""".stripMargin
+      },
+      (s, dir) => {
+        val types = Seq("click", "view", "purchase", "signup", "error")
+        val p = Tables.events(s, dir).groupBy("user_id")
+          .pivot("event_type", types).agg(avg(col("value")))
+        p.unpivot(Array(col("user_id")), types.map(col).toArray, "etype", "v")
+          .filter(col("v").isNotNull)
+          .select(col("user_id"), col("etype"), R(col("v")).as("avg_value"))
+          .orderBy("user_id", "etype")
+      }),
+
+    // A-extension: higher statistical moments + correlation. DuckDB's
+    // skewness/kurtosis are bias-corrected sample statistics (G1/G2);
+    // Spark's are population moments (g1/g2) — the oracle converts
+    // G1→g1 and G2→g2 so both sides express the population definition.
+    Q("a_stats_moments",
+      Some("""SELECT event_type,
+             | ROUND(corr(value, epoch_us(ts) / 86400000000.0) + 1e-9, 4) AS corr_vt,
+             | ROUND(covar_samp(value, epoch_us(ts) / 86400000000.0) + 1e-9, 4) AS covar_vt,
+             | ROUND(var_samp(value) + 1e-9, 4) AS var_v,
+             | ROUND(skewness(value) * (COUNT(*) - 2) / sqrt(COUNT(*) * (COUNT(*) - 1.0)) + 1e-9, 4) AS skew_v,
+             | ROUND(kurtosis(value) * ((COUNT(*) - 2.0) * (COUNT(*) - 3.0)) / ((COUNT(*) + 1.0) * (COUNT(*) - 1.0))
+             |       - 6.0 / (COUNT(*) + 1.0) + 1e-9, 4) AS kurt_v
+             | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val tday = unix_micros(col("ts")) / 8.64e10
+        Tables.events(s, dir)
+          .groupBy("event_type")
+          .agg(R(corr(col("value"), tday)).as("corr_vt"),
+            R(covar_samp(col("value"), tday)).as("covar_vt"),
+            R(var_samp(col("value"))).as("var_v"),
+            R(skewness(col("value"))).as("skew_v"),
+            R(kurtosis(col("value"))).as("kurt_v"))
+          .orderBy("event_type")
+      }))
 
   // ---- driver contract ----------------------------------------------------
 

@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting.
+  *
+  * Training-data pipelines need splits that are (a) reproducible across
+  * runs and engines, (b) stable under repartitioning, and (c) a pure
+  * function of a row's identity — never `rand()`, whose value depends on
+  * partition layout and evaluation order. The bucket is derived from md5
+  * of the id, so every engine (and the DuckDB oracle) assigns identical
+  * rows to identical splits.
+  *
+  * Scale notes (100 TB): the bucket is a narrow per-row projection —
+  * no shuffle, no state; a split filter is pushed into the scan's data
+  * filters like any other deterministic predicate.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from md5 of the id's string form.
+    * 6 hex digits (24 bits) keep the parsed value far inside a long while
+    * giving at most ~16M distinguishable ids per bucket boundary. */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 6), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+
+  /** Deterministic named split by cumulative percentage. `cuts` maps
+    * label -> upper percentile bound (exclusive), in ascending order;
+    * e.g. Seq("train" -> 80, "valid" -> 90, "test" -> 100). */
+  def deterministicSplit(id: Column, cuts: Seq[(String, Int)]): Column = {
+    require(cuts.nonEmpty && cuts.last._2 == 100,
+      "split bounds must be ascending and end at 100")
+    val b = hashBucket(id, 100)
+    cuts.init.foldRight(lit(cuts.last._1): Column) { case ((label, hi), rest) =>
+      when(b < hi, label).otherwise(rest)
+    }
+  }
+
+  /** Deterministic fraction sample: keep rows whose bucket falls below
+    * `pct` of 100. */
+  def samplePct(id: Column, pct: Int): Column = hashBucket(id, 100) < pct
+}

@@ -114,4 +114,32 @@ object TextAnalysis {
       .otherwise(transform(zipped,
         x => concat_ws(" ", (0 until n).map(k => x.getField(k.toString)): _*)))
   }
+
+  /** Per-document top-k terms by TF-IDF (idf = ln(N / df), raw counts for
+    * tf). Returns (id, term, tf, tfidf, term_rank) with a total-order
+    * tie-break (score desc, term asc).
+    *
+    * Shape at scale: tokenize+explode is a narrow map; tf is one hash
+    * aggregation keyed (doc, term); df is a second aggregation keyed
+    * (term) — both map-side-combinable; the corpus size N joins in as a
+    * broadcast single-row frame, and df joins back to tf on the term key.
+    * Nothing here is quadratic and the heaviest shuffle carries (doc,
+    * term, count) triples, never document bodies. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val tok = docs.repartition(par)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("id")).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("term_rank", row_number().over(w))
+      .filter(col("term_rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("tfidf"), col("term_rank"))
+  }
 }

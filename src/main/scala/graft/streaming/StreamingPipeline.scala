@@ -96,6 +96,57 @@ object StreamingPipeline {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
+  /** T7 (extension): streaming SESSION windows — dynamic-gap windows that
+    * the engine merges in the state store as events arrive, closing a
+    * session once the watermark passes its gap. The batch counterpart is
+    * `operators.Sessionize` (identical gaps-and-islands semantics,
+    * engine-portable formulation); this is the path when sessions must be
+    * emitted continuously. */
+  def sessionWindowAgg(events: DataFrame, timeCol: String, keys: Seq[String],
+                       valueCol: String, gap: String,
+                       watermark: String): DataFrame =
+    events.withWatermark(timeCol, watermark)
+      .groupBy(session_window(col(timeCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        avg(col(valueCol)).as("avg_value"))
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
+  /** Per-key running state carried across micro-batches. */
+  final case class RunningState(n: Long, sum: Double, max: Double)
+  final case class RunningUpdate(key: String, n: Long, sum: Double, max: Double)
+
+  /** T8 (extension): arbitrary stateful processing via mapGroupsWithState —
+    * the escape hatch for state machines the built-in aggregations can't
+    * express. Keeps one fixed-size RunningState per key (count/sum/max so
+    * far), emitting the updated totals every micro-batch. State size is
+    * O(#keys) regardless of stream length — the knob that matters at
+    * 100 TB/day is key cardinality, not volume. Use update output mode. */
+  def runningKeyStats(events: DataFrame, keyCol: String,
+                      valueCol: String): org.apache.spark.sql.Dataset[RunningUpdate] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    implicit val tupEnc: Encoder[(String, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+    implicit val stEnc: Encoder[RunningState] = Encoders.product[RunningState]
+    implicit val upEnc: Encoder[RunningUpdate] = Encoders.product[RunningUpdate]
+    events.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroupsWithState[RunningState, RunningUpdate](GroupStateTimeout.NoTimeout) {
+        (key, rows, state) =>
+          val prev = state.getOption.getOrElse(
+            RunningState(0L, 0.0, Double.NegativeInfinity))
+          var n = prev.n; var s = prev.sum; var m = prev.max
+          rows.foreach { case (_, value) =>
+            n += 1; s += value; m = math.max(m, value)
+          }
+          state.update(RunningState(n, s, m))
+          RunningUpdate(key, n, s, m)
+      }
+  }
+
   /** T8 (extension): streaming keep-one dedup bounded by the watermark —
     * `dropDuplicatesWithinWatermark` keeps (key) state only within the
     * watermark horizon, unlike `dropDuplicates` whose state grows forever.

@@ -124,6 +124,59 @@ class OperatorsSpec extends SparkTestBase {
     assert(spark.table("sdedup").count() === 2)
   }
 
+  test("streaming session windows merge events within the gap") {
+    val inDir = Files.createTempDirectory("graft-sesswin").toString
+    // two bursts for key a separated by > 5 min, one event for key b
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"), Seq(
+      """{"ts":"2024-06-15 10:00:00","k":"a","v":1.0}""",
+      """{"ts":"2024-06-15 10:01:00","k":"a","v":2.0}""",
+      """{"ts":"2024-06-15 10:30:00","k":"a","v":3.0}""",
+      """{"ts":"2024-06-15 10:00:30","k":"b","v":4.0}""").mkString("\n"))
+    val src = spark.readStream.schema("ts timestamp, k string, v double").json(inDir)
+    val agg = StreamingPipeline.sessionWindowAgg(src, "ts", Seq("k"), "v",
+      gap = "5 minutes", watermark = "0 seconds")
+    // session windows emit in append mode once the watermark passes the
+    // session end; push the watermark forward with late flush batches
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("sesswin").start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+        """{"ts":"2024-06-15 11:00:00","k":"z","v":0.0}""")
+      q.processAllAvailable()
+      Files.writeString(java.nio.file.Path.of(inDir, "b3.json"),
+        """{"ts":"2024-06-15 12:00:00","k":"z","v":0.0}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sesswin").filter($"k" =!= "z")
+      .select("k", "n_events").as[(String, Long)].collect().toSet
+    // a: {2 events} then {1 event} after the >5-min gap; b: {1 event}
+    assert(out === Set(("a", 2L), ("a", 1L), ("b", 1L)))
+  }
+
+  test("mapGroupsWithState carries running per-key stats across batches") {
+    val inDir = Files.createTempDirectory("graft-runstate").toString
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"), Seq(
+      """{"k":"a","v":1.0}""", """{"k":"a","v":5.0}""",
+      """{"k":"b","v":2.0}""").mkString("\n"))
+    val src = spark.readStream.schema("k string, v double").json(inDir)
+    val q = StreamingPipeline.runningKeyStats(src, "k", "v")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("runstate").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch must see the state from the first
+      Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+        """{"k":"a","v":3.0}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val byKey = spark.table("runstate").select("key", "n", "sum", "max")
+      .as[(String, Long, Double, Double)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    assert(byKey("a") === (("a", 3L, 9.0, 5.0))) // 1+5 then +3, max 5
+    assert(byKey("b") === (("b", 1L, 2.0, 2.0)))
+  }
+
   test("sessionize splits on gaps > threshold and rolls up durations") {
     import graft.operators.Sessionize
     val t0 = Timestamp.valueOf("2024-06-15 10:00:00")

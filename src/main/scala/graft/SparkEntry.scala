@@ -1225,7 +1225,64 @@ object SparkEntry {
             R(skewness(col("value"))).as("skew_v"),
             R(kurtosis(col("value"))).as("kurt_v"))
           .orderBy("event_type")
-      }))
+      }),
+
+    // W-extension: first_value / last_value / nth_value over full-partition
+    // frames.
+    Q("w_first_last_nth",
+      Some("""SELECT event_id,
+             | first_value(value) OVER w AS first_v,
+             | last_value(value) OVER wf AS last_v,
+             | nth_value(value, 2) OVER wf AS second_v
+             | FROM events
+             | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+             |        wf AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             | ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, dir).select(
+          col("event_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(wf).as("last_v"),
+          nth_value(col("value"), 2).over(wf).as("second_v"))
+          .orderBy("event_id")
+      }),
+
+    // A-extension: deterministic string aggregation — collect_set +
+    // array_sort + array_join (order-independent, unlike bare
+    // collect_list whose order is partition-dependent).
+    Q("a_string_agg",
+      Some("""SELECT user_id,
+             | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+             | CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+             | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")),
+
+    // P-extension: date arithmetic — day diffs, month truncation, interval
+    // addition, end-of-month, month offsets (same clamping rules on both
+    // engines).
+    Q("p_date_arith",
+      Some("""SELECT event_id,
+             | CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since,
+             | strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_start,
+             | strftime(ts + INTERVAL 3 DAY, '%Y-%m-%d %H:%M:%S.%f') AS ts_plus3d,
+             | strftime(last_day(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+             | strftime(CAST(ts AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2mo
+             | FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => Tables.events(s, dir).select(
+        col("event_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("days_since"),
+        date_format(date_trunc("month", col("ts")), "yyyy-MM-dd").as("month_start"),
+        ftsU(col("ts") + expr("INTERVAL 3 DAYS")).as("ts_plus3d"),
+        date_format(last_day(to_date(col("ts"))), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(to_date(col("ts")), 2), "yyyy-MM-dd").as("plus2mo"))
+        .orderBy("event_id")))
 
   // ---- driver contract ----------------------------------------------------
 

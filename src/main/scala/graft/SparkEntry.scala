@@ -96,6 +96,21 @@ object SparkEntry {
   private def listFilterSql(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  // Quality-score components over a frame with (text, toks) columns —
+  // shared by x_text_stats and the x_llm_pipeline composition so both
+  // oracles compute the identical score.
+  private val stopRatioSql = {
+    val stop = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
+    s"CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> t IN ($stop)))::DOUBLE / len(toks) END"
+  }
+  private val punctRatioSql =
+    "CASE WHEN text IS NULL OR len(text) = 0 THEN 0.0 ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / len(text) END"
+  private val qualityScoreSql =
+    s"""GREATEST(0.0, LEAST(1.0,
+       |   0.5 * LEAST(len(toks) / 50.0, 1.0)
+       |   + 0.5 * LEAST(($stopRatioSql) * 4.0, 1.0)
+       |   - 0.25 * LEAST(($punctRatioSql) * 2.0, 1.0)))""".stripMargin
+
   // ---- the inventory ------------------------------------------------------
 
   private lazy val registry: Seq[Q] = Seq(
@@ -516,20 +531,14 @@ object SparkEntry {
     // ratios, mean token length, composite quality score.
     Q("x_text_stats",
       Some {
-        val stop = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
-        val stopRatio = s"CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> t IN ($stop)))::DOUBLE / len(toks) END"
-        val punct = "CASE WHEN text IS NULL OR len(text) = 0 THEN 0.0 ELSE len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / len(text) END"
         s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
            |SELECT doc_id,
            | CAST(len(toks) AS INT) AS n_tokens,
            | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish,
-           | ROUND($punct + 1e-9, 4) AS punct_ratio,
-           | ROUND($stopRatio + 1e-9, 4) AS stopword_ratio,
+           | ROUND($punctRatioSql + 1e-9, 4) AS punct_ratio,
+           | ROUND($stopRatioSql + 1e-9, 4) AS stopword_ratio,
            | ROUND((CASE WHEN len(toks) = 0 THEN 0.0 ELSE list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) END) + 1e-9, 4) AS mean_token_len,
-           | ROUND(GREATEST(0.0, LEAST(1.0,
-           |   0.5 * LEAST(len(toks) / 50.0, 1.0)
-           |   + 0.5 * LEAST(($stopRatio) * 4.0, 1.0)
-           |   - 0.25 * LEAST(($punct) * 2.0, 1.0))) + 1e-9, 4) AS quality_score
+           | ROUND(($qualityScoreSql) + 1e-9, 4) AS quality_score
            |FROM t ORDER BY doc_id""".stripMargin
       },
       (s, dir) => Tables.documents(s, dir).select(
@@ -1282,7 +1291,41 @@ object SparkEntry {
         ftsU(col("ts") + expr("INTERVAL 3 DAYS")).as("ts_plus3d"),
         date_format(last_day(to_date(col("ts"))), "yyyy-MM-dd").as("month_end"),
         date_format(add_months(to_date(col("ts")), 2), "yyyy-MM-dd").as("plus2mo"))
-        .orderBy("event_id")))
+        .orderBy("event_id")),
+
+    // X-pipeline: the full LLM-data curation chain as ONE composed query —
+    // quality-score filter → language filter → exact dedup (keep lowest id
+    // per content fingerprint) → deterministic train/valid/test split →
+    // per-split counts. Every stage is an operator verified on its own
+    // elsewhere; this checks the composition end-to-end.
+    Q("x_llm_pipeline",
+      Some(s"""WITH t AS (SELECT doc_id, text, lang, $toksSql AS toks FROM documents),
+              |kept AS (SELECT doc_id, text FROM t
+              |         WHERE ($qualityScoreSql) >= 0.35 AND lang = 'en'),
+              |f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM kept),
+              |d AS (SELECT doc_id, row_number() OVER (PARTITION BY fingerprint
+              |                                        ORDER BY doc_id) AS rn FROM f),
+              |b AS (SELECT doc_id,
+              |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+              |      FROM d WHERE rn = 1),
+              |s AS (SELECT doc_id, CASE WHEN bucket < 80 THEN 'train'
+              |                          WHEN bucket < 90 THEN 'valid'
+              |                          ELSE 'test' END AS split FROM b)
+              |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+              |       MAX(doc_id) AS max_id
+              |FROM s GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val kept = Tables.documents(s, dir)
+          .filter(TextAnalysis.qualityScore(col("text")) >= 0.35 &&
+            col("lang") === "en")
+        Dedup.exactDedup(kept, "text", "doc_id")
+          .withColumn("split", graft.ext.Sampling.deterministicSplit(col("doc_id"),
+            Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("split")
+      }))
 
   // ---- driver contract ----------------------------------------------------
 

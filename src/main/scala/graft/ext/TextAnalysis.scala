@@ -128,8 +128,11 @@ object TextAnalysis {
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // tf and df both consume the exploded tokens; persist so tokenization
+    // runs once (MEMORY_AND_DISK — the token table is ~corpus-sized).
     val tok = docs.repartition(par)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("term").agg(countDistinct(col("id")).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))

@@ -48,6 +48,25 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate"))
   }
 
+  test("range join: tiny band table broadcast, fact never shuffles pre-agg") {
+    val p = plan(SparkEntry.queries("j_range_join_bands")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"band table not broadcast:\n$p")
+  }
+
+  test("Q3 top-k: broadcast dim, pushed date filters, TakeOrdered (no global sort)") {
+    val p = plan(SparkEntry.queries("agg_tpch_q3_topk")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"customer join not broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThan(l_shipdate"), s"shipdate filter not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ordered limit compiles to a global sort instead of top-k:\n$p")
+  }
+
+  test("top-k sort/limit compiles to TakeOrderedAndProject") {
+    val p = plan(SparkEntry.queries("sort_topk_orders")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for a limit query:\n$p")
+  }
+
   test("graft_dot registers for SQL and is codegen (no Filter/UDF fallback)") {
     GraftExtensions.register(spark)
     import spark.implicits._

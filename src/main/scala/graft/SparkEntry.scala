@@ -1325,6 +1325,39 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
             max(col("doc_id")).as("max_id"))
           .orderBy("split")
+      }),
+
+    // L2-extension: SCD Type-2 attribute history (gaps-and-islands over
+    // location changes per sensor) — versioned valid_from/valid_to rows,
+    // 'current' for the open-ended latest version.
+    Q("w_scd2_location_history",
+      Some(s"""WITH r AS (SELECT CAST(user_id AS VARCHAR) AS sensor_id,
+              |                 $zoneSql AS location, ts, event_id FROM events),
+              |c AS (SELECT *, CASE WHEN lag(location) OVER w IS NULL
+              |                       OR lag(location) OVER w <> location
+              |                     THEN 1 ELSE 0 END AS chg
+              |      FROM r WINDOW w AS (PARTITION BY sensor_id ORDER BY ts, event_id)),
+              |v AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY sensor_id ORDER BY ts, event_id
+              |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+              |      FROM c),
+              |h AS (SELECT sensor_id, version, location, MIN(ts) AS valid_from,
+              |             COUNT(*) AS n_events
+              |      FROM v GROUP BY 1, 2, 3)
+              |SELECT sensor_id, version, location,
+              |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+              |  COALESCE(strftime(lead(valid_from) OVER (PARTITION BY sensor_id ORDER BY version),
+              |                    '%Y-%m-%d %H:%M:%S.%f'), 'current') AS valid_to,
+              |  n_events
+              |FROM h ORDER BY sensor_id, version""".stripMargin),
+      (s, dir) => {
+        val readings = Tables.eventsAsReadings(Tables.events(s, dir))
+        Warehouse.scd2History(readings, "sensor_id", "location", "event_time",
+            Seq(col("event_time").asc, col("event_id").asc))
+          .select(col("sensor_id"), col("version"), col("location"),
+            ftsU(col("valid_from")).as("valid_from"),
+            coalesce(ftsU(col("valid_to")), lit("current")).as("valid_to"),
+            col("n_events"))
+          .orderBy("sensor_id", "version")
       }))
 
   // ---- driver contract ----------------------------------------------------

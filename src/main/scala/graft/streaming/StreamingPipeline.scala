@@ -113,6 +113,23 @@ object StreamingPipeline {
       .withColumn("session_end", col("session_window.end"))
       .drop("session_window")
 
+  /** T8 (extension): stream-stream inner join — both sides watermarked,
+    * with a time-range condition bounding how long either side's state is
+    * retained (right events match left events at or after them, within
+    * `within`). Without the range bound the state store grows forever;
+    * with it, rows age out as the watermark passes — the only shape that
+    * survives an unbounded 100 TB/day pair of streams. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTime: String, rightTime: String,
+                       watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTime, watermark).alias("l")
+    val r = right.withWatermark(rightTime, watermark).alias("r")
+    l.join(r, expr(
+      s"""l.$keyCol = r.$keyCol AND
+         |r.$rightTime >= l.$leftTime AND
+         |r.$rightTime <= l.$leftTime + interval $within""".stripMargin))
+  }
+
   /** Per-key running state carried across micro-batches. */
   final case class RunningState(n: Long, sum: Double, max: Double)
   final case class RunningUpdate(key: String, n: Long, sum: Double, max: Double)

@@ -58,6 +58,31 @@ object Warehouse {
     merged.select(outCols: _*)
   }
 
+  /** SCD Type-2 history from a change stream: one row per (key,
+    * consecutive run of an identical tracked attribute), with
+    * `valid_from` = first event time of the run, `valid_to` = start of the
+    * next run (null while current), a dense 1-based `version`, and the run's
+    * event count. The L2 upsert keeps only latest state (SCD1); this keeps
+    * full attribute history — the warehouse pattern for auditable dims.
+    *
+    * Gaps-and-islands shape (same cost profile as dedup/sessionize): one
+    * shuffle on the key, two window passes, one hash aggregation.
+    * `orderCols` must be a total order per key for deterministic versions. */
+  def scd2History(df: DataFrame, key: String, attrCol: String, timeCol: String,
+                  orderCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(orderCols: _*)
+    val prev = lag(col(attrCol), 1).over(w)
+    val changed = when(prev.isNull || prev =!= col(attrCol), 1).otherwise(0)
+    val versioned = df.withColumn("_chg", changed)
+      .withColumn("version",
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val hist = versioned.groupBy(col(key), col("version"), col(attrCol))
+      .agg(min(col(timeCol)).as("valid_from"), count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(key).orderBy(col("version").asc)
+    hist.withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+  }
+
   /** L1: idempotent fact load — replace exactly the partitions carried by
     * the batch (dynamic partition overwrite), the Spark-native analogue of
     * the reference's transactional DELETE [start,end) + COPY

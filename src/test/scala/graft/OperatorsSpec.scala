@@ -177,6 +177,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(byKey("b") === (("b", 1L, 2.0, 2.0)))
   }
 
+  test("stream-stream join matches within the time bound and key") {
+    val lDir = Files.createTempDirectory("graft-ssj-l").toString
+    val rDir = Files.createTempDirectory("graft-ssj-r").toString
+    Files.writeString(java.nio.file.Path.of(lDir, "l1.json"), Seq(
+      """{"k":"a","lt":"2024-06-15 10:00:00","lv":1.0}""",
+      """{"k":"b","lt":"2024-06-15 10:00:00","lv":2.0}""").mkString("\n"))
+    Files.writeString(java.nio.file.Path.of(rDir, "r1.json"), Seq(
+      """{"k":"a","rt":"2024-06-15 10:03:00","rv":10.0}""",
+      """{"k":"a","rt":"2024-06-15 10:20:00","rv":20.0}""",
+      """{"k":"b","rt":"2024-06-15 09:59:00","rv":30.0}""").mkString("\n"))
+    val l = spark.readStream.schema("k string, lt timestamp, lv double").json(lDir)
+    val r = spark.readStream.schema("k string, rt timestamp, rv double").json(rDir)
+    val joined = StreamingPipeline.streamStreamJoin(l, r, "k", "lt", "rt",
+      watermark = "1 hour", within = "10 minutes")
+    val q = joined.select(col("lv"), col("rv")).writeStream
+      .outputMode("append").format("memory").queryName("ssj").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("ssj").as[(Double, Double)].collect().toSet
+    // a@10:03 is within 10 min of a@10:00; a@10:20 is outside; b's right
+    // event precedes the left event so never matches
+    assert(out === Set((1.0, 10.0)))
+  }
+
+  test("scd2History versions attribute runs with correct validity ranges") {
+    import graft.warehouse.Warehouse
+    val t0 = Timestamp.valueOf("2024-06-15 10:00:00")
+    def ts(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    val df = Seq(
+      ("u", ts(0), 1L, "x"), ("u", ts(10), 2L, "x"),  // run 1: x
+      ("u", ts(20), 3L, "y"),                          // run 2: y
+      ("u", ts(30), 4L, "x")                           // run 3: back to x
+    ).toDF("user", "t", "eid", "attr")
+    val out = Warehouse.scd2History(df, "user", "attr", "t",
+        Seq(col("t").asc, col("eid").asc))
+      .orderBy("version")
+      .select("version", "attr", "valid_from", "valid_to", "n_events")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, "x", ts(0), Some(ts(20)), 2L),
+      (2L, "y", ts(20), Some(ts(30)), 1L),
+      (3L, "x", ts(30), None, 1L)))  // open-ended current version
+  }
+
   test("sessionize splits on gaps > threshold and rolls up durations") {
     import graft.operators.Sessionize
     val t0 = Timestamp.valueOf("2024-06-15 10:00:00")

@@ -128,11 +128,15 @@ object Dedup {
     }
     val banded = sig
       .select(col("id"), posexplode(array(bandCols: _*)).as(Seq("band", "bh")))
-    // Cap pathological buckets before the quadratic self-join.
-    val bucketSizes = banded.groupBy("band", "bh").count()
-      .filter(col("count") <= maxBucketSize && col("count") > 1)
-      .select("band", "bh")
-    val capped = banded.join(bucketSizes, Seq("band", "bh"))
+    // Cap pathological buckets before the quadratic self-join. A window
+    // count over the bucket key does it in the same shuffle that the
+    // self-join needs anyway (vs. a separate groupBy + join back, which
+    // costs an extra aggregate exchange and a join stage).
+    val wBucket = Window.partitionBy("band", "bh")
+    val capped = banded
+      .withColumn("_n", count(lit(1)).over(wBucket))
+      .filter(col("_n") > 1 && col("_n") <= maxBucketSize)
+      .drop("_n")
     val a = capped.as("a")
     val b = capped.as("b")
     val pairs = a.join(b,

@@ -133,10 +133,15 @@ object Dedup {
     // self-join needs anyway (vs. a separate groupBy + join back, which
     // costs an extra aggregate exchange and a join stage).
     val wBucket = Window.partitionBy("band", "bh")
+    // Persist the (id, band, hash) bucket table: both sides of the
+    // candidate self-join consume it, and without the persist the whole
+    // signature aggregation computes twice. It is tiny — |docs| x bands
+    // narrow rows.
     val capped = banded
       .withColumn("_n", count(lit(1)).over(wBucket))
       .filter(col("_n") > 1 && col("_n") <= maxBucketSize)
       .drop("_n")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.as("a")
     val b = capped.as("b")
     val pairs = a.join(b,

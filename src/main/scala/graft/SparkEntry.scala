@@ -1358,6 +1358,52 @@ object SparkEntry {
             coalesce(ftsU(col("valid_to")), lit("current")).as("valid_to"),
             col("n_events"))
           .orderBy("sensor_id", "version")
+      }),
+
+    // ---- SQL-API surface: the same engine served through spark.sql ------
+    // (Catalyst decorrelates the subqueries into the joins the DataFrame
+    // API spells out explicitly — both front-ends share the optimizer.)
+
+    // Correlated scalar subquery in the SELECT list.
+    Q("sql_correlated_scalar",
+      Some("""SELECT c_custkey,
+             | (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+             | FROM customer c ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey,
+                | (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+                | FROM customer c ORDER BY c_custkey""".stripMargin)
+      }),
+
+    // IN-subquery predicate (decorrelates to a semi join).
+    Q("sql_in_subquery",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             | WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                     WHERE c_mktsegment = 'BUILDING')
+             | ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+                | WHERE o_custkey IN (SELECT c_custkey FROM customer
+                |                     WHERE c_mktsegment = 'BUILDING')
+                | ORDER BY o_orderkey""".stripMargin)
+      }),
+
+    // The custom codegen expression exposed as a SQL function
+    // (spark.sql.extensions path) — squared L2 norms via graft_dot.
+    Q("sql_graft_dot",
+      Some("""SELECT vec_id,
+             | ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) + 1e-9, 4) AS sq_norm
+             | FROM embeddings ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        GraftExtensions.register(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("embeddings")
+        s.sql("""SELECT vec_id,
+                | ROUND(graft_dot(embedding, embedding) + 1e-9, 4) AS sq_norm
+                | FROM embeddings ORDER BY vec_id""".stripMargin)
       }))
 
   // ---- driver contract ----------------------------------------------------

@@ -1360,6 +1360,37 @@ object SparkEntry {
           .orderBy("sensor_id", "version")
       }),
 
+    // X-redact: PII scrubbing (emails, IPv4) — the input synthesizes
+    // PII-bearing text from the corpus so the redaction provably fires.
+    Q("x_redact_pii",
+      Some {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+        s"""WITH raw AS (
+           |  SELECT doc_id,
+           |    concat('contact ', source, CAST(doc_id AS VARCHAR), '@example.com',
+           |           ' or 192.168.', CAST(doc_id % 256 AS VARCHAR), '.1 ', text) AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+           |  CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ips,
+           |  regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+           |                 '$ip', '<IP>', 'g') AS redacted
+           |FROM raw ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val t = concat(lit("contact "), col("source"), col("doc_id").cast("string"),
+          lit("@example.com or 192.168."), (col("doc_id") % 256).cast("string"),
+          lit(".1 "), col("text"))
+        Tables.documents(s, dir)
+          .withColumn("t", t)
+          .select(col("doc_id"),
+            TextAnalysis.emailCount(col("t")).as("n_emails"),
+            TextAnalysis.ipv4Count(col("t")).as("n_ips"),
+            TextAnalysis.redactPii(col("t")).as("redacted"))
+          .orderBy("doc_id")
+      }),
+
     // ---- SQL-API surface: the same engine served through spark.sql ------
     // (Catalyst decorrelates the subqueries into the joins the DataFrame
     // API spells out explicitly — both front-ends share the optimizer.)

@@ -115,6 +115,27 @@ object TextAnalysis {
         x => concat_ws(" ", (0 until n).map(k => x.getField(k.toString)): _*)))
   }
 
+  /** PII patterns shared with the oracle SQL — simple enough that Java
+    * regex and RE2 (DuckDB) agree exactly: no backreferences, no
+    * lookaround. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  /** Redact emails and IPv4 addresses — the standard pre-training
+    * scrubbing pass. A narrow codegen'd projection: no shuffle, no UDF,
+    * linear in corpus bytes. Email redaction runs first so an address's
+    * host part can't be re-matched as a dotted quad. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0)))
+
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
+
   /** Per-document top-k terms by TF-IDF (idf = ln(N / df), raw counts for
     * tf). Returns (id, term, tf, tfidf, term_rank) with a total-order
     * tie-break (score desc, term asc).

@@ -59,4 +59,76 @@ class ContractSpec extends SparkTestBase {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  private val tsRowsGen: Gen[List[(Int, Long, Long)]] =
+    Gen.listOfN(50, for {
+      key <- Gen.choose(0, 3)
+      sec <- Gen.choose(0L, 20000L)
+      eid <- Gen.choose(0L, 1000000L)
+    } yield (key, sec, eid))
+
+  test("property: sessionization conserves events and never splits within the gap") {
+    import graft.operators.Sessionize
+    val prop = forAll(tsRowsGen) { rows =>
+      rows.isEmpty || {
+        val df = rows.toDF("key", "sec", "eid")
+          .withColumn("t", timestamp_seconds(col("sec")))
+        val sessions = Sessionize.sessionAgg(df, Seq("key"), "t",
+          Seq(col("t").asc, col("eid").asc), gapSeconds = 1800).collect()
+        val conserved = sessions.map(_.getAs[Long]("n_events")).sum == rows.size
+        // session durations can only be bounded by (count-1) * gap
+        val bounded = sessions.forall { r =>
+          r.getAs[Long]("duration_us") <= (r.getAs[Long]("n_events") - 1) * 1800L * 1000000L
+        }
+        conserved && bounded
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: deterministic split partitions the id space and is stable") {
+    import graft.ext.Sampling
+    val prop = forAll(Gen.listOfN(100, Gen.choose(0L, 1000000L))) { ids =>
+      ids.isEmpty || {
+        val df = ids.distinct.toDF("id")
+        val cuts = Seq("train" -> 80, "valid" -> 90, "test" -> 100)
+        val s1 = df.withColumn("s", Sampling.deterministicSplit(col("id"), cuts))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        val s2 = df.repartition(7)
+          .withColumn("s", Sampling.deterministicSplit(col("id"), cuts))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        // total partition of ids, stable under repartitioning
+        s1.size == ids.distinct.size && s1 == s2 &&
+          s1.values.forall(Set("train", "valid", "test"))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: PII redaction is idempotent and leaves no matches behind") {
+    import graft.ext.TextAnalysis
+    val textGen = Gen.listOfN(30, for {
+      user <- Gen.alphaLowerStr.suchThat(_.nonEmpty)
+      host <- Gen.oneOf("example.com", "mail.org", "x.io")
+      a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+      pad <- Gen.alphaNumStr
+    } yield s"hi $user@$host from 10.0.$a.$b $pad")
+    val prop = forAll(textGen) { texts =>
+      texts.isEmpty || {
+        val df = texts.toDF("t")
+        val once = df.select(TextAnalysis.redactPii(col("t")).as("r"))
+        val out = once.select(
+          TextAnalysis.emailCount(col("r")).as("e"),
+          TextAnalysis.ipv4Count(col("r")).as("i"),
+          TextAnalysis.redactPii(col("r")).as("rr"), col("r"))
+          .collect()
+        out.forall(r => r.getAs[Int]("e") == 0 && r.getAs[Int]("i") == 0 &&
+          r.getAs[String]("rr") == r.getAs[String]("r"))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

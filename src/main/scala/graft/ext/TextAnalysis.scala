@@ -141,27 +141,28 @@ object TextAnalysis {
     * tie-break (score desc, term asc).
     *
     * Shape at scale: tokenize+explode is a narrow map; tf is one hash
-    * aggregation keyed (doc, term); df is a second aggregation keyed
-    * (term) — both map-side-combinable; the corpus size N joins in as a
-    * broadcast single-row frame, and df joins back to tf on the term key.
-    * Nothing here is quadratic and the heaviest shuffle carries (doc,
-    * term, count) triples, never document bodies. */
+    * aggregation keyed (doc, term). df NEVER re-scans the tokens —
+    * tf's rows are already distinct (doc, term) pairs, so document
+    * frequency is a plain count over tf (no countDistinct expand). The
+    * corpus size N is a parquet metadata count folded in as a literal,
+    * and df joins back to tf on the term key. Nothing here is quadratic
+    * and the heaviest shuffle carries (doc, term, count) triples, never
+    * document bodies. */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    // tf and df both consume the exploded tokens; persist so tokenization
-    // runs once (MEMORY_AND_DISK — the token table is ~corpus-sized).
     val tok = docs.repartition(par)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tf feeds both the join's left side and the df derivation; persist it
+    // (it is the smaller distinct (doc, term) table, not the raw tokens).
     val tf = tok.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.groupBy("term").agg(countDistinct(col("id")).as("df"))
-    val n = docs.select(count(lit(1)).as("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.count().toDouble // parquet metadata-only count
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("tfidf").desc, col("term").asc)
     tf.join(df, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
       .withColumn("term_rank", row_number().over(w))
       .filter(col("term_rank") <= k)
       .select(col("id"), col("term"), col("tf"), col("tfidf"), col("term_rank"))

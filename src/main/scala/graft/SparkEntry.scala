@@ -1360,6 +1360,33 @@ object SparkEntry {
           .orderBy("sensor_id", "version")
       }),
 
+    // X-winnow: winnowing document fingerprints (MOSS rolling k-gram
+    // window minima, k=8 chars, w=4) — guarantees any shared substring of
+    // length >= k+w-1 shares a fingerprint. fp_hash is the md5 of the
+    // sorted distinct fingerprint set.
+    Q("x_winnow_fingerprints",
+      Some(s"""WITH t AS (SELECT doc_id, $normSql AS norm FROM documents),
+              |g0 AS (SELECT doc_id, norm, len(norm) AS L FROM t),
+              |g1 AS (SELECT doc_id, L - 7 AS n_grams,
+              |         unnest(list_transform(range(1, greatest(L - 6, 1)),
+              |           i -> {'pos': i - 1,
+              |                 'u': CAST(concat('0x', substr(md5(substr(norm, i, 8)), 1, 10)) AS BIGINT)})) AS s
+              |       FROM g0 WHERE L >= 8),
+              |g AS (SELECT doc_id, n_grams, s.pos AS pos, s.u AS u FROM g1),
+              |wm AS (SELECT doc_id, n_grams, pos,
+              |         MIN(u) OVER (PARTITION BY doc_id ORDER BY pos
+              |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win
+              |       FROM g),
+              |f AS (SELECT doc_id, n_grams, win FROM wm WHERE pos <= n_grams - 4)
+              |SELECT doc_id, CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+              |  CAST(COUNT(DISTINCT win) AS BIGINT) AS n_fp,
+              |  md5(array_to_string(list_sort(list(DISTINCT win)), ',')) AS fp_hash
+              |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.winnowFingerprints(Tables.documents(s, dir),
+          "text", "doc_id", k = 8, w = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // X-redact: PII scrubbing (emails, IPv4) — the input synthesizes
     // PII-bearing text from the corpus so the redaction provably fires.
     Q("x_redact_pii",

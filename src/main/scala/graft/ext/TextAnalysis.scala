@@ -136,6 +136,54 @@ object TextAnalysis {
   def ipv4Count(text: Column): Column =
     size(regexp_extract_all(text, lit(ipv4Pattern), lit(0)))
 
+  /** Character k-gram hashes for winnowing: md5 of every k-char window of
+    * the normalized text, reduced to a 40-bit long (same hex-parse family
+    * as MinHash). Built by zipping k row-level `slice`s of the char array
+    * — NOT by substring-ing inside a per-element lambda, which would
+    * re-evaluate normalization per gram (see [[shingles]]). Empty when the
+    * text has fewer than k characters. */
+  def charGramHashes(text: Column, k: Int): Column = {
+    val chars = split(normalize(text), "")
+    val m = size(chars) - (k - 1)
+    val zipped = arrays_zip((1 to k).map(j => slice(chars, lit(j), m)): _*)
+    when(m <= 0, array().cast("array<bigint>"))
+      .otherwise(transform(zipped, x => {
+        val gram = concat((0 until k).map(j => x.getField(j.toString)): _*)
+        conv(substring(md5(gram.cast("binary")), 1, 10), 16, 10).cast("long")
+      }))
+  }
+
+  /** Winnowing document fingerprints (Schleimer et al., the MOSS
+    * algorithm): hash every k-char gram, slide a window of `w` hashes,
+    * keep each window's minimum — guaranteeing any shared substring of
+    * length >= k + w - 1 between two documents shares a fingerprint.
+    * Returns (id, n_grams, n_fp, fp_hash) where fp_hash is the md5 of the
+    * sorted distinct fingerprint set (the per-document signature).
+    *
+    * Shape at scale: grams explode to (id, pos, hash) rows; the window
+    * minimum is a per-key sort window (one shuffle on id), and the
+    * fingerprint set aggregates back to one row per document — gram rows
+    * shuffle once, documents never do. Documents shorter than k + w - 1
+    * normalized chars produce no complete window and drop out (mirrored
+    * exactly by the oracle). */
+  def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                         idCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val g = docs.repartition(par).select(col(idCol).as("id"),
+      posexplode(charGramHashes(col(textCol), k)).as(Seq("pos", "u")))
+    val wWin = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("pos").asc).rowsBetween(0, w - 1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    g.withColumn("win", min(col("u")).over(wWin))
+      .withColumn("n_grams", count(lit(1)).over(wAll))
+      .filter(col("pos") <= col("n_grams") - w)
+      .groupBy("id")
+      .agg(max(col("n_grams")).as("n_grams"),
+        countDistinct(col("win")).as("n_fp"),
+        md5(array_join(transform(sort_array(collect_set(col("win"))),
+          _.cast("string")), ",").cast("binary")).as("fp_hash"))
+  }
+
   /** Per-document top-k terms by TF-IDF (idf = ln(N / df), raw counts for
     * tf). Returns (id, term, tf, tfidf, term_rank) with a total-order
     * tie-break (score desc, term asc).

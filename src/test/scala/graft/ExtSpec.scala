@@ -137,4 +137,35 @@ class ExtSpec extends SparkTestBase {
     assert(out.columns.toSeq === Seq("doc_id", "n_bytes", "content_key"))
     assert(out.head().getAs[Int]("n_bytes") === 3)
   }
+
+  test("winnowing: normalization-invariant, content-sensitive, short docs drop") {
+    val df = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "  THE   quick BROWN fox jumps over the lazy DOG "), // same normalized
+      (3L, "a completely different document body altogether"),
+      (4L, "tiny")                                              // < k+w-1 chars
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.winnowFingerprints(df, "text", "doc_id", k = 8, w = 4)
+      .select("id", "n_fp", "fp_hash")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out.contains(4L))                  // no complete window → dropped
+    assert(out(1L) === out(2L))                // normalization-invariant
+    assert(out(1L)._2 !== out(3L)._2)          // different content, different set
+    assert(out(1L)._1 > 0)
+  }
+
+  test("winnowing guarantee: a long shared substring shares a fingerprint") {
+    val shared = "zqxwvutsrqponml" // 15 chars >= k + w - 1 = 11
+    val df = Seq(
+      (1L, s"first document $shared ends here"),
+      (2L, s"totally other beginning $shared different tail")
+    ).toDF("doc_id", "text")
+    // reconstruct the fingerprint SETS via gram hashes + manual winnow
+    val hs = df.select(col("doc_id"),
+        TextAnalysis.charGramHashes(col("text"), 8).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def winnow(h: Seq[Long], w: Int): Set[Long] =
+      h.sliding(w).map(_.min).toSet
+    assert(winnow(hs(1L), 4).intersect(winnow(hs(2L), 4)).nonEmpty)
+  }
 }

@@ -1360,6 +1360,60 @@ object SparkEntry {
           .orderBy("sensor_id", "version")
       }),
 
+    // TPC-H Q6 shape: selective predicate stack fully pushed to the scan,
+    // single global decimal sum — the pure scan-throughput probe.
+    Q("agg_tpch_q6_forecast",
+      Some("""SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue,
+             | COUNT(*) AS n_lines
+             | FROM lineitem
+             | WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+             |   AND l_discount >= 0.05 AND l_discount <= 0.07
+             |   AND l_quantity < 24""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))
+          .cast("decimal(38,6)").cast("string").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q5 shape: six-table snowflake join — Catalyst's join reorder +
+    // broadcast selection working over region→nation→customer/supplier
+    // co-location.
+    Q("j5_tpch_q5_local_supplier",
+      Some("""SELECT n_name,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
+             | FROM customer, orders, lineitem, supplier, nation, region
+             | WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |   AND r_name = 'ASIA'
+             |   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             | GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,6)").cast("string").as("revenue"))
+        .orderBy("n_name")),
+
     // X-winnow: winnowing document fingerprints (MOSS rolling k-gram
     // window minima, k=8 chars, w=4) — guarantees any shared substring of
     // length >= k+w-1 shares a fingerprint. fp_hash is the md5 of the

@@ -1381,6 +1381,36 @@ object SparkEntry {
           .cast("decimal(38,6)").cast("string").as("revenue"),
           count(lit(1)).as("n_lines"))),
 
+    // TPC-H Q14 shape: promo-revenue share — fact ⋈ part dim with a
+    // conditional decimal numerator over the same join (the only query
+    // family touching the `part` table).
+    Q("j14_promo_revenue_share",
+      Some("""SELECT
+             | CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+             |            THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |                 (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |            ELSE CAST(0 AS DECIMAL(36,4)) END) AS DECIMAL(38,6)) AS VARCHAR) AS promo_revenue,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS total_revenue,
+             | COUNT(*) AS n_lines
+             | FROM lineitem JOIN part ON l_partkey = p_partkey
+             | WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+             |   AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin),
+      (s, dir) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(36,4)")))
+              .cast("decimal(38,6)").cast("string").as("promo_revenue"),
+            sum(rev).cast("decimal(38,6)").cast("string").as("total_revenue"),
+            count(lit(1)).as("n_lines"))
+      }),
+
     // TPC-H Q5 shape: six-table snowflake join — Catalyst's join reorder +
     // broadcast selection working over region→nation→customer/supplier
     // co-location.

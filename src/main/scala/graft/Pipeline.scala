@@ -36,15 +36,21 @@ object Pipeline {
       Seq(col("event_time").asc, col("event_id").asc), "value")
   }
 
-  /** Gold: 5-minute per-sensor aggregate with health pct. */
+  /** Gold: 5-minute per-sensor aggregate with health pct. The flagship
+    * chain uses SKETCH percentiles like the reference does
+    * (percentile_approx, silver_to_gold.py:64-66) — fixed-size aggregation
+    * state per group, the only shape that holds when a window's group
+    * count is unbounded. The oracle-checked a1/a2/a3 variants use exact
+    * percentiles because DuckDB's quantile_cont is the comparison target. */
   def gold5Min(spark: SparkSession, dir: String): DataFrame =
     Gold.withHealthPct(
       Gold.windowAgg(silver(spark, dir), Seq("sensor_id", "sensor_type"),
-        "event_time", "value", "5 minutes"))
+        "event_time", "value", "5 minutes", approxPercentiles = true))
 
   def goldHourly(spark: SparkSession, dir: String): DataFrame =
     Gold.locationHourly(silver(spark, dir), "location", "sensor_type",
-      "event_time", "value", "sensor_id")
+      "event_time", "value", "sensor_id",
+      approxPercentiles = true, approxDistinct = true)
 
   def goldDaily(spark: SparkSession, dir: String): DataFrame =
     Gold.dailySummary(silver(spark, dir), "sensor_type", "event_time",

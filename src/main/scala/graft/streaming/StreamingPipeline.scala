@@ -164,6 +164,66 @@ object StreamingPipeline {
       }
   }
 
+  /** One closed session emitted by [[flatMapSessionize]]. */
+  final case class ClosedSession(key: String, session_start: java.sql.Timestamp,
+                                 session_end: java.sql.Timestamp, n_events: Long)
+  /** Open-session state: first/last event micros + count. */
+  final case class SessionBuf(startUs: Long, lastUs: Long, n: Long)
+
+  /** T8 (extension): custom streaming sessionization via
+    * flatMapGroupsWithState + event-time timeout — the full-control
+    * alternative to `sessionWindowAgg` for session payloads the built-in
+    * session_window aggregation can't express (e.g. carrying arbitrary
+    * per-session state). A session closes either when a later event
+    * arrives past the gap (emitted immediately) or when the watermark
+    * passes last+gap (emitted by the timeout callback). State is one
+    * fixed-size SessionBuf per active key. Use append output mode. */
+  def flatMapSessionize(events: DataFrame, keyCol: String, timeCol: String,
+                        watermark: String,
+                        gapSeconds: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val tupEnc: Encoder[(String, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP)
+    implicit val stEnc: Encoder[SessionBuf] = Encoders.product[SessionBuf]
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    val gapUs = gapSeconds * 1000000L
+    def toTs(us: Long) = new java.sql.Timestamp(us / 1000L)
+    events.withWatermark(timeCol, watermark)
+      .select(col(keyCol).cast("string"), col(timeCol))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState[SessionBuf, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(key, toTs(s.startUs), toTs(s.lastUs), s.n))
+          } else {
+            val times = rows.map(_._2.getTime * 1000L).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var buf = state.getOption.orNull
+            times.foreach { t =>
+              buf match {
+                case null => buf = SessionBuf(t, t, 1L)
+                case b if t - b.lastUs <= gapUs =>
+                  buf = b.copy(lastUs = math.max(b.lastUs, t), n = b.n + 1)
+                case b =>
+                  closed ::= ClosedSession(key, toTs(b.startUs), toTs(b.lastUs), b.n)
+                  buf = SessionBuf(t, t, 1L)
+              }
+            }
+            state.update(buf)
+            // close via watermark once last+gap passes; never set a timeout
+            // at or before the current watermark (illegal)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1, buf.lastUs / 1000L + gapSeconds * 1000L))
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** T8 (extension): streaming keep-one dedup bounded by the watermark —
     * `dropDuplicatesWithinWatermark` keeps (key) state only within the
     * watermark horizon, unlike `dropDuplicates` whose state grows forever.

@@ -154,6 +154,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(out === Set(("a", 2L), ("a", 1L), ("b", 1L)))
   }
 
+  test("flatMapGroupsWithState sessionizer closes on in-batch gaps and timeouts") {
+    val inDir = Files.createTempDirectory("graft-fms").toString
+    // key a: burst of 2, then (same batch) an event past the 5-min gap —
+    // the first session must close immediately from the arriving data
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"), Seq(
+      """{"ts":"2024-06-15 10:00:00","k":"a","v":1.0}""",
+      """{"ts":"2024-06-15 10:01:00","k":"a","v":2.0}""",
+      """{"ts":"2024-06-15 10:30:00","k":"a","v":3.0}""").mkString("\n"))
+    val src = spark.readStream.schema("ts timestamp, k string, v double").json(inDir)
+    val sessions = StreamingPipeline.flatMapSessionize(src, "k", "ts",
+      watermark = "0 seconds", gapSeconds = 300)
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("fms").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark past 10:30 + gap so the open session times out
+      Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+        """{"ts":"2024-06-15 11:00:00","k":"z","v":0.0}""")
+      q.processAllAvailable()
+      Files.writeString(java.nio.file.Path.of(inDir, "b3.json"),
+        """{"ts":"2024-06-15 12:00:00","k":"z","v":0.0}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("fms").filter($"key" === "a")
+      .select("n_events").as[Long].collect().sorted.toSeq
+    assert(out === Seq(1L, 2L)) // burst of 2 closed by gap, single closed by timeout
+  }
+
   test("mapGroupsWithState carries running per-key stats across batches") {
     val inDir = Files.createTempDirectory("graft-runstate").toString
     Files.writeString(java.nio.file.Path.of(inDir, "b1.json"), Seq(

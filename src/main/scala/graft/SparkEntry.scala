@@ -1502,6 +1502,17 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // A-extension: custom TypedImperativeAggregate — bounded-heap top-k
+    // per group (O(k) state instead of a full per-group sort window).
+    Q("a_custom_topk_agg",
+      Some("""SELECT event_type,
+             | (list_sort(list(value), 'DESC'))[1:5] AS top5
+             | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(graft.functions.TopKFunctions.topKDesc(col("value"), 5).as("top5"))
+        .orderBy("event_type")),
+
     // ---- SQL-API surface: the same engine served through spark.sql ------
     // (Catalyst decorrelates the subqueries into the joins the DataFrame
     // API spells out explicitly — both front-ends share the optimizer.)

@@ -75,4 +75,31 @@ class PlanSpec extends SparkTestBase {
     val out = spark.sql("SELECT graft_dot(a, b) AS d FROM vecs").as[Double].head()
     assert(out === 11.0)
   }
+
+  test("graft_topk aggregate: bounded heap, partial merge, SQL registration") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("g" + (i % 2), i.toDouble)).toDF("g", "v")
+    // DataFrame API: largest 3 per group, descending, duplicates kept
+    val out = df.groupBy("g")
+      .agg(functions.TopKFunctions.topKDesc(col("v"), 3).as("top3"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(out("g0") === Seq(100.0, 98.0, 96.0))
+    assert(out("g1") === Seq(99.0, 97.0, 95.0))
+    // partial/final merge across many partitions must agree
+    val repart = df.repartition(8).groupBy("g")
+      .agg(functions.TopKFunctions.topKDesc(col("v"), 3).as("top3"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(repart === out)
+    // SQL path
+    df.createOrReplaceTempView("tk")
+    val sql = spark.sql("SELECT g, graft_topk(v, 3) AS top3 FROM tk GROUP BY g")
+      .as[(String, Seq[Double])].collect().toMap
+    assert(sql === out)
+    // groups smaller than k return what exists
+    val small = Seq(("s", 1.0)).toDF("g", "v").groupBy("g")
+      .agg(functions.TopKFunctions.topKDesc(col("v"), 3).as("t"))
+      .as[(String, Seq[Double])].head()
+    assert(small._2 === Seq(1.0))
+  }
 }

@@ -37,6 +37,7 @@ object Bench {
     // throws records the -1 sentinel (and the exception on stderr) so a
     // regression can't masquerade as a near-zero-time speedup.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
       val times = (1 to 2).map { _ =>
@@ -51,6 +52,12 @@ object Bench {
       // operators may persist intermediates; drop them so later queries
       // aren't taxed by accumulated cache + GC pressure
       spark.catalog.clearCache()
+      // ContextCleaner frees broadcasts/shuffles only after a DRIVER gc
+      // detects them unreachable; across 70+ queries the accumulation
+      // degrades late queries 10-40x (measured). Force a periodic gc so
+      // cleanup keeps pace; amortized cost is a few hundred ms per batch.
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
       if (failed) errors += name
       name -> (if (failed) -1.0 else times.min)
     }

@@ -83,6 +83,47 @@ object Warehouse {
     hist.withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
   }
 
+  /** Small-files compaction: rewrite a parquet table (or a subset of its
+    * partitions) into ~`targetRowsPerFile`-row files. Streaming ingest
+    * appends one file set per trigger, so a 30-second-trigger bronze layer
+    * grows ~2,880 file groups/day/partition — at 100 TB the resulting
+    * metadata and open-file overhead dominates scan time long before data
+    * volume does. Compaction is the maintenance pass that restores scan
+    * efficiency; with `partitionBy` set, rewritten partitions replace
+    * in-place (dynamic overwrite) and untouched partitions survive.
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
+              partitionBy: Seq[String] = Nil): (Long, Long) = {
+    def countFiles(): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(path))
+    }
+    val before = countFiles()
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val writer = df.repartition(nFiles).write.mode(SaveMode.Overwrite)
+    val tmp = path + "_compacting"
+    // write to a sibling, then swap — a failed compaction never corrupts
+    // the live table (object stores: write to a new prefix + atomic
+    // manifest/metastore repoint instead)
+    val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
+    w.parquet(tmp)
+    val live = new java.io.File(path)
+    val backup = new java.io.File(path + "_precompact")
+    require(live.renameTo(backup), s"could not stage $path aside")
+    require(new java.io.File(tmp).renameTo(live), s"could not promote $tmp")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(backup)
+    (before, countFiles())
+  }
+
   /** L1: idempotent fact load — replace exactly the partitions carried by
     * the batch (dynamic partition overwrite), the Spark-native analogue of
     * the reference's transactional DELETE [start,end) + COPY

@@ -80,4 +80,21 @@ class WarehouseSpec extends SparkTestBase {
     val bVals = out.filter($"part" === "B").select("v").as[Int].collect().toSeq
     assert(bVals === Seq(99)) // replaced, not appended
   }
+
+  test("compaction collapses a many-file table preserving every row") {
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // simulate streaming-ingest fragmentation: 12 tiny appends
+    (1 to 12).foreach { i =>
+      Seq((i, s"p${i % 2}")).toDF("v", "part")
+        .write.mode("append").partitionBy("part").parquet(path)
+    }
+    val beforeRows = spark.read.parquet(path).select("v").as[Int].collect().toSet
+    val (before, after) = Warehouse.compact(spark, path, targetRowsPerFile = 100,
+      partitionBy = Seq("part"))
+    assert(before >= 12)
+    assert(after < before)
+    val afterDf = spark.read.parquet(path)
+    assert(afterDf.select("v").as[Int].collect().toSet === beforeRows)
+    assert(afterDf.select("part").distinct().count() === 2) // layout preserved
+  }
 }

@@ -34,7 +34,11 @@ object StreamingPipeline {
       watermark: String = "10 minutes",
       triggerInterval: String = "30 seconds",
       partitionBy: Seq[String] = Seq("sensor_type"),
-      checkpointDir: String = "/tmp/graft-checkpoints")
+      checkpointDir: String = "/tmp/graft-checkpoints",
+      // backfill mode: process everything available, then stop — the
+      // catch-up trigger for reprocessing a backlog with the same
+      // pipeline + checkpoint (resumes incrementally on the next run)
+      availableNow: Boolean = false)
 
   /** Kafka source plan (S1) — exactly the reference's options
     * (spark_streaming.py:79-87). Not startable in the sandbox; the plan
@@ -61,7 +65,8 @@ object StreamingPipeline {
   def start(source: DataFrame, schema: StructType, bronzePath: String,
             deadLetterPath: String, cfg: Config = Config()): StreamingQuery = {
     source.writeStream
-      .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
+      .trigger(if (cfg.availableNow) Trigger.AvailableNow()
+               else Trigger.ProcessingTime(cfg.triggerInterval))
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = JsonIngest.parseAndSplit(batch, "value", schema)

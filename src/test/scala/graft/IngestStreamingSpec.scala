@@ -54,6 +54,22 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(deadDf.select("error_type").as[String].head() === "json_parse_failure")
   }
 
+  test("T1 backfill: AvailableNow trigger drains the backlog and terminates") {
+    val inDir = Files.createTempDirectory("graft-an-in").toString
+    val bronze = Files.createTempDirectory("graft-an-bronze").toString + "/data"
+    val dead = Files.createTempDirectory("graft-an-dead").toString + "/data"
+    val ckpt = Files.createTempDirectory("graft-an-ckpt").toString
+    Files.writeString(java.nio.file.Path.of(inDir, "backlog.txt"),
+      Seq.fill(3)(goodJson).mkString("\n"))
+    val q = StreamingPipeline.start(
+      StreamingPipeline.fileSource(spark, inDir), Schemas.sensorSchema,
+      bronze, dead,
+      StreamingPipeline.Config(checkpointDir = ckpt, availableNow = true))
+    // AvailableNow terminates on its own once the backlog is drained
+    assert(q.awaitTermination(60000))
+    assert(spark.read.parquet(bronze).count() === 3)
+  }
+
   test("S7/S8: CSV replay source round-trips through producer-shaped JSON") {
     val csvDir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Path.of(csvDir, "replay.csv"),

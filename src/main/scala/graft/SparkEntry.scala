@@ -1502,6 +1502,48 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // A-extension: funnel conversion — users reaching each ordered step
+    // (signup → click after signup → purchase after that click).
+    Q("a_funnel_conversion",
+      Some("""WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+             |            WHERE event_type = 'signup' GROUP BY user_id),
+             |u2 AS (SELECT u1.user_id, u1.t1,
+             |         MIN(CASE WHEN e.ts > u1.t1 THEN e.ts END) AS t2
+             |       FROM u1 LEFT JOIN events e
+             |         ON e.user_id = u1.user_id AND e.event_type = 'click'
+             |       GROUP BY u1.user_id, u1.t1),
+             |u3 AS (SELECT u2.user_id, u2.t1, u2.t2,
+             |         MIN(CASE WHEN e.ts > u2.t2 THEN e.ts END) AS t3
+             |       FROM u2 LEFT JOIN events e
+             |         ON e.user_id = u2.user_id AND e.event_type = 'purchase'
+             |       GROUP BY u2.user_id, u2.t1, u2.t2)
+             |SELECT COUNT(t1) AS n_signup, COUNT(t2) AS n_click,
+             |       COUNT(t3) AS n_purchase
+             |FROM u3""".stripMargin),
+      (s, dir) => graft.operators.Funnel.conversionCounts(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))),
+
+    // A-extension: cohort retention — first-seen-week cohorts × week
+    // offset × distinct active users.
+    Q("a_cohort_retention",
+      Some("""WITH fs AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+             |            FROM events GROUP BY user_id),
+             |aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+             |       FROM events),
+             |j AS (SELECT fs.user_id, fs.cohort_week,
+             |        CAST(date_diff('day', CAST(fs.cohort_week AS DATE),
+             |                       CAST(aw.active_week AS DATE)) // 7 AS INT) AS week_offset
+             |      FROM fs JOIN aw USING (user_id))
+             |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week_s, week_offset,
+             |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+             |FROM j GROUP BY cohort_week, week_offset
+             |ORDER BY cohort_week_s, week_offset""".stripMargin),
+      (s, dir) => graft.operators.Funnel.cohortRetention(Tables.events(s, dir),
+          "user_id", "ts")
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week_s"),
+          col("week_offset"), col("n_active"))
+        .orderBy("cohort_week_s", "week_offset")),
+
     // A-extension: custom TypedImperativeAggregate — bounded-heap top-k
     // per group (O(k) state instead of a full per-group sort window).
     Q("a_custom_topk_agg",

@@ -228,6 +228,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(out === Set((1.0, 10.0)))
   }
 
+  test("funnel conversion: steps must happen in order; missing steps are null") {
+    import graft.operators.Funnel
+    val t0 = Timestamp.valueOf("2024-06-15 10:00:00")
+    def ts(sec: Long) = new Timestamp(t0.getTime + sec * 1000)
+    val df = Seq(
+      // u1 completes the funnel in order
+      ("u1", "signup", ts(0)), ("u1", "click", ts(10)), ("u1", "purchase", ts(20)),
+      // u2 clicked BEFORE signing up — click must not count
+      ("u2", "click", ts(0)), ("u2", "signup", ts(10)),
+      // u3 never signed up
+      ("u3", "click", ts(0)), ("u3", "purchase", ts(5))
+    ).toDF("user", "typ", "t")
+    val per = Funnel.conversion(df, "user", "typ", "t", Seq("signup", "click", "purchase"))
+      .select("user", "t_1", "t_2", "t_3")
+      .as[(String, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(per("u1") === ((Some(ts(0)), Some(ts(10)), Some(ts(20)))))
+    assert(per("u2") === ((Some(ts(10)), None, None))) // pre-signup click ignored
+    assert(!per.contains("u3"))                        // no first step, no row
+    val counts = Funnel.conversionCounts(df, "user", "typ", "t",
+      Seq("signup", "click", "purchase"))
+      .as[(Long, Long, Long)].head()
+    assert(counts === ((2L, 1L, 1L)))
+  }
+
+  test("cohort retention counts distinct users per cohort-week offset") {
+    import graft.operators.Funnel
+    val df = Seq(
+      ("a", Timestamp.valueOf("2024-06-03 10:00:00")), // week 0 (Mon Jun 3)
+      ("a", Timestamp.valueOf("2024-06-11 10:00:00")), // week 1
+      ("b", Timestamp.valueOf("2024-06-04 10:00:00")), // week 0 only
+      ("c", Timestamp.valueOf("2024-06-12 10:00:00"))  // cohort of week 1
+    ).toDF("user", "t")
+    val out = Funnel.cohortRetention(df, "user", "t")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cw"),
+        col("week_offset"), col("n_active"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(out === Set(
+      ("2024-06-03", 0, 2L),  // a + b active in their cohort week
+      ("2024-06-03", 1, 1L),  // only a returned
+      ("2024-06-10", 0, 1L))) // c's cohort
+  }
+
   test("scd2History versions attribute runs with correct validity ranges") {
     import graft.warehouse.Warehouse
     val t0 = Timestamp.valueOf("2024-06-15 10:00:00")

@@ -87,6 +87,29 @@ object SparkEntry {
        | ELSE len(list_intersect($a, $b))::DOUBLE
        |      / len(list_distinct(list_concat($a, $b))) END""".stripMargin
 
+  /** CTE chain producing (doc_id, simhash) — the 64-bit majority-vote
+    * signature as a bit string, shared by the signature and near-dup
+    * oracles. The LEFT JOIN from pre keeps docs with <3 tokens (empty
+    * shingle set): their bit sums are NULL, `bN * 2 > n` is NULL, and
+    * every CASE falls through to '0' — the same all-zero signature the
+    * Spark side emits via explode_outer. */
+  private lazy val simhashSigCtes: String = {
+    val bitSums = (1 to 64).map { i =>
+      val d = (i - 1) / 4 + 1
+      val p = 1 << (3 - ((i - 1) % 4))
+      s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, $d, 1)) - 1) // $p) % 2 = 1 THEN 1 ELSE 0 END) AS b$i"
+    }.mkString(", ")
+    val bitsConcat = (1 to 64)
+      .map(i => s"CASE WHEN b$i * 2 > n THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    s"""pre AS ($preShinglesSql),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM pre),
+       |h AS (SELECT doc_id, md5(s) AS hx FROM ex),
+       |agg AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM h GROUP BY doc_id),
+       |sig AS (SELECT p.doc_id, $bitsConcat AS simhash
+       |        FROM pre p LEFT JOIN agg a ON p.doc_id = a.doc_id)""".stripMargin
+  }
+
   private def cosSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(list_dot_product($a, $a)) = 0 OR sqrt(list_dot_product($b, $b)) = 0
        | THEN 0.0
@@ -628,31 +651,33 @@ object SparkEntry {
 
     // X-dedup-simhash: 64-bit majority-vote signatures as bit strings.
     Q("x_simhash_signatures",
-      Some {
-        val bitSums = (1 to 64).map { i =>
-          val d = (i - 1) / 4 + 1
-          val p = 1 << (3 - ((i - 1) % 4))
-          s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, $d, 1)) - 1) // $p) % 2 = 1 THEN 1 ELSE 0 END) AS b$i"
-        }.mkString(", ")
-        val bitsConcat = (1 to 64)
-          .map(i => s"CASE WHEN b$i * 2 > n THEN '1' ELSE '0' END")
-          .mkString("concat(", ", ", ")")
-        // LEFT JOIN from pre keeps docs with <3 tokens (empty shingle set):
-        // their bit sums are NULL, `bN * 2 > n` is NULL, and every CASE falls
-        // through to '0' — the same all-zero signature the Spark side emits
-        // via explode_outer.
-        s"""WITH pre AS ($preShinglesSql),
-           |ex AS (SELECT doc_id, unnest(sh) AS s FROM pre),
-           |h AS (SELECT doc_id, md5(s) AS hx FROM ex),
-           |agg AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM h GROUP BY doc_id)
-           |SELECT p.doc_id, $bitsConcat AS simhash
-           |FROM pre p LEFT JOIN agg a ON p.doc_id = a.doc_id
-           |ORDER BY p.doc_id""".stripMargin
-      },
+      Some(s"""WITH $simhashSigCtes
+              |SELECT doc_id, simhash FROM sig ORDER BY doc_id""".stripMargin),
       (s, dir) => Dedup.simhashSignatures(Tables.documents(s, dir), "text",
           "doc_id", shingleN = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+
+    // X-dedup-simhash-pairs: banded bucket join over the bit strings
+    // (8 bands × 8 bits — guaranteed recall for Hamming distance <= 7)
+    // with exact Hamming verification.
+    Q("x_simhash_neardups",
+      Some(s"""WITH $simhashSigCtes,
+              |bands AS (SELECT doc_id, b, substr(simhash, b * 8 + 1, 8) AS chunk
+              |          FROM sig CROSS JOIN range(0, 8) r(b)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2
+              |           ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+              |hx AS (SELECT c.id_a, c.id_b,
+              |         CAST(len(list_filter(range(1, 65),
+              |           i -> substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1))) AS INT) AS hamming
+              |       FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+              |                   JOIN sig sb ON sb.doc_id = c.id_b)
+              |SELECT id_a, id_b, hamming FROM hx
+              |WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir), "text",
+          "doc_id", maxHamming = 16, shingleN = 3, bands = 8)
+        .orderBy("id_a", "id_b")),
 
     // X-sim-topk: brute-force cosine top-k (broadcast query set).
     Q("x_cosine_topk",
@@ -1470,6 +1495,25 @@ object SparkEntry {
           "text", "doc_id", k = 8, w = 4)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+
+    // X-stratified: per-stratum deterministic sampling — the
+    // class-balancing knob for training mixes (keep 10% of clicks, 50% of
+    // purchases, all errors).
+    Q("x_stratified_sample",
+      Some("""WITH b AS (
+             |  SELECT event_id, event_type,
+             |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+             |  FROM events)
+             |SELECT event_type, COUNT(*) AS n FROM b
+             |WHERE bucket < CASE event_type WHEN 'click' THEN 10
+             |                               WHEN 'purchase' THEN 50
+             |                               WHEN 'error' THEN 100 ELSE 0 END
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .filter(graft.ext.Sampling.stratifiedPct(col("event_id"), col("event_type"),
+          Map("click" -> 10, "purchase" -> 50, "error" -> 100)))
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")),
 
     // X-redact: PII scrubbing (emails, IPv4) — the input synthesizes
     // PII-bearing text from the corpus so the redaction provably fires.

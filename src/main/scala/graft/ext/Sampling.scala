@@ -40,4 +40,18 @@ object Sampling {
   /** Deterministic fraction sample: keep rows whose bucket falls below
     * `pct` of 100. */
   def samplePct(id: Column, pct: Int): Column = hashBucket(id, 100) < pct
+
+  /** Stratified deterministic sample: per-stratum keep percentages (the
+    * class-balancing knob for training mixes — e.g. keep 10% of 'en' but
+    * 100% of a rare language). Strata missing from `pcts` keep `defaultPct`.
+    * Same md5-bucket determinism as [[samplePct]]: stable across runs,
+    * engines, and repartitioning. */
+  def stratifiedPct(id: Column, stratum: Column, pcts: Map[String, Int],
+                    defaultPct: Int = 0): Column = {
+    val b = hashBucket(id, 100)
+    val cut = pcts.foldLeft(lit(defaultPct): Column) { case (acc, (s, p)) =>
+      when(stratum === s, p).otherwise(acc)
+    }
+    b < cut
+  }
 }

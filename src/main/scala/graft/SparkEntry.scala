@@ -1546,6 +1546,42 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // A-extension: equi-depth histogram — ntile buckets carry equal row
+    // counts with data-dependent boundaries (the complement of the
+    // fixed-width a6_value_histogram).
+    Q("a_equidepth_histogram",
+      Some("""SELECT bucket, MIN(value) AS lo, MAX(value) AS hi, COUNT(*) AS n
+             | FROM (SELECT value, CAST(ntile(10) OVER (ORDER BY value, event_id) AS INT) AS bucket
+             |       FROM events)
+             | GROUP BY bucket ORDER BY bucket""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .withColumn("bucket",
+          ntile(10).over(Window.orderBy(col("value").asc, col("event_id").asc)))
+        .groupBy("bucket")
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    // A-extension: modal (most frequent) value per group with a total-order
+    // tie-break.
+    Q("a_mode_per_user",
+      Some("""SELECT user_id, event_type AS modal_type, n FROM (
+             |  SELECT user_id, event_type, COUNT(*) AS n,
+             |    row_number() OVER (PARTITION BY user_id
+             |                       ORDER BY COUNT(*) DESC, event_type) AS rn
+             |  FROM events GROUP BY user_id, event_type)
+             |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      (s, dir) => {
+        val counts = Tables.events(s, dir)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("n").desc, col("event_type").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("modal_type"), col("n"))
+          .orderBy("user_id")
+      }),
+
     // A-extension: funnel conversion — users reaching each ordered step
     // (signup → click after signup → purchase after that click).
     Q("a_funnel_conversion",

@@ -658,13 +658,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
-    // X-dedup-simhash-pairs: banded bucket join over the bit strings
-    // (8 bands × 8 bits — guaranteed recall for Hamming distance <= 7)
-    // with exact Hamming verification.
+    // X-dedup-simhash-pairs: banded bucket join over the bit strings —
+    // the classic 64-bit setting: 4 bands × 16 bits, guaranteed recall for
+    // Hamming distance <= 3, then exact Hamming verification.
     Q("x_simhash_neardups",
       Some(s"""WITH $simhashSigCtes,
-              |bands AS (SELECT doc_id, b, substr(simhash, b * 8 + 1, 8) AS chunk
-              |          FROM sig CROSS JOIN range(0, 8) r(b)),
+              |bands AS (SELECT doc_id, b, substr(simhash, b * 16 + 1, 16) AS chunk
+              |          FROM sig CROSS JOIN range(0, 4) r(b)),
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
               |         FROM bands a JOIN bands b2
               |           ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
@@ -674,9 +674,9 @@ object SparkEntry {
               |       FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
               |                   JOIN sig sb ON sb.doc_id = c.id_b)
               |SELECT id_a, id_b, hamming FROM hx
-              |WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin),
+              |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir), "text",
-          "doc_id", maxHamming = 16, shingleN = 3, bands = 8)
+          "doc_id", maxHamming = 3, shingleN = 3, bands = 4)
         .orderBy("id_a", "id_b")),
 
     // X-sim-topk: brute-force cosine top-k (broadcast query set).

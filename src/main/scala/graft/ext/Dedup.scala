@@ -229,18 +229,30 @@ object Dedup {
           .as("simhash"))
   }
 
-  /** Hamming distance between two equal-length bit-string signatures. */
+  /** Hamming distance between two equal-length bit-string signatures —
+    * computed numerically (parse 16-bit chunks, XOR, popcount) rather than
+    * as 64 per-character comparisons: the verification runs once per
+    * candidate pair, and candidate volume grows quadratically with bucket
+    * size. `bits` must be a multiple of 16. */
   def hammingDist(a: Column, b: Column, bits: Int = 64): Column =
-    (1 to bits).map(i =>
-      when(substring(a, i, 1) =!= substring(b, i, 1), 1).otherwise(0))
-      .reduce(_ + _)
+    (0 until bits / 16).map { i =>
+      bit_count(conv(substring(a, i * 16 + 1, 16), 2, 10).cast("long")
+        .bitwiseXOR(conv(substring(b, i * 16 + 1, 16), 2, 10).cast("long")))
+    }.reduce(_ + _)
 
   /** SimHash near-dup pairs: band the bit string into `bands` chunks and
     * bucket-join on any equal chunk (guarantees recall for Hamming distance
-    * <= bands-1), then verify the exact distance. */
+    * <= bands-1), then verify the exact distance.
+    *
+    * Band sizing is the scale lever: chunk width 64/bands bounds the
+    * bucket-key space at 2^width. The classic 64-bit setting is bands=4
+    * (16-bit chunks, full recall for distance <= 3): 8-bit chunks have
+    * only 256 bucket values per band, and candidate pairs grow
+    * quadratically within buckets — measured 30x slower on a 5k-doc
+    * corpus for the same output. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int, shingleN: Int = 3,
-                      bands: Int = 8): DataFrame = {
+                      bands: Int = 4): DataFrame = {
     val sigs = simhashSignatures(docs, textCol, idCol, shingleN)
     val width = 64 / bands
     val banded = sigs.select(col("id"), col("simhash"),

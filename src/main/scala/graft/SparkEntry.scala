@@ -1626,13 +1626,21 @@ object SparkEntry {
 
     // A-extension: custom TypedImperativeAggregate — bounded-heap top-k
     // per group (O(k) state instead of a full per-group sort window).
+    // Emitted as k scalar columns, not an array: the driver's comparator
+    // canonicalizes scalars only (array cells are unhashable downstream).
     Q("a_custom_topk_agg",
-      Some("""SELECT event_type,
-             | (list_sort(list(value), 'DESC'))[1:5] AS top5
-             | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      Some {
+        val tops = (1 to 5).map(i => s"l[$i] AS top$i").mkString(", ")
+        s"""SELECT event_type, $tops FROM (
+           |  SELECT event_type, list_sort(list(value), 'DESC') AS l
+           |  FROM events GROUP BY event_type)
+           |ORDER BY event_type""".stripMargin
+      },
       (s, dir) => Tables.events(s, dir)
         .groupBy("event_type")
         .agg(graft.functions.TopKFunctions.topKDesc(col("value"), 5).as("top5"))
+        .select(col("event_type") +:
+          (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"top$i")): _*)
         .orderBy("event_type")),
 
     // ---- SQL-API surface: the same engine served through spark.sql ------

@@ -1643,6 +1643,223 @@ object SparkEntry {
           (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"top$i")): _*)
         .orderBy("event_type")),
 
+    // TPC-H Q4 shape: correlated EXISTS with a cross-table predicate
+    // (lineitem shipped after its order date) — decorrelates to a
+    // conditioned left-semi join.
+    Q("j4_priority_exists",
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+             | FROM orders
+             | WHERE EXISTS (SELECT 1 FROM lineitem
+             |               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+             | GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // TPC-H Q7 shape: bi-nation shipping volume — the two nation joins run
+    // against ONE broadcast dim under different aliases, grouped by year.
+    Q("j7_volume_bi_nation",
+      Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+             | CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS volume,
+             | COUNT(*) AS n_lines
+             | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |   JOIN customer ON o_custkey = c_custkey
+             |   JOIN supplier ON l_suppkey = s_suppkey
+             |   JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |   JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             | WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+             |   AND n2.n_name IN ('NATION_1', 'NATION_2')
+             |   AND n1.n_name <> n2.n_name
+             | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val nations = Tables.nation(s, dir).filter(col("n_name").isin("NATION_1", "NATION_2"))
+        val n1 = nations.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val n2 = nations.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .filter(col("cust_nation") =!= col("supp_nation"))
+          .groupBy(col("cust_nation"), col("supp_nation"),
+            year(col("l_shipdate")).as("ship_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(38,6)").cast("string").as("volume"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("cust_nation", "supp_nation", "ship_year")
+      }),
+
+    // TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    // quarter — selective fact filter, star join, ordered decimal top-k.
+    Q("j10_returned_top_customers",
+      Some("""SELECT c_custkey, c_name, n_name,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
+             | FROM customer JOIN orders ON o_custkey = c_custkey
+             |   JOIN lineitem ON l_orderkey = o_orderkey
+             |   JOIN nation ON c_nationkey = n_nationkey
+             | WHERE l_returnflag = 'R'
+             |   AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |   AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+             | GROUP BY 1, 2, 3
+             | ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+             |          c_custkey
+             | LIMIT 20""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(38,6)").as("rev_dec"))
+        .orderBy(col("rev_dec").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("rev_dec").cast("string").as("revenue"))),
+
+    // TPC-H Q13 shape: customer order-count distribution — left join
+    // preserving zero-order customers, then a second aggregation over the
+    // first's results (count-of-counts).
+    Q("j13_custdist",
+      Some("""WITH c AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |           FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+             |           GROUP BY c_custkey)
+             |SELECT c_count, COUNT(*) AS custdist
+             |FROM c GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q18 shape: large-volume orders — HAVING over a per-order sum
+    // feeding a semi-join back into the star (the aggregate-filter-join
+    // pipeline shape).
+    Q("j18_large_orders",
+      Some("""SELECT c_custkey, o_orderkey,
+             | strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+             | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS VARCHAR) AS total_qty
+             | FROM customer JOIN orders ON o_custkey = c_custkey
+             |   JOIN lineitem ON l_orderkey = o_orderkey
+             | WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+             |                      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+             | GROUP BY 1, 2, 3, 4
+             | ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("_sq"))
+          .filter(col("_sq") > 250)
+          .select(col("l_orderkey").as("_bigkey"))
+        Tables.lineitem(s, dir)
+          .join(big, col("l_orderkey") === col("_bigkey"), "left_semi")
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_totalprice"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)")
+            .cast("string").as("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      }),
+
+    // TPC-H Q19 shape: disjunctive multi-attribute join predicate (OR of
+    // brand × size × quantity bands) — the equi-join key stays l_partkey =
+    // p_partkey so the disjunction evaluates post-join, not as a nested
+    // loop.
+    Q("j19_disjunctive_pred",
+      Some("""SELECT COUNT(*) AS n_lines,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
+             | FROM lineitem JOIN part ON p_partkey = l_partkey
+             | WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+             |        AND l_quantity BETWEEN 1 AND 11)
+             |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+             |        AND l_quantity BETWEEN 10 AND 20)
+             |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+             |        AND l_quantity BETWEEN 20 AND 36)""".stripMargin),
+      (s, dir) => {
+        val cond =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 36))
+        Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), col("p_partkey") === col("l_partkey"))
+          .filter(cond)
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(38,6)").cast("string").as("revenue"))
+      }),
+
+    // A-extension: explicit GROUPING SETS with grouping_id — the general
+    // form underlying rollup/cube, with the bitmask exposed.
+    Q("a_grouping_sets",
+      Some("""WITH e AS (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow, value
+             |           FROM events)
+             |SELECT COALESCE(event_type, 'ALL') AS etype,
+             | COALESCE(CAST(dow AS VARCHAR), 'ALL') AS dow_s,
+             | CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS INT) AS gid,
+             | COUNT(*) AS n, ROUND(AVG(value) + 1e-9, 4) AS avg_value
+             |FROM e GROUP BY GROUPING SETS ((event_type), (dow), (event_type, dow))
+             |ORDER BY gid, etype, dow_s""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"), col("value"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("dow")), Seq(col("event_type"), col("dow"))),
+          col("event_type"), col("dow"))
+        // grouping() is only resolvable inside the grouping-sets Aggregate
+        // itself, so the bitmask is computed in agg, not a later select.
+        .agg(count(lit(1)).as("n"), R(avg(col("value"))).as("avg_value"),
+          (grouping(col("event_type")).cast("int") * 2 +
+            grouping(col("dow")).cast("int")).as("gid"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+          coalesce(col("dow").cast("string"), lit("ALL")).as("dow_s"),
+          col("gid"), col("n"), col("avg_value"))
+        .orderBy("gid", "etype", "dow_s")),
+
+    // W-extension: RANGE window frame over event-time — trailing 10-minute
+    // per-user stats. RANGE (value-based) frames include all peers in the
+    // interval regardless of row order, so the result is deterministic even
+    // under timestamp ties.
+    Q("w_range_frame_10min",
+      Some("""SELECT event_id,
+             | CAST(COUNT(*) OVER wr AS BIGINT) AS n_10min,
+             | ROUND(AVG(value) OVER wr + 1e-9, 4) AS avg_10min
+             | FROM events
+             | WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+             | ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val wr = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-600000000L, Window.currentRow)
+        Tables.events(s, dir).select(
+          col("event_id"),
+          count(lit(1)).over(wr).as("n_10min"),
+          R(avg(col("value")).over(wr)).as("avg_10min"))
+          .orderBy("event_id")
+      }),
+
     // ---- SQL-API surface: the same engine served through spark.sql ------
     // (Catalyst decorrelates the subqueries into the joins the DataFrame
     // API spells out explicitly — both front-ends share the optimizer.)
@@ -1673,6 +1890,31 @@ object SparkEntry {
                 | WHERE o_custkey IN (SELECT c_custkey FROM customer
                 |                     WHERE c_mktsegment = 'BUILDING')
                 | ORDER BY o_orderkey""".stripMargin)
+      }),
+
+    // TPC-H Q22 shape (adapted): two correlated subqueries per row — a
+    // correlated scalar average over a peer group and a correlated count —
+    // Catalyst decorrelates both into aggregate joins.
+    Q("sql_correlated_quiet_rich",
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_rich_quiet,
+             | ROUND(AVG(c_acctbal) + 1e-9, 4) AS avg_bal
+             | FROM customer c
+             | WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+             |                    WHERE c2.c_mktsegment = c.c_mktsegment)
+             |   AND (SELECT COUNT(*) FROM orders o
+             |        WHERE o.o_custkey = c.c_custkey) < 8
+             | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql("""SELECT c_mktsegment, COUNT(*) AS n_rich_quiet,
+                | ROUND(AVG(c_acctbal) + 1e-9, 4) AS avg_bal
+                | FROM customer c
+                | WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                |                    WHERE c2.c_mktsegment = c.c_mktsegment)
+                |   AND (SELECT COUNT(*) FROM orders o
+                |        WHERE o.o_custkey = c.c_custkey) < 8
+                | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
       }),
 
     // The custom codegen expression exposed as a SQL function

@@ -72,6 +72,15 @@ object SparkEntry {
   private val toksSql =
     s"CASE WHEN len($normSql) = 0 THEN []::VARCHAR[] ELSE string_split($normSql, ' ') END"
 
+  /** All n-word shingles (with duplicates), as SQL over a `toks` column —
+    * mirrors TextAnalysis.shinglesFromTokens. */
+  private def gramsSql(n: Int): String = {
+    val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
+    s"""CASE WHEN len(toks) < $n THEN []::VARCHAR[]
+       |   ELSE list_transform(range(1, len(toks) - ${n - 2}),
+       |        i -> concat_ws(' ', $parts)) END""".stripMargin
+  }
+
   /** 3-word shingle list (distinct), as SQL over a `toks` column. */
   private val shinglesSql =
     """list_distinct(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
@@ -1642,6 +1651,183 @@ object SparkEntry {
         .select(col("event_type") +:
           (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"top$i")): _*)
         .orderBy("event_type")),
+
+    // X-cluster: near-duplicate clustering — pairwise Jaccard edges
+    // collapsed into connected components (HashMin label propagation), the
+    // step that turns pair detection into "keep one doc per cluster".
+    Q("x_dedup_clusters",
+      Some(s"""WITH RECURSIVE pre AS ($preShinglesSql),
+              |pj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |       FROM pre a JOIN pre b
+              |         ON a.source = b.source AND a.doc_id < b.doc_id
+              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM pj
+              |          UNION ALL SELECT id_b, id_a FROM pj),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+              |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+              |SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
+              |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text",
+          "doc_id", "source", 3, 0.02)
+        graft.ext.Graph.componentsWithSize(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+          .orderBy("doc_id")
+      }),
+
+    // X-repetition: C4/Gopher-style repetition signals — duplicate word /
+    // 2-gram / 3-gram fractions per document (high values mark boilerplate
+    // and templated spam).
+    Q("x_repetition_stats",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, toks, ${gramsSql(2)} AS g2, ${gramsSql(3)} AS g3 FROM t)
+              |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+              | ROUND((CASE WHEN len(toks) = 0 THEN 0.0
+              |        ELSE (len(toks) - len(list_distinct(toks)))::DOUBLE / len(toks) END) + 1e-9, 4) AS dup_word_frac,
+              | ROUND((CASE WHEN len(g2) = 0 THEN 0.0
+              |        ELSE (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2) END) + 1e-9, 4) AS dup_2gram_frac,
+              | ROUND((CASE WHEN len(g3) = 0 THEN 0.0
+              |        ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3) END) + 1e-9, 4) AS dup_3gram_frac
+              |FROM g ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+        .withColumn("g2", TextAnalysis.shinglesFromTokens(col("toks"), 2))
+        .withColumn("g3", TextAnalysis.shinglesFromTokens(col("toks"), 3))
+        .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+          R(TextAnalysis.dupFraction(col("toks"))).as("dup_word_frac"),
+          R(TextAnalysis.dupFraction(col("g2"))).as("dup_2gram_frac"),
+          R(TextAnalysis.dupFraction(col("g3"))).as("dup_3gram_frac"))
+        .orderBy("doc_id")),
+
+    // X-gopher: the Gopher quality-rule battery as boolean flags + overall
+    // pass — word count, mean word length, alphabetic-word fraction,
+    // stopword presence, symbol ratio.
+    Q("x_gopher_quality",
+      Some {
+        val stop = TextAnalysis.enStopwords.map(w => s"'$w'").mkString(", ")
+        val mwl = "CASE WHEN len(toks) = 0 THEN 0.0 ELSE list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks) END"
+        val alpha = "CASE WHEN len(toks) = 0 THEN 0.0 ELSE len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::DOUBLE / len(toks) END"
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+           |f AS (SELECT doc_id,
+           |  CAST(len(toks) AS INT) AS n_tokens,
+           |  len(toks) BETWEEN 50 AND 100000 AS wc_ok,
+           |  ($mwl) BETWEEN 3.0 AND 10.0 AS mwl_ok,
+           |  ($alpha) >= 0.8 AS alpha_ok,
+           |  len(list_filter(toks, t -> t IN ($stop))) >= 2 AS stop_ok,
+           |  ($punctRatioSql) <= 0.1 AS symbol_ok
+           | FROM t)
+           |SELECT doc_id, n_tokens, wc_ok, mwl_ok, alpha_ok, stop_ok, symbol_ok,
+           |  wc_ok AND mwl_ok AND alpha_ok AND stop_ok AND symbol_ok AS pass
+           |FROM f ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.tokenCount(col("text")).between(50, 100000).as("wc_ok"),
+          TextAnalysis.meanTokenLen(col("text")).between(3.0, 10.0).as("mwl_ok"),
+          (TextAnalysis.alphaTokenFrac(col("text")) >= 0.8).as("alpha_ok"),
+          (TextAnalysis.stopwordCount(col("text")) >= 2).as("stop_ok"),
+          (TextAnalysis.punctRatio(col("text")) <= 0.1).as("symbol_ok"))
+        .withColumn("pass", col("wc_ok") && col("mwl_ok") && col("alpha_ok") &&
+          col("stop_ok") && col("symbol_ok"))
+        .orderBy("doc_id")),
+
+    // X-chunks: token-window chunking with overlap (64-token windows,
+    // stride 48) — context packing for LLM training; the chunk hash stands
+    // in for the payload.
+    Q("x_doc_chunks",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+              |c AS (SELECT doc_id, toks,
+              |        unnest(range(0, CASE WHEN n <= 64 THEN 1
+              |                             ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx
+              |      FROM b),
+              |sl AS (SELECT doc_id, chunk_idx,
+              |         toks[(chunk_idx * 48 + 1):(chunk_idx * 48 + 64)] AS chunk
+              |       FROM c)
+              |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tok,
+              |  md5(array_to_string(chunk, ' ')) AS chunk_hash
+              |FROM sl ORDER BY doc_id, chunk_idx""".stripMargin),
+      (s, dir) => TextAnalysis.tokenChunks(Tables.documents(s, dir), "text",
+          "doc_id", chunkSize = 64, stride = 48)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tok"),
+          col("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // X-lm: corpus bigram language model — top-20 bigrams with conditional
+    // probability p(w2 | w1) from unigram/bigram count join.
+    Q("x_bigram_lm",
+      Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+              |uni AS (SELECT w, COUNT(*) AS c1
+              |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+              |big AS (SELECT bg, COUNT(*) AS c2
+              |        FROM (SELECT unnest(${gramsSql(2)}) AS bg FROM t) GROUP BY bg),
+              |sp AS (SELECT bg, c2, string_split(bg, ' ')[1] AS w1,
+              |              string_split(bg, ' ')[2] AS w2 FROM big)
+              |SELECT w1, w2, c2 AS n, ROUND(c2::DOUBLE / c1 + 1e-9, 4) AS cond_p
+              |FROM sp JOIN uni ON uni.w = sp.w1
+              |ORDER BY n DESC, w1, w2 LIMIT 20""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+        val uni = docs.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val big = docs
+          .select(explode(TextAnalysis.shinglesFromTokens(col("toks"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("n"))
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .withColumn("w2", split(col("bg"), " ").getItem(1))
+        big.join(uni, col("w1") === col("w"))
+          .select(col("w1"), col("w2"), col("n"),
+            R(col("n").cast("double") / col("c1")).as("cond_p"))
+          .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+          .limit(20)
+      }),
+
+    // X-knn: k-nearest-neighbor label vote over embeddings — top-10 cosine
+    // neighbors among the corpus half, majority label with deterministic
+    // tie-break, compared against the query's true label.
+    Q("x_knn_classify",
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS qid, label AS true_label, v AS qv FROM e WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS cid, label AS clabel, v AS cv FROM e WHERE vec_id >= 20),
+              |sc AS (SELECT qid, true_label, cid, clabel,
+              |         (${cosSql("cv", "qv")}) AS cosine
+              |       FROM c CROSS JOIN q),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY cosine DESC, cid) AS rn FROM sc),
+              |v AS (SELECT qid, true_label, clabel, COUNT(*) AS votes
+              |      FROM r WHERE rn <= 10 GROUP BY qid, true_label, clabel),
+              |p AS (SELECT *, row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY votes DESC, clabel) AS pr FROM v)
+              |SELECT qid AS query_id, CAST(true_label AS INT) AS true_label,
+              |       CAST(clabel AS INT) AS pred_label, CAST(votes AS BIGINT) AS votes
+              |FROM p WHERE pr = 1 ORDER BY query_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val labels = emb.select(col("vec_id"), col("label"))
+        val knn = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20), 10)
+        val votes = knn
+          .join(broadcast(labels.select(col("vec_id").as("corpus_id"),
+            col("label").as("clabel"))), Seq("corpus_id"))
+          .groupBy("query_id", "clabel")
+          .agg(count(lit(1)).as("votes"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("votes").desc, col("clabel").asc)
+        votes.withColumn("pr", row_number().over(w))
+          .filter(col("pr") === 1)
+          .join(broadcast(labels.select(col("vec_id").as("query_id"),
+            col("label").as("true_label"))), Seq("query_id"))
+          .select(col("query_id"), col("true_label").cast("int").as("true_label"),
+            col("clabel").cast("int").as("pred_label"), col("votes"))
+          .orderBy("query_id")
+      }),
 
     // TPC-H Q4 shape: correlated EXISTS with a cross-table predicate
     // (lineitem shipped after its order date) — decorrelates to a

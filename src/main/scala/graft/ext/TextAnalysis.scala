@@ -106,8 +106,13 @@ object TextAnalysis {
     * references the tokenization expression re-evaluates normalize+split
     * PER SHINGLE (O(len^2) per document — measured 34 s for 5000 docs at
     * sf0.1; this form is ~100x cheaper). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles over an already-materialized token column — use this form
+    * when several n-gram sizes share one tokenization (each `shingles`
+    * call otherwise re-embeds the normalize+split subtree). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
     val m = size(toks) - (n - 1)
     val zipped = arrays_zip((1 to n).map(k => slice(toks, lit(k), m)): _*)
     when(size(toks) < n, array().cast("array<string>"))
@@ -182,6 +187,58 @@ object TextAnalysis {
         countDistinct(col("win")).as("n_fp"),
         md5(array_join(transform(sort_array(collect_set(col("win"))),
           _.cast("string")), ",").cast("binary")).as("fp_hash"))
+  }
+
+  /** Fraction of tokens containing at least one ASCII letter (Gopher's
+    * "80% of words contain an alphabetic character" rule). */
+  def alphaTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double")
+        / size(toks))
+  }
+
+  /** Absolute stopword hit count (Gopher uses >= 2 as a natural-language
+    * signal; ratios already exist as [[stopwordRatio]]). */
+  def stopwordCount(text: Column, stopwords: Seq[String] = enStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  /** Duplicate fraction of an n-gram list: (|all| - |distinct|) / |all|,
+    * 0 for empty input — the C4/Gopher repetition signal. Pass a *column
+    * reference* (materialized via withColumn), not the shingle expression
+    * itself: the expression form would be inlined and re-evaluated once per
+    * size/distinct reference. */
+  def dupFraction(grams: Column): Column =
+    when(size(grams) === 0, lit(0.0))
+      .otherwise((size(grams) - size(array_distinct(grams))).cast("double")
+        / size(grams))
+
+  /** Fixed-size token-window chunking with overlap — the context-window
+    * packing step of an LLM data pipeline. Chunk i covers tokens
+    * [i·stride+1, i·stride+chunkSize]; the last chunk may be short; docs
+    * with no tokens produce no chunks. Returns (id, chunk_idx, n_tok,
+    * chunk_hash) — the hash standing in for the chunk payload so the
+    * shuffle carries fixed-width rows, never the text.
+    *
+    * Shape at scale: one narrow projection per document (tokenize once),
+    * then explode to chunk rows — no shuffle at all until a downstream
+    * consumer groups. Chunk count per doc is ceil((n-size)/stride)+1. */
+  def tokenChunks(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                  idCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.repartition(par)
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+    val nChunks = when(col("n") <= chunkSize, lit(1L))
+      .otherwise(floor((col("n") - chunkSize + stride - 1) / lit(stride.toDouble)) + 1L)
+    base.withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(chunkSize)))
+      .select(col("id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tok"),
+        md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_hash"))
   }
 
   /** Per-document top-k terms by TF-IDF (idf = ln(N / df), raw counts for

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-data extension operators: text analysis, dedup family, similarity,
   * multimodal plumbing. */
@@ -46,6 +46,38 @@ class ExtSpec extends SparkTestBase {
     val out = Dedup.exactDedup(df, "text", "doc_id")
     assert(out.count() === 2)
     assert(out.filter($"text".contains("ello")).select("doc_id").as[Long].head() === 5L)
+  }
+
+  test("connected components: two chains and an isolated pair") {
+    // 1-2-3 and 4-5 are separate components; labels converge to the min id.
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("src", "dst")
+    val out = Graph.componentsWithSize(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L)))
+  }
+
+  test("token chunking: stride windows cover every token, last chunk short") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val df = Seq((1L, text), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenChunks(df, "text", "doc_id", chunkSize = 64, stride = 48)
+      .select("id", "chunk_idx", "n_tok").as[(Long, Long, Int)].collect().toSet
+    // doc 1: chunks at 1..64 and 49..100 (52 tokens); doc 2: one short
+    // chunk; doc 3: no tokens, no chunks.
+    assert(out === Set((1L, 0L, 64), (1L, 1L, 52), (2L, 0L, 2)))
+  }
+
+  test("duplicate fraction flags repeated n-grams") {
+    val df = Seq(
+      (1L, "spam spam spam spam"), // all words equal
+      (2L, "all words here differ")
+    ).toDF("doc_id", "text")
+    val out = df
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), TextAnalysis.dupFraction(col("toks")).as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) === 0.75)
+    assert(out(2L) === 0.0)
   }
 
   test("minhash LSH finds a high-jaccard pair and skips unrelated docs") {

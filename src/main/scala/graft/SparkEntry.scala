@@ -1864,15 +1864,26 @@ object SparkEntry {
              |   AND n1.n_name <> n2.n_name
              | GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
       (s, dir) => {
+        // Plan shape: the 2-of-25-nations filter reduces customers ~12x and
+        // orders with them; reducing orders BEFORE the fact join lets the
+        // filtered order set broadcast, so lineitem never shuffles — at
+        // cluster scale the alternative shuffles the whole fact on
+        // l_orderkey first and filters after.
         val nations = Tables.nation(s, dir).filter(col("n_name").isin("NATION_1", "NATION_2"))
         val n1 = nations.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
         val n2 = nations.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
-        Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        val custF = Tables.customer(s, dir)
           .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .select(col("c_custkey"), col("cust_nation"))
+        val ordersF = Tables.orders(s, dir)
+          .join(broadcast(custF), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("cust_nation"))
+        val suppF = Tables.supplier(s, dir)
           .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .select(col("s_suppkey"), col("supp_nation"))
+        Tables.lineitem(s, dir)
+          .join(broadcast(ordersF), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(suppF), col("l_suppkey") === col("s_suppkey"))
           .filter(col("cust_nation") =!= col("supp_nation"))
           .groupBy(col("cust_nation"), col("supp_nation"),
             year(col("l_shipdate")).as("ship_year"))
@@ -1948,20 +1959,23 @@ object SparkEntry {
              | GROUP BY 1, 2, 3, 4
              | ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
       (s, dir) => {
+        // One lineitem pass: the HAVING aggregate already carries the full
+        // per-order quantity sum (the IN-subquery selects whole orders), so
+        // re-scanning lineitem post-semi-join would recompute the identical
+        // number — join the tiny filtered aggregate straight to orders and
+        // broadcast it, leaving the fact table scanned exactly once.
         val big = Tables.lineitem(s, dir)
           .groupBy("l_orderkey")
-          .agg(sum(col("l_quantity")).as("_sq"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("_sq"))
           .filter(col("_sq") > 250)
-          .select(col("l_orderkey").as("_bigkey"))
-        Tables.lineitem(s, dir)
-          .join(big, col("l_orderkey") === col("_bigkey"), "left_semi")
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"),
+            col("_sq").cast("decimal(38,6)").cast("string").as("total_qty"))
+        Tables.orders(s, dir)
+          .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_custkey"), col("o_orderkey"),
+          .select(col("c_custkey"), col("o_orderkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-            col("o_totalprice"))
-          .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,6)")
-            .cast("string").as("total_qty"))
+            col("o_totalprice"), col("total_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
           .limit(100)
       }),

@@ -33,29 +33,73 @@ object Graph {
     * re-analyzes the whole history each action. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
-      .union(edges.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+    // Persist the directed input once BEFORE symmetrizing: the union's two
+    // branches otherwise each recompute the (possibly expensive) edge
+    // pipeline when sym first materializes.
+    val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val spark = edges.sparkSession
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // The loop's tables are |nodes| rows; size its shuffles to the graph
+    // (~2M labels per partition) instead of the session default — on a
+    // small graph the default partition count turns every round into pure
+    // task-scheduling overhead, at 100 TB nodes/2M partitions is the same
+    // rule. Restored after the loop.
+    val nNodes = labels.count()
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val loopParts = math.max(1L, math.min(nNodes / 2000000L,
+      spark.sparkContext.defaultParallelism.toLong * 4)).toString
+    // Convergence probe: labels only ever decrease, so the label sum is a
+    // strictly decreasing potential until fixpoint — one tiny aggregate on
+    // the already-checkpointed table per round instead of a join+filter
+    // against the previous generation (halves the per-iteration job count).
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("label")).head().getLong(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // min label over the closed neighborhood: own label ∪ neighbors'.
-      val fromNeighbors = sym.join(labels, sym("a") === labels("id"))
-        .select(col("b").as("id"), col("label"))
-      val next = labels.unionByName(fromNeighbors)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old"))
-        .count()
+    var converged = false
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    // AQE's stage-at-a-time re-optimization adds a scheduling barrier per
+    // shuffle — on the loop's tiny right-sized tables that latency is the
+    // whole cost, and the partition count is already chosen above.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // Pointer-jumping: label ← label's label. Plain HashMin needs diameter
+    // rounds (a k-chain takes k iterations — measured 8+ s on a 2k-node
+    // near-dup graph); the jump contracts label chains. The self-join reuses
+    // stepped's aggregation exchange via ReuseExchange. (The closed-
+    // neighborhood min is a left join + least, NOT a union + groupBy: one
+    // shuffle less, and self-joining a union-rooted plan trips Catalyst's
+    // union constraint rewrite.)
+    def jump(df: DataFrame): DataFrame = df.as("s")
+      .join(df.select(col("id").as("_lid"), col("label").as("_llabel")).as("t"),
+        col("s.label") === col("_lid"))
+      .select(col("s.id").as("id"), col("_llabel").as("label"))
+    try while (!converged && iter < maxIter) {
+      // min label over the closed neighborhood: own label vs neighbors'.
+      val nmin = sym.join(labels, sym("a") === labels("id"))
+        .groupBy(sym("b").as("id")).agg(min("label").as("nmin"))
+      val stepped = labels.join(nmin.withColumnRenamed("id", "_nid"),
+          col("id") === col("_nid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val next = jump(stepped).localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+    System.err.println(s"[graft.cc] nodes=$nNodes rounds=$iter (maxIter=$maxIter)")
     sym.unpersist()
+    e.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -1829,6 +1829,163 @@ object SparkEntry {
           .orderBy("query_id")
       }),
 
+    // TPC-H Q2 shape: argmin join-back — cheapest unit price per part and
+    // the (lowest-keyed) supplier achieving it. Spark side uses a
+    // partition-min window instead of the aggregate self-join: one shuffle.
+    Q("j2_min_cost_supplier",
+      Some("""WITH mn AS (SELECT l_partkey, MIN(l_extendedprice / l_quantity) AS min_unit
+             |            FROM lineitem GROUP BY l_partkey)
+             |SELECT l.l_partkey AS l_partkey, MIN(l.l_suppkey) AS best_supp,
+             |       ROUND(mn.min_unit + 1e-9, 4) AS min_unit_r
+             |FROM lineitem l JOIN mn ON l.l_partkey = mn.l_partkey
+             |WHERE l.l_extendedprice / l.l_quantity = mn.min_unit
+             |GROUP BY l.l_partkey, mn.min_unit
+             |ORDER BY l.l_partkey""".stripMargin),
+      (s, dir) => {
+        val unit = col("l_extendedprice") / col("l_quantity")
+        val w = Window.partitionBy("l_partkey")
+        Tables.lineitem(s, dir)
+          .withColumn("unit", unit)
+          .withColumn("min_unit", min(col("unit")).over(w))
+          .filter(col("unit") === col("min_unit"))
+          .groupBy("l_partkey", "min_unit")
+          .agg(min(col("l_suppkey")).as("best_supp"))
+          .select(col("l_partkey"), col("best_supp"),
+            R(col("min_unit")).as("min_unit_r"))
+          .orderBy("l_partkey")
+      }),
+
+    // TPC-H Q11 shape: per-supplier inventory value filtered against a
+    // share of the global total (scalar-subquery HAVING) — the total is a
+    // 1-row broadcast, never a second fact scan on the Spark side.
+    Q("a_supplier_value_share",
+      Some("""WITH sv AS (SELECT l_suppkey,
+             |              SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |                  CAST(l_quantity AS DECIMAL(18,2))) AS val
+             |            FROM lineitem GROUP BY l_suppkey),
+             |t AS (SELECT SUM(val) AS total FROM sv)
+             |SELECT l_suppkey, CAST(CAST(val AS DECIMAL(38,6)) AS VARCHAR) AS supp_value,
+             |       ROUND(CAST(val AS DOUBLE) / CAST(total AS DOUBLE) * 100 + 1e-9, 4) AS share_pct
+             |FROM sv, t WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 0.005
+             |ORDER BY l_suppkey""".stripMargin),
+      (s, dir) => {
+        val sv = Tables.lineitem(s, dir)
+          .groupBy("l_suppkey")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).as("val"))
+        val total = sv.agg(sum(col("val")).as("total"))
+        sv.crossJoin(broadcast(total))
+          .filter(col("val").cast("double") > col("total").cast("double") * 0.005)
+          .select(col("l_suppkey"),
+            col("val").cast("decimal(38,6)").cast("string").as("supp_value"),
+            R(col("val").cast("double") / col("total").cast("double") * 100)
+              .as("share_pct"))
+          .orderBy("l_suppkey")
+      }),
+
+    // P-extension: winsorization — clip values to their group's exact
+    // [p05, p99] band via a tiny percentile aggregate broadcast back onto
+    // the stream (the standard outlier-robust normalization pass).
+    Q("p_winsorize_clip",
+      Some("""WITH q AS (SELECT event_type, quantile_cont(value, 0.05) AS p05,
+             |                  quantile_cont(value, 0.99) AS p99
+             |           FROM events GROUP BY event_type)
+             |SELECT e.event_id,
+             |       ROUND(LEAST(GREATEST(e.value, q.p05), q.p99) + 1e-9, 4) AS value_w,
+             |       e.value < q.p05 OR e.value > q.p99 AS clipped
+             |FROM events e JOIN q USING (event_type) ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val q = Tables.events(s, dir).groupBy("event_type")
+          .agg(expr("percentile(value, 0.05)").as("p05"),
+            expr("percentile(value, 0.99)").as("p99"))
+        Tables.events(s, dir)
+          .join(broadcast(q), Seq("event_type"))
+          .select(col("event_id"),
+            R(least(greatest(col("value"), col("p05")), col("p99"))).as("value_w"),
+            (col("value") < col("p05") || col("value") > col("p99")).as("clipped"))
+          .orderBy("event_id")
+      }),
+
+    // A-extension: completeness audit — hours in the observed range with no
+    // events, per type (generated calendar × types, anti-join against the
+    // observed hour set). The calendar is generated, never materialized
+    // from the fact side.
+    Q("a_missing_hours",
+      Some("""WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+             |                       date_trunc('hour', MAX(ts)) AS h1 FROM events),
+             |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |          FROM bounds),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |present AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h FROM events)
+             |SELECT t.event_type,
+             |       CAST(SUM(CASE WHEN p.event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_hours,
+             |       COUNT(*) AS total_hours
+             |FROM types t CROSS JOIN hours h
+             |LEFT JOIN present p ON p.event_type = t.event_type AND p.h = h.h
+             |GROUP BY t.event_type ORDER BY t.event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val hours = bounds.select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+        val types = ev.select("event_type").distinct()
+        val present = ev.select(col("event_type"),
+          date_trunc("hour", col("ts")).as("h")).distinct()
+          .withColumnRenamed("event_type", "p_type").withColumnRenamed("h", "p_h")
+        types.crossJoin(hours)
+          .join(present, col("event_type") === col("p_type") && col("h") === col("p_h"),
+            "left")
+          .groupBy("event_type")
+          .agg(sum(when(col("p_type").isNull, 1L).otherwise(0L)).as("missing_hours"),
+            count(lit(1)).as("total_hours"))
+          .orderBy("event_type")
+      }),
+
+    // X-pack: sequential stream packing — disjoint 64-token chunks packed
+    // into 512-token training bins per source shard (bin = running-token
+    // prefix sum / 512). Packing is per-shard so the running sum never
+    // needs a global single-partition window at scale.
+    Q("x_pack_chunks",
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+              |b AS (SELECT doc_id, source, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+              |c AS (SELECT doc_id, source,
+              |        unnest(range(0, (n + 63) // 64)) AS chunk_idx, toks
+              |      FROM b),
+              |ch AS (SELECT doc_id, source, chunk_idx,
+              |         len(toks[(chunk_idx * 64 + 1):(chunk_idx * 64 + 64)]) AS n_tok
+              |       FROM c),
+              |o AS (SELECT source, n_tok,
+              |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+              |                         ROWS UNBOUNDED PRECEDING) AS cum
+              |      FROM ch)
+              |SELECT source, (cum - 1) // 512 AS bin, COUNT(*) AS n_chunks,
+              |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+              |FROM o GROUP BY source, bin ORDER BY source, bin""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val ch = TextAnalysis.tokenChunks(docs, "text", "doc_id",
+            chunkSize = 64, stride = 64)
+          .join(broadcast(docs.select(col("doc_id").as("id"), col("source"))), Seq("id"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("id").asc, col("chunk_idx").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ch.withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin", floor((col("cum") - 1) / 512))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("n_tokens"))
+          .orderBy("source", "bin")
+      }),
+
+    // Set op: UNION DISTINCT (completes the union/intersect/except family).
+    Q("set_union_distinct_nations",
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             | UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin),
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")),
+
     // TPC-H Q4 shape: correlated EXISTS with a cross-table predicate
     // (lineitem shipped after its order date) — decorrelates to a
     // conditioned left-semi join.

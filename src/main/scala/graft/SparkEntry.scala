@@ -787,6 +787,108 @@ object SparkEntry {
       (s, dir) => Multimodal.metadataView(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // X-media: the multimodal decode pipeline end-to-end — documents as
+    // opaque "image" payloads through the typed mapPartitions decode stub;
+    // the oracle recomputes the stub's deterministic feature math
+    // (per-16-stride byte sums) from the payload bytes. (Corpus is ASCII,
+    // so character positions == byte offsets on both engines.)
+    Q("x_media_decode",
+      Some("""WITH t AS (SELECT doc_id, text, len(text) AS L FROM documents),
+             |f AS (SELECT doc_id, L,
+             |        list_sum(list_transform(range(0, 16), i ->
+             |          COALESCE(list_sum(list_transform(range(1 + i, L + 1, 16),
+             |                    p -> ascii(substr(text, p, 1)))), 0) % 1000)) AS checksum
+             |      FROM t)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN L = 0 THEN 0 ELSE 64 + L % 64 END AS INT) AS width,
+             |  CAST(checksum AS BIGINT) AS feat_checksum
+             |FROM f ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val recs = Multimodal.asMediaRecords(Tables.documents(s, dir), "doc_id",
+          "text", "image")
+        Multimodal.decodeStub(recs, featureDim = 16).toDF()
+          .select(col("media_id").as("doc_id"), col("width"),
+            aggregate(
+              transform(col("features"),
+                f => round(f.cast("double") * 1000).cast("long")),
+              lit(0L), (a, x) => a + x).as("feat_checksum"))
+          .orderBy("doc_id")
+      }),
+
+    // S7: CSV serialization round trip — producer-shaped to_csv lines
+    // parsed back with from_csv against a declared schema (the offline
+    // stand-in for the CSV-replay source).
+    Q("s7_csv_roundtrip",
+      Some("""SELECT event_id,
+             | concat_ws(',', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), event_type) AS line,
+             | user_id AS uid_rt, event_type AS etype_rt
+             | FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val csvSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("eid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("uid", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("etype", org.apache.spark.sql.types.StringType)))
+        Tables.events(s, dir)
+          .withColumn("line",
+            to_csv(struct(col("event_id"), col("user_id"), col("event_type"))))
+          .withColumn("parsed", from_csv(col("line"), csvSchema, Map.empty[String, String]))
+          .select(col("event_id"), col("line"),
+            col("parsed.uid").as("uid_rt"), col("parsed.etype").as("etype_rt"))
+          .orderBy("event_id")
+      }),
+
+    // X-minhash-accuracy: sketch estimate vs ground truth — the fraction of
+    // matching MinHash components against exact Jaccard for every verified
+    // near-dup pair (the query that tells you whether 16 permutations is
+    // enough for your threshold).
+    Q("x_minhash_est_vs_exact",
+      Some(s"""WITH pre AS ($preShinglesSql),
+              |tok AS (SELECT doc_id, unnest(sh) AS s FROM pre),
+              |uv AS (SELECT doc_id,
+              |         CAST(concat('0x', substr(md5(s), 1, 10)) AS BIGINT) AS u,
+              |         CAST(concat('0x', substr(md5(s), 11, 10)) AS BIGINT) AS v
+              |       FROM tok),
+              |mh AS (SELECT doc_id, p, MIN(u + p * v) AS m
+              |       FROM uv CROSS JOIN range(0, 16) r(p) GROUP BY doc_id, p),
+              |sigl AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+              |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |            (${jaccardSql("a.sh", "b.sh")}) AS jac
+              |          FROM pre a JOIN pre b
+              |            ON a.source = b.source AND a.doc_id < b.doc_id
+              |          WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02)
+              |SELECT p.id_a, p.id_b,
+              |  ROUND(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 + 1e-9, 4) AS est_jaccard,
+              |  ROUND(p.jac + 1e-9, 4) AS exact_jaccard
+              |FROM pairs p JOIN sigl sa ON sa.doc_id = p.id_a
+              |             JOIN sigl sb ON sb.doc_id = p.id_b
+              |ORDER BY p.id_a, p.id_b""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val par = s.sparkContext.defaultParallelism
+        val pre = docs.repartition(par).select(col("doc_id").as("id"),
+          array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Signatures via the exploded numeric-min aggregation (one md5 per
+        // shingle), same shape as minhashNearDups — not the per-row array
+        // expression, which re-hashes once per permutation.
+        val (u, v) = Dedup.uvHalvesPublic(col("s"))
+        val mins = (0 until 16).map(p => min(col("u") + lit(p.toLong) * col("v")).as(s"m$p"))
+        val sig = pre.select(col("id"), explode(col("sh")).as("s"))
+          .select(col("id"), u.as("u"), v.as("v"))
+          .groupBy("id").agg(mins.head, mins.tail: _*)
+          .select(col("id"), array((0 until 16).map(p => col(s"m$p")): _*).as("sig"))
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 0.02)
+        pairs
+          .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            R(size(filter(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1).otherwise(0)), z => z === 1))
+              .cast("double") / 16.0).as("est_jaccard"),
+            R(col("jaccard")).as("exact_jaccard"))
+          .orderBy("id_a", "id_b")
+      }),
+
     // ---- dashboard-family aggregations (A6) + producer/serialization ----
 
     // A6: pivot table — avg value per sensor pivoted by type.

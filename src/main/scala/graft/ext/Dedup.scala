@@ -41,6 +41,10 @@ object Dedup {
     * aggregation). 40-bit halves keep u + 15·v < 2^44, safely inside a
     * 64-bit long on every engine. md5 keeps the family portable: the oracle
     * recomputes identical values in SQL. */
+  /** Public accessor so accuracy probes outside the package reuse the
+    * exact same family (sketch vs ground-truth comparisons). */
+  def uvHalvesPublic(shingle: Column): (Column, Column) = uvHalves(shingle)
+
   private[ext] def uvHalves(shingle: Column): (Column, Column) = {
     val hx = md5(shingle.cast("binary"))
     (conv(substring(hx, 1, 10), 16, 10).cast("long"),

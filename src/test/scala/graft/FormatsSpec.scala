@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.Formats
+
+/** Batch format round trips (S-family completeness): every supported
+  * format must carry the same rows back, row formats must demand a schema,
+  * and partitioned layouts must prune. */
+class FormatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample = model.Tables.events(spark, "/root/testdata/sf0.001")
+    .select("event_id", "user_id", "event_type", "value")
+    .limit(200)
+
+  test("parquet/orc/json/csv round-trip the same rows") {
+    val in = sample
+    val schema = in.schema
+    val expected = in.as[(Long, Long, String, Double)].collect().toSet
+    Formats.supported.foreach { fmt =>
+      val dir = Files.createTempDirectory(s"graft-fmt-$fmt").toString
+      Formats.write(in, dir, fmt)
+      val back = Formats.read(spark, dir, fmt, Some(schema))
+        .as[(Long, Long, String, Double)].collect().toSet
+      assert(back === expected, s"round trip mismatch for $fmt")
+    }
+  }
+
+  test("row-format reads without a schema are rejected") {
+    val dir = Files.createTempDirectory("graft-fmt-noschema").toString
+    Formats.write(sample, dir, "csv")
+    intercept[IllegalArgumentException] {
+      Formats.read(spark, dir, "csv", None)
+    }
+  }
+
+  test("partitionBy layout prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-fmt-part").toString
+    Formats.write(sample, dir, "parquet", partitionBy = Seq("event_type"))
+    val scan = Formats.read(spark, dir, "parquet")
+      .filter(col("event_type") === "click")
+    val p = scan.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter at the scan:\n$p")
+    val full = sample.filter(col("event_type") === "click").count()
+    assert(scan.count() === full)
+  }
+}

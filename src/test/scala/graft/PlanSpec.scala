@@ -67,6 +67,37 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"global sort for a limit query:\n$p")
   }
 
+  test("Q7: filtered order set broadcast — the fact never sort-merge joins") {
+    val p = plan(SparkEntry.queries("j7_volume_bi_nation")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"filtered dims not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"lineitem shuffles into a sort-merge join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected <=1 hash exchange (final agg), found $exchanges:\n$p")
+  }
+
+  test("Q18: single fact pass — filtered HAVING aggregate broadcast to orders") {
+    val p = plan(SparkEntry.queries("j18_large_orders")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"big-order set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"orders shuffles into a sort-merge join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"ordered limit became a global sort:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 3, s"expected <=3 scans (lineitem once, orders, customer), found $scans:\n$p")
+  }
+
+  test("Q10: selective star join broadcasts dims and compiles top-k") {
+    val p = plan(SparkEntry.queries("j10_returned_top_customers")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"ordered limit became a global sort:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)") ||
+      p.contains("EqualTo(l_returnflag,R)"), s"returnflag filter not pushed:\n$p")
+  }
+
+  test("winsorize: percentile aggregate joins back as a broadcast") {
+    val p = plan(SparkEntry.queries("p_winsorize_clip")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"per-type percentile table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"events shuffle for the clip join:\n$p")
+  }
+
   test("graft_dot registers for SQL and is codegen (no Filter/UDF fallback)") {
     GraftExtensions.register(spark)
     import spark.implicits._

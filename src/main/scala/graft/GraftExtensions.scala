@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.dotFunction)
     e.injectFunction(GraftExtensions.topkFunction)
+    e.injectFunction(GraftExtensions.normSqFunction)
+    e.injectOptimizerRule(_ => graft.plans.SelfDotToNormSq)
   }
 }
 
@@ -46,12 +48,27 @@ object GraftExtensions {
         .toAggregateExpression()
     })
 
+  private val normSqFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_norm_sq"),
+    new ExpressionInfo(classOf[graft.functions.NormSq].getName, "graft_norm_sq"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "graft_norm_sq(a) takes exactly one array column")
+      graft.functions.NormSq(exprs.head)
+    })
+
   /** Register on an already-built session (extensions configured at build
-    * time only apply to new SparkContexts). */
+    * time only apply to new SparkContexts). The optimizer rule rides on
+    * `spark.experimental.extraOptimizations`, the supported live-session
+    * injection point. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       dotFunction._1, dotFunction._2, dotFunction._3)
     spark.sessionState.functionRegistry.registerFunction(
       topkFunction._1, topkFunction._2, topkFunction._3)
+    spark.sessionState.functionRegistry.registerFunction(
+      normSqFunction._1, normSqFunction._2, normSqFunction._3)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.SelfDotToNormSq))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.SelfDotToNormSq
   }
 }

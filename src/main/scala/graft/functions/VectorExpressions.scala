@@ -64,10 +64,66 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared L2 norm over one array<float|double> column — the
+  * strength-reduced form of `DotProduct(x, x)`: one array read per element
+  * instead of two, and the expression tree carries x once (a self-dot
+  * otherwise embeds — and a non-codegen fallback would evaluate — the child
+  * twice). Produced by [[graft.plans.SelfDotToNormSq]]; also SQL-exposed as
+  * `graft_norm_sq`. Accumulation is double left-to-right, bit-identical to
+  * `DotProduct(x, x)`. */
+case class NormSq(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_norm_sq"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val f = isFloat
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = if (f) x.getFloat(i).toDouble else x.getDouble(i)
+      acc += v * v
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.$getter($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
   /** Column wrapper for [[DotProduct]]. */
   def dot(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+
+  /** Column wrapper for [[NormSq]]. */
+  def normSq(a: Column): Column = column(NormSq(expression(a)))
 }

@@ -98,6 +98,28 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"events shuffle for the clip join:\n$p")
   }
 
+  test("SelfDotToNormSq rule: graft_dot(x,x) strength-reduces, results identical") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val emb = model.Tables.embeddings(spark, dir)
+    val df = emb.select(col("vec_id"),
+      functions.VectorFunctions.dot(col("embedding"), col("embedding")).as("sq"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("graft_norm_sq"), s"self-dot not rewritten:\n$opt")
+    assert(!opt.toLowerCase.contains("graft_dot"), s"dot survived the rewrite:\n$opt")
+    // bit-identical to the declarative left-to-right accumulation
+    val viaNorm = df.as[(Long, Double)].collect().toMap
+    val reference = emb.select(col("vec_id"),
+      aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("sq"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaNorm === reference)
+    // distinct columns must NOT rewrite
+    val two = emb.select(functions.VectorFunctions.dot(col("embedding"),
+      reverse(col("embedding"))).as("d"))
+    assert(!two.queryExecution.optimizedPlan.toString.contains("graft_norm_sq"))
+  }
+
   test("graft_dot registers for SQL and is codegen (no Filter/UDF fallback)") {
     GraftExtensions.register(spark)
     import spark.implicits._

@@ -1891,6 +1891,40 @@ object SparkEntry {
           .limit(20)
       }),
 
+    // X-lm-score: per-document average bigram negative log-likelihood under
+    // the corpus bigram model (leave-in estimate) — the model-based quality
+    // signal that flags out-of-distribution or garbled documents. Docs with
+    // fewer than 2 tokens have no bigrams and drop out on both sides.
+    Q("x_doc_perplexity",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |uni AS (SELECT w, COUNT(*) AS c1
+              |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+              |bgc AS (SELECT bg, COUNT(*) AS c2
+              |        FROM (SELECT unnest(${gramsSql(2)}) AS bg FROM t) GROUP BY bg),
+              |db AS (SELECT doc_id, unnest(${gramsSql(2)}) AS bg FROM t),
+              |sc AS (SELECT db.doc_id, -log2(bgc.c2::DOUBLE / uni.c1) AS nll
+              |       FROM db JOIN bgc USING (bg)
+              |       JOIN uni ON uni.w = string_split(db.bg, ' ')[1])
+              |SELECT doc_id, COUNT(*) AS n_bigrams,
+              |       ROUND(AVG(nll) + 1e-9, 4) AS avg_nll
+              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", TextAnalysis.tokens(col("text")))
+        val db = docs.select(col("doc_id"),
+          explode(TextAnalysis.shinglesFromTokens(col("toks"), 2)).as("bg"))
+        val uni = docs.select(explode(col("toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val bgc = db.groupBy("bg").agg(count(lit(1)).as("c2"))
+        db.join(bgc, Seq("bg"))
+          .withColumn("w1", split(col("bg"), " ").getItem(0))
+          .join(uni, col("w1") === col("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            R(avg(-log2(col("c2").cast("double") / col("c1")))).as("avg_nll"))
+          .orderBy("doc_id")
+      }),
+
     // X-knn: k-nearest-neighbor label vote over embeddings — top-10 cosine
     // neighbors among the corpus half, majority label with deterministic
     // tie-break, compared against the query's true label.

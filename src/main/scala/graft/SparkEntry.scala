@@ -111,7 +111,7 @@ object SparkEntry {
     val bitsConcat = (1 to 64)
       .map(i => s"CASE WHEN b$i * 2 > n THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
-    s"""pre AS ($preShinglesSql),
+    s"""pre AS MATERIALIZED ($preShinglesSql),
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM pre),
        |h AS (SELECT doc_id, md5(s) AS hx FROM ex),
        |agg AS (SELECT doc_id, COUNT(*) AS n, $bitSums FROM h GROUP BY doc_id),
@@ -616,11 +616,12 @@ object SparkEntry {
     // X-dedup-jaccard: blocked all-pairs 3-shingle Jaccard (quadratic
     // baseline; blocking key = source).
     Q("x_jaccard_pairs",
-      Some(s"""WITH pre AS ($preShinglesSql)
-              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              | ROUND((${jaccardSql("a.sh", "b.sh")}) + 1e-9, 4) AS jaccard
-              |FROM pre a JOIN pre b ON a.source = b.source AND a.doc_id < b.doc_id
-              |WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02
+      Some(s"""WITH pre AS MATERIALIZED ($preShinglesSql),
+              |pj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         (${jaccardSql("a.sh", "b.sh")}) AS j
+              |       FROM pre a JOIN pre b ON a.source = b.source AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, ROUND(j + 1e-9, 4) AS jaccard
+              |FROM pj WHERE j >= 0.02
               |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text",
           "doc_id", "source", 3, 0.02)
@@ -633,7 +634,7 @@ object SparkEntry {
       // Double-hashed MinHash family (mirrors Dedup.uvHalves): u/v are the
       // two 40-bit halves of one md5 per shingle; permutation p's hash is
       // u + p*v, min'd numerically.
-      Some(s"""WITH pre AS ($preShinglesSql),
+      Some(s"""WITH pre AS MATERIALIZED ($preShinglesSql),
               |tok AS (SELECT doc_id, unnest(sh) AS s FROM pre),
               |uv AS (SELECT doc_id,
               |         CAST(concat('0x', substr(md5(s), 1, 10)) AS BIGINT) AS u,
@@ -641,7 +642,7 @@ object SparkEntry {
               |       FROM tok),
               |mh AS (SELECT doc_id, p, MIN(u + p * v) AS m
               |       FROM uv CROSS JOIN range(0, 16) r(p) GROUP BY doc_id, p),
-              |bands AS (SELECT doc_id, p // 4 AS b,
+              |bands AS MATERIALIZED (SELECT doc_id, p // 4 AS b,
               |            md5(CAST(p // 4 AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), '|' ORDER BY p)) AS bh
               |          FROM mh GROUP BY doc_id, p // 4),
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -672,7 +673,7 @@ object SparkEntry {
     // Hamming distance <= 3, then exact Hamming verification.
     Q("x_simhash_neardups",
       Some(s"""WITH $simhashSigCtes,
-              |bands AS (SELECT doc_id, b, substr(simhash, b * 16 + 1, 16) AS chunk
+              |bands AS MATERIALIZED (SELECT doc_id, b, substr(simhash, b * 16 + 1, 16) AS chunk
               |          FROM sig CROSS JOIN range(0, 4) r(b)),
               |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
               |         FROM bands a JOIN bands b2
@@ -709,11 +710,12 @@ object SparkEntry {
 
     // X-sim-neardup: all-pairs cosine near-duplicate vectors.
     Q("x_embedding_neardups",
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              | ROUND((${cosSql("a.v", "b.v")}) + 1e-9, 4) AS cosine
-              |FROM e a JOIN e b ON a.vec_id < b.vec_id
-              |WHERE (${cosSql("a.v", "b.v")}) >= 0.4
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |sc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |         (${cosSql("a.v", "b.v")}) AS c
+              |       FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              |SELECT id_a, id_b, ROUND(c + 1e-9, 4) AS cosine
+              |FROM sc WHERE c >= 0.4
               |ORDER BY id_a, id_b""".stripMargin),
       (s, dir) => Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.4)
         .select(col("id_a"), col("id_b"), R(col("cosine")).as("cosine"))
@@ -730,8 +732,8 @@ object SparkEntry {
           s"CASE WHEN list_dot_product(v, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
         }.mkString("concat(", ",\n ", ")")
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |sig AS (SELECT vec_id, v, $sigSql AS s FROM e),
-           |bands AS (SELECT vec_id, b, substr(s, b*4 + 1, 4) AS chunk
+           |sig AS MATERIALIZED (SELECT vec_id, v, $sigSql AS s FROM e),
+           |bands AS MATERIALIZED (SELECT vec_id, b, substr(s, b*4 + 1, 4) AS chunk
            |          FROM sig CROSS JOIN range(0, 4) r(b)),
            |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
            |         FROM bands a JOIN bands b
@@ -842,7 +844,7 @@ object SparkEntry {
     // near-dup pair (the query that tells you whether 16 permutations is
     // enough for your threshold).
     Q("x_minhash_est_vs_exact",
-      Some(s"""WITH pre AS ($preShinglesSql),
+      Some(s"""WITH pre AS MATERIALIZED ($preShinglesSql),
               |tok AS (SELECT doc_id, unnest(sh) AS s FROM pre),
               |uv AS (SELECT doc_id,
               |         CAST(concat('0x', substr(md5(s), 1, 10)) AS BIGINT) AS u,
@@ -850,7 +852,7 @@ object SparkEntry {
               |       FROM tok),
               |mh AS (SELECT doc_id, p, MIN(u + p * v) AS m
               |       FROM uv CROSS JOIN range(0, 16) r(p) GROUP BY doc_id, p),
-              |sigl AS (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+              |sigl AS MATERIALIZED (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
               |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |            (${jaccardSql("a.sh", "b.sh")}) AS jac
               |          FROM pre a JOIN pre b
@@ -1758,19 +1760,19 @@ object SparkEntry {
     // collapsed into connected components (HashMin label propagation), the
     // step that turns pair detection into "keep one doc per cluster".
     Q("x_dedup_clusters",
-      Some(s"""WITH RECURSIVE pre AS ($preShinglesSql),
-              |pj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
+              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
               |       FROM pre a JOIN pre b
               |         ON a.source = b.source AND a.doc_id < b.doc_id
               |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
-              |edges AS (SELECT id_a AS a, id_b AS b FROM pj
+              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
               |          UNION ALL SELECT id_b, id_a FROM pj),
               |nodes AS (SELECT DISTINCT a AS id FROM edges),
               |reach(id, r) AS (
               |  SELECT id, id FROM nodes
               |  UNION
               |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-              |comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
               |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
               |SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
               |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin),
@@ -1780,6 +1782,103 @@ object SparkEntry {
         graft.ext.Graph.componentsWithSize(pairs, "id_a", "id_b")
           .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
           .orderBy("doc_id")
+      }),
+
+    // A-extension: boolean aggregates + conditional count (bool_and /
+    // bool_or / count_if).
+    Q("a_bool_aggs",
+      Some("""SELECT user_id,
+             | bool_and(value < 400.0) AS all_below,
+             | bool_or(event_type = 'error') AS any_error,
+             | CAST(SUM(CASE WHEN value > 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+             | FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(bool_and(col("value") < 400.0).as("all_below"),
+          bool_or(col("event_type") === "error").as("any_error"),
+          count_if(col("value") > 250.0).as("n_high"))
+        .orderBy("user_id")),
+
+    // X-links: link density — URL extraction over synthesized link-bearing
+    // text (the C4 boilerplate signal: pages that are mostly links are
+    // navigation, not prose).
+    Q("x_link_density",
+      Some {
+        val url = "https?://[^\\s]+"
+        s"""WITH raw AS (
+           |  SELECT doc_id,
+           |    concat('see https://', source, '/', CAST(doc_id AS VARCHAR),
+           |           ' and http://example.com/a?b=1 ', text) AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(t, '$url')) AS INT) AS n_links,
+           |  CAST(list_sum(list_transform(regexp_extract_all(t, '$url'), u -> len(u))) AS BIGINT) AS link_chars,
+           |  ROUND(list_sum(list_transform(regexp_extract_all(t, '$url'), u -> len(u)))::DOUBLE / len(t) + 1e-9, 4) AS link_density
+           |FROM raw ORDER BY doc_id""".stripMargin
+      },
+      (s, dir) => {
+        val url = "https?://[^\\s]+"
+        val t = concat(lit("see https://"), col("source"), lit("/"),
+          col("doc_id").cast("string"), lit(" and http://example.com/a?b=1 "),
+          col("text"))
+        Tables.documents(s, dir)
+          .withColumn("t", t)
+          .withColumn("links", regexp_extract_all(col("t"), lit(url), lit(0)))
+          .select(col("doc_id"),
+            size(col("links")).as("n_links"),
+            aggregate(col("links"), lit(0L),
+              (a, u) => a + length(u).cast("long")).as("link_chars"),
+            R(aggregate(col("links"), lit(0L),
+              (a, u) => a + length(u).cast("long")).cast("double")
+              / length(col("t"))).as("link_density"))
+          .orderBy("doc_id")
+      }),
+
+    // X-retention: the full near-dup retention policy end-to-end — cluster
+    // the pairwise edges, then keep the highest-quality document per
+    // cluster (ties to the lowest id). This is the operator a curation
+    // pipeline actually runs; pairs and clusters are its intermediates.
+    Q("x_dedup_keep_best",
+      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
+              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |       FROM pre a JOIN pre b
+              |         ON a.source = b.source AND a.doc_id < b.doc_id
+              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
+              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
+              |          UNION ALL SELECT id_b, id_a FROM pj),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |scored AS (SELECT comp.id, comp.cluster_id,
+              |             ($qualityScoreSql) AS q
+              |           FROM comp JOIN (SELECT doc_id, text, $toksSql AS toks
+              |                           FROM documents) d ON d.doc_id = comp.id),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              |                                    ORDER BY q DESC, id) AS rn,
+              |              COUNT(*) OVER (PARTITION BY cluster_id) AS sz
+              |       FROM scored)
+              |SELECT cluster_id, id AS keep_id, ROUND(q + 1e-9, 4) AS best_quality,
+              |       CAST(sz AS BIGINT) AS cluster_size,
+              |       CAST(sz - 1 AS BIGINT) AS n_dropped
+              |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 0.02)
+        val comp = graft.ext.Graph.componentsWithSize(pairs, "id_a", "id_b")
+        val scored = comp.join(
+          docs.select(col("doc_id").as("id"),
+            TextAnalysis.qualityScore(col("text")).as("q")), Seq("id"))
+        val w = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("id").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cluster_id"), col("id").as("keep_id"),
+            R(col("q")).as("best_quality"),
+            col("cluster_size"),
+            (col("cluster_size") - 1).as("n_dropped"))
+          .orderBy("cluster_id")
       }),
 
     // X-repetition: C4/Gopher-style repetition signals — duplicate word /

@@ -39,21 +39,24 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("a").as("id")).distinct()
+    var labels = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    // The loop's tables are |nodes| rows; size its shuffles to the graph
-    // (~2M labels per partition) instead of the session default — on a
-    // small graph the default partition count turns every round into pure
-    // task-scheduling overhead, at 100 TB nodes/2M partitions is the same
-    // rule. Restored after the loop.
+    // The loop's tables are |nodes| rows; size its shuffles — and the
+    // cached edge table's layout — to the graph (~2M labels per partition)
+    // instead of the session default: on a small graph the default
+    // partition count turns every round into pure task-scheduling
+    // overhead (each step re-shuffles the edge cache), at 100 TB
+    // nodes/2M partitions is the same rule. Restored after the loop.
     val nNodes = labels.count()
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val loopParts = math.max(1L, math.min(nNodes / 2000000L,
       spark.sparkContext.defaultParallelism.toLong * 4)).toString
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .coalesce(loopParts.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Convergence probe: labels only ever decrease, so the label sum is a
     // strictly decreasing potential until fixpoint — one tiny aggregate on
     // the already-checkpointed table per round instead of a join+filter
@@ -79,15 +82,21 @@ object Graph {
       .join(df.select(col("id").as("_lid"), col("label").as("_llabel")).as("t"),
         col("s.label") === col("_lid"))
       .select(col("s.id").as("id"), col("_llabel").as("label"))
-    try while (!converged && iter < maxIter) {
-      // min label over the closed neighborhood: own label vs neighbors'.
-      val nmin = sym.join(labels, sym("a") === labels("id"))
+    // min label over the closed neighborhood: own label vs neighbors'.
+    def step(ls: DataFrame): DataFrame = {
+      val nmin = sym.join(ls, sym("a") === ls("id"))
         .groupBy(sym("b").as("id")).agg(min("label").as("nmin"))
-      val stepped = labels.join(nmin.withColumnRenamed("id", "_nid"),
+      ls.join(nmin.withColumnRenamed("id", "_nid"),
           col("id") === col("_nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      val next = jump(stepped).localCheckpoint(true)
+    }
+    try while (!converged && iter < maxIter) {
+      // Two step+jump compositions per materialized round: the label
+      // tables are small relative to the cluster, so per-round cost is
+      // action/scheduling overhead — halving the checkpoint count halves
+      // the loop's wall clock without changing the fixpoint.
+      val next = jump(step(jump(step(labels)))).localCheckpoint(true)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

@@ -2509,6 +2509,86 @@ object SparkEntry {
                 | GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
       }),
 
+    // TPC-H Q17 shape: correlated scalar AGGREGATE subquery against the
+    // fact itself (small-quantity orders below 20% of their part's average)
+    // — decorrelates to an aggregate self-join on l_partkey.
+    Q("sql_tpch_q17_small_qty",
+      Some("""SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 + 1e-9, 4) AS avg_yearly,
+             | COUNT(*) AS n_lines
+             | FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+             | WHERE p_brand = 'Brand#3'
+             |   AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+             |                     WHERE l2.l_partkey = l1.l_partkey)""".stripMargin),
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        Tables.part(s, dir).createOrReplaceTempView("part")
+        s.sql("""SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 + 1e-9, 4) AS avg_yearly,
+                | COUNT(*) AS n_lines
+                | FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+                | WHERE p_brand = 'Brand#3'
+                |   AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                |                     WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+      }),
+
+    // TPC-H Q16 shape: supplier diversity per part family — distinct
+    // counts over a dim join with an IN-list dim filter.
+    Q("a_supplier_diversity",
+      Some("""SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             | FROM part JOIN lineitem ON l_partkey = p_partkey
+             | WHERE p_size IN (1, 5, 9, 13)
+             | GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_size").isin(1, 5, 9, 13))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy("p_brand", "p_type")),
+
+    // A-extension: time-series resample + forward fill — the hourly grid
+    // (generated calendar × types) left-joined against observed hourly
+    // averages, gaps forward-filled from the last observed hour. Averages
+    // round BEFORE the fill so both engines propagate identical values.
+    Q("a_gapfill_ffill",
+      Some("""WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+             |                       date_trunc('hour', MAX(ts)) AS h1 FROM events),
+             |hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |          FROM bounds),
+             |types AS (SELECT DISTINCT event_type FROM events),
+             |agg AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             |               ROUND(AVG(value) + 1e-9, 4) AS avg_v
+             |        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+             |j AS (SELECT t.event_type, hr.h, a.avg_v
+             |      FROM types t CROSS JOIN hours hr
+             |      LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = hr.h)
+             |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_s,
+             |  avg_v IS NULL AS filled,
+             |  COALESCE(avg_v, last_value(avg_v IGNORE NULLS)
+             |    OVER (PARTITION BY event_type ORDER BY h
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS avg_ffill
+             |FROM j ORDER BY event_type, hour_s""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        val hours = bounds.select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+        val types = ev.select("event_type").distinct()
+        val agg = ev.groupBy(col("event_type").as("a_type"),
+            date_trunc("hour", col("ts")).as("a_h"))
+          .agg(R(avg(col("value"))).as("avg_v"))
+        val w = Window.partitionBy("event_type").orderBy(col("h").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        types.crossJoin(hours)
+          .join(agg, col("event_type") === col("a_type") && col("h") === col("a_h"),
+            "left")
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+            col("avg_v").isNull.as("filled"),
+            coalesce(col("avg_v"),
+              last(col("avg_v"), ignoreNulls = true).over(w)).as("avg_ffill"))
+          .orderBy("event_type", "hour_s")
+      }),
+
     // The custom codegen expression exposed as a SQL function
     // (spark.sql.extensions path) — squared L2 norms via graft_dot.
     Q("sql_graft_dot",

@@ -1628,6 +1628,23 @@ object SparkEntry {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // X-sample-uniform: deterministic fixed-size uniform sample — order by
+    // a content-independent hash of the id and take k. The distributed
+    // equivalent of reservoir sampling with none of its order-dependence:
+    // same k docs on any engine, any partitioning (TakeOrdered, no global
+    // sort materialization).
+    Q("x_uniform_sample_k",
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+             |  FROM documents ORDER BY h LIMIT 50)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("doc_id").cast("string").cast("binary")).as("h"))
+        .orderBy("h")
+        .limit(50)
+        .select("doc_id")
+        .orderBy("doc_id")),
+
     // X-redact: PII scrubbing (emails, IPv4) — the input synthesizes
     // PII-bearing text from the corpus so the redaction provably fires.
     Q("x_redact_pii",

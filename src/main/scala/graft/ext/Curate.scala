@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline, binding the individual
+  * operators into the product a reference user would actually run:
+  *
+  *   quality gate → language filter → exact dedup → near-dup clustering →
+  *   keep-best-per-cluster → token chunking → per-shard sequence packing
+  *
+  * Every stage is the already-oracle-verified operator; this composition
+  * adds stage counts (via one `observe` per stage boundary pattern — here
+  * simple counts, since the output is materialized once at the end).
+  *
+  * Shape at 100 TB: stages 1-3 are narrow or single-shuffle; the near-dup
+  * stage is the LSH path (linear candidates); chunk/pack shuffles carry
+  * hashes, not text. The returned stats frame is a handful of rows.
+  */
+object Curate {
+
+  final case class Result(chunks: DataFrame, stats: Seq[(String, Long)])
+
+  def run(spark: SparkSession, docs: DataFrame,
+          minQuality: Double = 0.35, lang: String = "en",
+          jaccardThreshold: Double = 0.3,
+          chunkSize: Int = 64, stride: Int = 64,
+          binTokens: Int = 512): Result = {
+    val total = docs.count()
+
+    // 1-2: quality + language gate (narrow projection).
+    val kept = docs.filter(TextAnalysis.qualityScore(col("text")) >= minQuality &&
+        col("lang") === lang)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKept = kept.count()
+
+    // 3: exact dedup (one shuffle on the content fingerprint).
+    val exact = Dedup.exactDedup(kept, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+
+    // 4-5: near-dup clusters via MinHash LSH, keep the best doc per
+    // cluster (quality desc, id asc); singletons keep themselves.
+    val pairs = Dedup.minhashNearDups(exact, "text", "doc_id",
+      threshold = jaccardThreshold)
+    val comp = Graph.componentsWithSize(pairs, "id_a", "id_b")
+    val scored = comp.join(
+      exact.select(col("doc_id").as("id"),
+        TextAnalysis.qualityScore(col("text")).as("q")), Seq("id"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("q").desc, col("id").asc)
+    val losers = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1).select(col("id").as("doc_id"))
+    val unique = exact.join(losers, Seq("doc_id"), "left_anti")
+    val nUnique = unique.count()
+
+    // 6-7: chunk + pack per source shard.
+    val chunks = TextAnalysis.tokenChunks(unique, "text", "doc_id", chunkSize, stride)
+      .join(unique.select(col("doc_id").as("id"), col("source")), Seq("id"))
+    val wPack = Window.partitionBy("source")
+      .orderBy(col("id").asc, col("chunk_idx").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = chunks.withColumn("bin",
+      floor((sum(col("n_tok")).over(wPack) - 1) / binTokens))
+    val nChunks = packed.count()
+
+    kept.unpersist(); exact.unpersist()
+    Result(packed, Seq(
+      "input_docs" -> total,
+      "quality_lang_kept" -> nKept,
+      "after_exact_dedup" -> nExact,
+      "after_neardup_dedup" -> nUnique,
+      "chunks" -> nChunks))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Curate, TextAnalysis}
+
+/** End-to-end curation pipeline: monotone stage counts, no surviving
+  * exact duplicates, packed chunks cover every surviving doc. */
+class CurateSpec extends SparkTestBase {
+
+  test("curate chains quality -> dedup -> cluster -> chunk -> pack") {
+    val docs = model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val res = Curate.run(spark, docs)
+    val s = res.stats.toMap
+    assert(s("input_docs") > 0)
+    assert(s("quality_lang_kept") <= s("input_docs"))
+    assert(s("after_exact_dedup") <= s("quality_lang_kept"))
+    assert(s("after_neardup_dedup") <= s("after_exact_dedup"))
+    assert(s("after_neardup_dedup") > 0)
+    assert(s("chunks") >= s("after_neardup_dedup")) // every doc yields >= 1 chunk
+
+    // no two surviving chunks' docs share a content fingerprint
+    val out = res.chunks.select(col("id")).distinct()
+      .join(docs, col("id") === col("doc_id"))
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    assert(out.count() === out.distinct().count())
+
+    // bins respect the per-shard running-sum assignment: within a source,
+    // bin ids are non-decreasing in (id, chunk_idx) order
+    val viol = res.chunks
+      .withColumn("prev_bin", lag(col("bin"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("id").asc, col("chunk_idx").asc)))
+      .filter(col("prev_bin").isNotNull && col("bin") < col("prev_bin"))
+      .count()
+    assert(viol === 0)
+  }
+}

@@ -90,6 +90,20 @@ class ExtSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("simhash: docs with <3 tokens keep an all-zero signature (oracle-aligned)") {
+    // The oracle's LEFT JOIN re-adds empty-shingle docs with 64 zero bits;
+    // the Spark side must do the same via explode_outer — a doc dropped on
+    // one side only would be a guaranteed row-count mismatch.
+    val df = Seq((1L, "two tokens"), (2L, ""), (3L, "one two three four"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(df, "text", "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(sigs.keySet === Set(1L, 2L, 3L))
+    assert(sigs(1L) === "0" * 64)
+    assert(sigs(2L) === "0" * 64)
+    assert(sigs(3L).length === 64 && sigs(3L).contains("1"))
+  }
+
   test("simhash: identical docs share signatures; near-dups have small hamming distance") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = (1 to 57).map(i => s"tok$i").mkString(" ") + " a b c"

@@ -789,6 +789,27 @@ object SparkEntry {
       (s, dir) => Multimodal.metadataView(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // P-extension: NULL-handling surface — nullif/coalesce round trips,
+    // null-generating CASE, null-safe equality.
+    Q("p_null_functions",
+      Some("""SELECT event_id,
+             | COALESCE(NULLIF(event_type, 'error'), 'was_error') AS type_or_flag,
+             | CASE WHEN value > 250.0 THEN NULL ELSE value END AS capped,
+             | COALESCE(CASE WHEN value > 250.0 THEN NULL ELSE value END, -1.0) AS capped_filled,
+             | (CASE WHEN value > 250.0 THEN NULL ELSE value END IS NOT DISTINCT FROM NULL) AS is_capped
+             | FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val capped = when(col("value") > 250.0, lit(null)).otherwise(col("value"))
+        Tables.events(s, dir).select(
+          col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("was_error"))
+            .as("type_or_flag"),
+          capped.as("capped"),
+          coalesce(capped, lit(-1.0)).as("capped_filled"),
+          (capped <=> lit(null)).as("is_capped"))
+          .orderBy("event_id")
+      }),
+
     // X-media: the multimodal decode pipeline end-to-end — documents as
     // opaque "image" payloads through the typed mapPartitions decode stub;
     // the oracle recomputes the stub's deterministic feature math

@@ -52,6 +52,11 @@ object Bench {
       // operators may persist intermediates; drop them so later queries
       // aren't taxed by accumulated cache + GC pressure
       spark.catalog.clearCache()
+      // clearCache only drops CATALOG cache — RDD-level persistence
+      // (localCheckpoint generations from iterative operators) survives it
+      // and lingers until a driver GC. Sweep it explicitly: between bench
+      // queries nothing may legitimately hold cross-query RDD state.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       // ContextCleaner frees broadcasts/shuffles only after a DRIVER gc
       // detects them unreachable; across 70+ queries the accumulation
       // degrades late queries 10-40x (measured). Force a periodic gc so
@@ -70,6 +75,17 @@ object Bench {
     // Streaming ingest throughput: the events table streamed through the
     // watermarked in-stream windowed aggregation to a noop sink (the
     // reference's headline metric is ingest events/sec).
+    //
+    // Decontaminate first: after the 100+-query sweep the JVM carries
+    // dead broadcasts/shuffles that ContextCleaner only frees post-GC —
+    // in r3 this dragged the measurement from a clean-run 12-38k ev/s
+    // down to 3.4k. Sweep caches, force a GC, and give the cleaner a
+    // moment to drain before starting the clock.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    System.gc()
+    Thread.sleep(2000)
+    System.gc()
     val streamRps = try {
       import java.nio.file.{Files, Path}
       val streamDir = Files.createTempDirectory("graft-bench-stream")

@@ -997,15 +997,40 @@ object SparkEntry {
 
     // Sketch-based scale path: approximate percentiles (KLL-style sketch,
     // fixed-size state) + HLL distinct counts — the variants the engine
-    // swaps in when groups are unbounded. Approximate by nature, so no
-    // SQL oracle (driver records a rows-only check).
-    Q("scale_approx_window_stats", None,
+    // swaps in when groups are unbounded. Sketch values can't hash-match a
+    // SQL oracle directly, so the query emits deterministic BOUNDS checks
+    // instead: group keys + exact row count, plus booleans asserting each
+    // approx percentile lies within the group's exact [min, max] and the
+    // HLL count is within 15% (≥3 sketch-rsd at the default 0.05) of the
+    // exact distinct count. The oracle emits literal TRUEs — any sketch
+    // excursion flips a boolean and fails the hash.
+    Q("scale_approx_window_stats",
+      Some("""SELECT event_type AS sensor_type,
+             | strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             | COUNT(*) AS n_rows,
+             | TRUE AS p50_in_range, TRUE AS p95_in_range, TRUE AS p99_in_range,
+             | TRUE AS distinct_ok
+             | FROM events
+             | GROUP BY 1, time_bucket(INTERVAL '1 hour', ts)
+             | ORDER BY 1, 2""".stripMargin),
       (s, dir) => {
         val b = Tables.eventsAsReadings(Tables.events(s, dir))
+        def inRange(c: String): Column =
+          col(c) >= col("min_value") && col(c) <= col("max_value")
         Gold.windowAgg(b, Seq("sensor_type"), "event_time", "value", "1 hour",
             approxPercentiles = true,
-            extraAggs = Seq(approx_count_distinct(col("sensor_id"))
-              .as("approx_sensor_count")))
+            extraAggs = Seq(
+              approx_count_distinct(col("sensor_id")).as("approx_sensor_count"),
+              countDistinct(col("sensor_id")).as("exact_sensor_count")))
+          .select(col("sensor_type"),
+            fts(col("window_start")).as("window_start"),
+            col("reading_count").as("n_rows"),
+            inRange("p50_value").as("p50_in_range"),
+            inRange("p95_value").as("p95_in_range"),
+            inRange("p99_value").as("p99_in_range"),
+            (abs(col("approx_sensor_count") - col("exact_sensor_count")) <=
+              greatest(lit(2L), (col("exact_sensor_count") * 0.15).cast("long")))
+              .as("distinct_ok"))
           .orderBy("sensor_type", "window_start")
       }),
 
@@ -2232,7 +2257,7 @@ object SparkEntry {
               |        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
               |                         ROWS UNBOUNDED PRECEDING) AS cum
               |      FROM ch)
-              |SELECT source, (cum - 1) // 512 AS bin, COUNT(*) AS n_chunks,
+              |SELECT source, CAST((cum - 1) // 512 AS BIGINT) AS bin, COUNT(*) AS n_chunks,
               |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
               |FROM o GROUP BY source, bin ORDER BY source, bin""".stripMargin),
       (s, dir) => {

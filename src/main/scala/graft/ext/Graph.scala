@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Frees the block-manager storage behind localCheckpoint generations
+    * reachable from `df`'s plan. `spark.catalog.clearCache()` does NOT touch
+    * these (they're RDD-level persistence, not catalog cache), so an
+    * iterative operator that checkpoints per round must release superseded
+    * generations itself or they linger until a driver GC — measured as a
+    * 10x tail degradation across a long single-JVM run. Only call on
+    * generations that will never be read again: a localCheckpoint has no
+    * lineage to recompute from. */
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.collectLeaves().foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
   /** Connected components by HashMin label propagation: every node starts
     * labeled with its own id; each round every node takes the minimum label
     * in its closed neighborhood; converged when no label changes. Returns
@@ -100,6 +116,10 @@ object Graph {
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
+      // `next` is materialized (eager checkpoint), so the previous
+      // generation's blocks can never be read again — free them now
+      // instead of leaving one orphaned block set per round.
+      freeCheckpoint(labels)
       labels = next
       iter += 1
     } finally {

@@ -888,7 +888,7 @@ object SparkEntry {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val par = s.sparkContext.defaultParallelism
-        val pre = docs.repartition(par).select(col("doc_id").as("id"),
+        val pre = graft.ext.Par.fanOut(docs, par).select(col("doc_id").as("id"),
           array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Signatures via the exploded numeric-min aggregation (one md5 per

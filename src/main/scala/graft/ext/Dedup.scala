@@ -107,7 +107,7 @@ object Dedup {
     // recomputing tokenization three times. MEMORY_AND_DISK: shingle sets
     // are ~the corpus size, which may exceed executor memory at 100 TB.
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val pre = docs.repartition(par).select(
+    val pre = Par.fanOut(docs, par).select(
       col(idCol).as("id"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -184,7 +184,7 @@ object Dedup {
     // the whole per-row pipeline on one task (one parquet row group = one
     // input partition).
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val pre = docs.repartition(par).select(col(idCol).as("id"), col(blockCol).as("blk"),
+    val pre = Par.fanOut(docs, par).select(col(idCol).as("id"), col(blockCol).as("blk"),
       array_distinct(TextAnalysis.shingles(col(textCol), shingleN)).as("sh"))
     // Both sides of the self-join consume the exploded index; persist it
     // once (ReuseExchange does not fire across the aliased self-join).
@@ -217,7 +217,7 @@ object Dedup {
   def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val ex = docs.repartition(par).select(col(idCol).as("id"),
+    val ex = Par.fanOut(docs, par).select(col(idCol).as("id"),
         explode_outer(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
           .as("sh"))
       .withColumn("bits",

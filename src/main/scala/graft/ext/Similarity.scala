@@ -50,7 +50,7 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val par = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = corpus.repartition(par)
+    val c = Par.fanOut(corpus, par)
       .select(col(idCol).as("corpus_id"), col(vecCol).as("cvec"))
       .withColumn("cnorm", l2Norm(col("cvec")))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
@@ -82,7 +82,7 @@ object Similarity {
     val base = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
         blockCol.map(col).getOrElse(lit(0)).as("blk"))
       .withColumn("nrm", l2Norm(col("vec")))
-    val a = base.repartition(par).as("a")
+    val a = Par.fanOut(base, par).as("a")
     val b = base.as("b")
     val joined = blockCol match {
       case Some(_) =>
@@ -123,7 +123,7 @@ object Similarity {
     val par = vectors.sparkSession.sparkContext.defaultParallelism
     val dim = vectors.select(size(col(vecCol))).first().getInt(0)
     val planes = srpPlanes(numPlanes, dim, seed)
-    val base = vectors.repartition(par)
+    val base = Par.fanOut(vectors, par)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
       .withColumn("sig", srpSignature(col("vec"), planes))

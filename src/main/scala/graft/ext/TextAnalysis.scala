@@ -174,7 +174,7 @@ object TextAnalysis {
   def winnowFingerprints(docs: org.apache.spark.sql.DataFrame, textCol: String,
                          idCol: String, k: Int, w: Int): org.apache.spark.sql.DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val g = docs.repartition(par).select(col(idCol).as("id"),
+    val g = Par.fanOut(docs, par).select(col(idCol).as("id"),
       posexplode(charGramHashes(col(textCol), k)).as(Seq("pos", "u")))
     val wWin = org.apache.spark.sql.expressions.Window.partitionBy("id")
       .orderBy(col("pos").asc).rowsBetween(0, w - 1)
@@ -227,7 +227,7 @@ object TextAnalysis {
                   idCol: String, chunkSize: Int, stride: Int): org.apache.spark.sql.DataFrame = {
     require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val base = docs.repartition(par)
+    val base = Par.fanOut(docs, par)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .withColumn("n", size(col("toks")))
       .filter(col("n") > 0)
@@ -256,7 +256,7 @@ object TextAnalysis {
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, textCol: String,
                     idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
-    val tok = docs.repartition(par)
+    val tok = Par.fanOut(docs, par)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     // tf feeds both the join's left side and the df derivation; persist it
     // (it is the smaller distinct (doc, term) table, not the raw tokens).

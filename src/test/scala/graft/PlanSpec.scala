@@ -155,4 +155,19 @@ class PlanSpec extends SparkTestBase {
       .as[(String, Seq[Double])].head()
     assert(small._2 === Seq(1.0))
   }
+
+  test("Par.fanOut: no Exchange on a pre-partitioned input, repartition when starved") {
+    val par = spark.sparkContext.defaultParallelism
+    // already at/above parallelism → must return the SAME plan (no shuffle):
+    // at 100 TB the scan layout provides the parallelism and a blanket
+    // repartition would be a full-corpus shuffle.
+    val wide = spark.range(0, 1000, 1, par * 2).toDF("id")
+    val keptSame = graft.ext.Par.fanOut(wide, par)
+    assert(keptSame eq wide, "fanOut must be identity on a well-partitioned input")
+    assert(!plan(keptSame.select(col("id") * 2)).contains("Exchange"),
+      "fanOut added an Exchange to a pre-partitioned input")
+    // single-partition input (the one-row-group testdata case) → fans out
+    val narrow = spark.range(0, 1000, 1, 1).toDF("id")
+    assert(graft.ext.Par.fanOut(narrow, par).rdd.getNumPartitions === par)
+  }
 }

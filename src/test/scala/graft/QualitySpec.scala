@@ -51,4 +51,67 @@ class QualitySpec extends SparkTestBase {
     assert(e.getMessage.contains("bad"))
     Quality.enforce(Seq(Quality.CheckResult("ok", 0, 0))) // no throw
   }
+
+  private val geDir = "/root/reference/great_expectations/expectations"
+
+  test("GE JSON bronze suite: conforming data passes, seeded violations hit the right checks") {
+    assume(new java.io.File(s"$geDir/sensor_bronze.json").exists())
+    import java.sql.Timestamp
+    def row(i: Int) = (f"sensor-$i%03d", "temperature",
+      Timestamp.valueOf(s"2024-01-01 00:0${i % 10}:00"), Option(20.0 + i),
+      "celsius", Option("zone-1"))
+    val good = (0 until 200).map(row)
+      .toDF("sensor_id", "sensor_type", "timestamp", "value", "unit", "location")
+    val (name, res) = graft.quality.GeSuite.run(good, s"$geDir/sensor_bronze.json")
+    assert(name === "sensor_bronze")
+    assert(res.filter(_.failed > 0).isEmpty,
+      s"conforming data failed: ${res.filter(_.failed > 0)}")
+    Quality.enforce(res) // fail-fast contract holds on green
+
+    // Seed violations: a bad id pattern, an out-of-range value, an unknown
+    // type, and >1% nulls in location (mostly=0.99 budget blown).
+    val bad = (0 until 200).map(row)
+      .updated(0, ("SENSOR_X", "temperature",
+        Timestamp.valueOf("2024-01-01 00:00:00"), Option(20.0), "celsius", Option("z")))
+      .updated(1, (f"sensor-001", "plasma",
+        Timestamp.valueOf("2024-01-01 00:01:00"), Option(2000.0), "celsius", Option("z")))
+      .zipWithIndex.map { case (r, i) => if (i >= 2 && i < 8) r.copy(_6 = None) else r }
+      .toDF("sensor_id", "sensor_type", "timestamp", "value", "unit", "location")
+    val (_, res2) = graft.quality.GeSuite.run(bad, s"$geDir/sensor_bronze.json")
+    def failed(check: String): Long = res2.find(_.check == check).get.failed
+    assert(failed("ge_regex_sensor_id") === 1L)
+    assert(failed("ge_between_value") === 1L)
+    assert(failed("ge_in_set_sensor_type") === 1L)
+    assert(failed("ge_not_null_location") === 1L) // 6/200 = 3% > 1% budget → verdict 1
+    assert(failed("ge_not_null_sensor_id") === 0L)
+    intercept[IllegalStateException](Quality.enforce(res2))
+  }
+
+  test("GE JSON silver suite: compound uniqueness and missing columns surface as failures") {
+    assume(new java.io.File(s"$geDir/sensor_silver.json").exists())
+    import java.sql.Timestamp
+    val silver = Seq(
+      ("s1", "temperature", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, false,
+        Timestamp.valueOf("2024-01-01 00:00:05")),
+      ("s1", "temperature", Timestamp.valueOf("2024-01-01 00:00:00"), 2.0, true,
+        Timestamp.valueOf("2024-01-01 00:00:06")), // dup (sensor_id, event_time)
+      ("s2", "humidity", Timestamp.valueOf("2024-01-01 00:01:00"), 3.0, false,
+        Timestamp.valueOf("2024-01-01 00:01:05"))
+    ).toDF("sensor_id", "sensor_type", "event_time", "value", "is_anomaly",
+      "ingestion_timestamp")
+    val (name, res) = graft.quality.GeSuite.run(silver, s"$geDir/sensor_silver.json")
+    assert(name === "sensor_silver")
+    def failed(check: String): Long = res.find(_.check == check).get.failed
+    assert(failed("ge_unique_sensor_id_event_time") === 1L) // one extra row
+    assert(failed("ge_in_set_is_anomaly") === 0L) // boolean value_set resolves
+    assert(failed("ge_in_set_sensor_type") === 0L)
+    // a df missing a contracted column: the exists check (and the dependent
+    // row check) fail without breaking analysis
+    val noAnomaly = silver.drop("is_anomaly")
+    val (_, res3) = graft.quality.GeSuite.run(noAnomaly, s"$geDir/sensor_silver.json")
+    def failed3(check: String): Long = res3.find(_.check == check).get.failed
+    assert(failed3("ge_exists_is_anomaly") === 1L)
+    assert(failed3("ge_in_set_is_anomaly") === 1L)
+    assert(failed3("ge_exists_sensor_id") === 0L)
+  }
 }

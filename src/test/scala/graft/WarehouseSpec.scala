@@ -81,6 +81,42 @@ class WarehouseSpec extends SparkTestBase {
     assert(bVals === Seq(99)) // replaced, not appended
   }
 
+  test("L1 JDBC variant: delete-window + append round trip matches parquet-native load") {
+    // in-process Derby stands in for the warehouse endpoint — same
+    // delete-window + distributed-append contract as a Redshift/Postgres URL
+    val dbDir = Files.createTempDirectory("graft-derby").toString
+    val url = s"jdbc:derby:$dbDir/wh;create=true"
+    def ts(s: String) = Timestamp.valueOf(s)
+    val w0 = ts("2024-01-01 00:00:00"); val w1 = ts("2024-01-02 00:00:00")
+    val batch = Seq(
+      ("e1", ts("2024-01-01 01:00:00"), 1.5),
+      ("e2", ts("2024-01-01 02:00:00"), 2.5),
+      ("e3", ts("2024-01-02 05:00:00"), 9.9) // outside window: must not load
+    ).toDF("event_id", "ts", "value")
+    Warehouse.idempotentJdbcLoad(batch, url, "fact_events", "ts", w0, w1,
+      numPartitions = 2)
+    // re-run the SAME batch: the delete window clears the first attempt
+    Warehouse.idempotentJdbcLoad(batch, url, "fact_events", "ts", w0, w1,
+      numPartitions = 2)
+    val back = Warehouse.readJdbc(spark, url, "fact_events")
+    assert(back.count() === 2) // idempotent, window-scoped
+    // matches the parquet-native loader on the same batch/window
+    val path = Files.createTempDirectory("graft-wh-pq").toString + "/fact"
+    Warehouse.idempotentPartitionLoad(
+      batch.filter($"ts" >= w0 && $"ts" < w1).withColumn("d", to_date($"ts")),
+      path, Seq("d"))
+    val pq = spark.read.parquet(path)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("event_id", "value").as[(String, Double)].collect().toSet
+    assert(key(back) === key(pq))
+    // a later batch for a DIFFERENT window appends without touching this one
+    val batch2 = Seq(("e4", ts("2024-01-02 03:00:00"), 4.0))
+      .toDF("event_id", "ts", "value")
+    Warehouse.idempotentJdbcLoad(batch2, url, "fact_events", "ts",
+      w1, ts("2024-01-03 00:00:00"), numPartitions = 1)
+    assert(Warehouse.readJdbc(spark, url, "fact_events").count() === 3)
+  }
+
   test("compaction collapses a many-file table preserving every row") {
     val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     // simulate streaming-ingest fragmentation: 12 tiny appends

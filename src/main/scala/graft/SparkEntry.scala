@@ -780,6 +780,79 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       }),
 
+    // X-sim-ivf-lloyd: IVF with 2 Lloyd refinement rounds over the label
+    // seed and a multi-cell probe — recall vs brute-force ground truth per
+    // query, probing 1 vs 2 cells. The oracle mirrors every round (same
+    // per-round rounding) so hits are hash-exact; recall_monotone pins
+    // that widening the probe never loses a true neighbor.
+    Q("x_ivf_lloyd_probe2",
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |d0 AS (SELECT label AS cell, i, AVG(v[i]) AS m FROM el, range(1, 65) r(i) GROUP BY cell, i),
+              |c0 AS MATERIALIZED (SELECT cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM d0 GROUP BY cell),
+              |a1 AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+              |    SELECT e.vec_id, e.v, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+              |d1 AS (SELECT cell, i, AVG(v[i]) AS m FROM a1, range(1, 65) r(i) GROUP BY cell, i),
+              |c1 AS MATERIALIZED (SELECT cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM d1 GROUP BY cell),
+              |a2 AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+              |    SELECT e.vec_id, e.v, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+              |d2 AS (SELECT cell, i, AVG(v[i]) AS m FROM a2, range(1, 65) r(i) GROUP BY cell, i),
+              |c2 AS MATERIALIZED (SELECT cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM d2 GROUP BY cell),
+              |assign AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+              |    SELECT e.vec_id, e.v, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+              |q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 5),
+              |probes AS MATERIALIZED (SELECT qid, qv, cell, crn FROM (
+              |    SELECT q.vec_id AS qid, q.v AS qv, c.cell,
+              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY (${cosSql("q.v", "c.cv")}) DESC, c.cell) AS crn
+              |    FROM q CROSS JOIN c2 c) WHERE crn <= 2),
+              |ivf1 AS (SELECT qid, cid FROM (
+              |    SELECT p.qid, a.vec_id AS cid,
+              |      row_number() OVER (PARTITION BY p.qid ORDER BY (${cosSql("a.v", "p.qv")}) DESC, a.vec_id) AS rn
+              |    FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid AND p.crn = 1) WHERE rn <= 5),
+              |ivf2 AS (SELECT qid, cid FROM (
+              |    SELECT p.qid, a.vec_id AS cid,
+              |      row_number() OVER (PARTITION BY p.qid ORDER BY (${cosSql("a.v", "p.qv")}) DESC, a.vec_id) AS rn
+              |    FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid) WHERE rn <= 5),
+              |exact AS (SELECT qid, cid FROM (
+              |    SELECT q.vec_id AS qid, t.vec_id AS cid,
+              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY (${cosSql("t.v", "q.v")}) DESC, t.vec_id) AS rn
+              |    FROM q JOIN e t ON t.vec_id <> q.vec_id) WHERE rn <= 5)
+              |SELECT ex.qid AS query_id, CAST(COUNT(*) AS BIGINT) AS k,
+              |  CAST(SUM(CASE WHEN i1.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_probe1,
+              |  CAST(SUM(CASE WHEN i2.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_probe2,
+              |  SUM(CASE WHEN i2.cid IS NOT NULL THEN 1 ELSE 0 END)
+              |    >= SUM(CASE WHEN i1.cid IS NOT NULL THEN 1 ELSE 0 END) AS recall_monotone
+              |FROM exact ex
+              |LEFT JOIN ivf1 i1 ON ex.qid = i1.qid AND ex.cid = i1.cid
+              |LEFT JOIN ivf2 i2 ON ex.qid = i2.qid AND ex.cid = i2.cid
+              |GROUP BY ex.qid ORDER BY query_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.lloydRefine(emb,
+          Similarity.centroids(emb, "label", 64), iters = 2)
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select(col("query_id"), col("corpus_id"))
+        val ivf1 = Similarity.ivfTopK(emb, queries, cents, k = 5, nProbe = 1)
+          .select(col("query_id"), col("corpus_id"), lit(1L).as("h1"))
+        val ivf2 = Similarity.ivfTopK(emb, queries, cents, k = 5, nProbe = 2)
+          .select(col("query_id"), col("corpus_id"), lit(1L).as("h2"))
+        exact.join(ivf1, Seq("query_id", "corpus_id"), "left")
+          .join(ivf2, Seq("query_id", "corpus_id"), "left")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("k"),
+            sum(coalesce(col("h1"), lit(0L))).as("hits_probe1"),
+            sum(coalesce(col("h2"), lit(0L))).as("hits_probe2"))
+          .withColumn("recall_monotone", col("hits_probe2") >= col("hits_probe1"))
+          .orderBy("query_id")
+      }),
+
     // X-multimodal: opaque-binary column metadata view (byte length +
     // content key), no decode — proves column pruning drops payloads.
     Q("x_multimodal_meta",
@@ -864,6 +937,10 @@ object SparkEntry {
     // matching MinHash components against exact Jaccard for every verified
     // near-dup pair (the query that tells you whether 16 permutations is
     // enough for your threshold).
+    // DIAGNOSTIC — exact all-pairs BY DESIGN: this is the accuracy probe
+    // for the sketch, not a production path (the scale path is
+    // x_minhash_lsh_neardups). Its bench time is expected to dominate; do
+    // not "fix" it by blocking.
     Q("x_minhash_est_vs_exact",
       Some(s"""WITH pre AS MATERIALIZED ($preShinglesSql),
               |tok AS (SELECT doc_id, unnest(sh) AS s FROM pre),

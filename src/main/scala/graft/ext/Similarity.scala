@@ -151,14 +151,52 @@ object Similarity {
     * per LSH bucket). One explode + one hash agg; centroid components are
     * rounded so downstream scoring is engine-reproducible. */
   def centroids(vectors: DataFrame, groupCol: String, dim: Int,
-                vecCol: String = "embedding", roundTo: Int = 6): DataFrame = {
-    val ex = vectors.select(col(groupCol).as("cell"),
-      posexplode(col(vecCol)).as(Seq("pos", "v")))
-    ex.groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
+                vecCol: String = "embedding", roundTo: Int = 6): DataFrame =
+    meanByCell(vectors.select(col(groupCol).as("cell"), col(vecCol).as("v")),
+      roundTo)
+
+  /** Mean vector per `cell` over a (cell, v) frame. */
+  private def meanByCell(df: DataFrame, roundTo: Int): DataFrame =
+    df.select(col("cell"), posexplode(col("v")).as(Seq("pos", "comp")))
+      .groupBy("cell", "pos").agg(avg(col("comp").cast("double")).as("m"))
       .groupBy("cell")
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), round(col("m"), roundTo).as("m")))),
         s => s.getField("m")).as("centroid"))
+
+  /** The `n` nearest centroid cells for every vector in `df` (broadcast
+    * scored join against the tiny centroid table; deterministic tie-break
+    * on cell id). Shared by IVF assignment, probing, and Lloyd. */
+  private def nearestCells(df: DataFrame, cents: DataFrame, outId: String,
+                           vec: String, n: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(cents))
+      .withColumn("csim", cosine(col(vec), col("centroid")))
+    val w = Window.partitionBy(outId).orderBy(col("csim").desc, col("cell").asc)
+    scored.withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= n)
+      .drop("csim", "crank", "centroid")
+  }
+
+  /** Lloyd refinement of IVF centroids: `iters` rounds of
+    * (assign-to-nearest-cell, recompute cell means). Seed centroids (e.g.
+    * label means) converge toward true k-means cells, which tightens cell
+    * boundaries and lifts probe recall. Each round is one broadcast-scored
+    * assignment plus one hash aggregation — linear in |vectors|, no
+    * pairwise work; the centroid table itself stays tiny (k x dim).
+    * Components are rounded per round so the trajectory is
+    * engine-reproducible (the DuckDB oracle mirrors the same rounds).
+    * Cells that lose every member disappear (standard Lloyd behavior). */
+  def lloydRefine(vectors: DataFrame, seed: DataFrame, iters: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  roundTo: Int = 6): DataFrame = {
+    var cents = seed
+    for (_ <- 0 until iters) {
+      val assigned = nearestCells(
+        vectors.select(col(idCol).as("id"), col(vecCol).as("v")),
+        cents, "id", "v", 1)
+      cents = meanByCell(assigned.select(col("cell"), col("v")), roundTo)
+    }
+    cents
   }
 
   /** IVF-style ANN: assign every corpus vector to its nearest centroid cell
@@ -168,21 +206,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, cents: DataFrame,
               k: Int, nProbe: Int = 1, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    def nearestCells(df: DataFrame, outId: String, vec: String, n: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col(vec), col("centroid")))
-      val w = Window.partitionBy(outId).orderBy(col("csim").desc, col("cell").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .drop("csim", "crank", "centroid")
-    }
     val assigned = nearestCells(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cvec")),
-      "corpus_id", "cvec", 1)
+      cents, "corpus_id", "cvec", 1)
       .withColumn("cnorm", l2Norm(col("cvec")))
     val probed = nearestCells(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
-      "query_id", "qvec", nProbe)
+      cents, "query_id", "qvec", nProbe)
       .withColumn("qnorm", l2Norm(col("qvec")))
     val scored = assigned.join(probed, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))

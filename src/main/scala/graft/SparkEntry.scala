@@ -11,6 +11,7 @@ import graft.quality.Quality
 import graft.warehouse.Warehouse
 import graft.ext.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
 import graft.operators.{AsOf, Sessionize}
+import graft.monitoring.Alerts
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-data extension operators), each with equivalent
@@ -523,6 +524,50 @@ object SparkEntry {
           Quality.perTypeRange("event_type", "value", Schemas.eventPhysicalRanges),
           Quality.regexMatch("props", "^\\{\"k\": \\d+\\}$")) ++
           Quality.nullRate(Seq("value"), 0.01))),
+
+    // Monitoring: declarative alert thresholds with Prometheus-style
+    // pending→firing lifecycle over a gap-filled hourly metric series
+    // (reference: monitoring/prometheus/alert_rules.yml).
+    Q("m_alert_eval",
+      Some("""WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS h0,
+             |                       date_trunc('hour', max(ts)) AS h1 FROM events),
+             | hours AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS window_start FROM bounds),
+             | agg AS (SELECT date_trunc('hour', ts) AS window_start,
+             |                count(*)::DOUBLE AS events_total,
+             |                avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END) AS error_rate,
+             |                avg(value) AS avg_value
+             |         FROM events GROUP BY 1),
+             | base AS (SELECT h.window_start,
+             |                 COALESCE(a.events_total, 0.0) AS events_total,
+             |                 COALESCE(a.error_rate, 0.0) AS error_rate,
+             |                 COALESCE(a.avg_value, 0.0) AS avg_value
+             |          FROM hours h LEFT JOIN agg a USING (window_start)),
+             | m AS (SELECT window_start, 'events_total' AS metric, events_total AS value FROM base
+             |       UNION ALL SELECT window_start, 'error_rate', error_rate FROM base
+             |       UNION ALL SELECT window_start, 'avg_value', avg_value FROM base),
+             | rules(alert, severity, metric, op, threshold, fw) AS (VALUES
+             |   ('high_volume', 'warning', 'events_total', '>', 20.0, 2),
+             |   ('error_rate_spike', 'critical', 'error_rate', '>', 0.3, 1),
+             |   ('producer_down', 'critical', 'events_total', '<=', 0.0, 1),
+             |   ('value_drift', 'warning', 'avg_value', '>', 75.0, 1)),
+             | br AS (SELECT r.alert, r.severity, m.window_start, m.value, r.fw,
+             |               CAST(epoch_us(m.window_start) // 3600000000 AS BIGINT) AS h
+             |        FROM m JOIN rules r ON m.metric = r.metric
+             |        WHERE (r.op = '>' AND m.value > r.threshold)
+             |           OR (r.op = '>=' AND m.value >= r.threshold)
+             |           OR (r.op = '<' AND m.value < r.threshold)
+             |           OR (r.op = '<=' AND m.value <= r.threshold)),
+             | isl AS (SELECT *, h - row_number() OVER (PARTITION BY alert ORDER BY window_start) AS island FROM br),
+             | st AS (SELECT alert, severity, window_start, value, fw,
+             |               CAST(row_number() OVER (PARTITION BY alert, island ORDER BY window_start) AS BIGINT) AS streak
+             |        FROM isl)
+             | SELECT alert, severity,
+             |        strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+             |        ROUND(value + 1e-9, 4) AS value, streak,
+             |        CASE WHEN streak >= fw THEN 'firing' ELSE 'pending' END AS state
+             | FROM st ORDER BY alert, window_start""".stripMargin),
+      (s, dir) => Alerts.evaluate(
+        Alerts.hourlyEventMetrics(Tables.events(s, dir)), Alerts.defaultRules)),
 
     // Scalar-function surface: date/time extraction, CASE bands, math.
     Q("p_scalar_datetime_math",
@@ -2099,6 +2144,59 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tok"),
           col("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")),
+
+    // X-chunk-dedup: CCNet/RefinedWeb-style sub-document dedup — per-doc
+    // fraction of token chunks whose hash repeats corpus-wide. chunkSize=4
+    // because the synthetic vocab is ~30 words: real corpora dedup at
+    // paragraph granularity, the tiny chunk makes collisions observable at
+    // test SFs while exercising the identical plan shape.
+    Q("x_chunk_dedup",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+              |c AS (SELECT doc_id, toks,
+              |        unnest(range(0, CASE WHEN n <= 4 THEN 1
+              |                             ELSE (n - 4 + 3) // 4 + 1 END)) AS chunk_idx
+              |      FROM b),
+              |sl AS (SELECT doc_id,
+              |         md5(array_to_string(toks[(chunk_idx * 4 + 1):(chunk_idx * 4 + 4)], ' ')) AS chunk_hash
+              |       FROM c),
+              |occ AS (SELECT chunk_hash, COUNT(*) AS n_occ FROM sl GROUP BY 1),
+              |d AS (SELECT sl.doc_id, COUNT(*) AS n_chunks,
+              |        CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks
+              |      FROM sl JOIN occ USING (chunk_hash) GROUP BY 1)
+              |SELECT doc_id, n_chunks, dup_chunks,
+              |  ROUND(dup_chunks::DOUBLE / n_chunks + 1e-9, 4) AS dup_ratio,
+              |  dup_chunks::DOUBLE / n_chunks < 0.5 AS keep
+              |FROM d ORDER BY doc_id""".stripMargin),
+      (s, dir) => Dedup.chunkDupStats(Tables.documents(s, dir), "text",
+          "doc_id", chunkSize = 4, maxDupRatio = 0.5)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("dup_chunks"),
+          R(col("dup_ratio")).as("dup_ratio"), col("keep"))
+        .orderBy("doc_id")),
+
+    // X-decontam: benchmark decontamination — train docs sharing any
+    // distinct 3-gram with the held-out set (doc_id % 47 = 0 stands in for
+    // the benchmark). n=3 for the ~30-word synthetic vocab; real pipelines
+    // use 8-13-gram overlap, same plan: broadcast the test-gram set,
+    // map-side filter the corpus gram stream.
+    Q("x_contamination",
+      Some(s"""WITH pre AS MATERIALIZED (
+              |  SELECT doc_id, doc_id % 47 = 0 AS is_test, $shinglesSql AS sh
+              |  FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+              |g AS (SELECT doc_id, is_test, len(sh) AS n_grams, md5(unnest(sh)) AS gh
+              |      FROM pre WHERE len(sh) > 0),
+              |tg AS (SELECT DISTINCT gh FROM g WHERE is_test),
+              |j AS (SELECT doc_id, n_grams, COUNT(*) AS n_shared
+              |      FROM g JOIN tg USING (gh) WHERE NOT is_test GROUP BY 1, 2)
+              |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+              |  CAST(n_shared AS BIGINT) AS n_shared,
+              |  ROUND(n_shared::DOUBLE / n_grams + 1e-9, 4) AS contamination
+              |FROM j ORDER BY doc_id""".stripMargin),
+      (s, dir) => Dedup.ngramContamination(Tables.documents(s, dir), "text",
+          "doc_id", col("doc_id") % 47 === 0, n = 3)
+        .select(col("id").as("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_shared"), R(col("contamination")).as("contamination"))
+        .orderBy("doc_id")),
 
     // X-lm: corpus bigram language model — top-20 bigrams with conditional
     // probability p(w2 | w1) from unigram/bigram count join.

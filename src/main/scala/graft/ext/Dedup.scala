@@ -273,4 +273,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Sub-document (chunk-level) cross-corpus dedup — the CCNet/RefinedWeb
+    * paragraph-dedup signal, at token-chunk granularity since the corpus
+    * has no paragraph breaks. Each document is cut into non-overlapping
+    * `chunkSize`-token chunks; a chunk is *duplicated* when its hash occurs
+    * more than once corpus-wide. Returns per-doc
+    * (id, n_chunks, dup_chunks, dup_ratio, keep) where keep = dup_ratio <
+    * maxDupRatio. Docs with no tokens produce no row (no chunks → no
+    * signal), matching tokenChunks.
+    *
+    * Shape at scale: the shuffle carries (chunk_hash, id) fixed-width rows
+    * — never chunk text. Occurrence counting and the count join are both
+    * keyed on chunk_hash, so the join reuses the aggregation's
+    * partitioning; the per-doc rollup is one more hash aggregate on id. */
+  def chunkDupStats(docs: DataFrame, textCol: String, idCol: String,
+                    chunkSize: Int, maxDupRatio: Double): DataFrame = {
+    val chunks = TextAnalysis.tokenChunks(docs, textCol, idCol,
+      chunkSize, chunkSize).select(col("id"), col("chunk_hash"))
+    val occ = chunks.groupBy("chunk_hash").agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "chunk_hash")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_ratio",
+        col("dup_chunks").cast("double") / col("n_chunks"))
+      .withColumn("keep", col("dup_ratio") < maxDupRatio)
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * distinct word n-gram with a held-out test set. Returns one row per
+    * contaminated train doc: (id, n_grams, n_shared, contamination) with
+    * contamination = n_shared / n_grams over the doc's distinct grams.
+    * Docs with fewer than n tokens have no grams and cannot be flagged.
+    *
+    * Shape at scale: the test set (a benchmark) is orders of magnitude
+    * smaller than the corpus — its distinct gram set is broadcast, so the
+    * corpus-side gram stream is filtered map-side with NO shuffle of train
+    * grams; only the surviving (id, gram-hash) pairs aggregate. Grams join
+    * on their md5, fixed width. */
+  def ngramContamination(docs: DataFrame, textCol: String, idCol: String,
+                         isTest: Column, n: Int): DataFrame = {
+    val grams = Par.fanOut(docs)
+      .select(col(idCol).as("id"), isTest.as("is_test"),
+        array_distinct(TextAnalysis.shingles(col(textCol), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val exploded = grams.select(col("id"), col("is_test"),
+        size(col("grams")).as("n_grams"), explode(col("grams")).as("g"))
+      .select(col("id"), col("is_test"), col("n_grams"),
+        md5(col("g").cast("binary")).as("gh"))
+    val testGrams = exploded.filter(col("is_test"))
+      .select("gh").distinct()
+    exploded.filter(!col("is_test"))
+      .join(broadcast(testGrams), "gh")
+      .groupBy("id", "n_grams")
+      .agg(count(lit(1)).as("n_shared")) // grams are distinct per doc already
+      .withColumn("contamination",
+        col("n_shared").cast("double") / col("n_grams"))
+      .select("id", "n_grams", "n_shared", "contamination")
+  }
 }

@@ -1,0 +1,119 @@
+package graft.monitoring
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Declarative alert-threshold evaluation — the engine-side equivalent of
+  * the reference's Prometheus rules (monitoring/prometheus/alert_rules.yml:
+  * HighConsumerLag, ProducerDown, DataQualityFailures, AnomalyRateSpike).
+  *
+  * A rule is `metric OP threshold` plus a `for:` clause expressed as a
+  * number of consecutive breached windows (`forWindows`). A breached window
+  * whose consecutive-breach streak has reached `forWindows` is `firing`;
+  * earlier breaches in the run are `pending` — exactly Prometheus's
+  * pending→firing lifecycle, discretized to the metric cadence.
+  *
+  * Scale design: rules evaluate over an ALREADY-AGGREGATED metric series
+  * (one row per window per metric) — at 100 TB the raw events never reach
+  * this operator, only the windowed aggregate does, so the rules join is a
+  * broadcast against a frame whose size is bounded by (windows × metrics).
+  * Consecutive-run detection is one window-function pass partitioned by
+  * alert, no self-join.
+  */
+object Alerts {
+
+  /** One threshold rule. `op` ∈ {">", ">=", "<", "<="};
+    * `forWindows` >= 1 is the Prometheus `for:` duration in windows. */
+  final case class Rule(alert: String, severity: String, metric: String,
+                        op: String, threshold: Double, forWindows: Int) {
+    require(Set(">", ">=", "<", "<=")(op), s"unsupported op: $op")
+    require(forWindows >= 1, "forWindows must be >= 1")
+  }
+
+  /** The default rule set, mirroring alert_rules.yml semantics on the
+    * batch metric series: volume spike (~consumer lag), producer down,
+    * error-rate spike (~quality failures), value drift (~anomaly rate). */
+  val defaultRules: Seq[Rule] = Seq(
+    Rule("high_volume", "warning", "events_total", ">", 20.0, 2),
+    Rule("error_rate_spike", "critical", "error_rate", ">", 0.3, 1),
+    Rule("producer_down", "critical", "events_total", "<=", 0.0, 1),
+    Rule("value_drift", "warning", "avg_value", ">", 75.0, 1))
+
+  /** Gap-filled hourly metric series over the events table, long format
+    * (window_start, metric, value). Missing hours materialize as
+    * events_total=0 — without them `producer_down` could never fire
+    * (the reference's `rate(events_produced_total[2m]) == 0` has the same
+    * absence-of-data subtlety). */
+  def hourlyEventMetrics(events: DataFrame): DataFrame = {
+    val agg = events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+      .agg(count(lit(1)).cast("double").as("events_total"),
+        avg(when(col("event_type") === "error", 1.0).otherwise(0.0)).as("error_rate"),
+        avg(col("value")).as("avg_value"))
+    // hour spine from the table's own bounds: one row, then sequence()
+    val hours = events
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+        .as("window_start"))
+    hours.join(agg, Seq("window_start"), "left")
+      .na.fill(0.0, Seq("events_total", "error_rate", "avg_value"))
+      .select(col("window_start"), expr(
+        """stack(3,
+          |  'events_total', events_total,
+          |  'error_rate',   error_rate,
+          |  'avg_value',    avg_value) AS (metric, value)""".stripMargin))
+  }
+
+  /** Evaluate `rules` over a long-format metric series
+    * (window_start: timestamp, metric: string, value: double) with a fixed
+    * cadence of `windowSeconds` between consecutive windows. Returns one
+    * row per breached window: (alert, severity, window_start, value,
+    * streak, state) ordered for deterministic comparison. */
+  def evaluate(metrics: DataFrame, rules: Seq[Rule],
+               windowSeconds: Long = 3600L): DataFrame = {
+    val spark = metrics.sparkSession
+    import spark.implicits._
+    val ruleDf = broadcast(rules.toDF())
+    val joined = metrics.join(ruleDf, "metric")
+    val breached = joined.filter(
+      (col("op") === ">" && col("value") > col("threshold")) ||
+      (col("op") === ">=" && col("value") >= col("threshold")) ||
+      (col("op") === "<" && col("value") < col("threshold")) ||
+      (col("op") === "<=" && col("value") <= col("threshold")))
+    // gaps-and-islands: window index minus rank is constant within a
+    // consecutive run of breached windows
+    val byAlert = Window.partitionBy("alert").orderBy("window_start")
+    val islands = breached
+      .withColumn("h", (unix_timestamp(col("window_start")) / windowSeconds).cast("long"))
+      .withColumn("island", col("h") - row_number().over(byAlert))
+    val byIsland = Window.partitionBy("alert", "island").orderBy("window_start")
+    islands
+      .withColumn("streak", row_number().over(byIsland).cast("long"))
+      .select(col("alert"), col("severity"),
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        round(col("value") + lit(1e-9), 4).as("value"),
+        col("streak"),
+        when(col("streak") >= col("forWindows"), "firing").otherwise("pending").as("state"))
+      .orderBy("alert", "window_start")
+  }
+
+  /** Streaming-side hookup: evaluate rules over a
+    * StreamingPipeline.MetricsListener batch history (batch_id as the
+    * window axis — cadence 1). Metrics exposed: input_rows,
+    * rows_per_second, batch_duration_ms. */
+  def evaluateProgress(spark: SparkSession,
+                       history: Seq[(Long, Long, Double, Long)],
+                       rules: Seq[Rule]): DataFrame = {
+    import spark.implicits._
+    val metrics = history
+      .toDF("batch_id", "input_rows", "rows_per_second", "batch_duration_ms")
+      .select(to_timestamp(col("batch_id")).as("window_start"), expr(
+        """stack(3,
+          |  'input_rows',        cast(input_rows as double),
+          |  'rows_per_second',   rows_per_second,
+          |  'batch_duration_ms', cast(batch_duration_ms as double)) AS (metric, value)""".stripMargin))
+    evaluate(metrics, rules, windowSeconds = 1L)
+  }
+}

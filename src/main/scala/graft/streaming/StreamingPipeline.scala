@@ -244,11 +244,20 @@ object StreamingPipeline {
     @volatile var lastRowsPerSecond: Double = 0.0
     @volatile var lastNumInputRows: Long = 0L
     @volatile var batches: Long = 0L
+    // per-batch history feeding graft.monitoring.Alerts.evaluateProgress:
+    // (batch_id, input_rows, rows_per_second, batch_duration_ms)
+    private val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    def history: Seq[(Long, Long, Double, Long)] = hist.synchronized(hist.toSeq)
     override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
       lastNumInputRows = e.progress.numInputRows
       lastRowsPerSecond = e.progress.processedRowsPerSecond
       batches += 1
+      val rps = e.progress.processedRowsPerSecond
+      hist.synchronized {
+        hist += ((e.progress.batchId, e.progress.numInputRows,
+          if (rps.isNaN) 0.0 else rps, e.progress.batchDuration))
+      }
     }
     override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.monitoring.Alerts
+import graft.monitoring.Alerts.Rule
+
+/** Alert-threshold evaluation semantics (reference:
+  * monitoring/prometheus/alert_rules.yml pending→firing lifecycle). */
+class AlertsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def series(vals: (String, Double)*) =
+    vals.toDF("window_start", "value")
+      .select(to_timestamp(col("window_start")).as("window_start"),
+        lit("m").as("metric"), col("value"))
+
+  test("breach shorter than forWindows stays pending") {
+    val m = series(
+      "2024-01-01 00:00:00" -> 5.0,
+      "2024-01-01 01:00:00" -> 15.0, // breach 1 of a 3-window rule
+      "2024-01-01 02:00:00" -> 15.0, // breach 2
+      "2024-01-01 03:00:00" -> 5.0)  // run broken before firing
+    val out = Alerts.evaluate(m, Seq(Rule("a", "warn", "m", ">", 10.0, 3))).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.getAs[String]("state") == "pending"))
+  }
+
+  test("firing starts at the forWindows-th consecutive breach") {
+    val m = series(
+      "2024-01-01 00:00:00" -> 15.0,
+      "2024-01-01 01:00:00" -> 15.0,
+      "2024-01-01 02:00:00" -> 15.0,
+      "2024-01-01 03:00:00" -> 15.0)
+    val out = Alerts.evaluate(m, Seq(Rule("a", "warn", "m", ">", 10.0, 2)))
+      .collect().map(r => (r.getAs[String]("window_start"), r.getAs[String]("state")))
+    assert(out.toSeq === Seq(
+      ("2024-01-01 00:00:00", "pending"),
+      ("2024-01-01 01:00:00", "firing"),
+      ("2024-01-01 02:00:00", "firing"),
+      ("2024-01-01 03:00:00", "firing")))
+  }
+
+  test("a gap in the cadence resets the streak") {
+    val m = series(
+      "2024-01-01 00:00:00" -> 15.0,
+      "2024-01-01 01:00:00" -> 15.0,
+      // 02:00 missing entirely (no metric row at all)
+      "2024-01-01 03:00:00" -> 15.0)
+    val out = Alerts.evaluate(m, Seq(Rule("a", "warn", "m", ">", 2.0, 3))).collect()
+    assert(out.map(_.getAs[Long]("streak")).toSeq === Seq(1L, 2L, 1L))
+    assert(out.forall(_.getAs[String]("state") == "pending"))
+  }
+
+  test("ops <, <=, >= all evaluate; non-breaching rows are dropped") {
+    val m = series("2024-01-01 00:00:00" -> 10.0)
+    def one(op: String, thr: Double) =
+      Alerts.evaluate(m, Seq(Rule("a", "w", "m", op, thr, 1))).count()
+    assert(one("<", 11.0) === 1L); assert(one("<", 10.0) === 0L)
+    assert(one("<=", 10.0) === 1L); assert(one(">=", 10.0) === 1L)
+    assert(one(">", 10.0) === 0L)
+  }
+
+  test("hourly metric series gap-fills missing hours with zero volume") {
+    val ev = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      // 01:00 hour empty
+      ("2024-01-01 02:20:00", "error", 2.0))
+      .toDF("ts", "event_type", "value")
+      .select(to_timestamp(col("ts")).as("ts"), col("event_type"), col("value"))
+    val m = Alerts.hourlyEventMetrics(ev)
+    val tot = m.filter(col("metric") === "events_total")
+      .orderBy("window_start").select("value").as[Double].collect()
+    assert(tot.toSeq === Seq(1.0, 0.0, 1.0))
+    // and producer_down fires on the gap hour
+    val down = Alerts.evaluate(m, Seq(Rule("producer_down", "critical",
+      "events_total", "<=", 0.0, 1))).collect()
+    assert(down.length === 1)
+    assert(down.head.getAs[String]("state") === "firing")
+    assert(down.head.getAs[String]("window_start") === "2024-01-01 01:00:00")
+  }
+
+  test("listener history evaluates through evaluateProgress") {
+    // (batch_id, input_rows, rows_per_second, batch_duration_ms)
+    val hist = Seq((0L, 100L, 50.0, 200L), (1L, 0L, 0.0, 150L), (2L, 0L, 0.0, 90L))
+    val out = Alerts.evaluateProgress(spark, hist,
+      Seq(Rule("stream_stalled", "critical", "input_rows", "<=", 0.0, 2))).collect()
+    assert(out.map(_.getAs[String]("state")).toSeq === Seq("pending", "firing"))
+  }
+}

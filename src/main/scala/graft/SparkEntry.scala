@@ -243,6 +243,27 @@ object SparkEntry {
           .orderBy("sensor_id", "sensor_type", "window_start")
       }),
 
+    // A1-ext: sliding (hopping) windows — 10-minute windows every 5
+    // minutes, so each event lands in exactly two. The oracle expands each
+    // row to its two covering window starts; Spark's window(slide) emits
+    // the same assignment natively.
+    Q("a_sliding_window",
+      Some("""WITH e AS (SELECT ts, value, time_bucket(INTERVAL '5 minutes', ts) AS b FROM events),
+             |w AS (SELECT ts, value, unnest([b, b - INTERVAL '5 minutes']) AS ws FROM e)
+             |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  strftime(ws + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS window_end,
+             |  COUNT(*) AS n, ROUND(AVG(value) + 1e-9, 4) AS avg_value,
+             |  MIN(value) AS min_value, MAX(value) AS max_value
+             |FROM w GROUP BY ws ORDER BY ws""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), R(avg(col("value"))).as("avg_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .select(fts(col("w.start")).as("window_start"),
+          fts(col("w.end")).as("window_end"),
+          col("n"), col("avg_value"), col("min_value"), col("max_value"))
+        .orderBy("window_start")),
+
     // A2: derived post-agg health percentage.
     Q("a2_health_pct",
       Some("""SELECT CAST(user_id AS VARCHAR) AS sensor_id, event_type AS sensor_type,
@@ -898,6 +919,39 @@ object SparkEntry {
           .orderBy("query_id")
       }),
 
+    // X-semdedup: semantic deduplication — nearest-centroid clustering
+    // bounds the quadratic cosine stage to within-cell pairs; the
+    // higher-id member of every pair above threshold is flagged with its
+    // lowest duplicate partner. Threshold 0.4 sits just under the corpus
+    // max within-cell cosine (~0.47) so the flag set is small but real.
+    Q("x_semantic_dedup",
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |dims AS (SELECT label, i, AVG(v[i]) AS m FROM el, range(1, 65) r(i) GROUP BY label, i),
+              |cent AS (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM dims GROUP BY label),
+              |assign AS (SELECT vec_id, v, cell FROM (
+              |    SELECT e.vec_id, e.v, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |                         ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+              |n AS (SELECT vec_id, v, cell, sqrt(list_dot_product(v, v)) AS nrm
+              |      FROM assign WHERE sqrt(list_dot_product(v, v)) > 0),
+              |p AS (SELECT a.cell, a.vec_id AS ia, b.vec_id AS ib,
+              |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+              |      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+              |SELECT ib AS vec_id, cell, MIN(ia) AS dup_of,
+              |  CAST(COUNT(*) AS BIGINT) AS n_dups,
+              |  ROUND(MAX(c) + 1e-9, 4) AS max_cos
+              |FROM p WHERE c >= 0.4 GROUP BY ib, cell ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.semanticDedup(emb, Similarity.centroids(emb, "label", 64),
+            threshold = 0.4)
+          .select(col("vec_id"), col("cell"), col("dup_of"), col("n_dups"),
+            R(col("max_cos")).as("max_cos"))
+          .orderBy("vec_id")
+      }),
+
     // X-multimodal: opaque-binary column metadata view (byte length +
     // content key), no decode — proves column pruning drops payloads.
     Q("x_multimodal_meta",
@@ -1384,6 +1438,39 @@ object SparkEntry {
           .orderBy("vec_id")
       }),
 
+    // X-pq: product quantization — 64-dim vectors → 4 codes from the
+    // label-mean codebook sliced per 16-dim subspace (the IVF-PQ encode
+    // step; argmin by L2, tie-break lowest cell).
+    Q("x_pq_codes",
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |dims AS (SELECT label, i, AVG(v[i]) AS m FROM el, range(1, 65) r(i) GROUP BY label, i),
+              |cent AS (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM dims GROUP BY label),
+              |sub AS (SELECT vec_id, j, v[(j*16+1):(j*16+16)] AS sv FROM e CROSS JOIN range(0, 4) r(j)),
+              |subc AS (SELECT cell, j, cv[(j*16+1):(j*16+16)] AS scv FROM cent CROSS JOIN range(0, 4) r(j)),
+              |scored AS (SELECT s.vec_id, s.j, c.cell,
+              |    list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.scv)
+              |      + list_dot_product(c.scv, c.scv) AS d2
+              |  FROM sub s JOIN subc c ON s.j = c.j),
+              |best AS (SELECT vec_id, j, cell, d2 FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cell) AS rn
+              |    FROM scored) WHERE rn = 1)
+              |SELECT vec_id,
+              |  CAST(MAX(CASE WHEN j = 0 THEN cell END) AS INT) AS code0,
+              |  CAST(MAX(CASE WHEN j = 1 THEN cell END) AS INT) AS code1,
+              |  CAST(MAX(CASE WHEN j = 2 THEN cell END) AS INT) AS code2,
+              |  CAST(MAX(CASE WHEN j = 3 THEN cell END) AS INT) AS code3,
+              |  ROUND(SUM(d2) / 64 + 1e-9, 4) AS recon_mse
+              |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Quantize.pqCodes(emb, Similarity.centroids(emb, "label", 64),
+            m = 4, dim = 64)
+          .select(col("id").as("vec_id"), col("code0"), col("code1"),
+            col("code2"), col("code3"), R(col("recon_mse")).as("recon_mse"))
+          .orderBy("vec_id")
+      }),
+
     // P-extension: string-function surface (regex strip, pad, reverse,
     // repeat, find, edit distance, translate).
     Q("p_string_suite",
@@ -1811,6 +1898,29 @@ object SparkEntry {
         .orderBy("h")
         .limit(50)
         .select("doc_id")
+        .orderBy("doc_id")),
+
+    // X-sample-weighted: Efraimidis–Spirakis weighted sample — top-50 by
+    // ln(u)/w with hash-derived u, weight = document length, so longer
+    // docs are proportionally likelier. The training-mix knob ("sample by
+    // quality/length") with reservoir semantics, no reservoir state.
+    Q("x_weighted_sample",
+      Some("""WITH k AS (
+             |  SELECT doc_id, n_chars,
+             |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) + 0.5)
+             |       / 1099511627776.0) / n_chars AS es_key
+             |  FROM documents WHERE n_chars > 0)
+             |SELECT doc_id, n_chars, ROUND(es_key + 1e-9, 4) AS es_key
+             |FROM (SELECT * FROM k ORDER BY es_key DESC, doc_id LIMIT 50)
+             |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .withColumn("es_key",
+          graft.ext.Sampling.esKey(col("doc_id"), col("n_chars")))
+        .orderBy(col("es_key").desc, col("doc_id").asc)
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"),
+          R(col("es_key")).as("es_key"))
         .orderBy("doc_id")),
 
     // X-redact: PII scrubbing (emails, IPv4) — the input synthesizes

@@ -1,7 +1,10 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
 
 /** Scalar int8 quantization for embedding columns — the storage/bandwidth
   * lever for ANN at scale: a 64-dim float vector (256 B) becomes 64 bytes
@@ -45,4 +48,48 @@ object Quantize {
   def dequantize(q: Column, scale: Column): Column =
     when(scale === 0.0, transform(q, _ => lit(0.0)))
       .otherwise(transform(q, x => x.cast("double") / scale))
+
+  /** Product quantization: split each `dim`-dimensional vector into `m`
+    * contiguous subvectors and encode each as the id of its nearest
+    * sub-codebook entry (L2, tie-break lowest cell id). The codebook is
+    * any full-dimension centroid table (cell, centroid) — e.g.
+    * [[Similarity.centroids]] label means — sliced per subspace, the
+    * IVF-PQ construction that makes billion-scale ANN storable: dim
+    * floats become m small ints.
+    *
+    * Returns (id, code0..code{m-1}, recon_mse) where recon_mse is the
+    * total squared reconstruction error / dim.
+    *
+    * Shape at scale: the codebook is tiny and broadcast; scoring is a
+    * narrow map over (vector, subspace) rows with codegen dot products
+    * (d² = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩); the argmin is a bounded window over
+    * m·k rows per vector. No shuffle touches the vectors themselves
+    * beyond the per-id rollup. */
+  def pqCodes(vectors: DataFrame, cents: DataFrame, m: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val vecs = Par.fanOut(vectors)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("sv", slice(col("v"), col("j") * sub + 1, lit(sub)))
+      .select("id", "j", "sv")
+    val subc = cents
+      .select(col("cell"), col("centroid").cast("array<double>").as("cv"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("scv", slice(col("cv"), col("j") * sub + 1, lit(sub)))
+      .select("j", "cell", "scv")
+    val scored = vecs.join(broadcast(subc), "j")
+      .withColumn("d2", VectorFunctions.dot(col("sv"), col("sv"))
+        - lit(2.0) * VectorFunctions.dot(col("sv"), col("scv"))
+        + VectorFunctions.dot(col("scv"), col("scv")))
+    val w = Window.partitionBy("id", "j").orderBy(col("d2").asc, col("cell").asc)
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val codeCols = (0 until m).map(k =>
+      max(when(col("j") === k, col("cell"))).cast("int").as(s"code$k"))
+    best.groupBy("id")
+      .agg(codeCols.head, (codeCols.tail :+
+        (sum(col("d2")) / dim).as("recon_mse")): _*)
+  }
 }

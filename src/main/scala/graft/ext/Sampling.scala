@@ -41,6 +41,21 @@ object Sampling {
     * `pct` of 100. */
   def samplePct(id: Column, pct: Int): Column = hashBucket(id, 100) < pct
 
+  /** Efraimidis–Spirakis weighted-sampling key: rank rows by
+    * u^(1/w) (computed as the order-equivalent ln(u)/w) with u a
+    * hash-derived uniform in (0,1), and the top-k by key form a sample
+    * where P(row selected) is proportional to its weight. Deterministic
+    * for the same reasons as [[hashBucket]]: u is a pure function of row
+    * identity, so the same k rows win on any engine or partitioning.
+    * Distributed shape: narrow projection + TakeOrdered — the classic
+    * weighted reservoir without its sequential state. */
+  def esKey(id: Column, weight: Column): Column = {
+    val h = conv(substring(md5(id.cast("string").cast("binary")), 1, 10), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(1099511627776.0) // 2^40, u in (0,1)
+    log(u) / weight
+  }
+
   /** Stratified deterministic sample: per-stratum keep percentages (the
     * class-balancing knob for training mixes — e.g. keep 10% of 'en' but
     * 100% of a rare language). Strata missing from `pcts` keep `defaultPct`.

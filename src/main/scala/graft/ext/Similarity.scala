@@ -199,6 +199,38 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup-style semantic deduplication: assign every vector to its
+    * nearest centroid cell, then compare pairs ONLY within a cell and
+    * flag the higher-id member of every pair with cosine >= threshold.
+    * Returns one row per dropped vector: (vec_id, cell, dup_of = lowest
+    * duplicate partner id, n_dups, max_cos).
+    *
+    * Shape at scale: this is the published SemDeDup trick — clustering
+    * bounds the quadratic stage to within-cell pairs, so with k cells of
+    * ~n/k members the pair count drops k-fold; cells should be sized
+    * (via k) so a cell's pairs fit one task. Assignment is a broadcast
+    * join; the pair join is an equi-join on cell id. */
+  def semanticDedup(vectors: DataFrame, cents: DataFrame, threshold: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assigned = nearestCells(
+      vectors.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")),
+      cents, "id", "v", 1)
+      .withColumn("nrm", l2Norm(col("v")))
+      .filter(col("nrm") > 0.0)
+    val a = assigned.select(col("cell"), col("id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("ia") < col("ib"))
+      .withColumn("c", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("c") >= threshold)
+      .groupBy(col("ib").as("vec_id"), col("cell"))
+      .agg(min(col("ia")).as("dup_of"), count(lit(1)).as("n_dups"),
+        max(col("c")).as("max_cos"))
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest centroid cell
     * (one scored broadcast join against the tiny centroid table), then for
     * each query probe the `nProbe` nearest cells and rank only vectors in

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Quantize, Sampling, Similarity}
+
+/** Round-5 extension operators: chunk dedup, contamination, weighted
+  * sampling, PQ, semantic dedup. */
+class ExtOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("chunkDupStats flags docs whose chunks repeat corpus-wide") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // 2 chunks, both shared with doc 2
+      (2L, "a b c d e f g h"),
+      (3L, "p q r s t u v w")) // 2 chunks, unique
+      .toDF("doc_id", "text")
+    val out = Dedup.chunkDupStats(docs, "text", "doc_id", chunkSize = 4,
+        maxDupRatio = 0.5)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("dup_chunks")).toSeq === Seq(2L, 2L, 0L))
+    assert(out.map(_.getAs[Boolean]("keep")).toSeq === Seq(false, false, true))
+  }
+
+  test("ngramContamination flags only train docs sharing a test n-gram") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),  // test doc (id % 2 == 0)
+      (1L, "zzz alpha beta gamma yyy"), // train, shares "alpha beta gamma"
+      (3L, "one two three four"))       // train, clean
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(docs, "text", "doc_id",
+      col("doc_id") % 2 === 0, n = 3).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("id") === 1L)
+    assert(out.head.getAs[Long]("n_shared") === 1L)
+  }
+
+  test("esKey is deterministic and weight-monotone for a fixed id") {
+    val df = Seq((7L, 1.0), (7L, 10.0)).toDF("id", "w")
+      .withColumn("k", Sampling.esKey(col("id"), col("w")))
+    val ks = df.select("k").as[Double].collect()
+    assert(ks.forall(k => k < 0.0)) // ln(u) < 0
+    assert(ks(1) > ks(0), "larger weight must yield larger ES key")
+    val again = df.select("k").as[Double].collect()
+    assert(ks.toSeq === again.toSeq)
+  }
+
+  test("pqCodes encodes a vector sitting on a centroid with zero error") {
+    // two labels; all vectors of a label identical => label mean == vector
+    val emb = Seq(
+      (1L, Array.fill(8)(1.0f), 0),
+      (2L, Array.fill(8)(1.0f), 0),
+      (3L, Array.fill(8)(-1.0f), 1),
+      (4L, Array.fill(8)(-1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(emb, "label", 8)
+    val out = Quantize.pqCodes(emb, cents, m = 2, dim = 8)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Int]("code0")).toSeq === Seq(0, 0, 1, 1))
+    assert(out.map(_.getAs[Int]("code1")).toSeq === Seq(0, 0, 1, 1))
+    assert(out.forall(_.getAs[Double]("recon_mse") === 0.0))
+  }
+
+  test("semanticDedup flags the higher id of a within-cell near-dup pair") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0), // exact dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1)) // other cell
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(emb, "label", 4)
+    val out = Similarity.semanticDedup(emb, cents, threshold = 0.9).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("vec_id") === 2L)
+    assert(out.head.getAs[Long]("dup_of") === 1L)
+    assert(out.head.getAs[Double]("max_cos") > 0.99)
+  }
+}

@@ -111,7 +111,10 @@ object Graph {
       // Two step+jump compositions per materialized round: the label
       // tables are small relative to the cluster, so per-round cost is
       // action/scheduling overhead — halving the checkpoint count halves
-      // the loop's wall clock without changing the fixpoint.
+      // the loop's wall clock without changing the fixpoint. (Three per
+      // round measured SLOWER on the sf0.1 near-dup graph: 14 s vs 8 s
+      // warm — the extra per-round stages cost more than the round they
+      // save.)
       val next = jump(step(jump(step(labels)))).localCheckpoint(true)
       val s = labelSum(next)
       converged = s == prevSum

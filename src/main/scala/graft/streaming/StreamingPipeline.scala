@@ -169,6 +169,48 @@ object StreamingPipeline {
       }
   }
 
+  /** T8 (Spark 4 API): the same per-key running stats on
+    * `transformWithState` — the successor to mapGroupsWithState backed by
+    * the RocksDB state store, with typed named state variables, optional
+    * TTL, and timers. Semantics here are identical to [[runningKeyStats]]
+    * (OperatorsSpec asserts parity on the same input); the API is the
+    * 100 TB story: RocksDB keeps per-key state off-heap and incrementally
+    * checkpointed, so state size is bounded by disk not executor heap. */
+  final class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Double), RunningUpdate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[RunningState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[RunningState]("stats",
+        org.apache.spark.sql.Encoders.product[RunningState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+                                 timers: TimerValues): Iterator[RunningUpdate] = {
+      val prev = if (st.exists()) st.get()
+                 else RunningState(0L, 0.0, Double.NegativeInfinity)
+      var n = prev.n; var s = prev.sum; var m = prev.max
+      rows.foreach { case (_, v) => n += 1; s += v; m = math.max(m, v) }
+      st.update(RunningState(n, s, m))
+      Iterator.single(RunningUpdate(key, n, s, m))
+    }
+  }
+
+  /** [[runningKeyStats]] on the transformWithState API. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def runningKeyStatsTws(events: DataFrame, keyCol: String,
+                         valueCol: String): org.apache.spark.sql.Dataset[RunningUpdate] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val tupEnc: Encoder[(String, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaDouble)
+    implicit val upEnc: Encoder[RunningUpdate] = Encoders.product[RunningUpdate]
+    events.select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** One closed session emitted by [[flatMapSessionize]]. */
   final case class ClosedSession(key: String, session_start: java.sql.Timestamp,
                                  session_end: java.sql.Timestamp, n_events: Long)

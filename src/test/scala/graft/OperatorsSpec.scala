@@ -205,6 +205,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(byKey("b") === (("b", 1L, 2.0, 2.0)))
   }
 
+  test("transformWithState matches mapGroupsWithState running stats (RocksDB store)") {
+    val inDir = Files.createTempDirectory("graft-tws").toString
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"), Seq(
+      """{"k":"a","v":1.0}""", """{"k":"a","v":5.0}""",
+      """{"k":"b","v":2.0}""").mkString("\n"))
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = spark.readStream.schema("k string, v double").json(inDir)
+    val q = StreamingPipeline.runningKeyStatsTws(src, "k", "v")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("twsstate").start()
+    try {
+      q.processAllAvailable()
+      Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+        """{"k":"a","v":3.0}""")
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val byKey = spark.table("twsstate").select("key", "n", "sum", "max")
+      .as[(String, Long, Double, Double)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    // identical end state to the mapGroupsWithState test above
+    assert(byKey("a") === (("a", 3L, 9.0, 5.0)))
+    assert(byKey("b") === (("b", 1L, 2.0, 2.0)))
+  }
+
   test("stream-stream join matches within the time bound and key") {
     val lDir = Files.createTempDirectory("graft-ssj-l").toString
     val rDir = Files.createTempDirectory("graft-ssj-r").toString

@@ -144,6 +144,18 @@ object SparkEntry {
        |   + 0.5 * LEAST(($stopRatioSql) * 4.0, 1.0)
        |   - 0.25 * LEAST(($punctRatioSql) * 2.0, 1.0)))""".stripMargin
 
+  /** Register every TPC-H-ish table as a temp view for the SQL-front-end
+    * queries. */
+  private def tpchViews(s: SparkSession, dir: String): Unit = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.region(s, dir).createOrReplaceTempView("region")
+  }
+
   // ---- the inventory ------------------------------------------------------
 
   private lazy val registry: Seq[Q] = Seq(
@@ -2805,6 +2817,229 @@ object SparkEntry {
     // API spells out explicitly — both front-ends share the optimizer.)
 
     // Correlated scalar subquery in the SELECT list.
+    // J8 (TPC-H Q8 shape): market share of one supplier nation within a
+    // region's market per year — double-role dimension (nation joined
+    // twice), conditional-sum ratio. Ratio of two large double sums is
+    // order-insensitive to ~1e-13 relative, so ROUND(4) is exact.
+    Q("j8_market_share",
+      Some("""SELECT o_year,
+             | ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN vol ELSE 0 END)
+             |       / SUM(vol) + 1e-9, 4) AS mkt_share
+             | FROM (
+             |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |         l_extendedprice * (1 - l_discount) AS vol,
+             |         n2.n_name AS nation
+             |  FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+             |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             |    AND r_name = 'EUROPE' AND l_suppkey = s_suppkey
+             |    AND s_nationkey = n2.n_nationkey
+             |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') t
+             | GROUP BY o_year ORDER BY o_year""".stripMargin),
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val n1 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+        val n2 = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+        Tables.lineitem(s, dir)
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+          .withColumn("o_year", year(col("o_orderdate")))
+          .withColumn("vol", col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .groupBy("o_year")
+          .agg(R(sum(when(col("nation") === "NATION_3", col("vol")).otherwise(0.0))
+            / sum(col("vol"))).as("mkt_share"))
+          .orderBy("o_year")
+      }),
+
+    // J9 (TPC-H Q9 shape): profit by supplier nation and year. No
+    // partsupp table in this schema, so cost is proxied by p_retailprice
+    // per lineitem; DECIMAL arithmetic end-to-end so the grouped sums are
+    // exact (never a double boundary).
+    Q("j9_product_profit",
+      Some("""SELECT nation, o_year,
+             | CAST(CAST(SUM(profit) AS DECIMAL(38,6)) AS VARCHAR) AS sum_profit
+             | FROM (
+             |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+             |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |      - CAST(p_retailprice AS DECIMAL(18,2)) AS profit
+             |  FROM lineitem, part, supplier, orders, nation
+             |  WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+             |    AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+             |    AND p_type = 'PROMO') t
+             | GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .withColumn("profit",
+          col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+            - col("p_retailprice").cast("decimal(18,2)"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum("profit").cast("decimal(38,6)").cast("string").as("sum_profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)),
+
+    // J12 (TPC-H Q12 shape): late-shipment priority counts. No
+    // l_shipmode/commitdate in this schema — "late" is shipdate more than
+    // 60 days after the order date, grouped by linestatus.
+    Q("j12_late_priority",
+      Some("""SELECT l_linestatus,
+             | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+             | FROM orders, lineitem
+             | WHERE o_orderkey = l_orderkey
+             |   AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+             | GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")),
+
+    // J15 (TPC-H Q15 shape): top supplier by quarterly revenue — an
+    // aggregated "view" consumed twice (rows + scalar MAX), exact DECIMAL
+    // revenue so the MAX-equality join can't be broken by float ties.
+    Q("j15_top_supplier",
+      Some("""WITH rev AS MATERIALIZED (
+             |  SELECT l_suppkey AS supplier_no,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+             |      AS DECIMAL(38,6)) AS total_revenue
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+             |  GROUP BY l_suppkey)
+             |SELECT s_suppkey, s_name, CAST(total_revenue AS VARCHAR) AS total_revenue
+             |FROM supplier, rev
+             |WHERE s_suppkey = supplier_no
+             |  AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
+             |ORDER BY s_suppkey""".stripMargin),
+      (s, dir) => {
+        tpchViews(s, dir)
+        s.sql("""WITH rev AS (
+                |  SELECT l_suppkey AS supplier_no,
+                |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                |      AS DECIMAL(38,6)) AS total_revenue
+                |  FROM lineitem
+                |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+                |  GROUP BY l_suppkey)
+                |SELECT s_suppkey, s_name, CAST(total_revenue AS STRING) AS total_revenue
+                |FROM supplier, rev
+                |WHERE s_suppkey = supplier_no
+                |  AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
+                |ORDER BY s_suppkey""".stripMargin)
+      }),
+
+    // J16 (TPC-H Q16 shape): distinct supplier counts per part attribute
+    // band, excluding a NOT-IN supplier sublist. lineitem stands in for
+    // the absent partsupp relation.
+    Q("j16_supplier_cnt",
+      Some("""SELECT p_brand, p_type, p_size,
+             | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             | FROM part, lineitem
+             | WHERE p_partkey = l_partkey AND p_brand <> 'Brand#1'
+             |   AND p_type <> 'PROMO' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+             |   AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             | GROUP BY p_brand, p_type, p_size
+             | ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_type").asc, col("p_size").asc)),
+
+    // J20 (TPC-H Q20 shape): suppliers of small parts with heavy shipped
+    // volume since a date — IN over a grouped HAVING subquery. Quantities
+    // are integral doubles, so the HAVING sum is order-exact.
+    Q("j20_qty_suppliers",
+      Some("""SELECT s_name, s_acctbal FROM supplier
+             | WHERE s_suppkey IN (
+             |   SELECT l_suppkey FROM lineitem, part
+             |   WHERE l_partkey = p_partkey AND p_type = 'SMALL'
+             |     AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |   GROUP BY l_suppkey HAVING SUM(l_quantity) > 1800)
+             | ORDER BY s_name""".stripMargin),
+      (s, dir) => {
+        tpchViews(s, dir)
+        s.sql("""SELECT s_name, s_acctbal FROM supplier
+                | WHERE s_suppkey IN (
+                |   SELECT l_suppkey FROM lineitem, part
+                |   WHERE l_partkey = p_partkey AND p_type = 'SMALL'
+                |     AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                |   GROUP BY l_suppkey HAVING SUM(l_quantity) > 1800)
+                | ORDER BY s_name""".stripMargin)
+      }),
+
+    // J21 (TPC-H Q21 shape): suppliers who were the ONLY late shipper in a
+    // multi-supplier finished order — EXISTS + doubly-correlated NOT
+    // EXISTS over lineitem self-joins ("late" = shipped >30 days after
+    // order date, standing in for the absent receipt/commit dates).
+    Q("j21_waiting_suppliers",
+      Some("""SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+             | FROM supplier, lineitem l1, orders
+             | WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+             |   AND o_orderstatus = 'F'
+             |   AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+             |   AND EXISTS (SELECT 1 FROM lineitem l2
+             |               WHERE l2.l_orderkey = l1.l_orderkey
+             |                 AND l2.l_suppkey <> l1.l_suppkey)
+             |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |                   WHERE l3.l_orderkey = l1.l_orderkey
+             |                     AND l3.l_suppkey <> l1.l_suppkey
+             |                     AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+             |
+             | GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin),
+      (s, dir) => {
+        tpchViews(s, dir)
+        s.sql("""SELECT s_name, COUNT(*) AS numwait
+                | FROM supplier, lineitem l1, orders
+                | WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+                |   AND o_orderstatus = 'F'
+                |   AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+                |   AND EXISTS (SELECT 1 FROM lineitem l2
+                |               WHERE l2.l_orderkey = l1.l_orderkey
+                |                 AND l2.l_suppkey <> l1.l_suppkey)
+                |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                |                   WHERE l3.l_orderkey = l1.l_orderkey
+                |                     AND l3.l_suppkey <> l1.l_suppkey
+                |                     AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+                |
+                | GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+      }),
+
     Q("sql_correlated_scalar",
       Some("""SELECT c_custkey,
              | (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders

@@ -1,0 +1,28 @@
+package graft
+
+/** Plan-audit utility: print the executed physical plan of one or more
+  * registry queries (joins/exchanges/scans/aggregates view by default,
+  * `--full` for everything). Usage:
+  *   graft.Explain <query>[,<query>...] [sfDir] [--full]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = args.drop(1).filterNot(_.startsWith("--"))
+      .headOption.getOrElse("/root/testdata/sf0.01")
+    val full = args.contains("--full")
+    val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { q =>
+      println(s"===== $q =====")
+      val p = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      if (full) println(p)
+      else println(p.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange") ||
+          l.contains("Scan") || l.contains("Aggregate") || l.contains("Window"))
+        .map(_.take(140)).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

@@ -156,6 +156,31 @@ class PlanSpec extends SparkTestBase {
     assert(small._2 === Seq(1.0))
   }
 
+  test("Q21 shape: EXISTS/NOT EXISTS decorrelate to broadcast semi/anti joins") {
+    val p = plan(SparkEntry.queries("j21_waiting_suppliers")(spark, dir))
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"correlated subqueries should broadcast at this scale:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q21 plan:\n$p")
+  }
+
+  test("Q8 shape: the fact table never shuffles before aggregation") {
+    val p = plan(SparkEntry.queries("j8_market_share")(spark, dir))
+    // every dim joins via broadcast; the only hash exchanges are the
+    // aggregation and the final ordering
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"expected at most the aggregation exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+  }
+
+  test("contamination: test-gram set broadcasts, corpus grams filter map-side") {
+    val p = plan(SparkEntry.queries("x_contamination")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"test grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus gram stream should never shuffle to the join:\n$p")
+  }
+
   test("Par.fanOut: no Exchange on a pre-partitioned input, repartition when starved") {
     val par = spark.sparkContext.defaultParallelism
     // already at/above parallelism → must return the SAME plan (no shuffle):

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingPipeline
+
+/** Continuous gold maintenance and stream-static enrichment. */
+class IncrementalGoldSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeBatch(dir: String, name: String, rows: Seq[String]): Unit =
+    Files.writeString(java.nio.file.Path.of(dir, name), rows.mkString("\n"))
+
+  test("incremental gold equals batch recomputation after two micro-batches") {
+    val inDir = Files.createTempDirectory("graft-ig-in").toString
+    val goldDir = Files.createTempDirectory("graft-ig-gold").toString + "/g"
+    val ckpt = Files.createTempDirectory("graft-ig-ckpt").toString
+    writeBatch(inDir, "b1.json", Seq(
+      """{"t":"2024-06-15 10:01:00","k":"a","v":1.0}""",
+      """{"t":"2024-06-15 10:02:00","k":"a","v":5.0}""",
+      """{"t":"2024-06-15 10:06:00","k":"b","v":2.0}"""))
+    val src = spark.readStream.schema("t timestamp, k string, v double")
+      .json(inDir)
+    val q = StreamingPipeline.incrementalGold(src, goldDir, ckpt,
+      "t", Seq("k"), "v", "5 minutes")
+    try {
+      q.processAllAvailable()
+      writeBatch(inDir, "b2.json", Seq(
+        """{"t":"2024-06-15 10:03:00","k":"a","v":9.0}""", // same window as b1
+        """{"t":"2024-06-15 10:11:00","k":"a","v":4.0}""")) // new window
+      q.processAllAvailable()
+    } finally q.stop()
+    val gold = spark.read.parquet(s"$goldDir/data")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("k"), col("n"), col("sum_v"), col("min_v"), col("max_v"))
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    assert(gold === Set(
+      ("10:00", "a", 3L, 15.0, 1.0, 9.0),
+      ("10:05", "b", 1L, 2.0, 2.0, 2.0),
+      ("10:10", "a", 1L, 4.0, 4.0, 4.0)))
+  }
+
+  test("a replayed batch id is a no-op (at-least-once made exactly-once)") {
+    val goldDir = Files.createTempDirectory("graft-ig2").toString + "/g"
+    val batch = Seq(("2024-06-15 10:01:00", "a", 1.0))
+      .toDF("t", "k", "v")
+      .select(to_timestamp(col("t")).as("t"), col("k"), col("v"))
+    StreamingPipeline.mergeGoldBatch(batch, goldDir, 0L, "t", Seq("k"), "v",
+      "5 minutes")
+    StreamingPipeline.mergeGoldBatch(batch, goldDir, 0L, "t", Seq("k"), "v",
+      "5 minutes") // replay of the SAME batch id must not double-count
+    val n = spark.read.parquet(s"$goldDir/data")
+      .agg(sum("n")).as[Long].head()
+    assert(n === 1L)
+    // a NEW batch id with the same data does merge
+    StreamingPipeline.mergeGoldBatch(batch, goldDir, 1L, "t", Seq("k"), "v",
+      "5 minutes")
+    val n2 = spark.read.parquet(s"$goldDir/data").agg(sum("n")).as[Long].head()
+    assert(n2 === 2L)
+  }
+
+  test("stream-static dim join enriches every micro-batch via broadcast") {
+    val inDir = Files.createTempDirectory("graft-ss-in").toString
+    writeBatch(inDir, "b1.json", Seq(
+      """{"k":"a","v":1.0}""", """{"k":"z","v":2.0}"""))
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "label")
+    val src = spark.readStream.schema("k string, v double").json(inDir)
+    val enriched = StreamingPipeline.dimEnrich(src, dim, Seq("k"))
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("ssdim").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("ssdim").select("k", "label")
+      .as[(String, Option[String])].collect().toMap
+    assert(out === Map("a" -> Some("alpha"), "z" -> None)) // left join keeps unmatched
+  }
+}

@@ -1192,6 +1192,39 @@ object SparkEntry {
     // HLL count is within 15% (≥3 sketch-rsd at the default 0.05) of the
     // exact distinct count. The oracle emits literal TRUEs — any sketch
     // excursion flips a boolean and fails the hash.
+    // Scale-sketch: DataSketches HLL distinct counting with MERGEABILITY
+    // pinned — per-day sketches union-merged must agree with one direct
+    // sketch to well inside the sketch's own error (union is
+    // max-per-register, but DataSketches' sparse→dense mode transitions
+    // make the agreement near-exact rather than bit-exact at higher
+    // cardinalities). This is the 100 TB pattern: sketch per
+    // partition/day once, answer any date-range distinct query by merging
+    // sketches instead of rescanning events. Accuracy vs exact is
+    // bound-checked (lgK=12 → ~1.6% rel. error; 5% budget).
+    Q("x_hll_mergeable",
+      Some("""SELECT event_type,
+             | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+             | TRUE AS merge_consistent, TRUE AS within_5pct
+             | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val perDay = ev
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        val merged = perDay.groupBy("event_type")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_merged"))
+        val direct = ev.groupBy("event_type")
+          .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("est_direct"),
+            countDistinct("user_id").as("exact_distinct"))
+        direct.join(merged, "event_type")
+          .select(col("event_type"), col("exact_distinct"),
+            (abs(col("est_merged") - col("est_direct"))
+              / col("est_direct") <= 0.02).as("merge_consistent"),
+            (abs(col("est_direct") - col("exact_distinct"))
+              / col("exact_distinct") <= 0.05).as("within_5pct"))
+          .orderBy("event_type")
+      }),
+
     Q("scale_approx_window_stats",
       Some("""SELECT event_type AS sensor_type,
              | strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

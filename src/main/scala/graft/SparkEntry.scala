@@ -1241,7 +1241,11 @@ object SparkEntry {
         Gold.windowAgg(b, Seq("sensor_type"), "event_time", "value", "1 hour",
             approxPercentiles = true,
             extraAggs = Seq(
-              approx_count_distinct(col("sensor_id")).as("approx_sensor_count"),
+              // rsd 0.01 (vs the 0.05 default): at the default precision
+              // the estimate missed hour-sized cardinalities (~26) by >15%
+              // on two sf0.1 windows — the tighter sketch stays exact in
+              // sparse mode at these scales and the bound documents it
+              approx_count_distinct(col("sensor_id"), 0.01).as("approx_sensor_count"),
               countDistinct(col("sensor_id")).as("exact_sensor_count")))
           .select(col("sensor_type"),
             fts(col("window_start")).as("window_start"),
@@ -1275,6 +1279,37 @@ object SparkEntry {
 
     // W-extension: lag/lead/rank/dense_rank/ntile — the full ranking-window
     // surface over a totally-ordered per-user stream.
+    // W-ext: distribution ranking — ntile quartiles (ties broken by
+    // event_id so bucket assignment is deterministic), percent_rank and
+    // cume_dist (tie-aware, so ordering by value alone is already
+    // deterministic), rolled up per quartile.
+    Q("w_ntile_dist",
+      Some("""WITH w AS (SELECT event_type, value,
+             |  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS q,
+             |  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,
+             |  cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+             |  FROM events)
+             |SELECT event_type, CAST(q AS INT) AS quartile, COUNT(*) AS n,
+             |  MIN(value) AS lo, MAX(value) AS hi,
+             |  ROUND(MAX(pr) + 1e-9, 4) AS max_pr,
+             |  ROUND(MAX(cd) + 1e-9, 4) AS max_cd
+             |FROM w GROUP BY event_type, q ORDER BY event_type, quartile""".stripMargin),
+      (s, dir) => {
+        val wOrd = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        val wVal = Window.partitionBy("event_type").orderBy("value")
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"),
+            ntile(4).over(wOrd).as("quartile"),
+            percent_rank().over(wVal).as("pr"),
+            cume_dist().over(wVal).as("cd"))
+          .groupBy("event_type", "quartile")
+          .agg(count(lit(1)).as("n"), min("value").as("lo"),
+            max("value").as("hi"), R(max(col("pr"))).as("max_pr"),
+            R(max(col("cd"))).as("max_cd"))
+          .orderBy("event_type", "quartile")
+      }),
+
     Q("w_lag_lead_rank",
       Some("""SELECT event_id,
              | lag(value) OVER w AS prev_value,

@@ -60,6 +60,80 @@ class ContractSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: alert streaks match a sequential reference evaluation") {
+    val seriesGen: Gen[List[Double]] = Gen.listOfN(24, Gen.choose(0.0, 20.0))
+    val prop = forAll(seriesGen, Gen.choose(1, 4)) { (vals, fw) =>
+      vals.isEmpty || {
+        val rows = vals.zipWithIndex.map { case (v, i) =>
+          (f"2024-01-01 ${i}%02d:00:00", "m", v)
+        }
+        val metrics = rows.toDF("window_start", "metric", "value")
+          .select(to_timestamp(col("window_start")).as("window_start"),
+            col("metric"), col("value"))
+        val out = graft.monitoring.Alerts
+          .evaluate(metrics, Seq(graft.monitoring.Alerts.Rule(
+            "a", "w", "m", ">", 10.0, fw)))
+          .select("window_start", "streak", "state")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toList
+        // sequential reference: walk the series, count consecutive breaches
+        var streak = 0L
+        val ref = vals.zipWithIndex.flatMap { case (v, i) =>
+          if (v > 10.0) {
+            streak += 1
+            Some((f"2024-01-01 ${i}%02d:00:00", streak,
+              if (streak >= fw) "firing" else "pending"))
+          } else { streak = 0; None }
+        }
+        out == ref
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: gold merged from any batch split equals the one-shot gold") {
+    val evGen: Gen[List[(Int, Int, Double)]] = Gen.listOfN(40, for {
+      minute <- Gen.choose(0, 59)
+      key <- Gen.choose(0, 2)
+      v <- Gen.choose(-50.0, 50.0)
+    } yield (minute, key, v))
+    val prop = forAll(evGen, Gen.choose(0, 39)) { (rows, cut) =>
+      rows.isEmpty || {
+        import graft.streaming.StreamingPipeline
+        def df(rs: List[(Int, Int, Double)]) = rs
+          .map { case (m, k, v) => (f"2024-06-15 10:$m%02d:00", s"k$k", v) }
+          .toDF("t", "k", "v")
+          .select(to_timestamp(col("t")).as("t"), col("k"), col("v"))
+        val gold = java.nio.file.Files
+          .createTempDirectory("graft-prop-gold").toString + "/g"
+        val (b1, b2) = rows.splitAt(cut)
+        if (b1.nonEmpty) StreamingPipeline.mergeGoldBatch(df(b1), gold, 0L,
+          "t", Seq("k"), "v", "5 minutes")
+        if (b2.nonEmpty) StreamingPipeline.mergeGoldBatch(df(b2), gold, 1L,
+          "t", Seq("k"), "v", "5 minutes")
+        val merged = spark.read.parquet(s"$gold/data")
+          .select(date_format(col("window_start"), "HH:mm").as("w"),
+            col("k"), col("n"), col("sum_v"), col("min_v"), col("max_v"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            math.round(r.getDouble(3) * 1e6), r.getDouble(4), r.getDouble(5)))
+          .toSet
+        val oneShot = df(rows)
+          .groupBy(window(col("t"), "5 minutes").as("w"), col("k"))
+          .agg(count(lit(1)).as("n"), sum("v").as("sum_v"),
+            min("v").as("min_v"), max("v").as("max_v"))
+          .select(date_format(col("w.start"), "HH:mm").as("w"), col("k"),
+            col("n"), col("sum_v"), col("min_v"), col("max_v"))
+          .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            math.round(r.getDouble(3) * 1e6), r.getDouble(4), r.getDouble(5)))
+          .toSet
+        merged == oneShot
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   private val tsRowsGen: Gen[List[(Int, Long, Long)]] =
     Gen.listOfN(50, for {
       key <- Gen.choose(0, 3)

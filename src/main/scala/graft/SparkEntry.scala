@@ -558,6 +558,62 @@ object SparkEntry {
           Quality.regexMatch("props", "^\\{\"k\": \\d+\\}$")) ++
           Quality.nullRate(Seq("value"), 0.01))),
 
+    // Q-profile: schema-generic one-pass data profiling (deequ-style) —
+    // per-column null/distinct counts, numeric min/max/avg, string length
+    // stats, emitted long-format. The Spark side derives the aggregate
+    // list from the schema; the oracle spells the same metrics out.
+    Q("q_profile_events",
+      Some("""WITH s AS (SELECT
+             |  count(*)::DOUBLE AS t_rows,
+             |  sum((event_id IS NULL)::INT)::DOUBLE AS ei_nn, count(DISTINCT event_id)::DOUBLE AS ei_nd,
+             |  min(event_id)::DOUBLE AS ei_min, max(event_id)::DOUBLE AS ei_max,
+             |  ROUND(avg(event_id) + 1e-9, 4) AS ei_avg,
+             |  sum((ts IS NULL)::INT)::DOUBLE AS ts_nn, count(DISTINCT ts)::DOUBLE AS ts_nd,
+             |  sum((user_id IS NULL)::INT)::DOUBLE AS ui_nn, count(DISTINCT user_id)::DOUBLE AS ui_nd,
+             |  min(user_id)::DOUBLE AS ui_min, max(user_id)::DOUBLE AS ui_max,
+             |  ROUND(avg(user_id) + 1e-9, 4) AS ui_avg,
+             |  sum((event_type IS NULL)::INT)::DOUBLE AS et_nn, count(DISTINCT event_type)::DOUBLE AS et_nd,
+             |  min(len(event_type))::DOUBLE AS et_minl, max(len(event_type))::DOUBLE AS et_maxl,
+             |  ROUND(avg(len(event_type)) + 1e-9, 4) AS et_avgl,
+             |  sum((value IS NULL)::INT)::DOUBLE AS v_nn, count(DISTINCT value)::DOUBLE AS v_nd,
+             |  min(value)::DOUBLE AS v_min, max(value)::DOUBLE AS v_max,
+             |  ROUND(avg(value) + 1e-9, 4) AS v_avg,
+             |  sum((props IS NULL)::INT)::DOUBLE AS p_nn, count(DISTINCT props)::DOUBLE AS p_nd,
+             |  min(len(props))::DOUBLE AS p_minl, max(len(props))::DOUBLE AS p_maxl,
+             |  ROUND(avg(len(props)) + 1e-9, 4) AS p_avgl
+             |  FROM events)
+             |SELECT * FROM (
+             |  SELECT '_table' AS column_name, 'n_rows' AS metric, t_rows AS value FROM s
+             |  UNION ALL SELECT 'event_id', 'n_null', ei_nn FROM s
+             |  UNION ALL SELECT 'event_id', 'n_distinct', ei_nd FROM s
+             |  UNION ALL SELECT 'event_id', 'min', ei_min FROM s
+             |  UNION ALL SELECT 'event_id', 'max', ei_max FROM s
+             |  UNION ALL SELECT 'event_id', 'avg', ei_avg FROM s
+             |  UNION ALL SELECT 'ts', 'n_null', ts_nn FROM s
+             |  UNION ALL SELECT 'ts', 'n_distinct', ts_nd FROM s
+             |  UNION ALL SELECT 'user_id', 'n_null', ui_nn FROM s
+             |  UNION ALL SELECT 'user_id', 'n_distinct', ui_nd FROM s
+             |  UNION ALL SELECT 'user_id', 'min', ui_min FROM s
+             |  UNION ALL SELECT 'user_id', 'max', ui_max FROM s
+             |  UNION ALL SELECT 'user_id', 'avg', ui_avg FROM s
+             |  UNION ALL SELECT 'event_type', 'n_null', et_nn FROM s
+             |  UNION ALL SELECT 'event_type', 'n_distinct', et_nd FROM s
+             |  UNION ALL SELECT 'event_type', 'min_len', et_minl FROM s
+             |  UNION ALL SELECT 'event_type', 'max_len', et_maxl FROM s
+             |  UNION ALL SELECT 'event_type', 'avg_len', et_avgl FROM s
+             |  UNION ALL SELECT 'value', 'n_null', v_nn FROM s
+             |  UNION ALL SELECT 'value', 'n_distinct', v_nd FROM s
+             |  UNION ALL SELECT 'value', 'min', v_min FROM s
+             |  UNION ALL SELECT 'value', 'max', v_max FROM s
+             |  UNION ALL SELECT 'value', 'avg', v_avg FROM s
+             |  UNION ALL SELECT 'props', 'n_null', p_nn FROM s
+             |  UNION ALL SELECT 'props', 'n_distinct', p_nd FROM s
+             |  UNION ALL SELECT 'props', 'min_len', p_minl FROM s
+             |  UNION ALL SELECT 'props', 'max_len', p_maxl FROM s
+             |  UNION ALL SELECT 'props', 'avg_len', p_avgl FROM s)
+             |ORDER BY column_name, metric""".stripMargin),
+      (s, dir) => graft.quality.Profile.profile(Tables.events(s, dir))),
+
     // Monitoring: declarative alert thresholds with Prometheus-style
     // pending→firing lifecycle over a gap-filled hourly metric series
     // (reference: monitoring/prometheus/alert_rules.yml).

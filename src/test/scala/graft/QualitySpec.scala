@@ -7,6 +7,26 @@ import graft.model.Schemas
 class QualitySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("profile emits per-column metrics; nulls and types handled") {
+    val df = Seq(
+      (Some(1L), Some("ab"), Some(2.0)),
+      (Some(2L), None, Some(4.0)),
+      (None, Some("abcd"), None))
+      .toDF("id", "s", "v")
+    val m = graft.quality.Profile.profile(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("_table", "n_rows")) === 3.0)
+    assert(m(("id", "n_null")) === 1.0)
+    assert(m(("id", "n_distinct")) === 2.0)
+    assert(m(("id", "min")) === 1.0 && m(("id", "max")) === 2.0)
+    assert(m(("s", "min_len")) === 2.0 && m(("s", "max_len")) === 4.0)
+    assert(m(("s", "avg_len")) === 3.0)
+    assert(m(("v", "avg")) === 3.0)
+    // approx mode keeps the same shape (scale path: no expand)
+    val approx = graft.quality.Profile.profile(df, exactDistinct = false)
+    assert(approx.count() === m.size)
+  }
+
   test("null-rate > 1% fails, <= 1% passes") {
     val bad = (1 to 98).map(i => (s"s$i", Some(1.0))) ++ Seq(("x", None), ("y", None))
     val df = bad.toDF("sensor_id", "value")

@@ -1281,6 +1281,35 @@ object SparkEntry {
           .orderBy("event_type")
       }),
 
+    // Scale-sketch: count-min heavy hitters — one distributed
+    // count_min_sketch aggregate (eps 1e-4, fixed seed → deterministic),
+    // probed for each key and bound-checked against exact counts: CMS
+    // never undercounts, and overshoot is bounded by eps·N. The probe
+    // reads ONE aggregated binary on the driver (a scalar result, like
+    // any agg collect) — the events themselves never leave executors.
+    Q("x_cms_heavy_hitters",
+      Some("""SELECT event_type, COUNT(*) AS exact_n,
+             | TRUE AS never_under, TRUE AS within_eps
+             | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val skBytes = ev
+          .agg(expr("count_min_sketch(event_type, 0.0001d, 0.99d, 42)").as("sk"))
+          .head().getAs[Array[Byte]]("sk")
+        val cms = org.apache.spark.util.sketch.CountMinSketch
+          .readFrom(new java.io.ByteArrayInputStream(skBytes))
+        val bound = math.ceil(1e-4 * cms.totalCount()).toLong
+        val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+        import s.implicits._
+        val types = exact.select("event_type").as[String].collect().toSeq
+        val est = types.map(t => (t, cms.estimateCount(t))).toDF("event_type", "est_n")
+        exact.join(broadcast(est), "event_type")
+          .select(col("event_type"), col("exact_n"),
+            (col("est_n") >= col("exact_n")).as("never_under"),
+            (col("est_n") <= col("exact_n") + lit(bound)).as("within_eps"))
+          .orderBy("event_type")
+      }),
+
     Q("scale_approx_window_stats",
       Some("""SELECT event_type AS sensor_type,
              | strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -181,6 +181,33 @@ class PlanSpec extends SparkTestBase {
       s"corpus gram stream should never shuffle to the join:\n$p")
   }
 
+  test("whole registry: no cartesian products; nested-loop joins only where documented") {
+    // BroadcastNestedLoopJoin is legitimate ONLY for the documented
+    // broadcast-scored similarity queries (tiny query/centroid side against
+    // the corpus). Everything else must plan hash/sort joins.
+    val nlAllowed = Set(
+      "x_cosine_topk", "x_embedding_neardups", "x_ivf_topk",
+      "x_ivf_lloyd_probe2", "x_knn_classify", "x_semantic_dedup",
+      "x_pq_codes", "x_minhash_est_vs_exact", "j_range_join_bands",
+      "w_asof_prior_signup", "x_srp_lsh_neardups",
+      // single-row aggregate / tiny-spine broadcasts (share-of-total,
+      // type×hour gap-fill grids) — bounded sides by construction
+      "a_supplier_value_share", "a_missing_hours", "a_gapfill_ffill")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct"
+        if (p.contains("BroadcastNestedLoopJoin") && !nlAllowed.exists(name.startsWith))
+          offenders += s"$name: BroadcastNestedLoopJoin"
+      } catch {
+        case e: Throwable => offenders += s"$name: plan build failed (${e.getClass.getSimpleName})"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("Par.fanOut: no Exchange on a pre-partitioned input, repartition when starved") {
     val par = spark.sparkContext.defaultParallelism
     // already at/above parallelism → must return the SAME plan (no shuffle):

@@ -8,9 +8,9 @@ import graft.model.{Schemas, Tables}
 import graft.silver.Silver
 import graft.gold.Gold
 import graft.quality.Quality
-import graft.warehouse.Warehouse
+import graft.warehouse.{Layout, Warehouse}
 import graft.ext.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
-import graft.operators.{AsOf, Sessionize}
+import graft.operators.{AsOf, BloomPrune, Sessionize}
 import graft.monitoring.Alerts
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -3324,6 +3324,65 @@ object SparkEntry {
               last(col("avg_v"), ignoreNulls = true).over(w)).as("avg_ffill"))
           .orderBy("event_type", "hour_s")
       }),
+
+    // Scale: bloom semi-join reduction — the probe (lineitem) is
+    // prefiltered by a fixed-size bloom sketch over the selective build
+    // side's keys BEFORE its shuffle, cutting shuffled fact bytes by the
+    // build side's selectivity. Exact by construction (no false
+    // negatives; the join removes false positives), so the oracle is the
+    // plain join. Spark's own runtime-filter rule covers only the shapes
+    // its heuristics see; this is the explicit, composable form.
+    Q("j_bloom_prefilter_join",
+      Some("""SELECT p_brand, COUNT(*) AS n_items,
+             | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS revenue
+             | FROM lineitem JOIN part ON l_partkey = p_partkey
+             | WHERE p_size <= 3
+             | GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val pr = Tables.part(s, dir).filter(col("p_size") <= 3)
+        BloomPrune.prefilteredJoin(li, pr, "l_partkey", "p_partkey",
+            expectedItems = 10000L, numBits = 1L << 20)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+              .cast("decimal(38,6)").cast("string").as("revenue"))
+          .orderBy("p_brand")
+      }),
+
+    // Z-order layout key: bit-interleaved (user_id, value-band). The
+    // identical arithmetic is generated as SQL by Layout.zValue2Sql, so
+    // the curve is oracle-verified bit-for-bit; file-level clustering
+    // (non-overlapping per-file z-ranges → row-group skipping for 2-D
+    // range predicates) is pinned by LayoutSpec on zorderWrite.
+    Q("s_zorder_key",
+      Some(s"""SELECT event_id,
+              | CAST(${Layout.zValue2Sql("user_id", "CAST(FLOOR(value) AS BIGINT)", 8)} AS BIGINT) AS z
+              | FROM events ORDER BY z, event_id LIMIT 200""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          Layout.zValue2(col("user_id"), floor(col("value")).cast("long"), 8).as("z"))
+        .orderBy("z", "event_id").limit(200)),
+
+    // Per-source document cap (Common-Crawl-style domain capping): keep a
+    // deterministic hash-ordered sample of at most N docs per source —
+    // one ranking window partitioned by source, no rand(), reproducible
+    // across runs and partitionings.
+    Q("x_source_cap",
+      Some("""SELECT source, doc_id FROM (
+             | SELECT source, doc_id,
+             |   row_number() OVER (PARTITION BY source
+             |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             | FROM documents)
+             | WHERE rn <= 15 ORDER BY source, doc_id""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rn") <= 15)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")),
 
     // The custom codegen expression exposed as a SQL function
     // (spark.sql.extensions path) — squared L2 norms via graft_dot.

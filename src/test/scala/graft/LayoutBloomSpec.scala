@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.operators.BloomPrune
+import graft.warehouse.Layout
+
+/** Bloom semi-join reduction + Z-order layout: the two round-5 scan/shuffle
+  * reducers. Both are execution details — results must be bit-identical to
+  * the naive plan; the specs additionally pin the reduction itself
+  * (probe-row cut, per-file clustering). */
+class LayoutBloomSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bloom prefiltered join ≡ plain join, and actually prunes the probe") {
+    val li = Tables.lineitem(spark, sf)
+    val pr = Tables.part(spark, sf).filter(col("p_size") <= 3)
+
+    val plain = li.join(pr, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val pruned = BloomPrune.prefilteredJoin(li, pr, "l_partkey", "p_partkey",
+        expectedItems = 10000L, numBits = 1L << 20)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(pruned === plain)
+
+    // the prefilter must cut probe rows roughly to the build side's key
+    // coverage: with p_size<=3 only a small fraction of parts survive, so
+    // most lineitem rows never reach the join shuffle
+    val bloom = BloomPrune.keyBloom(pr, col("p_partkey"), 10000L, 1L << 20)
+    val total = li.count()
+    val kept = li.filter(BloomPrune.mightContain(bloom, col("l_partkey"))).count()
+    val trueMatches = li.join(pr.select("p_partkey").distinct(),
+      col("l_partkey") === col("p_partkey"), "left_semi").count()
+    assert(kept >= trueMatches, "bloom must never drop a matching row")
+    assert(kept <= trueMatches + (total - trueMatches) / 10,
+      s"false-positive rate too high: kept=$kept true=$trueMatches total=$total")
+  }
+
+  test("bloom probe on a disjoint key set keeps almost nothing") {
+    val li = Tables.lineitem(spark, sf)
+    // keys shifted far outside the part key range — only bloom false
+    // positives survive
+    val fake = spark.range(10_000_000L, 10_001_000L).toDF("k")
+    val bloom = BloomPrune.keyBloom(fake, col("k"), 1000L, 1L << 16)
+    val kept = li.filter(BloomPrune.mightContain(bloom, col("l_partkey"))).count()
+    assert(kept <= li.count() / 20, s"disjoint bloom kept $kept rows")
+  }
+
+  test("zValue2 interleaves bits (known values) and matches its SQL form") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (255L, 255L))
+      .toDF("x", "y")
+    val got = df.select(Layout.zValue2(col("x"), col("y"), 8).as("z"))
+      .as[Long].collect().toSeq
+    // bit i of x → 2i+1, bit i of y → 2i
+    assert(got === Seq(0L, 2L, 1L, 0x1BL, 0xFFFFL))
+    // SQL mirror produces the identical curve on real data
+    val ev = Tables.events(spark, sf).limit(500)
+      .select(col("event_id"), col("user_id"),
+        floor(col("value")).cast("long").as("vb"))
+    ev.createOrReplaceTempView("zin")
+    val viaSql = spark.sql(
+      s"""SELECT event_id,
+         | CAST(${Layout.zValue2Sql("user_id", "vb", 8)} AS BIGINT) AS z
+         | FROM zin""".stripMargin)
+    val viaCol = ev.select(col("event_id"),
+      Layout.zValue2(col("user_id"), col("vb"), 8).as("z"))
+    assert(viaSql.except(viaCol).isEmpty && viaCol.except(viaSql).isEmpty)
+  }
+
+  test("zorderWrite yields non-overlapping per-file z-ranges") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val ev = Tables.events(spark, sf)
+    Layout.zorderWrite(ev, col("user_id"), floor(col("value")).cast("long"),
+      bits = 8, numFiles = 8, path = dir)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+    assert(files.size > 1, "expected multiple z-range files")
+    val ranges = files.map { f =>
+      spark.read.parquet(f)
+        .select(min(Layout.zValue2(col("user_id"),
+          floor(col("value")).cast("long"), 8)).as("lo"),
+          max(Layout.zValue2(col("user_id"),
+            floor(col("value")).cast("long"), 8)).as("hi"))
+        .head()
+    }.filter(r => !r.isNullAt(0))
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(lo2 >= hi1, s"file z-ranges overlap: hi=$hi1 lo=$lo2")
+      case _ =>
+    }
+    // round trip: clustering must not lose or duplicate rows
+    assert(spark.read.parquet(dir).count() === ev.count())
+  }
+}

@@ -3366,6 +3366,31 @@ object SparkEntry {
           Layout.zValue2(col("user_id"), floor(col("value")).cast("long"), 8).as("z"))
         .orderBy("z", "event_id").limit(200)),
 
+    // Temperature-scaled mixing weights (multinomial source re-balancing
+    // for a training mix, alpha=0.7): q_s ∝ p_s^0.7 normalized. The
+    // unpartitioned window runs over the 20-row per-source aggregate, not
+    // the corpus — see Sampling.mixWeights scale note.
+    Q("x_mix_weights",
+      Some("""SELECT source, n_rows,
+             | ROUND(p + 1e-9, 4) AS p_nat,
+             | ROUND(qr / SUM(qr) OVER () + 1e-9, 4) AS q_mix,
+             | ROUND(qr / SUM(qr) OVER () * 10000 + 1e-9, 4) AS expected_10k
+             | FROM (SELECT source, n_rows, p, POW(p, 0.7) AS qr
+             |   FROM (SELECT source, n_rows, n_rows / SUM(n_rows) OVER () AS p
+             |     FROM (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_rows
+             |           FROM documents GROUP BY source)))
+             | ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val mixed = graft.ext.Sampling.mixWeights(
+          Tables.documents(s, dir), Seq("source"), alpha = 0.7)
+        mixed.select(col("source"),
+          col("n_rows").cast("double").as("n_rows"),
+          round(col("p") + lit(1e-9), 4).as("p_nat"),
+          round(col("q") + lit(1e-9), 4).as("q_mix"),
+          round(col("q") * 10000 + lit(1e-9), 4).as("expected_10k"))
+          .orderBy("source")
+      }),
+
     // Per-source document cap (Common-Crawl-style domain capping): keep a
     // deterministic hash-ordered sample of at most N docs per source —
     // one ranking window partitioned by source, no rand(), reproducible

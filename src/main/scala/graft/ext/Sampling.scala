@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable sampling and dataset splitting.
@@ -68,5 +69,27 @@ object Sampling {
       when(stratum === s, p).otherwise(acc)
     }
     b < cut
+  }
+
+  /** Temperature-scaled mixing weights per group (the multinomial
+    * source/language re-balancing used when assembling a training mix):
+    * with p_g the group's share of the corpus, q_g ∝ p_g^alpha
+    * normalized. alpha=1 keeps natural proportions, alpha→0 approaches
+    * uniform — upweighting rare sources at the expense of dominant ones.
+    *
+    * Distributed shape: one hash aggregation to per-group counts, then
+    * unpartitioned windows over the GROUP table only — thousands of
+    * groups at most, long after the corpus (billions of rows) has been
+    * reduced, so the single-partition window is over provably tiny data.
+    * Returns (group..., n_rows, p, q). */
+  def mixWeights(df: DataFrame, groupCols: Seq[String],
+                 alpha: Double): DataFrame = {
+    val w = Window.partitionBy()
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("p", col("n_rows") / sum("n_rows").over(w))
+      .withColumn("_qr", pow(col("p"), alpha))
+      .withColumn("q", col("_qr") / sum("_qr").over(w))
+      .drop("_qr")
   }
 }

@@ -73,4 +73,21 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("dup_of") === 1L)
     assert(out.head.getAs[Double]("max_cos") > 0.99)
   }
+
+  test("mixWeights: q sums to 1 and temperature compresses toward uniform") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("src")
+    val m = Sampling.mixWeights(df, Seq("src"), alpha = 0.5)
+      .collect().map(r => r.getAs[String]("src") ->
+        (r.getAs[Double]("p"), r.getAs[Double]("q"))).toMap
+    assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-12)
+    val (pBig, qBig) = m("big")
+    val (pSmall, qSmall) = m("small")
+    assert(pBig === 0.9 && pSmall === 0.1)
+    // alpha<1 moves mass from the dominant group to the rare one
+    assert(qBig < pBig && qSmall > pSmall)
+    // alpha=1 keeps natural proportions exactly
+    val nat = Sampling.mixWeights(df, Seq("src"), alpha = 1.0)
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("q")).toMap
+    assert(math.abs(nat("big") - 0.9) < 1e-12 && math.abs(nat("small") - 0.1) < 1e-12)
+  }
 }

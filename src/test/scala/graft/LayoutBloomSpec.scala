@@ -41,6 +41,21 @@ class LayoutBloomSpec extends SparkTestBase {
       s"false-positive rate too high: kept=$kept true=$trueMatches total=$total")
   }
 
+  test("bloom prefilter sits below the join in the physical plan") {
+    val li = Tables.lineitem(spark, sf)
+    val pr = Tables.part(spark, sf).filter(col("p_size") <= 3)
+    val p = BloomPrune.prefilteredJoin(li, pr, "l_partkey", "p_partkey",
+        expectedItems = 10000L, numBits = 1L << 20)
+      .queryExecution.executedPlan.toString
+    val probeIdx = p.indexOf("might_contain")
+    val joinIdx = math.max(p.indexOf("Join"), p.indexOf("join"))
+    assert(probeIdx >= 0, s"no might_contain in plan:\n$p")
+    // executedPlan prints top-down, so the probe filter (a child of the
+    // join) must appear AFTER the join operator line — i.e. below it
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe not below the join:\n$p")
+  }
+
   test("bloom probe on a disjoint key set keeps almost nothing") {
     val li = Tables.lineitem(spark, sf)
     // keys shifted far outside the part key range — only bloom false

@@ -747,6 +747,42 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("fingerprint")),
 
+    // Incremental exact dedup: today's batch (doc_id >= 250) deduped
+    // within itself and against the historical index (fingerprints of
+    // doc_id < 250) — an anti join on the 128-bit fingerprint, never the
+    // bodies. The production daily-ingest shape: history is never
+    // rescanned.
+    // The synthetic corpus has no exact dups, so the batch is spiked with
+    // re-keyed copies: +1M ids duplicate INDEX docs (killed by the anti
+    // join), +2M ids duplicate other BATCH docs (killed by the
+    // within-batch window, lower id wins). Survivors = the originals.
+    Q("x_incremental_dedup",
+      Some(s"""WITH fp AS (SELECT doc_id, source, md5($normSql) AS f FROM documents),
+              |idx AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250),
+              |batch AS (
+              |  SELECT doc_id, source, f FROM fp WHERE doc_id >= 250
+              |  UNION ALL SELECT doc_id + 1000000, source, f FROM fp WHERE doc_id < 50
+              |  UNION ALL SELECT doc_id + 2000000, source, f FROM fp WHERE doc_id >= 250 AND doc_id < 260),
+              |kept AS (SELECT f, MIN(doc_id) AS doc_id FROM batch GROUP BY f)
+              |SELECT k.doc_id, b.source FROM kept k
+              | JOIN batch b ON b.doc_id = k.doc_id AND b.f = k.f
+              | WHERE k.f NOT IN (SELECT f FROM idx)
+              | ORDER BY k.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val index = docs.filter(col("doc_id") < 250)
+          .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .distinct()
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+          .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 260)
+            .withColumn("doc_id", col("doc_id") + 2000000L))
+        Dedup.incrementalExactDedup(batch, "text", "doc_id", index)
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      }),
+
     // X-dedup-jaccard: blocked all-pairs 3-shingle Jaccard (quadratic
     // baseline; blocking key = source).
     Q("x_jaccard_pairs",

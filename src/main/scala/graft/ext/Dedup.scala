@@ -32,6 +32,29 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Incremental exact dedup — the shape every production pipeline
+    * actually runs: dedup TODAY'S batch against the historical
+    * fingerprint index without rescanning history. Two steps, both
+    * fingerprint-keyed (the shuffle never carries document bodies):
+    * within-batch keep-lowest-id (same window as [[exactDedup]]), then a
+    * LEFT ANTI join against `index` (one `fingerprint` column — millions
+    * of 32-char rows per billion historical docs, usually
+    * broadcast-able). Afterwards union the survivors' fingerprints into
+    * the index for the next batch; `survivorFingerprints` builds exactly
+    * that delta. */
+  def incrementalExactDedup(batch: DataFrame, textCol: String,
+                            idCol: String, index: DataFrame): DataFrame = {
+    val inBatch = exactDedup(batch, textCol, idCol)
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    inBatch.join(index.select(col("fingerprint").as("_fp")), Seq("_fp"),
+        "left_anti")
+      .drop("_fp")
+  }
+
+  /** The index delta for [[incrementalExactDedup]] survivors. */
+  def survivorFingerprints(survivors: DataFrame, textCol: String): DataFrame =
+    survivors.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+
   /** The double-hashed MinHash family: one md5 per shingle, split into two
     * 40-bit halves (u, v), with permutation p's hash h_p = u + p·v
     * (Kirsch–Mitzenmacher double hashing — p pairwise-combined hashes from

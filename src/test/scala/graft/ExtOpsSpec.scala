@@ -74,6 +74,24 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out.head.getAs[Double]("max_cos") > 0.99)
   }
 
+  test("incrementalExactDedup drops index dups and within-batch dups") {
+    val history = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val index = Dedup.survivorFingerprints(history, "text").distinct()
+    val batch = Seq(
+      (10L, "alpha beta"),   // dup of history doc 1 → dropped by anti join
+      (11L, "epsilon zeta"), // new → kept
+      (12L, "epsilon zeta"), // within-batch dup of 11 → dropped (higher id)
+      (13L, "Alpha   Beta")) // normalization catches case/whitespace → dropped
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExactDedup(batch, "text", "doc_id", index)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(11L))
+    // the index delta is exactly the survivors' fingerprints
+    assert(Dedup.survivorFingerprints(
+      Dedup.incrementalExactDedup(batch, "text", "doc_id", index), "text")
+      .count() === 1)
+  }
+
   test("mixWeights: q sums to 1 and temperature compresses toward uniform") {
     val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("src")
     val m = Sampling.mixWeights(df, Seq("src"), alpha = 0.5)

@@ -163,6 +163,60 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Dedup-at-ingest: each micro-batch is deduped within itself and
+    * against the persistent fingerprint index, survivors append to
+    * `outPath`, and their fingerprints append to the index — so a
+    * document seen in ANY earlier batch (not just inside the watermark
+    * horizon, which is `dropDuplicatesWithinWatermark`'s limit) never
+    * lands twice. The batch marker makes replays no-ops, exactly like
+    * [[mergeGoldBatch]].
+    *
+    * Scale shape: the index is fingerprint-sized (32 bytes/doc ever
+    * ingested), the per-batch work is one window + one anti join keyed on
+    * the fingerprint, and the corpus bodies never shuffle. At 100 TB the
+    * index read would be a bucketed/bloom-pruned lookup rather than this
+    * test path's full parquet read. */
+  def dedupIngest(stream: DataFrame, textCol: String, idCol: String,
+                  outPath: String, indexPath: String,
+                  ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val marker = new java.io.File(s"$outPath/_batches/$id")
+        if (!marker.exists()) {
+          val idxDir = new java.io.File(s"$indexPath/data")
+          val index =
+            if (idxDir.exists()) spark.read.parquet(idxDir.getPath)
+            else spark.emptyDataFrame
+              .select(lit("").as("fingerprint")).limit(0)
+          val survivors = graft.ext.Dedup
+            .incrementalExactDedup(batch, textCol, idCol, index)
+          survivors.write.mode("append").parquet(s"$outPath/data")
+          // the index delta reads idxDir, so it cannot write there
+          // directly: stage it, then rename the part files in (task
+          // UUIDs make collisions impossible). No caching/checkpoint —
+          // recomputing the anti join once more per batch is cheaper
+          // than leaking persisted blocks across micro-batches.
+          val stage = new java.io.File(s"$indexPath/_stage_$id")
+          graft.ext.Dedup.survivorFingerprints(survivors, textCol)
+            .write.mode("overwrite").parquet(stage.getPath)
+          idxDir.mkdirs()
+          stage.listFiles().filter(_.getName.startsWith("part-"))
+            .foreach { f =>
+              f.renameTo(new java.io.File(idxDir, f.getName)); ()
+            }
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+          }
+          rm(stage)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+        }
+        ()
+      }
+      .start()
+
   /** T7 (extension): in-stream tumbling-window aggregation with watermark —
     * the streaming counterpart of Gold.windowAgg. The reference computes
     * windows only in batch (silver_to_gold.py:57,106); this gives the same

@@ -70,6 +70,47 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(bronze).count() === 3)
   }
 
+  test("dedupIngest: cross-batch dups never land twice; restart replays are no-ops") {
+    val inDir = Files.createTempDirectory("graft-dd-in").toString
+    val out = Files.createTempDirectory("graft-dd-out").toString
+    val idx = Files.createTempDirectory("graft-dd-idx").toString
+    val ckpt = Files.createTempDirectory("graft-dd-ckpt").toString
+
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .json(inDir)
+      val q = StreamingPipeline.dedupIngest(src, "text", "doc_id",
+        out, idx, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // batch 1: one internal dup (21 of 20)
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"),
+      """{"doc_id":10,"text":"alpha beta"}
+        |{"doc_id":20,"text":"gamma delta"}
+        |{"doc_id":21,"text":"gamma delta"}
+        |""".stripMargin)
+    run()
+    assert(spark.read.parquet(s"$out/data").count() === 2)
+
+    // batch 2: 30 dups batch-1's survivor, 31 is genuinely new
+    Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+      """{"doc_id":30,"text":"alpha beta"}
+        |{"doc_id":31,"text":"epsilon zeta"}
+        |""".stripMargin)
+    run()
+    val landed = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(landed === Seq(10L, 20L, 31L))
+    // the index now carries one fingerprint per unique doc ever seen
+    assert(spark.read.parquet(s"$idx/data").distinct().count() === 3)
+
+    // restart with the same checkpoint: no new input → nothing re-lands
+    run()
+    assert(spark.read.parquet(s"$out/data").count() === 3)
+  }
+
   test("S7/S8: CSV replay source round-trips through producer-shaped JSON") {
     val csvDir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Path.of(csvDir, "replay.csv"),

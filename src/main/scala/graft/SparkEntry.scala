@@ -747,6 +747,27 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("fingerprint")),
 
+    // Unigram entropy quality signal: vocabulary concentration per doc
+    // (log2(n) − Σc·log2(c)/n — one aggregation pass, no join against the
+    // per-doc total). Empty docs restored with entropy 0.
+    Q("x_token_entropy",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |c AS (SELECT doc_id, tok, COUNT(*) AS c
+              |      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+              |e AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+              |        LOG2(CAST(SUM(c) AS DOUBLE))
+              |          - SUM(c * LOG2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE) AS h
+              |      FROM c GROUP BY doc_id)
+              |SELECT d.doc_id, COALESCE(e.n_tokens, 0) AS n_tokens,
+              | ROUND(COALESCE(e.h, 0.0) + 1e-9, 4) AS entropy_bits
+              |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.tokenEntropy(
+          Tables.documents(s, dir), "text", "doc_id")
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          round(col("entropy_bits") + lit(1e-9), 4).as("entropy_bits"))
+        .orderBy("doc_id")),
+
     // Incremental exact dedup: today's batch (doc_id >= 250) deduped
     // within itself and against the historical index (fingerprints of
     // doc_id < 250) — an anti join on the 128-bit fingerprint, never the

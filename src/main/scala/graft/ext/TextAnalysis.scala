@@ -272,4 +272,35 @@ object TextAnalysis {
       .filter(col("term_rank") <= k)
       .select(col("id"), col("term"), col("tf"), col("tfidf"), col("term_rank"))
   }
+
+  /** Per-document unigram entropy in bits: H = -Σ p·log2(p) over the
+    * document's OWN token distribution. Near-zero = templated/repetitive
+    * text, high = diverse vocabulary — a standard cheap quality signal
+    * complementing [[dupFraction]] (which sees n-gram structure, not
+    * vocabulary concentration).
+    *
+    * Distributed shape: explode to (id, token) → two hash aggregations
+    * keyed by id — the shuffle carries tokens and counts, never full
+    * texts; docs with no tokens are restored by a left join against the
+    * (already-tiny) id projection with entropy 0. */
+  def tokenEntropy(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String): org.apache.spark.sql.DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val counts = Par.fanOut(docs, par)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("c"))
+    val ent = counts.groupBy("id")
+      .agg(sum("c").as("n_tokens"),
+        sum(col("c") * log(2.0, col("c"))).as("_clgc"))
+      // -Σ (c/n)·log2(c/n) = log2(n) − (Σ c·log2 c)/n : one pass, no
+      // second join against the per-doc total
+      .select(col("id"),
+        col("n_tokens"),
+        (log(2.0, col("n_tokens")) - col("_clgc") / col("n_tokens"))
+          .as("entropy_bits"))
+    docs.select(col(idCol).as("id")).join(ent, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("entropy_bits"), lit(0.0)).as("entropy_bits"))
+  }
 }

@@ -37,6 +37,25 @@ object Layout {
     }
   }
 
+  /** N-column interleave: bit i of column j lands at position i·k + (k−1−j)
+    * for k columns — column 0 gets the most significant bit of each round,
+    * matching [[zValue2]] exactly when k = 2. `bits · k` must fit a long's
+    * 63 usable bits. */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, s"need at least 2 columns, got $k")
+    require(bits >= 1 && bits * k <= 63,
+      s"bits*cols must fit a long: bits=$bits cols=$k")
+    val mask = (1L << bits) - 1
+    val masked = cols.map(_.cast("long").bitwiseAND(lit(mask)))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      masked.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a.bitwiseOR(
+          shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + (k - 1 - j)))
+      }
+    }
+  }
+
   /** The same interleave as ANSI SQL text (DuckDB-compatible), so oracles
     * can verify the z-curve bit-for-bit. */
   def zValue2Sql(x: String, y: String, bits: Int): String = {

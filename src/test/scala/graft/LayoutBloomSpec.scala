@@ -88,6 +88,27 @@ class LayoutBloomSpec extends SparkTestBase {
     assert(viaSql.except(viaCol).isEmpty && viaCol.except(viaSql).isEmpty)
   }
 
+  test("zValueN generalizes zValue2 and interleaves 3 columns correctly") {
+    import spark.implicits._
+    val df = Seq((3L, 5L, 1L)).toDF("x", "y", "w")
+    // 2-col N-form must equal the specialized form on real data
+    val ev = Tables.events(spark, sf).limit(300)
+      .select(col("user_id").as("a"), floor(col("value")).cast("long").as("b"))
+    val mismatch = ev.select(
+      Layout.zValue2(col("a"), col("b"), 8).as("z2"),
+      Layout.zValueN(Seq(col("a"), col("b")), 8).as("zn"))
+      .filter(col("z2") =!= col("zn")).count()
+    assert(mismatch === 0L)
+    // 3-col known value: x=3 (011), y=5 (101), w=1 (001), bits=3
+    // round i emits [x_i y_i w_i] at positions 3i+2,3i+1,3i:
+    // i=0: x0=1,y0=1,w0=1 → 111b<<0 = 7
+    // i=1: x1=1,y1=0,w1=0 → 100b<<3 = 32
+    // i=2: x2=0,y2=1,w2=0 → 010b<<6 = 128
+    val z3 = df.select(Layout.zValueN(Seq(col("x"), col("y"), col("w")), 3))
+      .as[Long].head()
+    assert(z3 === (7L | 32L | 128L))
+  }
+
   test("zorderWrite yields non-overlapping per-file z-ranges") {
     val dir = Files.createTempDirectory("graft-zorder").toString
     val ev = Tables.events(spark, sf)

@@ -55,6 +55,24 @@ object Dedup {
   def survivorFingerprints(survivors: DataFrame, textCol: String): DataFrame =
     survivors.select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
 
+  /** Bucketed-index variant of [[incrementalExactDedup]] — the production
+    * lookup shape when the index dwarfs the batch: with the index stored
+    * bucketed on `fingerprint` (`Warehouse.writeBucketed`), the anti join
+    * reads the index IN PLACE and shuffles only today's batch into the
+    * bucket partitioning. A billion-doc index never crosses the wire to
+    * dedup a million-doc day. */
+  def incrementalExactDedupBucketed(batch: DataFrame, textCol: String,
+                                    idCol: String,
+                                    indexTable: String): DataFrame = {
+    val inBatch = exactDedup(batch, textCol, idCol)
+      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
+    inBatch.join(
+        batch.sparkSession.table(indexTable)
+          .select(col("fingerprint").as("_fp")),
+        Seq("_fp"), "left_anti")
+      .drop("_fp")
+  }
+
   /** The double-hashed MinHash family: one md5 per shingle, split into two
     * 40-bit halves (u, v), with permutation p's hash h_p = u + p·v
     * (Kirsch–Mitzenmacher double hashing — p pairwise-combined hashes from

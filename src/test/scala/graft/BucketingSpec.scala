@@ -42,6 +42,38 @@ class BucketingSpec extends SparkTestBase {
     assert(exchanges(p) == 0, s"bucketed aggregation still shuffles:\n$p")
   }
 
+  test("bucketed fingerprint index: dedup anti join never moves the index") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, dir)
+    val index = Dedup.survivorFingerprints(
+      docs.filter(col("doc_id") < 250), "text").distinct()
+    Warehouse.writeBucketed(index, "b_fp_index", "fingerprint", 4)
+    val batch = docs.filter(col("doc_id") >= 250)
+      // spike with an index dup so the anti join provably kills something
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Dedup.incrementalExactDedupBucketed(
+        batch, "text", "doc_id", "b_fp_index")
+      val plain = Dedup.incrementalExactDedup(batch, "text", "doc_id",
+        spark.table("b_fp_index"))
+      // identical survivors either way — the layout is an execution detail
+      assert(bucketed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        === plain.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+      assert(bucketed.count() === 250)
+      // the index side reads in place: bucketed plan needs strictly fewer
+      // exchanges than the same join against an unbucketed index copy
+      val unbucketed = Dedup.incrementalExactDedup(batch, "text", "doc_id",
+        index)
+      val eB = exchanges(bucketed.queryExecution.executedPlan.toString)
+      val eU = exchanges(unbucketed.queryExecution.executedPlan.toString)
+      assert(eB < eU, s"bucketed index did not save a shuffle: $eB vs $eU")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("mismatched bucket counts shuffle at most one side") {
     Warehouse.writeBucketed(Tables.orders(spark, dir), "b_orders8",
       "o_orderkey", 8)

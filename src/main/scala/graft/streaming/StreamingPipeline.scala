@@ -41,23 +41,36 @@ object StreamingPipeline {
       availableNow: Boolean = false)
 
   /** Kafka source plan (S1) — exactly the reference's options
-    * (spark_streaming.py:79-87). Not startable in the sandbox; the plan
-    * shape is what tests assert. */
+    * (spark_streaming.py:79-87) plus the backpressure lever the reference
+    * lacked: `maxOffsetsPerTrigger` caps records per micro-batch so a
+    * restart after downtime drains the backlog at a bounded rate instead
+    * of materializing one giant catch-up batch (the usual
+    * restart-OOM/SLA failure at production volume). Not startable in the
+    * sandbox; the plan shape is what tests assert. */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
-                  startingOffsets: String = "latest"): DataFrame =
-    spark.readStream.format("kafka")
+                  startingOffsets: String = "latest",
+                  maxOffsetsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .option("failOnDataLoss", "false")
-      .load()
+    maxOffsetsPerTrigger.fold(r)(n =>
+      r.option("maxOffsetsPerTrigger", n.toString)).load()
+  }
 
   /** File-based source standing in for Kafka in tests: a directory of text
     * files, one JSON event per line, payload column named `value` like
-    * Kafka's. */
-  def fileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.text(dir).withColumnRenamed("value", "payload")
+    * Kafka's. `maxFilesPerTrigger` is the file-source form of the same
+    * backpressure cap. */
+  def fileSource(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+    maxFilesPerTrigger.foreach(n =>
+      r.option("maxFilesPerTrigger", n.toString))
+    r.text(dir).withColumnRenamed("value", "payload")
       .withColumn("value", col("payload")).drop("payload")
+  }
 
   /** One-consumption ingest: parse + split happen per micro-batch inside
     * foreachBatch; valid rows append to partitioned parquet Bronze,

@@ -70,6 +70,27 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(bronze).count() === 3)
   }
 
+  test("maxFilesPerTrigger paces backlog drain to bounded micro-batches") {
+    val inDir = Files.createTempDirectory("graft-bp-in").toString
+    val ckpt = Files.createTempDirectory("graft-bp-ckpt").toString
+    (1 to 3).foreach { i =>
+      Files.writeString(java.nio.file.Path.of(inDir, s"f$i.txt"),
+        s"$goodJson\n$goodJson\n")
+    }
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingPipeline.fileSource(spark, inDir, maxFilesPerTrigger = Some(1))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        counts.synchronized { counts += b.count() }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // 6 backlog rows drain as 3 bounded batches, never one catch-up batch
+    assert(counts.sum === 6L)
+    assert(counts.size >= 3, s"expected >=3 micro-batches, got $counts")
+    assert(counts.forall(_ <= 2L), s"a batch exceeded the cap: $counts")
+  }
+
   test("dedupIngest: cross-batch dups never land twice; restart replays are no-ops") {
     val inDir = Files.createTempDirectory("graft-dd-in").toString
     val out = Files.createTempDirectory("graft-dd-out").toString

@@ -747,6 +747,18 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("fingerprint")),
 
+    // Content fingerprint: one (count, xor-of-row-hashes) row replaces a
+    // full table diff for re-run/replica/engine-port equality checks —
+    // the oracle recomputing the identical value IS the cross-engine
+    // demonstration.
+    Q("q_content_fingerprint",
+      Some("""SELECT COUNT(*) AS row_count,
+             | BIT_XOR(CAST(CONCAT('0x',
+             |   SUBSTRING(md5(CONCAT_WS('|', event_id::VARCHAR, user_id::VARCHAR, event_type)), 1, 15)) AS BIGINT)) AS content_hash
+             | FROM events""".stripMargin),
+      (s, dir) => Quality.contentFingerprint(
+        Tables.events(s, dir), Seq("event_id", "user_id", "event_type"))),
+
     // Unigram entropy quality signal: vocabulary concentration per doc
     // (log2(n) − Σc·log2(c)/n — one aggregation pass, no join against the
     // per-doc total). Empty docs restored with entropy 0.

@@ -101,4 +101,26 @@ object Quality {
         "data-quality checks failed: " +
           failed.map(r => s"${r.check}(failed=${r.failed})").mkString(", "))
   }
+
+  /** Order-independent content fingerprint of a projection: one row of
+    * (row_count, bit_xor of a 60-bit md5-derived row hash). Lets a re-run,
+    * an engine port, or a replica be compared with ONE row instead of a
+    * table diff; XOR commutes, so the result is independent of partitioning
+    * and row order, and any single-row change flips it. md5 keeps the hash
+    * engine-portable (the oracle recomputes it in SQL). Caveat, by
+    * construction: rows duplicated an EVEN number of times cancel out of
+    * the XOR — pair with `row_count` (which does catch them) or
+    * [[uniqueKey]] when exact multiset equality matters.
+    *
+    * Scale shape: narrow projection → one hash aggregation; only 8-byte
+    * hashes cross the wire. */
+  def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val rowHash = conv(substring(
+        md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+          .cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(rowHash.as("h"))
+      .agg(count(lit(1)).as("row_count"),
+        expr("bit_xor(h)").as("content_hash"))
+  }
 }

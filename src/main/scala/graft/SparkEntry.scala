@@ -747,6 +747,32 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("fingerprint")),
 
+    // Distribution drift (PSI) per event type between the month's halves:
+    // fixed [0,500)x10 buckets, Laplace-smoothed, sparse-bucket
+    // convention mirrored exactly in the oracle.
+    Q("m_drift_psi",
+      Some("""WITH b AS (SELECT event_type,
+             |   LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INT), 0), 9) AS bucket,
+             |   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+             | FROM events),
+             |c AS (SELECT event_type, bucket, SUM(is_ref) AS c_ref,
+             |        SUM(1 - is_ref) AS c_cur FROM b GROUP BY 1, 2),
+             |t AS (SELECT event_type, c_ref, c_cur,
+             |        SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+             |        SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur FROM c)
+             |SELECT event_type,
+             | CAST(MAX(n_ref) AS BIGINT) AS n_ref, CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+             | ROUND(SUM(((c_ref + 0.5) / (n_ref + 5.0) - (c_cur + 0.5) / (n_cur + 5.0))
+             |   * LN(((c_ref + 0.5) / (n_ref + 5.0)) / ((c_cur + 0.5) / (n_cur + 5.0)))) + 1e-9, 4) AS psi
+             |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => graft.monitoring.Drift.psi(
+          Tables.events(s, dir), Seq("event_type"), "value",
+          isRef = col("ts") < lit("2024-01-16").cast("timestamp"),
+          lo = 0.0, hi = 500.0, buckets = 10)
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round(col("psi") + lit(1e-9), 4).as("psi"))
+        .orderBy("event_type")),
+
     // Content fingerprint: one (count, xor-of-row-hashes) row replaces a
     // full table diff for re-run/replica/engine-port equality checks —
     // the oracle recomputing the identical value IS the cross-engine

@@ -86,4 +86,22 @@ class AlertsSpec extends SparkTestBase {
       Seq(Rule("stream_stalled", "critical", "input_rows", "<=", 0.0, 2))).collect()
     assert(out.map(_.getAs[String]("state")).toSeq === Seq("pending", "firing"))
   }
+
+  test("PSI: identical halves score ~0, a shifted half scores high") {
+    import graft.monitoring.Drift
+    // group "same": ref and cur draw from the same values;
+    // group "shift": cur values move two buckets right
+    val rows = (0 until 200).flatMap { j =>
+      val v = (j % 10) * 10.0
+      Seq(("same", true, v), ("same", false, v),
+        ("shift", true, v), ("shift", false, v + 30.0))
+    }
+    val df = rows.toDF("g", "ref", "v")
+    val out = Drift.psi(df, Seq("g"), "v", col("ref"),
+        lo = 0.0, hi = 130.0, buckets = 13)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("psi")).toMap
+    assert(out("same") < 0.01, s"no-drift PSI should be ~0: ${out("same")}")
+    assert(out("shift") > 0.25, s"shifted PSI should flag: ${out("shift")}")
+    assert(out("shift") > 10 * out("same"))
+  }
 }

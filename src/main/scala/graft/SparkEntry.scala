@@ -3486,6 +3486,18 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+    // 3-dimensional Z-order key (user × value-band × hour-of-day): the
+    // N-column generator and its SQL mirror must agree bit-for-bit.
+    Q("s_zorder_key3",
+      Some(s"""SELECT event_id,
+              | CAST(${Layout.zValueNSql(Seq("user_id", "CAST(FLOOR(value) AS BIGINT)", "HOUR(ts)"), 8)} AS BIGINT) AS z
+              | FROM events ORDER BY z, event_id LIMIT 200""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          Layout.zValueN(Seq(col("user_id"), floor(col("value")).cast("long"),
+            hour(col("ts"))), 8).as("z"))
+        .orderBy("z", "event_id").limit(200)),
+
     // Per-source document cap (Common-Crawl-style domain capping): keep a
     // deterministic hash-ordered sample of at most N docs per source —
     // one ranking window partitioned by source, no rand(), reproducible

@@ -58,12 +58,21 @@ object Layout {
 
   /** The same interleave as ANSI SQL text (DuckDB-compatible), so oracles
     * can verify the z-curve bit-for-bit. */
-  def zValue2Sql(x: String, y: String, bits: Int): String = {
-    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+  def zValue2Sql(x: String, y: String, bits: Int): String =
+    zValueNSql(Seq(x, y), bits)
+
+  /** N-column SQL mirror of [[zValueN]] — generated from the same bit
+    * layout so both engines compute the identical curve. */
+  def zValueNSql(cols: Seq[String], bits: Int): String = {
+    val k = cols.size
+    require(k >= 2, s"need at least 2 columns, got $k")
+    require(bits >= 1 && bits * k <= 63,
+      s"bits*cols must fit a long: bits=$bits cols=$k")
     val mask = (1L << bits) - 1
     val terms = (0 until bits).flatMap { i =>
-      Seq(s"(((($x & $mask) >> $i) & 1) << ${2 * i + 1})",
-          s"(((($y & $mask) >> $i) & 1) << ${2 * i})")
+      cols.zipWithIndex.map { case (c, j) =>
+        s"((((${c} & $mask) >> $i) & 1) << ${i * k + (k - 1 - j)})"
+      }
     }
     terms.mkString("(", " | ", ")")
   }

@@ -48,4 +48,43 @@ object Drift {
       .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
         sum("_term").as("psi"))
   }
+
+  /** Reference histogram for [[streamingPsi]]: (group..., bucket, c_ref)
+    * counts over the validation slice, computed once and stored. */
+  def referenceHistogram(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, lo: Double, hi: Double,
+                         buckets: Int): DataFrame = {
+    val width = (hi - lo) / buckets
+    val bucket = least(greatest(
+      floor((col(valueCol) - lo) / width).cast("int"), lit(0)),
+      lit(buckets - 1))
+    df.groupBy(groupCols.map(col) :+ bucket.as("bucket"): _*)
+      .agg(count(lit(1)).as("c_ref"))
+  }
+
+  /** PSI of `cur` against a stored [[referenceHistogram]] — the
+    * continuous-monitoring form: the reference is bucket COUNTS (tiny,
+    * broadcastable), so each micro-batch pays one aggregation over its
+    * own rows plus a join on the groups×buckets table, never a rescan of
+    * the validation data. Same smoothing and sparse-bucket convention as
+    * [[psi]]. */
+  def streamingPsi(cur: DataFrame, reference: DataFrame,
+                   groupCols: Seq[String], valueCol: String,
+                   lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val curHist = referenceHistogram(cur, groupCols, valueCol, lo, hi, buckets)
+      .withColumnRenamed("c_ref", "c_cur")
+    val joined = reference.join(curHist, groupCols :+ "bucket", "full_outer")
+      .na.fill(0L, Seq("c_ref", "c_cur"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val k = lit(0.5 * buckets)
+    val p = (col("c_ref") + 0.5) / (col("n_ref") + k)
+    val q = (col("c_cur") + 0.5) / (col("n_cur") + k)
+    joined
+      .withColumn("n_ref", sum("c_ref").over(w))
+      .withColumn("n_cur", sum("c_cur").over(w))
+      .withColumn("_term", (p - q) * log(p / q))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        sum("_term").as("psi"))
+  }
 }

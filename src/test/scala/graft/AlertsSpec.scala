@@ -104,4 +104,22 @@ class AlertsSpec extends SparkTestBase {
     assert(out("shift") > 0.25, s"shifted PSI should flag: ${out("shift")}")
     assert(out("shift") > 10 * out("same"))
   }
+
+  test("streamingPsi against a stored histogram equals the batch PSI") {
+    import graft.monitoring.Drift
+    val rows = (0 until 100).flatMap { j =>
+      Seq(("g", true, (j % 7) * 10.0), ("g", false, (j % 5) * 20.0))
+    }
+    val df = rows.toDF("g", "ref", "v")
+    val batch = Drift.psi(df, Seq("g"), "v", col("ref"), 0.0, 100.0, 10)
+      .select("n_ref", "n_cur", "psi").head()
+    val refHist = Drift.referenceHistogram(
+      df.filter(col("ref")), Seq("g"), "v", 0.0, 100.0, 10)
+    val streaming = Drift.streamingPsi(
+      df.filter(!col("ref")), refHist, Seq("g"), "v", 0.0, 100.0, 10)
+      .select("n_ref", "n_cur", "psi").head()
+    assert(streaming.getLong(0) === batch.getLong(0))
+    assert(streaming.getLong(1) === batch.getLong(1))
+    assert(math.abs(streaming.getDouble(2) - batch.getDouble(2)) < 1e-12)
+  }
 }

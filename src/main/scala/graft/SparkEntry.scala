@@ -773,6 +773,28 @@ object SparkEntry {
           round(col("psi") + lit(1e-9), 4).as("psi"))
         .orderBy("event_type")),
 
+    // Categorical drift: has the event-type MIX shifted between the
+    // month's halves? Categories are the buckets; smoothing k = observed
+    // category count (window inside the same aggregate).
+    Q("m_drift_mix",
+      Some("""WITH c AS (SELECT event_type AS bucket,
+             |   SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END) AS c_ref,
+             |   SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END) AS c_cur
+             | FROM events GROUP BY 1),
+             |t AS (SELECT c_ref, c_cur,
+             |   SUM(c_ref) OVER () AS n_ref, SUM(c_cur) OVER () AS n_cur,
+             |   COUNT(*) OVER () * 0.5 AS k FROM c)
+             |SELECT CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+             | CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+             | ROUND(SUM(((c_ref + 0.5) / (n_ref + k) - (c_cur + 0.5) / (n_cur + k))
+             |   * LN(((c_ref + 0.5) / (n_ref + k)) / ((c_cur + 0.5) / (n_cur + k)))) + 1e-9, 4) AS psi
+             |FROM t""".stripMargin),
+      (s, dir) => graft.monitoring.Drift.categoricalPsi(
+          Tables.events(s, dir), Seq.empty, "event_type",
+          isRef = col("ts") < lit("2024-01-16").cast("timestamp"))
+        .select(col("n_ref"), col("n_cur"),
+          round(col("psi") + lit(1e-9), 4).as("psi"))),
+
     // Content fingerprint: one (count, xor-of-row-hashes) row replaces a
     // full table diff for re-run/replica/engine-port equality checks —
     // the oracle recomputing the identical value IS the cross-engine

@@ -49,6 +49,29 @@ object Drift {
         sum("_term").as("psi"))
   }
 
+  /** Categorical PSI: same measure with the category itself as the bucket
+    * — the "has the event/source/language MIX shifted?" monitor. Nominal
+    * bucket count for smoothing = distinct categories observed in either
+    * slice (computed inside the same aggregate, no extra pass). */
+  def categoricalPsi(df: DataFrame, groupCols: Seq[String], catCol: String,
+                     isRef: Column): DataFrame = {
+    val counts = df
+      .groupBy(groupCols.map(col) :+ col(catCol).as("bucket"): _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("c_ref"),
+        sum(when(isRef, 0L).otherwise(1L)).as("c_cur"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+    val k = count(lit(1)).over(w) * 0.5
+    val p = (col("c_ref") + 0.5) / (col("n_ref") + k)
+    val q = (col("c_cur") + 0.5) / (col("n_cur") + k)
+    counts
+      .withColumn("n_ref", sum("c_ref").over(w))
+      .withColumn("n_cur", sum("c_cur").over(w))
+      .withColumn("_term", (p - q) * log(p / q))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        sum("_term").as("psi"))
+  }
+
   /** Reference histogram for [[streamingPsi]]: (group..., bucket, c_ref)
     * counts over the validation slice, computed once and stored. */
   def referenceHistogram(df: DataFrame, groupCols: Seq[String],

@@ -773,6 +773,44 @@ object SparkEntry {
           round(col("psi") + lit(1e-9), 4).as("psi"))
         .orderBy("event_type")),
 
+    // Robust outlier counts via MAD (median absolute deviation): unlike
+    // the z-score path, one corrupted heavy tail can't inflate the scale
+    // estimate and mask its own outliers. Exact medians on both engines
+    // (Spark `percentile`, DuckDB `median`, both linearly interpolated);
+    // modified z = 0.6745·|x−med|/MAD, flag at the standard 3.5.
+    Q("m_mad_outliers",
+      Some("""WITH m AS (SELECT event_type, MEDIAN(value) AS med
+             |  FROM events GROUP BY 1),
+             |d AS (SELECT e.event_type, e.value, m.med,
+             |    ABS(e.value - m.med) AS adev
+             |  FROM events e JOIN m ON e.event_type = m.event_type),
+             |s AS (SELECT event_type, MEDIAN(adev) AS mad FROM d GROUP BY 1)
+             |SELECT d.event_type,
+             | ROUND(MAX(d.med) + 1e-9, 4) AS med,
+             | ROUND(MAX(s.mad) + 1e-9, 4) AS mad,
+             | CAST(SUM(CASE WHEN 0.6745 * ABS(d.value - d.med) / s.mad > 3.5
+             |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             | COUNT(*) AS n
+             |FROM d JOIN s ON d.event_type = s.event_type
+             |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val med = ev.groupBy("event_type")
+          .agg(expr("percentile(value, 0.5)").as("med"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(round(max("med") + lit(1e-9), 4).as("med"),
+            round(max("mad") + lit(1e-9), 4).as("mad"),
+            sum(when(lit(0.6745) * col("adev") / col("mad") > 3.5, 1L)
+              .otherwise(0L)).as("n_outliers"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type")
+      }),
+
     // Categorical drift: has the event-type MIX shifted between the
     // month's halves? Categories are the buckets; smoothing k = observed
     // category count (window inside the same aggregate).

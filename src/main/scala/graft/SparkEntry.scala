@@ -788,7 +788,8 @@ object SparkEntry {
              |SELECT d.event_type,
              | ROUND(MAX(d.med) + 1e-9, 4) AS med,
              | ROUND(MAX(s.mad) + 1e-9, 4) AS mad,
-             | CAST(SUM(CASE WHEN 0.6745 * ABS(d.value - d.med) / s.mad > 3.5
+             | CAST(SUM(CASE WHEN s.mad > 0
+             |   AND 0.6745 * ABS(d.value - d.med) / s.mad > 3.5
              |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
              | COUNT(*) AS n
              |FROM d JOIN s ON d.event_type = s.event_type
@@ -805,7 +806,8 @@ object SparkEntry {
           .groupBy("event_type")
           .agg(round(max("med") + lit(1e-9), 4).as("med"),
             round(max("mad") + lit(1e-9), 4).as("mad"),
-            sum(when(lit(0.6745) * col("adev") / col("mad") > 3.5, 1L)
+            sum(when(col("mad") > 0 &&
+                lit(0.6745) * col("adev") / col("mad") > 3.5, 1L)
               .otherwise(0L)).as("n_outliers"),
             count(lit(1)).as("n"))
           .orderBy("event_type")

@@ -2042,6 +2042,44 @@ object SparkEntry {
           .orderBy("split")
       }),
 
+    // Incremental curation: the daily shape — quality gate → dedup vs the
+    // historical fingerprint index → per-source cap — with per-stage
+    // counts. Batch spiked with re-keyed index dups (as in
+    // x_incremental_dedup) so the index kill path provably fires.
+    Q("x_curate_incremental",
+      Some(s"""WITH fpb AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 250
+              |  UNION ALL SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id < 50),
+              |t AS (SELECT doc_id, source, text, $toksSql AS toks FROM fpb),
+              |kept AS (SELECT doc_id, source, text FROM t WHERE ($qualityScoreSql) >= 0.35),
+              |idx AS (SELECT DISTINCT md5($normSql) AS f FROM documents WHERE doc_id < 250),
+              |fp AS (SELECT doc_id, source, md5($normSql) AS f FROM kept),
+              |d1 AS (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp),
+              |d2 AS (SELECT doc_id, source FROM d1
+              |       WHERE rn = 1 AND f NOT IN (SELECT f FROM idx)),
+              |cap AS (SELECT doc_id FROM (SELECT doc_id,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn FROM d2)
+              |  WHERE crn <= 15)
+              |SELECT 'a_input' AS stage, COUNT(*) AS n FROM fpb
+              |UNION ALL SELECT 'b_quality', COUNT(*) FROM kept
+              |UNION ALL SELECT 'c_dedup', COUNT(*) FROM d2
+              |UNION ALL SELECT 'd_cap', COUNT(*) FROM cap
+              |ORDER BY stage""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        val index = docs.filter(col("doc_id") < 250)
+          .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .distinct()
+        val r = graft.ext.Curate.incremental(batch, index)
+        val named = Seq("a_input", "b_quality", "c_dedup", "d_cap")
+          .zip(r.stats.map(_._2))
+        named.toDF("stage", "n").orderBy("stage")
+      }),
+
     // L2-extension: SCD Type-2 attribute history (gaps-and-islands over
     // location changes per sensor) — versioned valid_from/valid_to rows,
     // 'current' for the open-ended latest version.

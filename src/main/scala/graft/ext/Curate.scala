@@ -72,4 +72,36 @@ object Curate {
       "after_neardup_dedup" -> nUnique,
       "chunks" -> nChunks))
   }
+
+  final case class IncResult(survivors: DataFrame, indexDelta: DataFrame,
+                             stats: Seq[(String, Long)])
+
+  /** The daily-increment form of [[run]]: quality gate → within-batch +
+    * against-index exact dedup → per-source cap. History is the
+    * fingerprint index, never the documents — each day pays one pass over
+    * its own batch plus fingerprint-keyed lookups. Union `indexDelta`
+    * into the index after publishing the survivors. */
+  def incremental(batch: DataFrame, index: DataFrame,
+                  minQuality: Double = 0.35,
+                  perSourceCap: Int = 15): IncResult = {
+    val total = batch.count()
+    val kept = batch
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKept = kept.count()
+    val deduped = Dedup.incrementalExactDedup(kept, "text", "doc_id", index)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDeduped = deduped.count()
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val capped = deduped.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= perSourceCap).drop("_rn")
+    val nCapped = capped.count()
+    kept.unpersist(); deduped.unpersist()
+    IncResult(capped, Dedup.survivorFingerprints(capped, "text"), Seq(
+      "input" -> total,
+      "quality_kept" -> nKept,
+      "after_dedup" -> nDeduped,
+      "after_cap" -> nCapped))
+  }
 }

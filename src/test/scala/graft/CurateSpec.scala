@@ -34,4 +34,28 @@ class CurateSpec extends SparkTestBase {
       .count()
     assert(viol === 0)
   }
+
+  test("incremental curation: monotone stages, exact index delta, cap binds") {
+    import graft.ext.Dedup
+    val docs = model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val index = Dedup.survivorFingerprints(
+      docs.filter(col("doc_id") < 250), "text").distinct()
+    val batch = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val r = Curate.incremental(batch, index, perSourceCap = 5)
+    val s = r.stats.toMap
+    assert(s("input") === batch.count())
+    assert(s("quality_kept") <= s("input"))
+    assert(s("after_dedup") <= s("quality_kept"))
+    assert(s("after_cap") <= s("after_dedup"))
+    // every re-keyed index dup must die in the dedup stage
+    assert(r.survivors.filter(col("doc_id") >= 1000000L).count() === 0)
+    // cap binds: no source keeps more than 5
+    val maxPerSource = r.survivors.groupBy("source").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPerSource <= 5)
+    // the index delta is exactly the survivors' fingerprints
+    assert(r.indexDelta.count() === s("after_cap"))
+  }
 }

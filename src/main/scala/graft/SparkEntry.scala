@@ -847,6 +847,33 @@ object SparkEntry {
       (s, dir) => Quality.contentFingerprint(
         Tables.events(s, dir), Seq("event_id", "user_id", "event_type"))),
 
+    // BM25 relevance for a fixed query ('hash join filter') — map-side
+    // term filter, broadcast idf/avgdl side inputs, zero-match docs
+    // restored at 0.
+    Q("x_bm25_scores",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |lens AS (SELECT doc_id, len(toks) AS dl FROM t),
+              |stats AS (SELECT COUNT(*)::DOUBLE AS n, AVG(dl) AS avgdl FROM lens),
+              |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+              |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              |       WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+              |idf AS (SELECT term, LN((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+              |        FROM (SELECT term, COUNT(DISTINCT doc_id) AS df
+              |              FROM tf GROUP BY 1), stats s),
+              |sc AS (SELECT tf.doc_id,
+              |         SUM(idf.idf * (tf.tf * 2.2)
+              |             / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / s.avgdl))) AS bm25
+              |       FROM tf JOIN idf USING (term) JOIN lens USING (doc_id),
+              |            stats s GROUP BY 1)
+              |SELECT l.doc_id AS doc_id, ROUND(COALESCE(sc.bm25, 0.0) + 1e-9, 4) AS bm25
+              |FROM lens l LEFT JOIN sc ON l.doc_id = sc.doc_id
+              |ORDER BY l.doc_id""".stripMargin),
+      (s, dir) => TextAnalysis.bm25(Tables.documents(s, dir), "text",
+          "doc_id", Seq("hash", "join", "filter"))
+        .select(col("id").as("doc_id"),
+          round(col("bm25") + lit(1e-9), 4).as("bm25"))
+        .orderBy("doc_id")),
+
     // Unigram entropy quality signal: vocabulary concentration per doc
     // (log2(n) − Σc·log2(c)/n — one aggregation pass, no join against the
     // per-doc total). Empty docs restored with entropy 0.

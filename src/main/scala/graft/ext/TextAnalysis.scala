@@ -273,6 +273,44 @@ object TextAnalysis {
       .select(col("id"), col("term"), col("tf"), col("tfidf"), col("term_rank"))
   }
 
+  /** BM25 relevance of every document for a fixed term set — the
+    * classic retrieval ranking (Robertson–Spärck Jones idf with the
+    * +1 floor variant, so common terms never score negative):
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+    *
+    * Distributed shape: the query terms filter the exploded tokens
+    * MAP-SIDE (an isin over a literal set — a benchmark query is tiny
+    * next to the corpus), so only (doc, query-term, tf) rows aggregate;
+    * df and avgdl are aggregate-sized side inputs joined back by
+    * broadcast. Docs matching no term are restored at score 0. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, textCol: String,
+           idCol: String, queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val lens = Par.fanOut(docs, par)
+      .select(col(idCol).as("id"), tokenCount(col(textCol)).as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count().toDouble
+    val avgdl = lens.agg(avg("dl")).head().getDouble(0)
+    val tf = Par.fanOut(docs, par)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(countDistinct("id").as("df"))
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    val scores = tf.join(broadcast(idf), "term")
+      .join(lens, "id")
+      .withColumn("_s", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy("id").agg(sum("_s").as("bm25"))
+    val out = lens.select("id").join(scores, Seq("id"), "left")
+      .select(col("id"), coalesce(col("bm25"), lit(0.0)).as("bm25"))
+    lens.unpersist()
+    out
+  }
+
   /** Per-document unigram entropy in bits: H = -Σ p·log2(p) over the
     * document's OWN token distribution. Near-zero = templated/repetitive
     * text, high = diverse vocabulary — a standard cheap quality signal

@@ -847,6 +847,26 @@ object SparkEntry {
       (s, dir) => Quality.contentFingerprint(
         Tables.events(s, dir), Seq("event_id", "user_id", "event_type"))),
 
+    // Fuzzy name matching (entity resolution): blocked candidate join on
+    // the first token, levenshtein ≤ 3 verification inside blocks only —
+    // distinct near-name pairs with occurrence counts.
+    Q("x_fuzzy_name_pairs",
+      Some("""WITH p AS (SELECT p_partkey, p_name,
+             |    string_split(p_name, ' ')[1] AS blk FROM part)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |  levenshtein(a.p_name, b.p_name) AS dist, COUNT(*) AS n_pairs
+             |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+             |WHERE a.p_name <> b.p_name
+             |  AND levenshtein(a.p_name, b.p_name) <= 3
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin),
+      (s, dir) => graft.operators.FuzzyJoin.fuzzySelfPairs(
+          Tables.part(s, dir), "p_partkey", "p_name", maxDist = 3)
+        .filter(col("key_a") =!= col("key_b"))
+        .groupBy(col("key_a").as("name_a"), col("key_b").as("name_b"),
+          col("dist"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("name_a", "name_b")),
+
     // BM25 relevance for a fixed query ('hash join filter') — map-side
     // term filter, broadcast idf/avgdl side inputs, zero-match docs
     // restored at 0.

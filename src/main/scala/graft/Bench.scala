@@ -68,8 +68,20 @@ object Bench {
     }
 
     // Medallion chain throughput: events -> silver flags -> gold 5-min aggs.
+    // Decontaminate before the clock (same rationale as the streaming
+    // measurement below): after the 140-query sweep the JVM carries dead
+    // broadcasts/shuffles that drag this reading 2-3x run-to-run.
+    // Best-of-3 with a GC between runs tightens the 55k-190k rows/s
+    // spread observed on back-to-back invocations.
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    System.gc()
     val chainRows = graft.model.Tables.events(spark, sfDir).count()
-    val chainSec = (1 to 2).map(_ => time { Pipeline.gold5Min(spark, sfDir).count(); () }).min
+    val chainSec = (1 to 3).map { _ =>
+      val s = time { Pipeline.gold5Min(spark, sfDir).count(); () }
+      System.gc()
+      s
+    }.min
     val chainRps = if (chainSec > 0) chainRows / chainSec else 0.0
 
     // Streaming ingest throughput: the events table streamed through the

@@ -77,7 +77,10 @@ object Graph {
     // shipping the edges once. Union-find with path compression, always
     // hanging the LARGER root under the smaller, reproduces the
     // distributed fixpoint's min-id labels exactly (spec-pinned).
-    if (nNodes <= smallGraphNodes) {
+    // Node count bounds the edge list only loosely (a dense block can be
+    // quadratic), so the fast path also requires a sane edge count before
+    // collecting; otherwise fall through to the distributed loop.
+    if (nNodes <= smallGraphNodes && e.count() <= 8L * smallGraphNodes) {
       import scala.collection.mutable
       val parent = mutable.LongMap.empty[Long]
       def find(x: Long): Long = {

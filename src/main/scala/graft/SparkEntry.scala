@@ -842,7 +842,10 @@ object SparkEntry {
     Q("q_content_fingerprint",
       Some("""SELECT COUNT(*) AS row_count,
              | BIT_XOR(CAST(CONCAT('0x',
-             |   SUBSTRING(md5(CONCAT_WS('|', event_id::VARCHAR, user_id::VARCHAR, event_type)), 1, 15)) AS BIGINT)) AS content_hash
+             |   SUBSTRING(md5(CONCAT_WS('|',
+             |     md5(COALESCE(event_id::VARCHAR, '<NULL>')),
+             |     md5(COALESCE(user_id::VARCHAR, '<NULL>')),
+             |     md5(COALESCE(event_type, '<NULL>')))), 1, 15)) AS BIGINT)) AS content_hash
              | FROM events""".stripMargin),
       (s, dir) => Quality.contentFingerprint(
         Tables.events(s, dir), Seq("event_id", "user_id", "event_type"))),

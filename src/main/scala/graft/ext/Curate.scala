@@ -80,7 +80,12 @@ object Curate {
     * against-index exact dedup → per-source cap. History is the
     * fingerprint index, never the documents — each day pays one pass over
     * its own batch plus fingerprint-keyed lookups. Union `indexDelta`
-    * into the index after publishing the survivors. */
+    * into the index after publishing the survivors.
+    *
+    * The returned `survivors` frame stays persisted so publishing it and
+    * writing `indexDelta` (which derives from it) don't re-run the whole
+    * gate/dedup/cap pipeline — call `survivors.unpersist()` when both are
+    * written. */
   def incremental(batch: DataFrame, index: DataFrame,
                   minQuality: Double = 0.35,
                   perSourceCap: Int = 15): IncResult = {
@@ -96,7 +101,9 @@ object Curate {
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     val capped = deduped.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= perSourceCap).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCapped = capped.count()
+    // capped is materialized, so the upstream caches can go now
     kept.unpersist(); deduped.unpersist()
     IncResult(capped, Dedup.survivorFingerprints(capped, "text"), Seq(
       "input" -> total,

@@ -63,15 +63,9 @@ object Dedup {
     * dedup a million-doc day. */
   def incrementalExactDedupBucketed(batch: DataFrame, textCol: String,
                                     idCol: String,
-                                    indexTable: String): DataFrame = {
-    val inBatch = exactDedup(batch, textCol, idCol)
-      .withColumn("_fp", TextAnalysis.fingerprint(col(textCol)))
-    inBatch.join(
-        batch.sparkSession.table(indexTable)
-          .select(col("fingerprint").as("_fp")),
-        Seq("_fp"), "left_anti")
-      .drop("_fp")
-  }
+                                    indexTable: String): DataFrame =
+    incrementalExactDedup(batch, textCol, idCol,
+      batch.sparkSession.table(indexTable))
 
   /** The double-hashed MinHash family: one md5 per shingle, split into two
     * 40-bit halves (u, v), with permutation p's hash h_p = u + p·v

@@ -79,8 +79,11 @@ object Graph {
     // distributed fixpoint's min-id labels exactly (spec-pinned).
     // Node count bounds the edge list only loosely (a dense block can be
     // quadratic), so the fast path also requires a sane edge count before
-    // collecting; otherwise fall through to the distributed loop.
-    if (nNodes <= smallGraphNodes && e.count() <= 8L * smallGraphNodes) {
+    // collecting — capped ABSOLUTELY (4M pairs ≈ tens of MB of rows on
+    // the driver), not just relative to the caller's node threshold;
+    // otherwise fall through to the distributed loop.
+    if (nNodes <= smallGraphNodes &&
+        e.count() <= math.min(8L * smallGraphNodes, 4000000L)) {
       import scala.collection.mutable
       val parent = mutable.LongMap.empty[Long]
       def find(x: Long): Long = {

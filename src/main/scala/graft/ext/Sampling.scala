@@ -54,7 +54,11 @@ object Sampling {
     val h = conv(substring(md5(id.cast("string").cast("binary")), 1, 10), 16, 10)
       .cast("double")
     val u = (h + lit(0.5)) / lit(1099511627776.0) // 2^40, u in (0,1)
-    log(u) / weight
+    // ln(u) < 0, so for w > 0 a LARGER key is better and top-k-by-key-desc
+    // is the sample. A non-positive weight would flip the sign and always
+    // win — pin such rows to -Inf so they can never be selected.
+    when(weight > 0, log(u) / weight)
+      .otherwise(lit(Double.NegativeInfinity))
   }
 
   /** Stratified deterministic sample: per-stratum keep percentages (the

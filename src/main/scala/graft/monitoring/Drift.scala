@@ -14,100 +14,93 @@ import org.apache.spark.sql.functions._
   * deterministic and engine-portable; Laplace smoothing (+0.5 per bucket,
   * nominal bucket count in the denominator) keeps empty buckets finite.
   * Buckets absent from BOTH slices contribute nothing and are simply not
-  * materialized.
+  * materialized. All variants funnel through ONE shared smoothing/PSI
+  * tail, so batch, categorical, and stored-reference scores stay
+  * comparable by construction.
   *
   * Distributed shape: one conditional-count aggregation pass over the
   * table — only (group, bucket) counts cross the wire; the windows and
   * the PSI reduce run over the groups×buckets aggregate. */
 object Drift {
 
-  /** PSI of `valueCol` distributions (rows where `isRef` vs the rest) per
-    * `groupCols`, over `buckets` fixed-width buckets of [lo, hi]
-    * (out-of-range values clamp to the edge buckets). Returns one row per
-    * group: (group..., n_ref, n_cur, psi). */
-  def psi(df: DataFrame, groupCols: Seq[String], valueCol: String,
-          isRef: Column, lo: Double, hi: Double, buckets: Int): DataFrame = {
+  /** Fixed-width bucket of [lo, hi) × `buckets`; out-of-range values
+    * clamp to the edge buckets. */
+  private def bucketCol(valueCol: String, lo: Double, hi: Double,
+                        buckets: Int): Column = {
     require(buckets >= 2 && hi > lo, s"bad bucket spec [$lo,$hi)x$buckets")
     val width = (hi - lo) / buckets
-    val bucket = least(greatest(
-      floor((col(valueCol) - lo) / width).cast("int"), lit(0)),
+    least(greatest(floor((col(valueCol) - lo) / width).cast("int"), lit(0)),
       lit(buckets - 1))
-    val counts = df
-      .groupBy(groupCols.map(col) :+ bucket.as("bucket"): _*)
-      .agg(sum(when(isRef, 1L).otherwise(0L)).as("c_ref"),
-        sum(when(isRef, 0L).otherwise(1L)).as("c_cur"))
+  }
+
+  /** The shared tail: (group..., bucket, c_ref, c_cur) counts → one
+    * (group..., n_ref, n_cur, psi) row per group. `k` is the smoothing
+    * term (0.5 × nominal bucket count) — a literal for fixed buckets, a
+    * per-group window count for categorical. */
+  private def psiFromCounts(counts: DataFrame, groupCols: Seq[String],
+                            k: Column): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*)
-    val k = lit(0.5 * buckets)
-    val p = (col("c_ref") + 0.5) / (col("n_ref") + k)
-    val q = (col("c_cur") + 0.5) / (col("n_cur") + k)
+    val p = (col("c_ref") + 0.5) / (col("n_ref") + col("_k"))
+    val q = (col("c_cur") + 0.5) / (col("n_cur") + col("_k"))
     counts
       .withColumn("n_ref", sum("c_ref").over(w))
       .withColumn("n_cur", sum("c_cur").over(w))
+      .withColumn("_k", k)
       .withColumn("_term", (p - q) * log(p / q))
       .groupBy(groupCols.map(col): _*)
       .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
         sum("_term").as("psi"))
   }
 
+  /** PSI of `valueCol` distributions (rows where `isRef` vs the rest) per
+    * `groupCols`, over `buckets` fixed-width buckets of [lo, hi]. Returns
+    * one row per group: (group..., n_ref, n_cur, psi). */
+  def psi(df: DataFrame, groupCols: Seq[String], valueCol: String,
+          isRef: Column, lo: Double, hi: Double, buckets: Int): DataFrame = {
+    val counts = df
+      .groupBy(groupCols.map(col) :+
+        bucketCol(valueCol, lo, hi, buckets).as("bucket"): _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("c_ref"),
+        sum(when(isRef, 0L).otherwise(1L)).as("c_cur"))
+    psiFromCounts(counts, groupCols, lit(0.5 * buckets))
+  }
+
   /** Categorical PSI: same measure with the category itself as the bucket
     * — the "has the event/source/language MIX shifted?" monitor. Nominal
     * bucket count for smoothing = distinct categories observed in either
-    * slice (computed inside the same aggregate, no extra pass). */
+    * slice (a window count over the same aggregate, no extra pass). */
   def categoricalPsi(df: DataFrame, groupCols: Seq[String], catCol: String,
                      isRef: Column): DataFrame = {
     val counts = df
       .groupBy(groupCols.map(col) :+ col(catCol).as("bucket"): _*)
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("c_ref"),
         sum(when(isRef, 0L).otherwise(1L)).as("c_cur"))
-    val w = Window.partitionBy(groupCols.map(col): _*)
-    val k = count(lit(1)).over(w) * 0.5
-    val p = (col("c_ref") + 0.5) / (col("n_ref") + k)
-    val q = (col("c_cur") + 0.5) / (col("n_cur") + k)
-    counts
-      .withColumn("n_ref", sum("c_ref").over(w))
-      .withColumn("n_cur", sum("c_cur").over(w))
-      .withColumn("_term", (p - q) * log(p / q))
-      .groupBy(groupCols.map(col): _*)
-      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
-        sum("_term").as("psi"))
+    psiFromCounts(counts, groupCols,
+      count(lit(1)).over(Window.partitionBy(groupCols.map(col): _*)) * 0.5)
   }
 
   /** Reference histogram for [[streamingPsi]]: (group..., bucket, c_ref)
     * counts over the validation slice, computed once and stored. */
   def referenceHistogram(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, lo: Double, hi: Double,
-                         buckets: Int): DataFrame = {
-    val width = (hi - lo) / buckets
-    val bucket = least(greatest(
-      floor((col(valueCol) - lo) / width).cast("int"), lit(0)),
-      lit(buckets - 1))
-    df.groupBy(groupCols.map(col) :+ bucket.as("bucket"): _*)
+                         buckets: Int): DataFrame =
+    df.groupBy(groupCols.map(col) :+
+        bucketCol(valueCol, lo, hi, buckets).as("bucket"): _*)
       .agg(count(lit(1)).as("c_ref"))
-  }
 
   /** PSI of `cur` against a stored [[referenceHistogram]] — the
     * continuous-monitoring form: the reference is bucket COUNTS (tiny,
     * broadcastable), so each micro-batch pays one aggregation over its
     * own rows plus a join on the groups×buckets table, never a rescan of
     * the validation data. Same smoothing and sparse-bucket convention as
-    * [[psi]]. */
+    * [[psi]] — shared code, not a mirrored copy. */
   def streamingPsi(cur: DataFrame, reference: DataFrame,
                    groupCols: Seq[String], valueCol: String,
                    lo: Double, hi: Double, buckets: Int): DataFrame = {
     val curHist = referenceHistogram(cur, groupCols, valueCol, lo, hi, buckets)
       .withColumnRenamed("c_ref", "c_cur")
-    val joined = reference.join(curHist, groupCols :+ "bucket", "full_outer")
+    val counts = reference.join(curHist, groupCols :+ "bucket", "full_outer")
       .na.fill(0L, Seq("c_ref", "c_cur"))
-    val w = Window.partitionBy(groupCols.map(col): _*)
-    val k = lit(0.5 * buckets)
-    val p = (col("c_ref") + 0.5) / (col("n_ref") + k)
-    val q = (col("c_cur") + 0.5) / (col("n_cur") + k)
-    joined
-      .withColumn("n_ref", sum("c_ref").over(w))
-      .withColumn("n_cur", sum("c_cur").over(w))
-      .withColumn("_term", (p - q) * log(p / q))
-      .groupBy(groupCols.map(col): _*)
-      .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
-        sum("_term").as("psi"))
+    psiFromCounts(counts, groupCols, lit(0.5 * buckets))
   }
 }

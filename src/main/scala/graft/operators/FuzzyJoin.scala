@@ -29,10 +29,12 @@ object FuzzyJoin {
       blockFn(col(keyCol)).as("_blk"))
     val b = df.select(col(idCol).as("id_b"), col(keyCol).as("key_b"),
       blockFn(col(keyCol)).as("_blk"))
+    // compute the (O(|a|·|b|) DP) distance once and filter on the column —
+    // Catalyst does not CSE across Filter and Project
     a.join(b, Seq("_blk"))
-      .filter(col("id_a") < col("id_b") &&
-        levenshtein(col("key_a"), col("key_b")) <= maxDist)
-      .drop("_blk")
+      .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("dist") <= maxDist)
+      .drop("_blk")
   }
 }

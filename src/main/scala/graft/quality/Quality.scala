@@ -107,17 +107,25 @@ object Quality {
     * an engine port, or a replica be compared with ONE row instead of a
     * table diff; XOR commutes, so the result is independent of partitioning
     * and row order, and any single-row change flips it. md5 keeps the hash
-    * engine-portable (the oracle recomputes it in SQL). Caveat, by
-    * construction: rows duplicated an EVEN number of times cancel out of
-    * the XOR — pair with `row_count` (which does catch them) or
-    * [[uniqueKey]] when exact multiset equality matters.
+    * engine-portable (the oracle recomputes it in SQL).
+    *
+    * Each column is hashed INDIVIDUALLY before the rows combine: the
+    * per-column md5 is fixed-width hex, so a delimiter character inside a
+    * value can't shift content across column boundaries, and NULL gets an
+    * explicit sentinel instead of `concat_ws`'s silent skip (which would
+    * hash ("a", NULL, "x") and ("a", "x", NULL) identically).
+    *
+    * Caveat, by construction: rows duplicated an EVEN number of times
+    * cancel out of the XOR — pair with `row_count` (which does catch
+    * them) or [[uniqueKey]] when exact multiset equality matters.
     *
     * Scale shape: narrow projection → one hash aggregation; only 8-byte
     * hashes cross the wire. */
   def contentFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val colHashes = cols.map(c =>
+      md5(coalesce(col(c).cast("string"), lit("<NULL>")).cast("binary")))
     val rowHash = conv(substring(
-        md5(concat_ws("|", cols.map(c => col(c).cast("string")): _*)
-          .cast("binary")), 1, 15), 16, 10)
+        md5(concat_ws("|", colHashes: _*).cast("binary")), 1, 15), 16, 10)
       .cast("long")
     df.select(rowHash.as("h"))
       .agg(count(lit(1)).as("row_count"),

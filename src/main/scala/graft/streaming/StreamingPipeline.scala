@@ -119,7 +119,22 @@ object StreamingPipeline {
                      timeCol: String, keys: Seq[String], valueCol: String,
                      windowDuration: String): Unit = {
     val spark = batch.sparkSession
-    val marker = new java.io.File(s"$goldPath/_batches/$batchId")
+    // Markers live INSIDE the data dir (underscore-prefixed → invisible
+    // to parquet readers) and travel with the stage-and-swap below, so a
+    // crash at any point leaves marker and data consistent: either the
+    // old dir (no marker → replay re-merges from the old state) or the
+    // new dir (marker present → replay is a no-op). A marker beside the
+    // data could otherwise record a merge whose rename never happened —
+    // or miss one that did, double-counting the batch on replay.
+    // recover from a crash mid-swap: if the table moved aside but the
+    // staged dir was never promoted, the backup is the authoritative
+    // state — put it back before doing anything else
+    locally {
+      val d = new java.io.File(s"$goldPath/data")
+      val b = new java.io.File(s"$goldPath/_pregold")
+      if (!d.exists() && b.exists()) { b.renameTo(d); () }
+    }
+    val marker = new java.io.File(s"$goldPath/data/_merged/$batchId")
     if (marker.exists()) return // replayed batch: already merged
     val kcols = keys.map(col)
     val partial = batch
@@ -149,16 +164,35 @@ object StreamingPipeline {
     // merge next to it before replacing
     val tmp = s"$goldPath/_stage"
     merged.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(dataDir)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    // carry the accumulated markers (plus this batch's) into the staged
+    // dir BEFORE the swap — see the marker note above
+    val stagedMarkers = new java.io.File(s"$tmp/_merged")
+    stagedMarkers.mkdirs()
+    val currentMarkers = new java.io.File(s"$dataDir/_merged")
+    if (currentMarkers.exists())
+      currentMarkers.listFiles().foreach { m =>
+        new java.io.File(stagedMarkers, m.getName).createNewFile(); ()
       }
-      rm(target)
+    new java.io.File(stagedMarkers, batchId.toString).createNewFile()
+    // swap via rename-aside (same pattern as Warehouse.compact): a failed
+    // rename must never leave the table destroyed, so the old dir moves
+    // to a backup first and comes back if the promotion fails.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
     }
-    new java.io.File(tmp).renameTo(target)
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    val target = new java.io.File(dataDir)
+    val backup = new java.io.File(s"$goldPath/_pregold")
+    if (backup.exists()) rm(backup)
+    val hadData = target.exists()
+    if (hadData && !target.renameTo(backup))
+      throw new java.io.IOException(
+        s"gold swap: could not move $dataDir aside")
+    if (!new java.io.File(tmp).renameTo(target)) {
+      if (hadData) backup.renameTo(target)
+      throw new java.io.IOException(
+        s"gold swap: could not promote staged merge to $dataDir")
+    }
+    if (hadData) rm(backup)
     ()
   }
 
@@ -205,7 +239,15 @@ object StreamingPipeline {
               .select(lit("").as("fingerprint")).limit(0)
           val survivors = graft.ext.Dedup
             .incrementalExactDedup(batch, textCol, idCol, index)
-          survivors.write.mode("append").parquet(s"$outPath/data")
+          // Idempotent even when the marker write is lost: survivors go
+          // to a PER-BATCH partition dir with overwrite (a replay after a
+          // crash between these writes and the marker REPLACES its own
+          // output instead of appending a second copy), and the index
+          // delta's renamed files carry a batch prefix that the replay
+          // clears first. foreachBatch is at-least-once; every step here
+          // must tolerate running twice.
+          survivors.write.mode("overwrite")
+            .parquet(s"$outPath/data/batch_id=$id")
           // the index delta reads idxDir, so it cannot write there
           // directly: stage it, then rename the part files in (task
           // UUIDs make collisions impossible). No caching/checkpoint —
@@ -215,9 +257,11 @@ object StreamingPipeline {
           graft.ext.Dedup.survivorFingerprints(survivors, textCol)
             .write.mode("overwrite").parquet(stage.getPath)
           idxDir.mkdirs()
+          idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
+            .foreach(f => { f.delete(); () })
           stage.listFiles().filter(_.getName.startsWith("part-"))
             .foreach { f =>
-              f.renameTo(new java.io.File(idxDir, f.getName)); ()
+              f.renameTo(new java.io.File(idxDir, s"b$id-${f.getName}")); ()
             }
           def rm(f: java.io.File): Unit = {
             if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()

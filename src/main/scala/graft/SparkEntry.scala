@@ -850,25 +850,37 @@ object SparkEntry {
       (s, dir) => Quality.contentFingerprint(
         Tables.events(s, dir), Seq("event_id", "user_id", "event_type"))),
 
-    // Fuzzy name matching (entity resolution): blocked candidate join on
-    // the first token, levenshtein ≤ 3 verification inside blocks only —
-    // distinct near-name pairs with occurrence counts.
+    // Fuzzy name matching (entity resolution): dedupe to DISTINCT values
+    // first (the standard move — row-level matching squares row counts
+    // when values repeat: 38 s at sf0.1 row-level vs sub-second
+    // value-level), block on the first token, verify levenshtein ≤ 3
+    // inside blocks, then multiply row multiplicities back.
     Q("x_fuzzy_name_pairs",
-      Some("""WITH p AS (SELECT p_partkey, p_name,
-             |    string_split(p_name, ' ')[1] AS blk FROM part)
-             |SELECT a.p_name AS name_a, b.p_name AS name_b,
-             |  levenshtein(a.p_name, b.p_name) AS dist, COUNT(*) AS n_pairs
-             |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-             |WHERE a.p_name <> b.p_name
-             |  AND levenshtein(a.p_name, b.p_name) <= 3
-             |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin),
-      (s, dir) => graft.operators.FuzzyJoin.fuzzySelfPairs(
-          Tables.part(s, dir), "p_partkey", "p_name", maxDist = 3)
-        .filter(col("key_a") =!= col("key_b"))
-        .groupBy(col("key_a").as("name_a"), col("key_b").as("name_b"),
-          col("dist"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("name_a", "name_b")),
+      Some("""WITH n AS (SELECT p_name, COUNT(*) AS n_parts FROM part GROUP BY 1),
+             |b AS (SELECT p_name, n_parts,
+             |    string_split(p_name, ' ')[1] AS blk FROM n)
+             |SELECT a.p_name AS name_a, c.p_name AS name_b,
+             |  levenshtein(a.p_name, c.p_name) AS dist,
+             |  a.n_parts * c.n_parts AS n_pairs
+             |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+             |WHERE levenshtein(a.p_name, c.p_name) <= 3
+             |ORDER BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val names = Tables.part(s, dir)
+          .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+        val pairs = graft.operators.FuzzyJoin.fuzzySelfPairs(
+            names, "p_name", "p_name", maxDist = 3)
+          .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+            col("dist"))
+        pairs
+          .join(names.select(col("p_name").as("name_a"),
+            col("n_parts").as("_na")), "name_a")
+          .join(names.select(col("p_name").as("name_b"),
+            col("n_parts").as("_nb")), "name_b")
+          .select(col("name_a"), col("name_b"), col("dist"),
+            (col("_na") * col("_nb")).as("n_pairs"))
+          .orderBy("name_a", "name_b")
+      }),
 
     // BM25 relevance for a fixed query ('hash join filter') — map-side
     // term filter, broadcast idf/avgdl side inputs, zero-match docs

@@ -2326,23 +2326,33 @@ object SparkEntry {
     // ln(u)/w with hash-derived u, weight = document length, so longer
     // docs are proportionally likelier. The training-mix knob ("sample by
     // quality/length") with reservoir semantics, no reservoir state.
+    // Determinism contract (r5's one red cell, fixed here): the top-50
+    // cut is taken on a ROUNDED key with a doc_id tie-break on BOTH
+    // engines — DuckDB's and the JVM's ln/division can differ in the
+    // last ulp, and a cut on the raw binary64 key lets that noise flip a
+    // rank-50 boundary pair. Two further traps: (1) the raw key is
+    // ln(u)/n_chars, tiny — at 4 decimals nearly everything collapses to
+    // ±0.0, so the key is scaled ×1000 BEFORE rounding (quantum 1e-7 in
+    // key space, ~7 orders above cross-libm ulp noise, yet still
+    // discriminating); (2) Spark's round goes through BigDecimal and
+    // never emits -0.0, while a nearbyint-style ROUND preserves the sign
+    // of zero — the oracle adds `+ 0.0` to normalize -0.0 to +0.0.
     Q("x_weighted_sample",
       Some("""WITH k AS (
              |  SELECT doc_id, n_chars,
-             |    ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) + 0.5)
-             |       / 1099511627776.0) / n_chars AS es_key
+             |    ROUND(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) + 0.5)
+             |       / 1099511627776.0) / n_chars * 1000 + 1e-9, 4) + 0.0 AS es_key_k
              |  FROM documents WHERE n_chars > 0)
-             |SELECT doc_id, n_chars, ROUND(es_key + 1e-9, 4) AS es_key
-             |FROM (SELECT * FROM k ORDER BY es_key DESC, doc_id LIMIT 50)
+             |SELECT doc_id, n_chars, es_key_k
+             |FROM (SELECT * FROM k ORDER BY es_key_k DESC, doc_id LIMIT 50)
              |ORDER BY doc_id""".stripMargin),
       (s, dir) => Tables.documents(s, dir)
         .filter(col("n_chars") > 0)
-        .withColumn("es_key",
-          graft.ext.Sampling.esKey(col("doc_id"), col("n_chars")))
-        .orderBy(col("es_key").desc, col("doc_id").asc)
+        .withColumn("es_key_k",
+          R(graft.ext.Sampling.esKey(col("doc_id"), col("n_chars")) * lit(1000)))
+        .orderBy(col("es_key_k").desc, col("doc_id").asc)
         .limit(50)
-        .select(col("doc_id"), col("n_chars"),
-          R(col("es_key")).as("es_key"))
+        .select(col("doc_id"), col("n_chars"), col("es_key_k"))
         .orderBy("doc_id")),
 
     // X-redact: PII scrubbing (emails, IPv4) — the input synthesizes

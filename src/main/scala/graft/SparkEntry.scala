@@ -2137,6 +2137,9 @@ object SparkEntry {
           .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
           .distinct()
         val r = graft.ext.Curate.incremental(batch, index)
+        // stats are already-materialized Longs; release the survivors
+        // cache so a 143-query sweep doesn't accumulate persisted blocks
+        r.survivors.unpersist()
         val named = Seq("a_input", "b_quality", "c_dedup", "d_cap")
           .zip(r.stats.map(_._2))
         named.toDF("stage", "n").orderBy("stage")

@@ -132,7 +132,12 @@ object StreamingPipeline {
     locally {
       val d = new java.io.File(s"$goldPath/data")
       val b = new java.io.File(s"$goldPath/_pregold")
-      if (!d.exists() && b.exists()) { b.renameTo(d); () }
+      // a failed restore must abort the merge: proceeding without the
+      // backup would publish a gold table containing only this batch,
+      // silently discarding all pre-crash aggregate state
+      if (!d.exists() && b.exists() && !b.renameTo(d))
+        throw new java.io.IOException(
+          s"gold swap: could not restore $b to $d after crash")
     }
     val marker = new java.io.File(s"$goldPath/data/_merged/$batchId")
     if (marker.exists()) return // replayed batch: already merged
@@ -229,50 +234,69 @@ object StreamingPipeline {
     stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val marker = new java.io.File(s"$outPath/_batches/$id")
-        if (!marker.exists()) {
-          val idxDir = new java.io.File(s"$indexPath/data")
-          val index =
-            if (idxDir.exists()) spark.read.parquet(idxDir.getPath)
-            else spark.emptyDataFrame
-              .select(lit("").as("fingerprint")).limit(0)
-          val survivors = graft.ext.Dedup
-            .incrementalExactDedup(batch, textCol, idCol, index)
-          // Idempotent even when the marker write is lost: survivors go
-          // to a PER-BATCH partition dir with overwrite (a replay after a
-          // crash between these writes and the marker REPLACES its own
-          // output instead of appending a second copy), and the index
-          // delta's renamed files carry a batch prefix that the replay
-          // clears first. foreachBatch is at-least-once; every step here
-          // must tolerate running twice.
-          survivors.write.mode("overwrite")
-            .parquet(s"$outPath/data/batch_id=$id")
-          // the index delta reads idxDir, so it cannot write there
-          // directly: stage it, then rename the part files in (task
-          // UUIDs make collisions impossible). No caching/checkpoint —
-          // recomputing the anti join once more per batch is cheaper
-          // than leaking persisted blocks across micro-batches.
-          val stage = new java.io.File(s"$indexPath/_stage_$id")
-          graft.ext.Dedup.survivorFingerprints(survivors, textCol)
-            .write.mode("overwrite").parquet(stage.getPath)
-          idxDir.mkdirs()
-          idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
-            .foreach(f => { f.delete(); () })
-          stage.listFiles().filter(_.getName.startsWith("part-"))
-            .foreach { f =>
-              f.renameTo(new java.io.File(idxDir, s"b$id-${f.getName}")); ()
-            }
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
-          }
-          rm(stage)
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
-        }
-        ()
+        dedupIngestBatch(batch, id, textCol, idCol, outPath, indexPath)
       }
       .start()
+
+  /** The per-batch body of [[dedupIngest]], visible so replay crash
+    * windows can be driven directly in tests. foreachBatch is
+    * at-least-once; every step here must tolerate running twice. */
+  def dedupIngestBatch(batch: DataFrame, id: Long, textCol: String,
+                       idCol: String, outPath: String,
+                       indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = new java.io.File(s"$outPath/_batches/$id")
+    if (!marker.exists()) {
+      val idxDir = new java.io.File(s"$indexPath/data")
+      // Clear this batch's own prior partial index delta BEFORE the
+      // index is read, not after: if a crash landed the b$id- rename
+      // but not the marker, a replay that read the index first would
+      // see its own fingerprints, anti-join itself down to zero
+      // survivors, and overwrite batch_id=$id with an empty dataset —
+      // permanent loss. Deleting first makes the replay recompute
+      // against a clean index. (spark.read.parquet lists files
+      // eagerly, so the deletion must precede the read, and the
+      // lazy recomputation for the index-delta write below can never
+      // resurrect the deleted files.)
+      if (idxDir.exists())
+        idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
+          .foreach(f => { f.delete(); () })
+      val index =
+        if (idxDir.exists()) spark.read.parquet(idxDir.getPath)
+        else spark.emptyDataFrame
+          .select(lit("").as("fingerprint")).limit(0)
+      val survivors = graft.ext.Dedup
+        .incrementalExactDedup(batch, textCol, idCol, index)
+      // Idempotent even when the marker write is lost: survivors go
+      // to a PER-BATCH partition dir with overwrite (a replay after a
+      // crash between these writes and the marker REPLACES its own
+      // output instead of appending a second copy), and the index
+      // delta's renamed files carry a batch prefix that the replay
+      // clears first (above).
+      survivors.write.mode("overwrite")
+        .parquet(s"$outPath/data/batch_id=$id")
+      // the index delta reads idxDir, so it cannot write there
+      // directly: stage it, then rename the part files in (task
+      // UUIDs make collisions impossible). No caching/checkpoint —
+      // recomputing the anti join once more per batch is cheaper
+      // than leaking persisted blocks across micro-batches.
+      val stage = new java.io.File(s"$indexPath/_stage_$id")
+      graft.ext.Dedup.survivorFingerprints(survivors, textCol)
+        .write.mode("overwrite").parquet(stage.getPath)
+      idxDir.mkdirs()
+      stage.listFiles().filter(_.getName.startsWith("part-"))
+        .foreach { f =>
+          f.renameTo(new java.io.File(idxDir, s"b$id-${f.getName}")); ()
+        }
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      }
+      rm(stage)
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+    }
+    ()
+  }
 
   /** T7 (extension): in-stream tumbling-window aggregation with watermark —
     * the streaming counterpart of Gold.windowAgg. The reference computes

@@ -132,6 +132,39 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/data").count() === 3)
   }
 
+  test("dedupIngest replay after index-rename/pre-marker crash loses no data") {
+    val out = Files.createTempDirectory("graft-ddc-out").toString
+    val idx = Files.createTempDirectory("graft-ddc-idx").toString
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    // batch 1 completes normally
+    StreamingPipeline.dedupIngestBatch(
+      batch(10L -> "alpha beta", 20L -> "gamma delta"),
+      1L, "text", "doc_id", out, idx)
+    // batch 2 runs to completion (survivor 31; 30 dups batch-1's text)...
+    StreamingPipeline.dedupIngestBatch(
+      batch(30L -> "alpha beta", 31L -> "epsilon zeta"),
+      2L, "text", "doc_id", out, idx)
+    // ...but the crash happens in the window AFTER the b2- index-delta
+    // rename and BEFORE the marker write: simulate by deleting only the
+    // marker. The index now already contains batch 2's own fingerprints.
+    assert(new java.io.File(s"$out/_batches/2").delete())
+
+    // at-least-once replay of the same batch: the replay must clear its
+    // own partial index delta before anti-joining, or it would see its
+    // own fingerprints, compute zero survivors, and overwrite
+    // batch_id=2 with an empty dataset — permanent loss
+    StreamingPipeline.dedupIngestBatch(
+      batch(30L -> "alpha beta", 31L -> "epsilon zeta"),
+      2L, "text", "doc_id", out, idx)
+
+    val landed = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(landed === Seq(10L, 20L, 31L))
+    assert(spark.read.parquet(s"$idx/data").distinct().count() === 3)
+    assert(new java.io.File(s"$out/_batches/2").exists())
+  }
+
   test("S7/S8: CSV replay source round-trips through producer-shaped JSON") {
     val csvDir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Path.of(csvDir, "replay.csv"),

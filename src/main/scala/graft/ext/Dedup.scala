@@ -248,17 +248,26 @@ object Dedup {
     * Implemented as ONE explode + ONE hash aggregation with 64 conditional
     * sums — a single shuffle of (id, 64 ints), no quadratic work. The bit
     * string representation keeps the signature engine-portable (no
-    * engine-specific 64-bit unsigned semantics). */
+    * engine-specific 64-bit unsigned semantics). Bit extraction is
+    * numeric — the 64 md5 bits are parsed once into two 32-bit halves and
+    * each bit is a shift+mask — rather than 64 substrings over an
+    * lpad'ed base-2 string: same bits (MSB-first, hex chars 1-8 are bits
+    * 63..32, chars 9-16 are bits 31..0), far cheaper per exploded row. */
   def simhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val ex = Par.fanOut(docs, par).select(col(idCol).as("id"),
         explode_outer(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
           .as("sh"))
-      .withColumn("bits",
-        lpad(conv(substring(md5(col("sh").cast("binary")), 1, 16), 16, 2), 64, "0"))
-    val bitSums = (1 to 64).map(i =>
-      sum(when(substring(col("bits"), i, 1) === "1", 1).otherwise(0)).as(s"b$i"))
+      .withColumn("hx", md5(col("sh").cast("binary")))
+      .withColumn("hi", conv(substring(col("hx"), 1, 8), 16, 10).cast("long"))
+      .withColumn("lo", conv(substring(col("hx"), 9, 8), 16, 10).cast("long"))
+    val bitSums = (1 to 64).map { i =>
+      val bit =
+        if (i <= 32) shiftright(col("hi"), 32 - i).bitwiseAND(lit(1L))
+        else shiftright(col("lo"), 64 - i).bitwiseAND(lit(1L))
+      sum(bit).as(s"b$i")
+    }
     val aggs = count(col("sh")).as("n") +: bitSums
     ex.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)

@@ -99,6 +99,23 @@ object Alerts {
       .orderBy("alert", "window_start")
   }
 
+  /** Current per-rule state at the newest window of `metrics`: the
+    * breached row's firing/pending if the rule breaches at that window,
+    * `resolved` otherwise — the instantaneous view a scraper wants
+    * ([[Prometheus.renderAlerts]] renders it). Returns a driver-side Seq:
+    * the evaluated frame is (windows × rules)-bounded by construction. */
+  def currentStates(metrics: DataFrame, rules: Seq[Rule],
+                    windowSeconds: Long = 3600L): Seq[(String, String, String)] = {
+    val latest = metrics
+      .agg(date_format(max(col("window_start")), "yyyy-MM-dd HH:mm:ss"))
+      .collect()(0).getString(0)
+    val active = evaluate(metrics, rules, windowSeconds)
+      .filter(col("window_start") === latest)
+      .select("alert", "state").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    rules.map(r => (r.alert, r.severity, active.getOrElse(r.alert, "resolved")))
+  }
+
   /** Streaming-side hookup: evaluate rules over a
     * StreamingPipeline.MetricsListener batch history (batch_id as the
     * window axis — cadence 1). Metrics exposed: input_rows,

@@ -1,0 +1,73 @@
+package graft.monitoring
+
+/** Prometheus text-format (0.0.4) exposition of the engine's streaming
+  * metrics and alert states — the external surface the reference exposes
+  * for its scraper (monitoring/prometheus/alert_rules.yml:4-56 consumes
+  * `events_produced_total`-style series; the reference's exporters emit
+  * the matching text format).
+  *
+  * This is deliberately a pure string renderer over driver-side state:
+  * the listener history is (batches × 4 longs) and the alert-state list
+  * is (rules), both trivially bounded, so no Spark job runs to serve a
+  * scrape — the one property a metrics endpoint must have on a busy
+  * cluster. */
+object Prometheus {
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+
+  private def fmt(d: Double): String =
+    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+
+  /** Render a StreamingPipeline.MetricsListener batch history
+    * ((batch_id, input_rows, rows_per_second, batch_duration_ms) rows) as
+    * counters for lifetime totals plus gauges for the latest batch. */
+  def renderProgress(history: Seq[(Long, Long, Double, Long)],
+                     job: String = "graft"): String = {
+    val l = s"""{job="${esc(job)}"}"""
+    val sb = new StringBuilder
+    sb ++= "# HELP graft_batches_total Micro-batches processed since start.\n"
+    sb ++= "# TYPE graft_batches_total counter\n"
+    sb ++= s"graft_batches_total$l ${history.size}\n"
+    sb ++= "# HELP graft_input_rows_total Input rows across all micro-batches.\n"
+    sb ++= "# TYPE graft_input_rows_total counter\n"
+    sb ++= s"graft_input_rows_total$l ${history.map(_._2).sum}\n"
+    history.lastOption.foreach { case (id, rows, rps, durMs) =>
+      sb ++= "# HELP graft_last_batch_id Most recent micro-batch id.\n"
+      sb ++= "# TYPE graft_last_batch_id gauge\n"
+      sb ++= s"graft_last_batch_id$l $id\n"
+      sb ++= "# HELP graft_last_batch_input_rows Input rows of the most recent micro-batch.\n"
+      sb ++= "# TYPE graft_last_batch_input_rows gauge\n"
+      sb ++= s"graft_last_batch_input_rows$l $rows\n"
+      sb ++= "# HELP graft_last_batch_rows_per_second Processing rate of the most recent micro-batch.\n"
+      sb ++= "# TYPE graft_last_batch_rows_per_second gauge\n"
+      sb ++= s"graft_last_batch_rows_per_second$l ${fmt(rps)}\n"
+      sb ++= "# HELP graft_last_batch_duration_ms Duration of the most recent micro-batch.\n"
+      sb ++= "# TYPE graft_last_batch_duration_ms gauge\n"
+      sb ++= s"graft_last_batch_duration_ms$l $durMs\n"
+    }
+    sb.result()
+  }
+
+  /** Render per-rule alert states as an ALERTS-style gauge: 1 while the
+    * rule is pending or firing at the newest evaluated window, 0 once
+    * resolved. `states` rows are (alert, severity, state) with state ∈
+    * {firing, pending, resolved} — [[Alerts.currentStates]] produces
+    * exactly this. */
+  def renderAlerts(states: Seq[(String, String, String)]): String = {
+    val sb = new StringBuilder
+    sb ++= "# HELP graft_alert_active Alert rule state (1 = pending or firing at the latest window).\n"
+    sb ++= "# TYPE graft_alert_active gauge\n"
+    states.sortBy(_._1).foreach { case (alert, severity, state) =>
+      val v = if (state == "resolved") 0 else 1
+      sb ++= s"""graft_alert_active{alertname="${esc(alert)}",severity="${esc(severity)}",alertstate="${esc(state)}"} $v\n"""
+    }
+    sb.result()
+  }
+
+  /** One scrape body: listener history + the current alert states. */
+  def scrape(history: Seq[(Long, Long, Double, Long)],
+             states: Seq[(String, String, String)],
+             job: String = "graft"): String =
+    renderProgress(history, job) + renderAlerts(states)
+}

@@ -122,4 +122,50 @@ class AlertsSpec extends SparkTestBase {
     assert(streaming.getLong(1) === batch.getLong(1))
     assert(math.abs(streaming.getDouble(2) - batch.getDouble(2)) < 1e-12)
   }
+
+  test("Prometheus exposition carries a firing rule at 1 and a resolved rule at 0") {
+    import graft.monitoring.Prometheus
+    // two metrics over the same windows: `hot` breaches through the end
+    // (2 consecutive ≥ forWindows=2 → firing at the latest window);
+    // `cold` breached early but recovered → resolved at the latest window
+    val m = Seq(
+      ("2024-01-01 00:00:00", "hot", 5.0), ("2024-01-01 00:00:00", "cold", 99.0),
+      ("2024-01-01 01:00:00", "hot", 15.0), ("2024-01-01 01:00:00", "cold", 1.0),
+      ("2024-01-01 02:00:00", "hot", 16.0), ("2024-01-01 02:00:00", "cold", 1.0))
+      .toDF("window_start", "metric", "value")
+      .select(to_timestamp(col("window_start")).as("window_start"),
+        col("metric"), col("value"))
+    val rules = Seq(
+      Rule("hot_high", "critical", "hot", ">", 10.0, 2),
+      Rule("cold_high", "warning", "cold", ">", 50.0, 1))
+    val states = Alerts.currentStates(m, rules)
+    assert(states.toSet === Set(
+      ("hot_high", "critical", "firing"),
+      ("cold_high", "warning", "resolved")))
+
+    val text = Prometheus.renderAlerts(states)
+    assert(text.contains("# TYPE graft_alert_active gauge"))
+    assert(text.contains(
+      """graft_alert_active{alertname="hot_high",severity="critical",alertstate="firing"} 1"""))
+    assert(text.contains(
+      """graft_alert_active{alertname="cold_high",severity="warning",alertstate="resolved"} 0"""))
+  }
+
+  test("Prometheus progress render: lifetime counters plus last-batch gauges") {
+    import graft.monitoring.Prometheus
+    val hist = Seq((0L, 100L, 50.0, 2000L), (1L, 40L, 80.5, 500L))
+    val text = Prometheus.renderProgress(hist)
+    assert(text.contains("# TYPE graft_batches_total counter"))
+    assert(text.contains("""graft_batches_total{job="graft"} 2"""))
+    assert(text.contains("""graft_input_rows_total{job="graft"} 140"""))
+    assert(text.contains("# TYPE graft_last_batch_rows_per_second gauge"))
+    assert(text.contains("""graft_last_batch_id{job="graft"} 1"""))
+    assert(text.contains("""graft_last_batch_input_rows{job="graft"} 40"""))
+    assert(text.contains("""graft_last_batch_rows_per_second{job="graft"} 80.5"""))
+    assert(text.contains("""graft_last_batch_duration_ms{job="graft"} 500"""))
+    // empty history: counters at zero, no last-batch gauges
+    val empty = Prometheus.renderProgress(Nil)
+    assert(empty.contains("""graft_batches_total{job="graft"} 0"""))
+    assert(!empty.contains("graft_last_batch_id"))
+  }
 }

@@ -132,11 +132,16 @@ object Dedup {
     * @param rowsPerBand   LSH band height; bands = numPerms/rowsPerBand
     * @param maxBucketSize drop pathological buckets larger than this
     *                      (a bucket of B docs generates B^2 pairs)
+    * @param salts         >1 spreads each bucket's pair generation across
+    *                      this many reducers via [[graft.operators.Skew
+    *                      .saltedPairs]] — the NON-LOSSY treatment for a
+    *                      hot bucket (same pairs, bounded task size),
+    *                      where `maxBucketSize` truncates
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       threshold: Double, shingleN: Int = 3, numPerms: Int = 16,
                       rowsPerBand: Int = 4,
-                      maxBucketSize: Int = 1000): DataFrame = {
+                      maxBucketSize: Int = 1000, salts: Int = 1): DataFrame = {
     // The shingle table feeds three consumers (signature explode + both
     // sides of the candidate-verification join); persist it instead of
     // recomputing tokenization three times. MEMORY_AND_DISK: shingle sets
@@ -183,11 +188,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = capped.as("a")
     val b = capped.as("b")
-    val pairs = a.join(b,
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val rawPairs =
+      if (salts <= 1)
+        a.join(b,
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      else graft.operators.Skew.saltedPairs(capped, Seq("band", "bh"), "id", salts)
+    val pairs = rawPairs.dropDuplicates("id_a", "id_b")
     pairs
       .join(pre.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(pre.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -300,18 +308,29 @@ object Dedup {
     * corpus for the same output. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int, shingleN: Int = 3,
-                      bands: Int = 4): DataFrame = {
+                      bands: Int = 4, salts: Int = 1): DataFrame = {
     val sigs = simhashSignatures(docs, textCol, idCol, shingleN)
     val width = 64 / bands
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         substring(col("simhash"), b * width + 1, width)): _*)).as(Seq("band", "chunk")))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+    val rawPairs =
+      if (salts <= 1) {
+        val a = banded.as("a")
+        val b = banded.as("b")
+        a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+            col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"))
+      } else
+        // the non-lossy hot-bucket path: same pairs, spread over `salts`
+        // reducers (see Skew.saltedPairs)
+        graft.operators.Skew
+          .saltedPairs(banded, Seq("band", "chunk"), "id", salts,
+            payload = Seq("simhash"))
+          .withColumnRenamed("simhash_a", "sig_a")
+          .withColumnRenamed("simhash_b", "sig_b")
+    rawPairs
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", hammingDist(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)

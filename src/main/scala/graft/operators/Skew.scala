@@ -53,4 +53,35 @@ object Skew {
     saltedProbe.join(broadcast(replicatedBuild), Seq(key, "_salt"))
       .drop("_salt")
   }
+
+  /** Salted all-pairs candidate generation within bucket keys — the
+    * NON-LOSSY alternative to truncating a hot LSH bucket with
+    * `maxBucketSize`. One join side is replicated `salts` times, the
+    * other gets a single deterministic hash block, and the join key
+    * becomes (bucket, salt): a hot bucket's quadratic pair generation
+    * spreads across `salts` reducers instead of landing on one, while
+    * the output is EXACTLY the unsalted pair set — pair (a, b) appears
+    * precisely once, on the task where a's replica salt equals b's
+    * block. Cost: the replicated side shuffles `salts`× — worth it only
+    * when a bucket is hot enough to dominate the stage, which is why
+    * the LSH callers expose it as an opt-in knob.
+    *
+    * `payload` columns are carried through as `<name>_a` / `<name>_b`
+    * alongside `id_a` / `id_b` (with `id_a < id_b`). */
+  def saltedPairs(items: DataFrame, bucketCols: Seq[String], idCol: String,
+                  salts: Int, payload: Seq[String] = Nil): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val blocked = items.withColumn("_blk", pmod(hash(col(idCol)), lit(salts)))
+    val a = blocked.drop("_blk")
+      .withColumn("_salt", explode(array((0 until salts).map(lit): _*)))
+      .as("a")
+    val b = blocked.withColumnRenamed("_blk", "_salt").as("b")
+    val cond = (bucketCols :+ "_salt")
+      .map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol")
+    a.join(b, cond)
+      .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+        payload.flatMap(p =>
+          Seq(col(s"a.$p").as(s"${p}_a"), col(s"b.$p").as(s"${p}_b"))): _*)
+  }
 }

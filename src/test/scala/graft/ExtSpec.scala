@@ -90,6 +90,54 @@ class ExtSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("salted LSH buckets: same pairs as unsalted on a 100x-hot bucket, fewer max-task rows") {
+    // 100 identical docs make every band bucket 100x hotter than the
+    // singleton buckets around them — the pathological LSH corpus that
+    // maxBucketSize would truncate (lossy). The salted path must emit
+    // EXACTLY the unsalted pair set.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val hot = (1 to 100).map(i => (i.toLong, base))
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val others = (1 to 10).map(i =>
+      (200L + i, (1 to 40).map(j => s"q${i}_$j").mkString(" ")))
+    val df = (hot ++ Seq((150L, near)) ++ others).toDF("doc_id", "text")
+
+    def mh(salts: Int) = Dedup.minhashNearDups(df, "text", "doc_id",
+        threshold = 0.5, maxBucketSize = 10000, salts = salts)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mhUnsalted = mh(1)
+    assert(mhUnsalted.size >= 100 * 99 / 2) // the hot clique survives whole
+    assert(mh(8) === mhUnsalted)
+
+    def sh(salts: Int) = Dedup.simhashNearDups(df, "text", "doc_id",
+        maxHamming = 3, salts = salts)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh(4) === sh(1))
+
+    // Task-spread, measured at the candidate join itself: one 400-doc
+    // hot bucket next to 50 singletons. AQE's coalescing is disabled for
+    // the measurement — it rebalances SMALL partitions and would blur
+    // what the salt does to the hot one.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val items = ((1 to 400).map(i => (i.toLong, "hotbucket")) ++
+        (1 to 50).map(i => (1000L + i, s"cold$i"))).toDF("id", "bh")
+      val unsalted = items.as("a").join(items.as("b"),
+          col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val salted = graft.operators.Skew.saltedPairs(items, Seq("bh"), "id", 8)
+      assert(salted.select("id_a", "id_b").as[(Long, Long)].collect().toSet ===
+        unsalted.as[(Long, Long)].collect().toSet)
+      def maxTaskRows(pairs: org.apache.spark.sql.DataFrame): Long = pairs
+        .groupBy(spark_partition_id()).count()
+        .agg(max("count")).as[Long].head()
+      val (mu, ms) = (maxTaskRows(unsalted), maxTaskRows(salted))
+      assert(ms < mu, s"salted max-task rows $ms should be < unsalted $mu")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("simhash: docs with <3 tokens keep an all-zero signature (oracle-aligned)") {
     // The oracle's LEFT JOIN re-adds empty-shingle docs with 64 zero bits;
     // the Spark side must do the same via explode_outer — a doc dropped on

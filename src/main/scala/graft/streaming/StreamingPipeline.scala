@@ -243,60 +243,116 @@ object StreamingPipeline {
     * at-least-once; every step here must tolerate running twice. */
   def dedupIngestBatch(batch: DataFrame, id: Long, textCol: String,
                        idCol: String, outPath: String,
-                       indexPath: String): Unit = {
-    val spark = batch.sparkSession
-    val marker = new java.io.File(s"$outPath/_batches/$id")
-    if (!marker.exists()) {
-      val idxDir = new java.io.File(s"$indexPath/data")
-      // Clear this batch's own prior partial index delta BEFORE the
-      // index is read, not after: if a crash landed the b$id- rename
-      // but not the marker, a replay that read the index first would
-      // see its own fingerprints, anti-join itself down to zero
-      // survivors, and overwrite batch_id=$id with an empty dataset —
-      // permanent loss. Deleting first makes the replay recompute
-      // against a clean index. (spark.read.parquet lists files
-      // eagerly, so the deletion must precede the read, and the
-      // lazy recomputation for the index-delta write below can never
-      // resurrect the deleted files.)
-      if (idxDir.exists())
-        idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
-          .foreach(f => { f.delete(); () })
-      val index =
-        if (idxDir.exists()) spark.read.parquet(idxDir.getPath)
-        else spark.emptyDataFrame
-          .select(lit("").as("fingerprint")).limit(0)
+                       indexPath: String): Unit =
+    withBatchIndex(batch.sparkSession, id, outPath, indexPath) { index =>
       val survivors = graft.ext.Dedup
         .incrementalExactDedup(batch, textCol, idCol, index)
-      // Idempotent even when the marker write is lost: survivors go
-      // to a PER-BATCH partition dir with overwrite (a replay after a
-      // crash between these writes and the marker REPLACES its own
-      // output instead of appending a second copy), and the index
-      // delta's renamed files carry a batch prefix that the replay
-      // clears first (above).
-      survivors.write.mode("overwrite")
-        .parquet(s"$outPath/data/batch_id=$id")
-      // the index delta reads idxDir, so it cannot write there
-      // directly: stage it, then rename the part files in (task
-      // UUIDs make collisions impossible). No caching/checkpoint —
-      // recomputing the anti join once more per batch is cheaper
-      // than leaking persisted blocks across micro-batches.
-      val stage = new java.io.File(s"$indexPath/_stage_$id")
-      graft.ext.Dedup.survivorFingerprints(survivors, textCol)
-        .write.mode("overwrite").parquet(stage.getPath)
-      idxDir.mkdirs()
-      stage.listFiles().filter(_.getName.startsWith("part-"))
-        .foreach { f =>
-          f.renameTo(new java.io.File(idxDir, s"b$id-${f.getName}")); ()
-        }
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
-      }
-      rm(stage)
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
+      // No caching/checkpoint: recomputing the anti join once more for
+      // the index delta is cheaper than leaking persisted blocks across
+      // micro-batches.
+      (survivors, graft.ext.Dedup.survivorFingerprints(survivors, textCol),
+        () => ())
     }
+
+  /** The crash-safe protocol shared by every index-backed ingest path
+    * ([[dedupIngestBatch]], [[curateIngestBatch]]): batch-marker no-op,
+    * per-batch overwrite of survivors, staged-then-renamed index delta,
+    * marker last. `compute` maps the batch's view of the fingerprint
+    * index to (survivors, indexDelta, afterWrite-callback).
+    *
+    * Ordering invariants, each load-bearing under at-least-once replay:
+    *  - This batch's own prior b$id- index-delta files are cleared BEFORE
+    *    the index is read: if a crash landed the delta rename but not the
+    *    marker, a replay reading the index first would see its own
+    *    fingerprints, anti-join itself down to zero survivors, and
+    *    overwrite batch_id=$id with an empty dataset — permanent loss.
+    *    (spark.read.parquet lists files eagerly, so the deletion
+    *    genuinely precedes the read, and the lazy recomputation for the
+    *    delta write below can never resurrect the deleted files.)
+    *  - Survivors go to a PER-BATCH partition dir with overwrite, so a
+    *    replay REPLACES its own output instead of appending a copy.
+    *  - The index delta reads idxDir, so it cannot write there directly:
+    *    it stages next door, then renames the part files in (task UUIDs
+    *    make collisions impossible), prefixed b$id- so a replay can
+    *    identify exactly its own files.
+    *  - The marker is written last; once it exists the batch is a no-op
+    *    forever. */
+  private def withBatchIndex(spark: SparkSession, id: Long, outPath: String,
+                             indexPath: String)
+      (compute: DataFrame => (DataFrame, DataFrame, () => Unit)): Unit = {
+    val marker = new java.io.File(s"$outPath/_batches/$id")
+    if (marker.exists()) return
+    val idxDir = new java.io.File(s"$indexPath/data")
+    if (idxDir.exists())
+      idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
+        .foreach(f => { f.delete(); () })
+    val index =
+      if (idxDir.exists()) spark.read.parquet(idxDir.getPath)
+      else spark.emptyDataFrame
+        .select(lit("").as("fingerprint")).limit(0)
+    val (survivors, delta, afterWrite) = compute(index)
+    survivors.write.mode("overwrite")
+      .parquet(s"$outPath/data/batch_id=$id")
+    val stage = new java.io.File(s"$indexPath/_stage_$id")
+    delta.write.mode("overwrite").parquet(stage.getPath)
+    idxDir.mkdirs()
+    stage.listFiles().filter(_.getName.startsWith("part-"))
+      .foreach { f =>
+        f.renameTo(new java.io.File(idxDir, s"b$id-${f.getName}")); ()
+      }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    rm(stage)
+    afterWrite()
+    marker.getParentFile.mkdirs()
+    marker.createNewFile()
     ()
   }
+
+  /** Per-batch stage counts recorded by [[curateIngest]] — the streaming
+    * twin of `Curate.IncResult.stats`. Replayed batches may append a
+    * second entry (at-least-once monitoring, same contract as Spark's own
+    * progress events); the data paths themselves stay exactly-once. */
+  final class CurateCounts {
+    private val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(String, Long)])]
+    private[streaming] def add(id: Long, stats: Seq[(String, Long)]): Unit =
+      buf.synchronized { buf += ((id, stats)); () }
+    def history: Seq[(Long, Seq[(String, Long)])] = buf.synchronized(buf.toSeq)
+  }
+
+  /** Streaming end-to-end curation — the streaming twin of
+    * `Curate.incremental`: per micro-batch, quality gate → within-batch +
+    * against-index exact dedup → per-source cap, survivors to a per-batch
+    * partition, fingerprints into the persistent index, per-stage counts
+    * into `counts`. Identical stage semantics to the batch pipeline (it
+    * IS `Curate.incremental` under [[withBatchIndex]]'s exactly-once
+    * write protocol), so a day processed as N micro-batches or one batch
+    * job drops the same cross-batch dups. */
+  def curateIngest(stream: DataFrame, outPath: String, indexPath: String,
+                   ckpt: String, minQuality: Double = 0.35,
+                   perSourceCap: Int = 15,
+                   counts: CurateCounts = new CurateCounts): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        curateIngestBatch(batch, id, outPath, indexPath, minQuality,
+          perSourceCap, counts)
+      }
+      .start()
+
+  /** The per-batch body of [[curateIngest]] (see [[withBatchIndex]] for
+    * the replay-safety contract). */
+  def curateIngestBatch(batch: DataFrame, id: Long, outPath: String,
+                        indexPath: String, minQuality: Double,
+                        perSourceCap: Int, counts: CurateCounts): Unit =
+    withBatchIndex(batch.sparkSession, id, outPath, indexPath) { index =>
+      val r = graft.ext.Curate.incremental(batch, index, minQuality,
+        perSourceCap)
+      (r.survivors, r.indexDelta,
+        () => { r.survivors.unpersist(); counts.add(id, r.stats) })
+    }
 
   /** T7 (extension): in-stream tumbling-window aggregation with watermark —
     * the streaming counterpart of Gold.windowAgg. The reference computes

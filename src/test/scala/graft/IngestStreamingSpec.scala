@@ -165,6 +165,82 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(new java.io.File(s"$out/_batches/2").exists())
   }
 
+  test("curateIngest: quality gate, cross-batch dedup, and source caps match the batch pipeline") {
+    val inDir = Files.createTempDirectory("graft-cu-in").toString
+    val out = Files.createTempDirectory("graft-cu-out").toString
+    val idx = Files.createTempDirectory("graft-cu-idx").toString
+    val ckpt = Files.createTempDirectory("graft-cu-ckpt").toString
+    val counts = new StreamingPipeline.CurateCounts
+
+    // long stopword-rich sentences pass the 0.35 quality gate; "x" fails
+    def good(i: Int) =
+      s"the quick brown fox $i jumps over the lazy dog and the cat is in the house of the hill " * 3
+    def row(id: Long, src: String, text: String) =
+      s"""{"doc_id":$id,"source":"$src","text":"${text.trim}"}"""
+
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .json(inDir)
+      val q = StreamingPipeline.curateIngest(src, out, idx, ckpt,
+        minQuality = 0.35, perSourceCap = 2, counts = counts)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // batch 1: 4 good docs in source a (cap 2 keeps 2), 1 low-quality,
+    // 1 in-batch dup of doc 10
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"),
+      Seq(row(10, "a", good(1)), row(11, "a", good(2)), row(12, "a", good(3)),
+        row(13, "a", good(4)), row(14, "a", "x"), row(15, "a", good(1)))
+        .mkString("", "\n", "\n"))
+    run()
+    val landed1 = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed1.size === 2)
+    assert(!landed1.contains(14L) && !landed1.contains(15L))
+
+    // batch 2: one cross-batch dup of a batch-1 SURVIVOR, one dup of a
+    // batch-1 capped-out doc (its fingerprint is NOT in the index — the
+    // cap dropped it before indexing, so the dup can land), one fresh
+    // doc, three good docs in source b (cap keeps 2)
+    val survivor = landed1.min // the lowest kept doc_id of batch 1
+    val survivorText = good((survivor - 9).toInt)
+    val cappedOut = ((10L to 13L).toSet -- landed1).min
+    val cappedText = good((cappedOut - 9).toInt)
+    Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+      Seq(row(20, "a", survivorText), row(21, "a", cappedText),
+        row(22, "a", good(50)),
+        row(23, "b", good(60)), row(24, "b", good(61)), row(25, "b", good(62)))
+        .mkString("", "\n", "\n"))
+    run()
+    val all = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!all.contains(20L), "cross-batch dup of an indexed survivor must drop")
+    assert((all & Set(23L, 24L, 25L)).size === 2, "source-b cap keeps 2 of 3")
+    // batch 2 of source a: 21 (dup of a capped-out doc -> fingerprint not
+    // indexed) and 22 are both eligible; cap 2 keeps both
+    assert(all.contains(22L))
+
+    // stage counts: one entry per batch, equal to Curate.incremental run
+    // on the same data against the same evolving index
+    val hist = counts.history.sortBy(_._1).map(_._2)
+    assert(hist.size === 2)
+    val b1df = Seq((10L, "a", good(1)), (11L, "a", good(2)), (12L, "a", good(3)),
+      (13L, "a", good(4)), (14L, "a", "x"), (15L, "a", good(1)))
+      .toDF("doc_id", "source", "text")
+    val emptyIdx = spark.emptyDataFrame.select(lit("").as("fingerprint")).limit(0)
+    val r1 = graft.ext.Curate.incremental(b1df, emptyIdx, 0.35, 2)
+    val idx1 = r1.indexDelta
+    val b2df = Seq((20L, "a", survivorText), (21L, "a", cappedText),
+      (22L, "a", good(50)),
+      (23L, "b", good(60)), (24L, "b", good(61)), (25L, "b", good(62)))
+      .toDF("doc_id", "source", "text")
+    val r2 = graft.ext.Curate.incremental(b2df, idx1, 0.35, 2)
+    assert(hist(0) === r1.stats)
+    assert(hist(1) === r2.stats)
+    r1.survivors.unpersist(); r2.survivors.unpersist()
+  }
+
   test("S7/S8: CSV replay source round-trips through producer-shaped JSON") {
     val csvDir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Path.of(csvDir, "replay.csv"),

@@ -117,6 +117,50 @@ class WarehouseSpec extends SparkTestBase {
     assert(Warehouse.readJdbc(spark, url, "fact_events").count() === 3)
   }
 
+  test("L1 JDBC variant: a crash mid-append repairs to exactly-once on re-run") {
+    // Spark's JDBC writes commit per partition-connection with no global
+    // transaction, so a mid-load failure leaves a PARTIAL window — the
+    // delete-window contract must absorb it. Inject the crash with
+    // raise_error on one row so one executor connection dies mid-write
+    // while others may have already committed.
+    val dbDir = Files.createTempDirectory("graft-derby-fi").toString
+    val url = s"jdbc:derby:$dbDir/wh;create=true"
+    def ts(s: String) = Timestamp.valueOf(s)
+    val w0 = ts("2024-01-01 00:00:00"); val w1 = ts("2024-01-02 00:00:00")
+    val batch = Seq(
+      ("e1", ts("2024-01-01 01:00:00"), 1.5),
+      ("e2", ts("2024-01-01 02:00:00"), 2.5),
+      ("e3", ts("2024-01-01 03:00:00"), 3.5),
+      ("e4", ts("2024-01-01 04:00:00"), 4.5)
+    ).toDF("event_id", "ts", "value").repartition(2, col("event_id"))
+
+    val poisoned = batch.withColumn("value",
+      when(col("event_id") === "e2", raise_error(lit("injected crash"))
+        .cast("double")).otherwise(col("value")))
+    intercept[Exception] {
+      Warehouse.idempotentJdbcLoad(poisoned, url, "fact_crash", "ts", w0, w1,
+        numPartitions = 2)
+    }
+    // the table exists in a partial state: anywhere from 0 rows (both
+    // partitions died first) to 3 (the poison-free partition committed)
+    val partial = Warehouse.readJdbc(spark, url, "fact_crash").count()
+    assert(partial >= 0 && partial < 4)
+
+    // operator contract: the repair is simply re-running the same load
+    Warehouse.idempotentJdbcLoad(batch, url, "fact_crash", "ts", w0, w1,
+      numPartitions = 2)
+    val back = Warehouse.readJdbc(spark, url, "fact_crash")
+    assert(back.count() === 4, "no loss, and no dup of partially-committed rows")
+    assert(back.select("event_id").distinct().count() === 4)
+    // value-level equality with the parquet-native loader on the same batch
+    val path = Files.createTempDirectory("graft-wh-fi-pq").toString + "/fact"
+    Warehouse.idempotentPartitionLoad(
+      batch.withColumn("d", to_date($"ts")), path, Seq("d"))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("event_id", "value").as[(String, Double)].collect().toSet
+    assert(key(back) === key(spark.read.parquet(path)))
+  }
+
   test("compaction collapses a many-file table preserving every row") {
     val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     // simulate streaming-ingest fragmentation: 12 tiny appends

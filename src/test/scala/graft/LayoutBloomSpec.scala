@@ -135,4 +135,60 @@ class LayoutBloomSpec extends SparkTestBase {
     // round trip: clustering must not lose or duplicate rows
     assert(spark.read.parquet(dir).count() === ev.count())
   }
+
+  test("z-order skipping: a 2-D range predicate reads fewer row-groups than the naive layout") {
+    import scala.jdk.CollectionConverters._
+    // 16k points on a 128x128 grid, written as 32 files under each layout:
+    // z-clustered vs the best single-dimension alternative (sorted by y)
+    val df = spark.range(1 << 14).select(
+      (col("id") % 128).as("x"),
+      floor(col("id") / 128).cast("long").as("y"),
+      col("id").as("payload"))
+    val zdir = Files.createTempDirectory("graft-zskip").toString + "/t"
+    Layout.zorderWrite(df, col("x"), col("y"), bits = 7, numFiles = 32, zdir)
+    val ndir = Files.createTempDirectory("graft-nskip").toString + "/t"
+    df.repartitionByRange(32, col("y")).sortWithinPartitions("y")
+      .write.mode("overwrite").parquet(ndir)
+
+    // Count the row-groups a pushed (x<=15 AND y<=15) predicate must
+    // read, straight from the parquet footers' min/max stats — the same
+    // test parquet-mr applies at scan time, without depending on reader
+    // internals. (x, y >= 0 everywhere, so only the upper bounds bind.)
+    def rowGroupsHit(dir: String): (Int, Int) = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val files = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      var hit = 0; var total = 0
+      files.foreach { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath), conf))
+        try rd.getFooter.getBlocks.asScala.foreach { b =>
+          total += 1
+          def minOf(name: String): Long = b.getColumns.asScala
+            .find(_.getPath.toDotString == name).get
+            .getStatistics.genericGetMin.asInstanceOf[Number].longValue
+          if (minOf("x") <= 15 && minOf("y") <= 15) hit += 1
+        } finally rd.close()
+      }
+      (hit, total)
+    }
+    val (hitZ, totalZ) = rowGroupsHit(zdir)
+    val (hitN, totalN) = rowGroupsHit(ndir)
+    assert(totalZ >= 32 && totalN >= 32, s"expected 32+ row-groups: $totalZ/$totalN")
+    // naive skips on y alone (the sort column) but every file spans all
+    // x; the z-layout bounds BOTH dimensions per file, so the corner
+    // rectangle touches strictly fewer row-groups
+    assert(hitZ < hitN, s"z-order should skip more: z=$hitZ naive=$hitN")
+    // and both layouts return the identical answer for the probe query
+    def answer(dir: String): (Long, Long) = {
+      val r = spark.read.parquet(dir)
+        .filter(col("x") <= 15 && col("y") <= 15)
+        .agg(count(lit(1)), sum("payload")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(answer(zdir) === answer(ndir))
+    assert(answer(zdir)._1 === 256L) // 16x16 corner
+  }
 }

@@ -129,6 +129,50 @@ object SparkEntry {
   private def listFilterSql(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Shared IVF oracle plumbing (label-seeded centroids + 2 Lloyd rounds
+    * + assignment + exact top-5 ground truth), with the query-side probe
+    * list widened to `probeMax` cells. Mirrors Similarity.lloydRefine /
+    * ivfTopK round-for-round with per-round centroid rounding so cell
+    * assignments are hash-exact across engines. */
+  private def ivfCtes(probeMax: Int): String =
+    s"""e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |d0 AS (SELECT label AS cell, i, AVG(v[i]) AS m FROM el, range(1, 65) r(i) GROUP BY cell, i),
+       |c0 AS MATERIALIZED (SELECT cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM d0 GROUP BY cell),
+       |a1 AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+       |d1 AS (SELECT cell, i, AVG(v[i]) AS m FROM a1, range(1, 65) r(i) GROUP BY cell, i),
+       |c1 AS MATERIALIZED (SELECT cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM d1 GROUP BY cell),
+       |a2 AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+       |d2 AS (SELECT cell, i, AVG(v[i]) AS m FROM a2, range(1, 65) r(i) GROUP BY cell, i),
+       |c2 AS MATERIALIZED (SELECT cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM d2 GROUP BY cell),
+       |assign AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+       |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
+       |q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 5),
+       |probes AS MATERIALIZED (SELECT qid, qv, cell, crn FROM (
+       |    SELECT q.vec_id AS qid, q.v AS qv, c.cell,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY (${cosSql("q.v", "c.cv")}) DESC, c.cell) AS crn
+       |    FROM q CROSS JOIN c2 c) WHERE crn <= $probeMax),
+       |exact AS (SELECT qid, cid FROM (
+       |    SELECT q.vec_id AS qid, t.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY (${cosSql("t.v", "q.v")}) DESC, t.vec_id) AS rn
+       |    FROM q JOIN e t ON t.vec_id <> q.vec_id) WHERE rn <= 5)""".stripMargin
+
+  /** IVF top-5 candidates probing the `n` nearest cells, as a CTE named
+    * `ivf$n` over the [[ivfCtes]] prefix. */
+  private def ivfCandSql(n: Int): String =
+    s"""ivf$n AS (SELECT qid, cid FROM (
+       |    SELECT p.qid, a.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY p.qid ORDER BY (${cosSql("a.v", "p.qv")}) DESC, a.vec_id) AS rn
+       |    FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid AND p.crn <= $n) WHERE rn <= 5)""".stripMargin
+
   // Quality-score components over a frame with (text, toks) columns —
   // shared by x_text_stats and the x_llm_pipeline composition so both
   // oracles compute the identical score.
@@ -1139,43 +1183,9 @@ object SparkEntry {
     // per-round rounding) so hits are hash-exact; recall_monotone pins
     // that widening the probe never loses a true neighbor.
     Q("x_ivf_lloyd_probe2",
-      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-              |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-              |d0 AS (SELECT label AS cell, i, AVG(v[i]) AS m FROM el, range(1, 65) r(i) GROUP BY cell, i),
-              |c0 AS MATERIALIZED (SELECT cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM d0 GROUP BY cell),
-              |a1 AS MATERIALIZED (SELECT vec_id, v, cell FROM (
-              |    SELECT e.vec_id, e.v, c.cell,
-              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
-              |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
-              |d1 AS (SELECT cell, i, AVG(v[i]) AS m FROM a1, range(1, 65) r(i) GROUP BY cell, i),
-              |c1 AS MATERIALIZED (SELECT cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM d1 GROUP BY cell),
-              |a2 AS MATERIALIZED (SELECT vec_id, v, cell FROM (
-              |    SELECT e.vec_id, e.v, c.cell,
-              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
-              |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
-              |d2 AS (SELECT cell, i, AVG(v[i]) AS m FROM a2, range(1, 65) r(i) GROUP BY cell, i),
-              |c2 AS MATERIALIZED (SELECT cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM d2 GROUP BY cell),
-              |assign AS MATERIALIZED (SELECT vec_id, v, cell FROM (
-              |    SELECT e.vec_id, e.v, c.cell,
-              |      row_number() OVER (PARTITION BY e.vec_id ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
-              |    FROM e CROSS JOIN c2 c) WHERE rn = 1),
-              |q AS MATERIALIZED (SELECT vec_id, v FROM e WHERE vec_id < 5),
-              |probes AS MATERIALIZED (SELECT qid, qv, cell, crn FROM (
-              |    SELECT q.vec_id AS qid, q.v AS qv, c.cell,
-              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY (${cosSql("q.v", "c.cv")}) DESC, c.cell) AS crn
-              |    FROM q CROSS JOIN c2 c) WHERE crn <= 2),
-              |ivf1 AS (SELECT qid, cid FROM (
-              |    SELECT p.qid, a.vec_id AS cid,
-              |      row_number() OVER (PARTITION BY p.qid ORDER BY (${cosSql("a.v", "p.qv")}) DESC, a.vec_id) AS rn
-              |    FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid AND p.crn = 1) WHERE rn <= 5),
-              |ivf2 AS (SELECT qid, cid FROM (
-              |    SELECT p.qid, a.vec_id AS cid,
-              |      row_number() OVER (PARTITION BY p.qid ORDER BY (${cosSql("a.v", "p.qv")}) DESC, a.vec_id) AS rn
-              |    FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid) WHERE rn <= 5),
-              |exact AS (SELECT qid, cid FROM (
-              |    SELECT q.vec_id AS qid, t.vec_id AS cid,
-              |      row_number() OVER (PARTITION BY q.vec_id ORDER BY (${cosSql("t.v", "q.v")}) DESC, t.vec_id) AS rn
-              |    FROM q JOIN e t ON t.vec_id <> q.vec_id) WHERE rn <= 5)
+      Some(s"""WITH ${ivfCtes(probeMax = 2)},
+              |${ivfCandSql(1)},
+              |${ivfCandSql(2)}
               |SELECT ex.qid AS query_id, CAST(COUNT(*) AS BIGINT) AS k,
               |  CAST(SUM(CASE WHEN i1.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_probe1,
               |  CAST(SUM(CASE WHEN i2.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_probe2,
@@ -1204,6 +1214,55 @@ object SparkEntry {
             sum(coalesce(col("h2"), lit(0L))).as("hits_probe2"))
           .withColumn("recall_monotone", col("hits_probe2") >= col("hits_probe1"))
           .orderBy("query_id")
+      }),
+
+    // X-ivf-recall-curve: the standard ANN acceptance gate — recall@5
+    // vs exact brute force at nProbe ∈ {1, 2, 4}, one row per probe
+    // width, with a lag-window monotonicity flag: widening the probe may
+    // only add candidate cells, so recall must be non-decreasing. Three
+    // aggregate rows; all the heavy lifting reuses the shared IVF CTEs /
+    // ivfTopK paths already verified by x_ivf_lloyd_probe2.
+    Q("x_ivf_recall_curve",
+      Some {
+        def arm(n: Int) =
+          s"""SELECT $n AS n_probe,
+             |  CAST(SUM(CASE WHEN i.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             |  CAST(COUNT(*) AS BIGINT) AS total
+             |FROM exact ex LEFT JOIN ivf$n i ON ex.qid = i.qid AND ex.cid = i.cid""".stripMargin
+        s"""WITH ${ivfCtes(probeMax = 4)},
+           |${ivfCandSql(1)},
+           |${ivfCandSql(2)},
+           |${ivfCandSql(4)},
+           |curve AS (${arm(1)} UNION ALL ${arm(2)} UNION ALL ${arm(4)}),
+           |r AS (SELECT n_probe, hits, total,
+           |        ROUND(hits * 1.0 / total + 1e-9, 4) AS recall FROM curve)
+           |SELECT n_probe, hits, total, recall,
+           |  COALESCE(recall >= lag(recall) OVER (ORDER BY n_probe), TRUE) AS monotone
+           |FROM r ORDER BY n_probe""".stripMargin
+      },
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.lloydRefine(emb,
+          Similarity.centroids(emb, "label", 64), iters = 2)
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select(col("query_id"), col("corpus_id"))
+        val curve = Seq(1, 2, 4).map { np =>
+          val ivf = Similarity.ivfTopK(emb, queries, cents, k = 5, nProbe = np)
+            .select(col("query_id"), col("corpus_id"), lit(1L).as("h"))
+          exact.join(ivf, Seq("query_id", "corpus_id"), "left")
+            .agg(sum(coalesce(col("h"), lit(0L))).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(np).as("n_probe"), col("hits"), col("total"))
+        }.reduce(_.unionByName(_))
+        // 3 rows total: the unpartitioned lag window is trivially fine
+        val wCurve = Window.orderBy("n_probe")
+        curve
+          .withColumn("recall", R(col("hits") * lit(1.0) / col("total")))
+          .withColumn("monotone",
+            coalesce(col("recall") >= lag(col("recall"), 1).over(wCurve),
+              lit(true)))
+          .orderBy("n_probe")
       }),
 
     // X-semdedup: semantic deduplication — nearest-centroid clustering

@@ -817,6 +817,36 @@ object SparkEntry {
           round(col("psi") + lit(1e-9), 4).as("psi"))
         .orderBy("event_type")),
 
+    // Two-sample KS drift — the binning-free companion to the PSI
+    // monitor on the same period split: exact max ECDF gap per event
+    // type, one distinct-value aggregation + one sorted cumulative
+    // window. Catches drift PSI's fixed buckets can absorb.
+    Q("m_drift_ks",
+      Some("""WITH b AS (SELECT event_type, value AS v,
+             |   CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+             | FROM events),
+             |c AS (SELECT event_type, v, SUM(is_ref) AS c_ref,
+             |        SUM(1 - is_ref) AS c_cur FROM b GROUP BY 1, 2),
+             |t AS (SELECT event_type,
+             |        SUM(c_ref) OVER (PARTITION BY event_type ORDER BY v
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+             |        SUM(c_cur) OVER (PARTITION BY event_type ORDER BY v
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cur,
+             |        SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+             |        SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur FROM c)
+             |SELECT event_type,
+             | CAST(MAX(n_ref) AS BIGINT) AS n_ref, CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+             | ROUND(MAX(CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             |     ABS(CAST(cum_ref AS DOUBLE) / n_ref - CAST(cum_cur AS DOUBLE) / n_cur)
+             |   END) + 1e-9, 4) AS ks
+             |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => graft.monitoring.Drift.ksStatistic(
+          Tables.events(s, dir), Seq("event_type"), "value",
+          isRef = col("ts") < lit("2024-01-16").cast("timestamp"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          R(col("ks")).as("ks"))
+        .orderBy("event_type")),
+
     // Robust outlier counts via MAD (median absolute deviation): unlike
     // the z-score path, one corrupted heavy tail can't inflate the scale
     // estimate and mask its own outliers. Exact medians on both engines

@@ -81,6 +81,43 @@ object Drift {
 
   /** Reference histogram for [[streamingPsi]]: (group..., bucket, c_ref)
     * counts over the validation slice, computed once and stored. */
+  /** Two-sample Kolmogorov–Smirnov statistic per group — the binning-free
+    * companion to [[psi]]: D = max over observed x of
+    * |ECDF_ref(x) − ECDF_cur(x)|, computed exactly as one aggregation to
+    * distinct values plus one sorted cumulative-window pass per group (the
+    * ECDF only steps at observed values, so the max lives there). PSI
+    * needs bucket edges chosen in advance and can miss drift that stays
+    * within a bucket; KS needs no parameters and bounds the worst-case
+    * CDF gap. Groups with an empty side yield NULL (the statistic is
+    * undefined there, and a silent 0 or 1 would mask the absence).
+    *
+    * Scale shape: the shuffle carries (group, value) distinct pairs, the
+    * window sorts within groups — fine for per-slice monitoring columns.
+    * For a 100 TB single-group column, feed a deterministic sample or the
+    * binned [[psi]] path instead; an exact global ECDF sort at that size
+    * buys no additional decision value. */
+  def ksStatistic(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  isRef: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val perV = df
+      .groupBy(gcols :+ col(valueCol).as("v"): _*)
+      .agg(sum(when(isRef, 1L).otherwise(0L)).as("c_ref"),
+        sum(when(isRef, 0L).otherwise(1L)).as("c_cur"))
+    val wCum = Window.partitionBy(gcols: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gcols: _*)
+    perV
+      .withColumn("cum_ref", sum("c_ref").over(wCum))
+      .withColumn("cum_cur", sum("c_cur").over(wCum))
+      .withColumn("n_ref", sum("c_ref").over(wAll))
+      .withColumn("n_cur", sum("c_cur").over(wAll))
+      .groupBy(gcols: _*)
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        max(when(col("n_ref") > 0 && col("n_cur") > 0,
+          abs(col("cum_ref").cast("double") / col("n_ref")
+            - col("cum_cur").cast("double") / col("n_cur")))).as("ks"))
+  }
+
   def referenceHistogram(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, lo: Double, hi: Double,
                          buckets: Int): DataFrame =

@@ -123,6 +123,30 @@ class AlertsSpec extends SparkTestBase {
     assert(math.abs(streaming.getDouble(2) - batch.getDouble(2)) < 1e-12)
   }
 
+  test("KS statistic: hand-computed value, zero on identical samples, NULL on an empty side") {
+    import graft.monitoring.Drift
+    // ref {1,2} vs cur {2,3}: ECDF gaps are 0.5 at v=1 and v=2 → D = 0.5
+    val hand = Seq(("g", true, 1.0), ("g", true, 2.0),
+      ("g", false, 2.0), ("g", false, 3.0)).toDF("g", "ref", "v")
+    val d = Drift.ksStatistic(hand, Seq("g"), "v", col("ref")).head()
+    assert(d.getAs[Double]("ks") === 0.5)
+    assert(d.getAs[Long]("n_ref") === 2L && d.getAs[Long]("n_cur") === 2L)
+
+    // identical samples → D = 0; disjoint ranges → D = 1; empty side → NULL
+    val rows = (0 until 50).flatMap { i =>
+      Seq(("same", true, i.toDouble), ("same", false, i.toDouble),
+        ("shift", true, i.toDouble), ("shift", false, i + 1000.0),
+        ("onesided", true, i.toDouble))
+    }.toDF("g", "ref", "v")
+    val out = Drift.ksStatistic(rows, Seq("g"), "v", col("ref"))
+      .collect().map(r => r.getAs[String]("g") ->
+        (if (r.isNullAt(r.fieldIndex("ks"))) None
+         else Some(r.getAs[Double]("ks")))).toMap
+    assert(out("same") === Some(0.0))
+    assert(out("shift") === Some(1.0))
+    assert(out("onesided") === None)
+  }
+
   test("Prometheus exposition carries a firing rule at 1 and a resolved rule at 0") {
     import graft.monitoring.Prometheus
     // two metrics over the same windows: `hot` breaches through the end

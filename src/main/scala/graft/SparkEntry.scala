@@ -1040,6 +1040,53 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // X-dedup-incremental-neardup: the NEAR-dup twin of the incremental
+    // path — today's batch vs a persistent SIGNATURE index (8 bytes x 16
+    // perms per historical doc, no text): banded candidate join, then
+    // estimated-Jaccard verification on signatures alone. The batch
+    // includes near-copies of history docs (original text + 3 extra
+    // tokens) so the drop path provably fires on both engines.
+    Q("x_incremental_neardup_dedup",
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+              |  UNION ALL SELECT doc_id + 1000000, text || ' zz1 zz2 zz3'
+              |    FROM documents WHERE doc_id < 50),
+              |pre AS MATERIALIZED (SELECT doc_id, $shinglesSql AS sh
+              |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)),
+              |tok AS (SELECT doc_id, unnest(sh) AS s FROM pre),
+              |uv AS (SELECT doc_id,
+              |         CAST(concat('0x', substr(md5(s), 1, 10)) AS BIGINT) AS u,
+              |         CAST(concat('0x', substr(md5(s), 11, 10)) AS BIGINT) AS v
+              |       FROM tok),
+              |mh AS (SELECT doc_id, p, MIN(u + p * v) AS m
+              |       FROM uv CROSS JOIN range(0, 16) r(p) GROUP BY doc_id, p),
+              |sigl AS MATERIALIZED (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+              |bands AS MATERIALIZED (SELECT doc_id, p // 4 AS b,
+              |    md5(CAST(p // 4 AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), '|' ORDER BY p)) AS bh
+              |  FROM mh GROUP BY doc_id, p // 4),
+              |cand AS (SELECT DISTINCT b2.doc_id AS bid, h.doc_id AS hid
+              |         FROM bands b2 JOIN bands h ON b2.b = h.b AND b2.bh = h.bh
+              |         WHERE b2.doc_id >= 250 AND h.doc_id < 250),
+              |dropped AS (SELECT DISTINCT c.bid FROM cand c
+              |            JOIN sigl sa ON sa.doc_id = c.bid
+              |            JOIN sigl sb ON sb.doc_id = c.hid
+              |            WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.5)
+              |SELECT doc_id FROM corpus
+              |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT bid FROM dropped)
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L))
+            .withColumn("text", concat(col("text"), lit(" zz1 zz2 zz3"))))
+        val histSigs = Dedup.minhashSigTable(
+          docs.filter(col("doc_id") < 250), "text", "doc_id")
+        Dedup.incrementalMinhashDedup(batch, "text", "doc_id", histSigs,
+            estThreshold = 0.5)
+          .select("doc_id")
+          .orderBy("doc_id")
+      }),
+
     // X-dedup-jaccard: blocked all-pairs 3-shingle Jaccard (quadratic
     // baseline; blocking key = source).
     Q("x_jaccard_pairs",

@@ -204,6 +204,92 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Per-doc MinHash signature table (id, sig: array<long>) via the same
+    * exploded numeric-min aggregation as [[minhashNearDups]] — the
+    * STORABLE form of a near-dup index: 8·numPerms bytes per doc ever
+    * ingested, no shingles, no text. Docs with no shingles (fewer than
+    * `shingleN` tokens) produce no row — they have no signature and can
+    * never near-dup-match, so incremental callers keep them. */
+  def minhashSigTable(docs: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int = 3, numPerms: Int = 16): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val (u, v) = uvHalves(col("s"))
+    val mins = (0 until numPerms).map(p =>
+      min(col("u") + lit(p.toLong) * col("v")).as(s"m$p"))
+    Par.fanOut(docs, par)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
+          .as("s"))
+      .select(col("id"), u.as("u"), v.as("v"))
+      .groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"))
+  }
+
+  /** LSH band table (id, band, bh) derived from stored signatures — a
+    * narrow md5 expansion with no text access, producing the exact band
+    * hashes [[minhashNearDups]] computes (md5("b|m..|m..")). In
+    * production the HISTORY side of this table is materialized once and
+    * stored bucketed on bh (Warehouse.writeBucketed), not re-derived per
+    * batch; deriving it here keeps the API self-contained. */
+  def sigBands(sigs: DataFrame, numPerms: Int = 16,
+               rowsPerBand: Int = 4): DataFrame = {
+    val bandStructs = (0 until numPerms / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          lit(b.toString) +: (0 until rowsPerBand).map(r =>
+            element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
+          .cast("binary")).as("bh"))
+    }
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
+  /** Estimated Jaccard from two MinHash signatures: the fraction of
+    * agreeing permutation minima (an unbiased estimator of the true
+    * Jaccard). */
+  def estJaccard(a: Column, b: Column, numPerms: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      z => z === 1)).cast("double") / numPerms
+
+  /** Incremental NEAR-dup dedup — the near-dup twin of
+    * [[incrementalExactDedup]]: drop batch docs whose estimated Jaccard
+    * against ANY history doc reaches `estThreshold`, where history is the
+    * persistent signature index (`histSigs`: (id, sig) from
+    * [[minhashSigTable]]) — never historical text or shingles.
+    *
+    * Shape at 100 TB: candidates come from a banded equi-join (batch
+    * bands × history bands), verification joins SIGNATURES by candidate
+    * id (8·numPerms bytes/doc), and history text is never read. The
+    * batch's signature aggregation is computed twice (bands + verify) —
+    * one extra pass over the day's batch beats persisting blocks into a
+    * long-running ingest job. Within-batch near-dups are deliberately
+    * out of scope (run [[minhashNearDups]]/[[exactDedup]] on the batch
+    * first); this operator answers only "is it new vs history". */
+  def incrementalMinhashDedup(batch: DataFrame, textCol: String,
+                              idCol: String, histSigs: DataFrame,
+                              estThreshold: Double, shingleN: Int = 3,
+                              numPerms: Int = 16,
+                              rowsPerBand: Int = 4): DataFrame = {
+    val bSigs = minhashSigTable(batch, textCol, idCol, shingleN, numPerms)
+    val cand = sigBands(bSigs, numPerms, rowsPerBand)
+      .select(col("id").as("bid"), col("band"), col("bh"))
+      .join(sigBands(histSigs, numPerms, rowsPerBand)
+        .select(col("id").as("hid"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("bid", "hid").distinct()
+    val dupIds = cand
+      .join(bSigs.select(col("id").as("bid"), col("sig").as("sig_b")),
+        Seq("bid"))
+      .join(histSigs.select(col("id").as("hid"), col("sig").as("sig_h")),
+        Seq("hid"))
+      .filter(estJaccard(col("sig_b"), col("sig_h"), numPerms)
+        >= estThreshold)
+      .select(col("bid").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

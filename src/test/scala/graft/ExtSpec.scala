@@ -138,6 +138,29 @@ class ExtSpec extends SparkTestBase {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("incremental near-dup dedup: drops signature matches vs history, keeps fresh and short docs") {
+    val histDocs = Seq(
+      (1L, (1 to 40).map(i => s"h$i").mkString(" ")),
+      (2L, (100 to 140).map(i => s"g$i").mkString(" "))).toDF("doc_id", "text")
+    val hist = Dedup.minhashSigTable(histDocs, "text", "doc_id")
+    val batch = Seq(
+      (10L, (1 to 38).map(i => s"h$i").mkString(" ")), // near-copy of doc 1
+      (11L, (500 to 540).map(i => s"q$i").mkString(" ")), // genuinely new
+      (12L, "one two")) // <3 tokens: no signature, must survive
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashDedup(batch, "text", "doc_id", hist,
+        estThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(11L, 12L))
+    // the derived band table matches the batch operator's band hashes:
+    // running the near-dup pair finder over history + near-copy finds the
+    // same relationship the incremental path acted on
+    val pairs = Dedup.minhashNearDups(
+      histDocs.unionByName(batch), "text", "doc_id", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 10L)))
+  }
+
   test("simhash: docs with <3 tokens keep an all-zero signature (oracle-aligned)") {
     // The oracle's LEFT JOIN re-adds empty-shingle docs with 64 zero bits;
     // the Spark side must do the same via explode_outer — a doc dropped on

@@ -278,7 +278,10 @@ object StreamingPipeline {
     *  - The marker is written last; once it exists the batch is a no-op
     *    forever. */
   private def withBatchIndex(spark: SparkSession, id: Long, outPath: String,
-                             indexPath: String)
+                             indexPath: String,
+                             emptyIndex: SparkSession => DataFrame =
+                               s => s.emptyDataFrame
+                                 .select(lit("").as("fingerprint")).limit(0))
       (compute: DataFrame => (DataFrame, DataFrame, () => Unit)): Unit = {
     val marker = new java.io.File(s"$outPath/_batches/$id")
     if (marker.exists()) return
@@ -287,9 +290,10 @@ object StreamingPipeline {
       idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
         .foreach(f => { f.delete(); () })
     val index =
-      if (idxDir.exists()) spark.read.parquet(idxDir.getPath)
-      else spark.emptyDataFrame
-        .select(lit("").as("fingerprint")).limit(0)
+      if (idxDir.exists() &&
+          idxDir.listFiles().exists(_.getName.endsWith(".parquet")))
+        spark.read.parquet(idxDir.getPath)
+      else emptyIndex(spark)
     val (survivors, delta, afterWrite) = compute(index)
     survivors.write.mode("overwrite")
       .parquet(s"$outPath/data/batch_id=$id")
@@ -353,6 +357,49 @@ object StreamingPipeline {
       (r.survivors, r.indexDelta,
         () => { r.survivors.unpersist(); counts.add(id, r.stats) })
     }
+
+  /** Streaming NEAR-dup ingest: per micro-batch, exact-dedup within the
+    * batch, then drop docs whose MinHash signatures estimate ≥
+    * `estThreshold` Jaccard against the persistent SIGNATURE index
+    * (`Dedup.incrementalMinhashDedup` — history carries 8·numPerms bytes
+    * per doc, never text), and append the survivors' signatures to the
+    * index under [[withBatchIndex]]'s exactly-once protocol. The
+    * streaming form of the production near-dup pipeline: a doc
+    * near-duplicating ANY earlier batch never lands. */
+  def nearDupIngest(stream: DataFrame, textCol: String, idCol: String,
+                    outPath: String, sigIndexPath: String, ckpt: String,
+                    estThreshold: Double = 0.5): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        nearDupIngestBatch(batch, id, textCol, idCol, outPath,
+          sigIndexPath, estThreshold)
+      }
+      .start()
+
+  /** The per-batch body of [[nearDupIngest]]. */
+  def nearDupIngestBatch(batch: DataFrame, id: Long, textCol: String,
+                         idCol: String, outPath: String,
+                         sigIndexPath: String,
+                         estThreshold: Double): Unit = {
+    val emptySigs = (s: SparkSession) => s.createDataFrame(
+      s.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    withBatchIndex(batch.sparkSession, id, outPath, sigIndexPath,
+      emptySigs) { histSigs =>
+      val inBatch = graft.ext.Dedup.exactDedup(batch, textCol, idCol)
+      val survivors = graft.ext.Dedup.incrementalMinhashDedup(
+        inBatch, textCol, idCol, histSigs, estThreshold)
+      (survivors,
+        graft.ext.Dedup.minhashSigTable(survivors, textCol, idCol),
+        () => ())
+    }
+  }
 
   /** T7 (extension): in-stream tumbling-window aggregation with watermark —
     * the streaming counterpart of Gold.windowAgg. The reference computes

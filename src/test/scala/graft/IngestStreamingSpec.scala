@@ -165,6 +165,50 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(new java.io.File(s"$out/_batches/2").exists())
   }
 
+  test("nearDupIngest: cross-batch near-copies never land; fresh and short docs do") {
+    val inDir = Files.createTempDirectory("graft-nd-in").toString
+    val out = Files.createTempDirectory("graft-nd-out").toString
+    val idx = Files.createTempDirectory("graft-nd-idx").toString
+    val ckpt = Files.createTempDirectory("graft-nd-ckpt").toString
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .json(inDir)
+      val q = StreamingPipeline.nearDupIngest(src, "text", "doc_id",
+        out, idx, ckpt, estThreshold = 0.5)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"),
+      s"""{"doc_id":10,"text":"${words(1 to 40, "a")}"}
+         |{"doc_id":11,"text":"${words(100 to 140, "b")}"}
+         |""".stripMargin)
+    run()
+    assert(spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet === Set(10L, 11L))
+
+    // batch 2: 20 near-copies batch-1's doc 10 (38 of 40 tokens) → drop;
+    // 21 is fresh → lands; 22 is too short to sign → lands
+    Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+      s"""{"doc_id":20,"text":"${words(1 to 38, "a")} zz1 zz2"}
+         |{"doc_id":21,"text":"${words(500 to 540, "c")}"}
+         |{"doc_id":22,"text":"just two"}
+         |""".stripMargin)
+    run()
+    val landed = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed === Set(10L, 11L, 21L, 22L))
+    // the signature index carries one row per SIGNED survivor (22 has no
+    // shingles, so no signature)
+    assert(spark.read.parquet(s"$idx/data").count() === 3)
+
+    // restart with the same checkpoint: no new input → nothing re-lands
+    run()
+    assert(spark.read.parquet(s"$out/data").count() === 4)
+  }
+
   test("curateIngest: quality gate, cross-batch dedup, and source caps match the batch pipeline") {
     val inDir = Files.createTempDirectory("graft-cu-in").toString
     val out = Files.createTempDirectory("graft-cu-out").toString

@@ -126,51 +126,68 @@ object StreamingPipeline {
     // new dir (marker present → replay is a no-op). A marker beside the
     // data could otherwise record a merge whose rename never happened —
     // or miss one that did, double-counting the batch on replay.
+    val kcols = keys.map(col)
+    mergeSwapState(spark, goldPath, batchId) { existingOpt =>
+      val partial = batch
+        .groupBy(window(col(timeCol), windowDuration).as("w") +: kcols: _*)
+        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"),
+          min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
+        .select(col("w.start").as("window_start") +: kcols :+ col("n") :+
+          col("sum_v") :+ col("min_v") :+ col("max_v"): _*)
+      val joinCols = "window_start" +: keys
+      existingOpt match {
+        case Some(existing) =>
+          existing.select(joinCols.map(col) :+ col("n").as("n0") :+
+              col("sum_v").as("sum_v0") :+ col("min_v").as("min_v0") :+
+              col("max_v").as("max_v0"): _*)
+            .join(partial, joinCols, "full_outer")
+            .select(joinCols.map(col) ++ Seq(
+              (coalesce(col("n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
+              (coalesce(col("sum_v0"), lit(0.0)) + coalesce(col("sum_v"), lit(0.0))).as("sum_v"),
+              least(coalesce(col("min_v0"), col("min_v")),
+                coalesce(col("min_v"), col("min_v0"))).as("min_v"),
+              greatest(coalesce(col("max_v0"), col("max_v")),
+                coalesce(col("max_v"), col("max_v0"))).as("max_v")): _*)
+        case None => partial
+      }
+    }
+  }
+
+  /** Crash-safe merge-and-swap shared by the small per-group STATE tables
+    * ([[mergeGoldBatch]] aggregates, [[sketchDistinct]] registers): read
+    * the current state if any, apply `merge`, stage the result next to
+    * the data dir, carry the accumulated batch markers plus this one, and
+    * swap via rename-aside. A crash at any point leaves marker and data
+    * consistent — either the old dir (no marker → replay re-merges from
+    * old state) or the new one (marker present → replay is a no-op); a
+    * failed mid-swap restore or promotion throws rather than publishing
+    * a state table missing its pre-crash history. */
+  private def mergeSwapState(spark: SparkSession, storePath: String,
+                             batchId: Long)
+      (merge: Option[DataFrame] => DataFrame): Unit = {
+    val dataDir = s"$storePath/data"
     // recover from a crash mid-swap: if the table moved aside but the
     // staged dir was never promoted, the backup is the authoritative
     // state — put it back before doing anything else
     locally {
-      val d = new java.io.File(s"$goldPath/data")
-      val b = new java.io.File(s"$goldPath/_pregold")
-      // a failed restore must abort the merge: proceeding without the
-      // backup would publish a gold table containing only this batch,
-      // silently discarding all pre-crash aggregate state
+      val d = new java.io.File(dataDir)
+      val b = new java.io.File(s"$storePath/_prestate")
       if (!d.exists() && b.exists() && !b.renameTo(d))
         throw new java.io.IOException(
-          s"gold swap: could not restore $b to $d after crash")
+          s"state swap: could not restore $b to $d after crash")
     }
-    val marker = new java.io.File(s"$goldPath/data/_merged/$batchId")
+    val marker = new java.io.File(s"$dataDir/_merged/$batchId")
     if (marker.exists()) return // replayed batch: already merged
-    val kcols = keys.map(col)
-    val partial = batch
-      .groupBy(window(col(timeCol), windowDuration).as("w") +: kcols: _*)
-      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"),
-        min(col(valueCol)).as("min_v"), max(col(valueCol)).as("max_v"))
-      .select(col("w.start").as("window_start") +: kcols :+ col("n") :+
-        col("sum_v") :+ col("min_v") :+ col("max_v"): _*)
-    val dataDir = s"$goldPath/data"
-    val joinCols = "window_start" +: keys
-    val merged =
-      if (new java.io.File(dataDir).exists()) {
-        val existing = spark.read.parquet(dataDir)
-        existing.select(joinCols.map(col) :+ col("n").as("n0") :+
-            col("sum_v").as("sum_v0") :+ col("min_v").as("min_v0") :+
-            col("max_v").as("max_v0"): _*)
-          .join(partial, joinCols, "full_outer")
-          .select(joinCols.map(col) ++ Seq(
-            (coalesce(col("n0"), lit(0L)) + coalesce(col("n"), lit(0L))).as("n"),
-            (coalesce(col("sum_v0"), lit(0.0)) + coalesce(col("sum_v"), lit(0.0))).as("sum_v"),
-            least(coalesce(col("min_v0"), col("min_v")),
-              coalesce(col("min_v"), col("min_v0"))).as("min_v"),
-            greatest(coalesce(col("max_v0"), col("max_v")),
-              coalesce(col("max_v"), col("max_v0"))).as("max_v")): _*)
-      } else partial
-    // stage-and-swap: the incoming plan reads dataDir, so materialize the
-    // merge next to it before replacing
-    val tmp = s"$goldPath/_stage"
-    merged.write.mode("overwrite").parquet(tmp)
+    val existing =
+      if (new java.io.File(dataDir).exists())
+        Some(spark.read.parquet(dataDir))
+      else None
+    // stage-and-swap: the merge plan reads dataDir, so materialize it
+    // next door before replacing
+    val tmp = s"$storePath/_stage"
+    merge(existing).write.mode("overwrite").parquet(tmp)
     // carry the accumulated markers (plus this batch's) into the staged
-    // dir BEFORE the swap — see the marker note above
+    // dir BEFORE the swap — see the marker consistency note above
     val stagedMarkers = new java.io.File(s"$tmp/_merged")
     stagedMarkers.mkdirs()
     val currentMarkers = new java.io.File(s"$dataDir/_merged")
@@ -186,19 +203,58 @@ object StreamingPipeline {
       if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
     }
     val target = new java.io.File(dataDir)
-    val backup = new java.io.File(s"$goldPath/_pregold")
+    val backup = new java.io.File(s"$storePath/_prestate")
     if (backup.exists()) rm(backup)
     val hadData = target.exists()
     if (hadData && !target.renameTo(backup))
       throw new java.io.IOException(
-        s"gold swap: could not move $dataDir aside")
+        s"state swap: could not move $dataDir aside")
     if (!new java.io.File(tmp).renameTo(target)) {
       if (hadData) backup.renameTo(target)
       throw new java.io.IOException(
-        s"gold swap: could not promote staged merge to $dataDir")
+        s"state swap: could not promote staged merge to $dataDir")
     }
     if (hadData) rm(backup)
     ()
+  }
+
+  /** Continuous distinct-count maintenance: per micro-batch, HLL-sketch
+    * the batch's `valueCol` per `keys` group and union-merge into a
+    * stored sketch table — state is (groups × one lgK-register binary),
+    * aggregate-sized, never key-sized. This is the sketch-per-batch
+    * pattern that answers any-range distinct queries at 100 TB by merging
+    * registers instead of rescanning events; exactly-once via the same
+    * marker+swap as [[mergeGoldBatch]]. Read the estimate with
+    * `hll_sketch_estimate(sk)` over the stored table. */
+  def sketchDistinct(stream: DataFrame, keys: Seq[String], valueCol: String,
+                     storePath: String, ckpt: String,
+                     lgK: Int = 12): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sketchDistinctBatch(batch, id, keys, valueCol, storePath, lgK)
+      }
+      .start()
+
+  /** The per-batch body of [[sketchDistinct]]. */
+  def sketchDistinctBatch(batch: DataFrame, id: Long, keys: Seq[String],
+                          valueCol: String, storePath: String,
+                          lgK: Int): Unit = {
+    val kcols = keys.map(col)
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val partial = batch.groupBy(kcols: _*)
+        .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sk"))
+      existingOpt match {
+        case Some(existing) =>
+          // union-merge registers: groups absent from one side pass
+          // through; allowDifferentLgConfigK=false pins a uniform lgK
+          existing.select(kcols :+ col("sk"): _*)
+            .unionByName(partial)
+            .groupBy(kcols: _*)
+            .agg(expr("hll_union_agg(sk, false)").as("sk"))
+        case None => partial
+      }
+    }
   }
 
   /** Continuous gold maintenance: stream → per-batch partial window

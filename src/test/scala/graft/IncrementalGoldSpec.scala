@@ -59,6 +59,30 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(n2 === 2L)
   }
 
+  test("sketchDistinct maintains mergeable HLL registers across batches, exactly-once") {
+    val store = Files.createTempDirectory("graft-sk").toString + "/s"
+    def batchDf(rows: Seq[(String, Long)]) = rows.toDF("k", "u")
+    // batch 0: 100 users in a, 10 in b; batch 1 overlaps a by 50
+    StreamingPipeline.sketchDistinctBatch(
+      batchDf((1L to 100L).map("a" -> _) ++ (1L to 10L).map("b" -> _)),
+      0L, Seq("k"), "u", store, lgK = 12)
+    StreamingPipeline.sketchDistinctBatch(
+      batchDf((51L to 150L).map("a" -> _)), 1L, Seq("k"), "u", store, lgK = 12)
+
+    def estimates: Map[String, Double] = spark.read.parquet(s"$store/data")
+      .select(col("k"), expr("hll_sketch_estimate(sk)").as("est"))
+      .as[(String, Double)].collect().toMap
+    val est = estimates
+    // exact: a=150 distinct, b=10; lgK=12 → ~1.6% rsd, give 5%
+    assert(math.abs(est("a") - 150.0) / 150.0 <= 0.05, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 10.0) / 10.0 <= 0.05, s"b: ${est("b")}")
+
+    // replaying batch 1 must not re-merge (estimates identical, not just close)
+    StreamingPipeline.sketchDistinctBatch(
+      batchDf((51L to 150L).map("a" -> _)), 1L, Seq("k"), "u", store, lgK = 12)
+    assert(estimates === est)
+  }
+
   test("stream-static dim join enriches every micro-batch via broadcast") {
     val inDir = Files.createTempDirectory("graft-ss-in").toString
     writeBatch(inDir, "b1.json", Seq(

@@ -2494,6 +2494,36 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("es_key_k"))
         .orderBy("doc_id")),
 
+    // X-sample-weighted-stratified: the per-source form of the ES sample
+    // — top-10 by the rounded ES key WITHIN each source, i.e. a
+    // length-weighted quota per corpus shard (the training-mix shape:
+    // weights inside a stratum, caps across strata). Same ulp-proof
+    // contract as x_weighted_sample: the cut orders by the ROUNDED
+    // scaled key with a doc_id tie-break on both engines.
+    Q("x_weighted_sample_stratified",
+      Some("""WITH k AS (
+             |  SELECT doc_id, source,
+             |    ROUND(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) + 0.5)
+             |       / 1099511627776.0) / n_chars * 1000 + 1e-9, 4) + 0.0 AS es_key_k
+             |  FROM documents WHERE n_chars > 0),
+             |r AS (SELECT doc_id, source, es_key_k,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY es_key_k DESC, doc_id) AS rn FROM k)
+             |SELECT source, doc_id, es_key_k FROM r WHERE rn <= 10
+             |ORDER BY source, doc_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("es_key_k").desc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .filter(col("n_chars") > 0)
+          .withColumn("es_key_k",
+            R(graft.ext.Sampling.esKey(col("doc_id"), col("n_chars")) * lit(1000)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .select(col("source"), col("doc_id"), col("es_key_k"))
+          .orderBy("source", "doc_id")
+      }),
+
     // X-redact: PII scrubbing (emails, IPv4) — the input synthesizes
     // PII-bearing text from the corpus so the redaction provably fires.
     Q("x_redact_pii",

@@ -81,6 +81,19 @@ class IncrementalGoldSpec extends SparkTestBase {
     StreamingPipeline.sketchDistinctBatch(
       batchDf((51L to 150L).map("a" -> _)), 1L, Seq("k"), "u", store, lgK = 12)
     assert(estimates === est)
+
+    // crash mid-swap: the table moved aside but the staged dir was never
+    // promoted — the next batch must restore the backup (the
+    // authoritative state) before merging, losing nothing
+    val dataDir = new java.io.File(s"$store/data")
+    val backup = new java.io.File(s"$store/_prestate")
+    assert(dataDir.renameTo(backup), "test setup: simulate mid-swap crash")
+    StreamingPipeline.sketchDistinctBatch(
+      batchDf((1L to 5L).map("c" -> _)), 2L, Seq("k"), "u", store, lgK = 12)
+    val est2 = estimates
+    assert(est2("a") === est("a") && est2("b") === est("b"),
+      "pre-crash registers must survive the restore")
+    assert(math.abs(est2("c") - 5.0) / 5.0 <= 0.05)
   }
 
   test("stream-static dim join enriches every micro-batch via broadcast") {

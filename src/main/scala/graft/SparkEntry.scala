@@ -1163,6 +1163,29 @@ object SparkEntry {
           "doc_id", maxHamming = 3, shingleN = 3, bands = 4)
         .orderBy("id_a", "id_b")),
 
+    // X-dedup-simhash-salted: the SAME oracle as x_simhash_neardups run
+    // through the non-lossy hot-bucket salting path (Skew.saltedPairs,
+    // salts=4) — salting is an execution detail, so the pair set must
+    // hash-match the unsalted oracle bit-for-bit. The ExtSpec variant
+    // additionally measures the task spread; this pins semantics.
+    Q("x_simhash_neardups_salted",
+      Some(s"""WITH $simhashSigCtes,
+              |bands AS MATERIALIZED (SELECT doc_id, b, substr(simhash, b * 16 + 1, 16) AS chunk
+              |          FROM sig CROSS JOIN range(0, 4) r(b)),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+              |         FROM bands a JOIN bands b2
+              |           ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id),
+              |hx AS (SELECT c.id_a, c.id_b,
+              |         CAST(len(list_filter(range(1, 65),
+              |           i -> substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1))) AS INT) AS hamming
+              |       FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+              |                   JOIN sig sb ON sb.doc_id = c.id_b)
+              |SELECT id_a, id_b, hamming FROM hx
+              |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.simhashNearDups(Tables.documents(s, dir), "text",
+          "doc_id", maxHamming = 3, shingleN = 3, bands = 4, salts = 4)
+        .orderBy("id_a", "id_b")),
+
     // X-sim-topk: brute-force cosine top-k (broadcast query set).
     Q("x_cosine_topk",
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

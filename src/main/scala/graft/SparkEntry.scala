@@ -3850,6 +3850,30 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+    // X-mix-allocation: largest-remainder apportionment of a 10k-doc
+    // budget across sources by the temperature-scaled weights — the
+    // INTEGER quotas a sampler acts on, summing exactly to the budget
+    // (the raw expectations don't). Raw quotas round to 6 decimals
+    // before the floor so pow-ulp noise can't flip a boundary row.
+    Q("x_mix_allocation",
+      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_rows
+             |          FROM documents GROUP BY source),
+             |pq AS (SELECT source, n_rows, POW(n_rows / SUM(n_rows) OVER (), 0.7) AS qr FROM c),
+             |r AS (SELECT source, n_rows,
+             |        ROUND(qr / SUM(qr) OVER () * 10000 + 1e-9, 6) AS raw FROM pq),
+             |b AS (SELECT source, n_rows, raw,
+             |        CAST(FLOOR(raw) AS BIGINT) AS base, raw - FLOOR(raw) AS rem FROM r),
+             |l AS (SELECT *, 10000 - SUM(base) OVER () AS leftover,
+             |        row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+             |SELECT source, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+             |FROM l ORDER BY source""".stripMargin),
+      (s, dir) => graft.ext.Sampling.mixAllocation(
+          Tables.documents(s, dir), Seq("source"), alpha = 0.7,
+          budget = 10000L)
+        .select(col("source"), col("n_rows"), col("alloc"))
+        .orderBy("source")),
+
     // 3-dimensional Z-order key (user × value-band × hour-of-day): the
     // N-column generator and its SQL mirror must agree bit-for-bit.
     Q("s_zorder_key3",

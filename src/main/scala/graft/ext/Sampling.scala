@@ -96,4 +96,32 @@ object Sampling {
       .withColumn("q", col("_qr") / sum("_qr").over(w))
       .drop("_qr")
   }
+
+  /** Integer per-group sample budgets from the [[mixWeights]] quotas via
+    * largest-remainder (Hamilton) apportionment: base = floor of each
+    * group's raw quota, then the groups with the largest remainders
+    * (group tie-break) absorb the leftover, so allocations sum EXACTLY
+    * to `budget` — the number a sampler can act on, where the raw
+    * expectation cannot. Raw quotas are rounded to 6 decimals before the
+    * floor: pow/division differ in the last ulp across engines, and an
+    * unrounded floor at an integer boundary would flip a whole row (the
+    * weighted-sample cut lesson applied to apportionment). All windows
+    * run over the per-GROUP weight table only — corpus-sized data never
+    * reaches this operator. */
+  def mixAllocation(df: DataFrame, groupCols: Seq[String], alpha: Double,
+                    budget: Long): DataFrame = {
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy()
+    val byRemainder = Window.partitionBy()
+      .orderBy(col("_rem").desc +: gcols.map(_.asc): _*)
+    mixWeights(df, groupCols, alpha)
+      .withColumn("_raw", round(col("q") * budget + lit(1e-9), 6))
+      .withColumn("_base", floor(col("_raw")).cast("long"))
+      .withColumn("_rem", col("_raw") - col("_base"))
+      .withColumn("_left", lit(budget) - sum("_base").over(w))
+      .withColumn("_rk", row_number().over(byRemainder))
+      .withColumn("alloc",
+        col("_base") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
+      .select(gcols :+ col("n_rows") :+ col("q") :+ col("alloc"): _*)
+  }
 }

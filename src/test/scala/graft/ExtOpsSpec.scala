@@ -108,4 +108,26 @@ class ExtOpsSpec extends SparkTestBase {
       .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("q")).toMap
     assert(math.abs(nat("big") - 0.9) < 1e-12 && math.abs(nat("small") - 0.1) < 1e-12)
   }
+
+  test("mixAllocation: largest-remainder quotas sum exactly to the budget") {
+    // alpha=1 keeps natural proportions: p = .5/.3/.2 of budget 7 →
+    // raw 3.5/2.1/1.4, base 3/2/1, leftover 1 goes to the largest
+    // remainder (a) → 4/2/1
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("src")
+    val out = Sampling.mixAllocation(df, Seq("src"), alpha = 1.0, budget = 7L)
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("alloc"))
+      .toMap
+    assert(out === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+
+    // temperature-scaled on skewed data: still sums exactly to budget,
+    // and the rare group gets strictly more than its natural share
+    val skew = (Seq.fill(970)("big") ++ Seq.fill(30)("rare")).toDF("src")
+    val a = Sampling.mixAllocation(skew, Seq("src"), alpha = 0.5,
+        budget = 1000L)
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("alloc"))
+      .toMap
+    assert(a.values.sum === 1000L)
+    assert(a("rare") > 30L)
+  }
 }

@@ -342,6 +342,14 @@ object StreamingPipeline {
     val marker = new java.io.File(s"$outPath/_batches/$id")
     if (marker.exists()) return
     val idxDir = new java.io.File(s"$indexPath/data")
+    // finish a compaction interrupted mid-swap: the backup generation is
+    // authoritative (see compactIngestIndex)
+    locally {
+      val b = new java.io.File(s"$indexPath/_preidx")
+      if (!idxDir.exists() && b.exists() && !b.renameTo(idxDir))
+        throw new java.io.IOException(
+          s"index swap: could not restore $b to $idxDir after crash")
+    }
     if (idxDir.exists())
       idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
         .foreach(f => { f.delete(); () })
@@ -367,6 +375,57 @@ object StreamingPipeline {
     afterWrite()
     marker.getParentFile.mkdirs()
     marker.createNewFile()
+    ()
+  }
+
+  /** Compact an ingest index's accumulated per-batch delta files into one
+    * generation of `targetFiles` (fingerprints/signatures deduplicated).
+    * Thousands of micro-batches leave thousands of tiny b$id- files and
+    * the per-batch index read pays a per-file open cost; compaction
+    * restores O(targetFiles) reads.
+    *
+    * Safety gate: REQUIRES every delta's batch to be markered (the
+    * stream quiesced). A crash-window batch — delta renamed, marker
+    * missing — relies on clearing its OWN b$id- files on replay
+    * ([[withBatchIndex]]); folding those into a compacted file would
+    * make the stale fingerprints unremovable and reopen the
+    * zero-survivors loss window, so an unmarkered delta aborts the
+    * compaction. The swap is rename-aside (backup `_preidx`), and
+    * [[withBatchIndex]] restores an interrupted swap before its next
+    * read. */
+  def compactIngestIndex(spark: SparkSession, outPath: String,
+                         indexPath: String, targetFiles: Int = 1): Unit = {
+    val idxDir = new java.io.File(s"$indexPath/data")
+    if (!idxDir.exists()) return
+    val files = idxDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    if (files.length <= targetFiles) return
+    val batchIds = files.flatMap(f =>
+      "^b(\\d+)-".r.findFirstMatchIn(f.getName).map(_.group(1))).distinct
+    batchIds.foreach { id =>
+      if (!new java.io.File(s"$outPath/_batches/$id").exists())
+        throw new IllegalStateException(
+          s"refusing to compact: batch $id has index deltas but no marker " +
+            "(in-flight or crash-window batch; its replay must be able to " +
+            "clear its own delta files)")
+    }
+    val stage = new java.io.File(s"$indexPath/_compact")
+    spark.read.parquet(idxDir.getPath).distinct()
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(stage.getPath)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val backup = new java.io.File(s"$indexPath/_preidx")
+    if (backup.exists()) rm(backup)
+    if (!idxDir.renameTo(backup))
+      throw new java.io.IOException(
+        s"index swap: could not move $idxDir aside")
+    if (!stage.renameTo(idxDir)) {
+      backup.renameTo(idxDir)
+      throw new java.io.IOException(
+        s"index swap: could not promote compacted index to $idxDir")
+    }
+    rm(backup)
     ()
   }
 

@@ -165,6 +165,52 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(new java.io.File(s"$out/_batches/2").exists())
   }
 
+  test("index compaction folds delta files, preserves dedup, and refuses in-flight batches") {
+    val out = Files.createTempDirectory("graft-ci-out").toString
+    val idx = Files.createTempDirectory("graft-ci-idx").toString
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    StreamingPipeline.dedupIngestBatch(batch(1L -> "alpha one"), 1L,
+      "text", "doc_id", out, idx)
+    StreamingPipeline.dedupIngestBatch(batch(2L -> "beta two"), 2L,
+      "text", "doc_id", out, idx)
+    StreamingPipeline.dedupIngestBatch(batch(3L -> "gamma three"), 3L,
+      "text", "doc_id", out, idx)
+    val idxDir = new java.io.File(s"$idx/data")
+    def parquetFiles = idxDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles.length >= 3)
+    val before = spark.read.parquet(idxDir.getPath)
+      .as[String].collect().sorted.toSeq
+
+    // a crash-window delta (no marker) must abort the compaction: its
+    // replay has to be able to clear its own b$id- files
+    StreamingPipeline.dedupIngestBatch(batch(9L -> "inflight nine"), 9L,
+      "text", "doc_id", out, idx)
+    assert(new java.io.File(s"$out/_batches/9").delete())
+    val e = intercept[IllegalStateException] {
+      StreamingPipeline.compactIngestIndex(spark, out, idx)
+    }
+    assert(e.getMessage.contains("batch 9"))
+    // replay batch 9 to completion, then compact for real
+    StreamingPipeline.dedupIngestBatch(batch(9L -> "inflight nine"), 9L,
+      "text", "doc_id", out, idx)
+    StreamingPipeline.compactIngestIndex(spark, out, idx)
+    assert(parquetFiles.length === 1)
+    val after = spark.read.parquet(idxDir.getPath)
+      .as[String].collect().sorted.toSeq
+    assert(after === (before ++ spark.createDataset(Seq("inflight nine"))
+      .toDF("text").select(graft.ext.TextAnalysis.fingerprint(col("text")))
+      .as[String].collect().toSeq).sorted)
+
+    // the compacted index still dedups the next batch
+    StreamingPipeline.dedupIngestBatch(
+      batch(10L -> "alpha one", 11L -> "delta four"), 10L,
+      "text", "doc_id", out, idx)
+    val landed = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed === Set(1L, 2L, 3L, 9L, 11L))
+  }
+
   test("nearDupIngest: cross-batch near-copies never land; fresh and short docs do") {
     val inDir = Files.createTempDirectory("graft-nd-in").toString
     val out = Files.createTempDirectory("graft-nd-out").toString

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -376,6 +377,52 @@ object StreamingPipeline {
     marker.getParentFile.mkdirs()
     marker.createNewFile()
     ()
+  }
+
+  /** CDC materialization — the Debezium/changelog shape: a stream of
+    * (keys..., `seqCol`, `opCol` ∈ {upsert, delete}, payload...) rows
+    * folds into a stored latest-wins keyed table. Per batch: keep each
+    * key's highest-`seqCol` row within the batch, merge against the
+    * stored table by sequence (stored rows win over LATE arrivals — an
+    * out-of-order change with a lower sequence than what's applied is
+    * correctly ignored; batch wins ties, new info over old), and apply
+    * tombstones (a winning delete removes the key). Exactly-once via
+    * [[mergeSwapState]]; state is the live table itself, which a keyed
+    * store must hold anyway — no extra streaming state. */
+  def cdcUpsert(stream: DataFrame, keys: Seq[String], seqCol: String,
+                opCol: String, storePath: String,
+                ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        cdcUpsertBatch(batch, id, keys, seqCol, opCol, storePath)
+      }
+      .start()
+
+  /** The per-batch body of [[cdcUpsert]]. */
+  def cdcUpsertBatch(batch: DataFrame, id: Long, keys: Seq[String],
+                     seqCol: String, opCol: String,
+                     storePath: String): Unit = {
+    val kcols = keys.map(col)
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val wKey = Window.partitionBy(kcols: _*)
+        .orderBy(col(seqCol).desc, col(opCol).asc) // delete < upsert lexically; delete wins seq ties within a batch
+      val latest = batch.withColumn("_rn", row_number().over(wKey))
+        .filter(col("_rn") === 1).drop("_rn")
+        .withColumn("_src", lit(1))
+      val all = existingOpt match {
+        case Some(ex) =>
+          // stored rows are live upserts; batch wins sequence ties
+          ex.withColumn(opCol, lit("upsert")).withColumn("_src", lit(0))
+            .unionByName(latest)
+        case None => latest
+      }
+      val wMerge = Window.partitionBy(kcols: _*)
+        .orderBy(col(seqCol).desc, col("_src").desc)
+      all.withColumn("_rn", row_number().over(wMerge))
+        .filter(col("_rn") === 1 && col(opCol) === "upsert")
+        .drop("_rn", "_src", opCol)
+    }
   }
 
   /** Compact an ingest index's accumulated per-batch delta files into one

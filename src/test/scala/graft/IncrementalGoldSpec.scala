@@ -59,6 +59,39 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(n2 === 2L)
   }
 
+  test("cdcUpsert: latest-wins with tombstones, late changes ignored, replay no-op") {
+    val store = Files.createTempDirectory("graft-cdc").toString + "/t"
+    def b(rows: (String, Long, String, String)*) =
+      rows.toSeq.toDF("k", "seq", "op", "v")
+    def table: Map[String, (Long, String)] = spark.read
+      .parquet(s"$store/data")
+      .select("k", "seq", "v").as[(String, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    StreamingPipeline.cdcUpsertBatch(
+      b(("k1", 1L, "upsert", "v1"), ("k2", 1L, "upsert", "v2"),
+        ("k3", 5L, "upsert", "v3")),
+      0L, Seq("k"), "seq", "op", store)
+    // update k1, tombstone k2; within-batch: k1 gets two changes, the
+    // higher sequence wins
+    val b1 = b(("k1", 2L, "upsert", "mid"), ("k1", 3L, "upsert", "v10"),
+      ("k2", 2L, "delete", ""))
+    StreamingPipeline.cdcUpsertBatch(b1, 1L, Seq("k"), "seq", "op", store)
+    // a LATE change for k3 (seq 3 < applied 5) must be ignored
+    StreamingPipeline.cdcUpsertBatch(
+      b(("k3", 3L, "upsert", "late")), 2L, Seq("k"), "seq", "op", store)
+    assert(table === Map("k1" -> (3L, "v10"), "k3" -> (5L, "v3")))
+
+    // replaying batch 1 is a no-op
+    StreamingPipeline.cdcUpsertBatch(b1, 1L, Seq("k"), "seq", "op", store)
+    assert(table === Map("k1" -> (3L, "v10"), "k3" -> (5L, "v3")))
+
+    // a key re-inserted after its tombstone, with a higher sequence
+    StreamingPipeline.cdcUpsertBatch(
+      b(("k2", 3L, "upsert", "back")), 3L, Seq("k"), "seq", "op", store)
+    assert(table("k2") === ((3L, "back")))
+  }
+
   test("sketchDistinct maintains mergeable HLL registers across batches, exactly-once") {
     val store = Files.createTempDirectory("graft-sk").toString + "/s"
     def batchDf(rows: Seq[(String, Long)]) = rows.toDF("k", "u")

@@ -3850,6 +3850,33 @@ object SparkEntry {
           .orderBy("source")
       }),
 
+    // X-corpus-report: the per-source datacard — one row per shard with
+    // document count, token total, mean quality, language share, and
+    // exact-dup count (docs minus distinct fingerprints). One hash
+    // aggregation over the corpus; the numbers a training-mix decision
+    // actually reads.
+    Q("x_corpus_report",
+      Some(s"""WITH t AS (SELECT source, lang, text, $toksSql AS toks,
+              |            md5($normSql) AS f FROM documents)
+              |SELECT source,
+              |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+              |  ROUND(AVG($qualityScoreSql) + 1e-9, 4) AS avg_quality,
+              |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+              |  CAST(COUNT(*) - COUNT(DISTINCT f) AS BIGINT) AS dup_docs
+              |FROM t GROUP BY source ORDER BY source""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          R(avg(TextAnalysis.qualityScore(col("text")))).as("avg_quality"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          (count(lit(1)) -
+            countDistinct(TextAnalysis.fingerprint(col("text"))))
+            .as("dup_docs"))
+        .orderBy("source")),
+
     // X-mix-allocation: largest-remainder apportionment of a 10k-doc
     // budget across sources by the temperature-scaled weights — the
     // INTEGER quotas a sampler acts on, summing exactly to the budget

@@ -1040,6 +1040,76 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // X-curate-full: the whole production day in one operator — quality
+    // gate, exact dedup vs the fingerprint index, NEAR-dup dedup vs the
+    // signature index, per-source cap — with per-stage counts. History
+    // participates only as the two slim indices; batch includes
+    // synthetic near-copies so the near-dup stage provably bites.
+    Q("x_curate_full_incremental",
+      Some(s"""WITH corpus AS (SELECT doc_id, source, text FROM documents
+              |  UNION ALL SELECT doc_id + 1000000, source, text || ' zz1 zz2 zz3'
+              |    FROM documents WHERE doc_id < 50
+              |  UNION ALL SELECT doc_id + 2000000, source, text
+              |    FROM documents WHERE doc_id >= 250 AND doc_id < 260),
+              |tk AS (SELECT doc_id, source, text, $toksSql AS toks FROM corpus),
+              |batch AS (SELECT doc_id, source, text, toks FROM tk WHERE doc_id >= 250),
+              |kept AS (SELECT doc_id, source, text, toks FROM batch
+              |         WHERE ($qualityScoreSql) >= 0.35),
+              |fpb AS (SELECT doc_id, source, text, md5($normSql) AS f FROM kept),
+              |idx AS (SELECT DISTINCT md5($normSql) AS f FROM tk WHERE doc_id < 250),
+              |d2 AS (SELECT doc_id, source, text, f FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fpb)
+              |  WHERE rn = 1 AND f NOT IN (SELECT f FROM idx)),
+              |pre AS MATERIALIZED (SELECT doc_id, $shinglesSql AS sh FROM tk),
+              |tok AS (SELECT doc_id, unnest(sh) AS s FROM pre),
+              |uv AS (SELECT doc_id,
+              |         CAST(concat('0x', substr(md5(s), 1, 10)) AS BIGINT) AS u,
+              |         CAST(concat('0x', substr(md5(s), 11, 10)) AS BIGINT) AS v
+              |       FROM tok),
+              |mh AS (SELECT doc_id, p, MIN(u + p * v) AS m
+              |       FROM uv CROSS JOIN range(0, 16) r(p) GROUP BY doc_id, p),
+              |sigl AS MATERIALIZED (SELECT doc_id, list(m ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+              |bands AS MATERIALIZED (SELECT doc_id, p // 4 AS b,
+              |    md5(CAST(p // 4 AS VARCHAR) || '|' || string_agg(CAST(m AS VARCHAR), '|' ORDER BY p)) AS bh
+              |  FROM mh GROUP BY doc_id, p // 4),
+              |cand AS (SELECT DISTINCT b2.doc_id AS bid, h.doc_id AS hid
+              |         FROM bands b2 JOIN bands h ON b2.b = h.b AND b2.bh = h.bh
+              |         WHERE b2.doc_id IN (SELECT doc_id FROM d2) AND h.doc_id < 250),
+              |dropped AS (SELECT DISTINCT c.bid FROM cand c
+              |            JOIN sigl sa ON sa.doc_id = c.bid
+              |            JOIN sigl sb ON sb.doc_id = c.hid
+              |            WHERE len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.5),
+              |d3 AS (SELECT doc_id, source FROM d2
+              |       WHERE doc_id NOT IN (SELECT bid FROM dropped)),
+              |cap AS (SELECT doc_id FROM (SELECT doc_id,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn FROM d3)
+              |  WHERE crn <= 15)
+              |SELECT 'a_input' AS stage, COUNT(*) AS n FROM batch
+              |UNION ALL SELECT 'b_quality', COUNT(*) FROM kept
+              |UNION ALL SELECT 'c_exact_dedup', COUNT(*) FROM d2
+              |UNION ALL SELECT 'd_neardup_dedup', COUNT(*) FROM d3
+              |UNION ALL SELECT 'e_cap', COUNT(*) FROM cap
+              |ORDER BY stage""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + lit(1000000L))
+            .withColumn("text", concat(col("text"), lit(" zz1 zz2 zz3"))))
+          .unionByName(docs.filter(col("doc_id") >= 250 && col("doc_id") < 260)
+            .withColumn("doc_id", col("doc_id") + lit(2000000L)))
+        val hist = docs.filter(col("doc_id") < 250)
+        val fpIndex = hist
+          .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .distinct()
+        val sigIndex = Dedup.minhashSigTable(hist, "text", "doc_id")
+        val r = graft.ext.Curate.incrementalFull(batch, fpIndex, sigIndex)
+        r.survivors.unpersist()
+        r.stats.toDF("stage", "n").orderBy("stage")
+      }),
+
     // X-dedup-incremental-neardup: the NEAR-dup twin of the incremental
     // path — today's batch vs a persistent SIGNATURE index (8 bytes x 16
     // perms per historical doc, no text): banded candidate join, then

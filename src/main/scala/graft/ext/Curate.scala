@@ -111,4 +111,51 @@ object Curate {
       "after_dedup" -> nDeduped,
       "after_cap" -> nCapped))
   }
+
+  final case class IncFullResult(survivors: DataFrame,
+                                 fpDelta: DataFrame, sigDelta: DataFrame,
+                                 stats: Seq[(String, Long)])
+
+  /** The FULL daily increment — [[incremental]] plus the near-dup stage:
+    * quality gate → within-batch + against-fingerprint-index exact dedup
+    * → against-SIGNATURE-index near-dup dedup → per-source cap. History
+    * is two slim indices (32-byte fingerprints; 8·numPerms-byte MinHash
+    * signatures) — historical text never participates. Returns the
+    * survivors plus BOTH index deltas; union them in after publishing.
+    * This is the production shape end to end: every stage's history
+    * side is index-sized, and each day pays one pass over its own
+    * batch. */
+  def incrementalFull(batch: DataFrame, fpIndex: DataFrame,
+                      sigIndex: DataFrame, minQuality: Double = 0.35,
+                      estThreshold: Double = 0.5,
+                      perSourceCap: Int = 15): IncFullResult = {
+    val total = batch.count()
+    val kept = batch
+      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nKept = kept.count()
+    val exact = Dedup.incrementalExactDedup(kept, "text", "doc_id", fpIndex)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nExact = exact.count()
+    val nearDeduped = Dedup.incrementalMinhashDedup(exact, "text", "doc_id",
+        sigIndex, estThreshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNear = nearDeduped.count()
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val capped = nearDeduped.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= perSourceCap).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCapped = capped.count()
+    kept.unpersist(); exact.unpersist(); nearDeduped.unpersist()
+    IncFullResult(capped,
+      Dedup.survivorFingerprints(capped, "text"),
+      Dedup.minhashSigTable(capped, "text", "doc_id"),
+      Seq(
+        "a_input" -> total,
+        "b_quality" -> nKept,
+        "c_exact_dedup" -> nExact,
+        "d_neardup_dedup" -> nNear,
+        "e_cap" -> nCapped))
+  }
 }

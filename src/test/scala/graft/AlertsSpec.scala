@@ -147,6 +147,29 @@ class AlertsSpec extends SparkTestBase {
     assert(out("onesided") === None)
   }
 
+  test("per-batch PSI scores feed the alert lifecycle: a drifted batch fires") {
+    import graft.monitoring.Drift
+    // reference histogram from a stable period, then two micro-batches:
+    // one matching the reference, one shifted
+    val ref = (0 until 200).map(i => ("g", (i % 10) * 10.0)).toDF("g", "v")
+    val hist = Drift.referenceHistogram(ref, Seq("g"), "v", 0.0, 100.0, 10)
+    def psiOf(batch: org.apache.spark.sql.DataFrame): Double =
+      Drift.streamingPsi(batch, hist, Seq("g"), "v", 0.0, 100.0, 10)
+        .select("psi").as[Double].head()
+    val okBatch = (0 until 100).map(i => ("g", (i % 10) * 10.0)).toDF("g", "v")
+    val badBatch = (0 until 100).map(i => ("g", 90.0)).toDF("g", "v")
+    val series = Seq(0L -> psiOf(okBatch), 1L -> psiOf(badBatch))
+      .toDF("batch_id", "psi")
+      .select(to_timestamp(col("batch_id")).as("window_start"),
+        lit("psi").as("metric"), col("psi").as("value"))
+    val out = Alerts.evaluate(series,
+        Seq(Rule("psi_drift", "warning", "psi", ">", 0.25, 1)),
+        windowSeconds = 1L)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("state") === "firing")
+  }
+
   test("Prometheus exposition carries a firing rule at 1 and a resolved rule at 0") {
     import graft.monitoring.Prometheus
     // two metrics over the same windows: `hot` breaches through the end

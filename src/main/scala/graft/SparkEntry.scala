@@ -924,6 +924,25 @@ object SparkEntry {
       (s, dir) => Quality.contentFingerprint(
         Tables.events(s, dir), Seq("event_id", "user_id", "event_type"))),
 
+    // Q-freshness: per-type newest event and its lag behind an explicit
+    // as-of instant, flagged stale above 24h — the engine-side form of
+    // the reference's Bronze-staleness probe (the DAG fails above 30 min
+    // of S3 last-modified age). as-of is a parameter, never now():
+    // freshness checks must themselves be reproducible.
+    Q("q_freshness",
+      Some("""SELECT event_type,
+             | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS latest,
+             | CAST(date_diff('second', MAX(ts), TIMESTAMP '2024-02-01 00:00:00') AS BIGINT) AS lag_seconds,
+             | date_diff('second', MAX(ts), TIMESTAMP '2024-02-01 00:00:00') > 86400 AS stale
+             | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => Quality.freshness(Tables.events(s, dir), "ts",
+          Seq("event_type"),
+          java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+          maxLagSeconds = 86400L)
+        .select(col("event_type"), ftsU(col("latest")).as("latest"),
+          col("lag_seconds"), col("stale"))
+        .orderBy("event_type")),
+
     // Fuzzy name matching (entity resolution): dedupe to DISTINCT values
     // first (the standard move — row-level matching squares row counts
     // when values repeat: 38 s at sf0.1 row-level vs sub-second

@@ -92,6 +92,23 @@ object Quality {
     CheckResult("row_ratio", if (ratio < lo || ratio > hi) 1L else 0L, ratio)
   }
 
+  /** Data freshness: per-group newest event time and its lag behind
+    * `asOf`, with a staleness flag at `maxLagSeconds` — the engine-side
+    * form of the reference's Bronze-staleness probe
+    * (dags/streaming_pipeline_dag.py:88-126 checks S3 last-modified age
+    * and fails the DAG above 30 minutes). `asOf` is an explicit
+    * parameter, not now(): a freshness check must itself be reproducible
+    * (and testable) — the caller passes the evaluation instant. One
+    * aggregation; never scans more than the pruned `tsCol` column. */
+  def freshness(df: DataFrame, tsCol: String, groupCols: Seq[String],
+                asOf: java.sql.Timestamp,
+                maxLagSeconds: Long): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(max(col(tsCol)).as("latest"))
+      .withColumn("lag_seconds",
+        unix_timestamp(lit(asOf)) - unix_timestamp(col("latest")))
+      .withColumn("stale", col("lag_seconds") > maxLagSeconds)
+
   /** Q10: fail-fast contract — abort the pipeline on any failed check so an
     * orchestrator marks the stage red (expectations.py:205-207). */
   def enforce(results: Seq[CheckResult]): Unit = {

@@ -443,6 +443,15 @@ object StreamingPipeline {
   def compactIngestIndex(spark: SparkSession, outPath: String,
                          indexPath: String, targetFiles: Int = 1): Unit = {
     val idxDir = new java.io.File(s"$indexPath/data")
+    // finish an earlier compaction interrupted mid-swap first — without
+    // this, a missing data dir would read as "nothing to compact" while
+    // _preidx silently holds the whole index
+    locally {
+      val b = new java.io.File(s"$indexPath/_preidx")
+      if (!idxDir.exists() && b.exists() && !b.renameTo(idxDir))
+        throw new java.io.IOException(
+          s"index swap: could not restore $b to $idxDir after crash")
+    }
     if (!idxDir.exists()) return
     val files = idxDir.listFiles().filter(_.getName.endsWith(".parquet"))
     if (files.length <= targetFiles) return

@@ -209,6 +209,14 @@ class IngestStreamingSpec extends SparkTestBase {
     val landed = spark.read.parquet(s"$out/data")
       .select("doc_id").as[Long].collect().toSet
     assert(landed === Set(1L, 2L, 3L, 9L, 11L))
+
+    // a compaction interrupted mid-swap (data moved aside, staged dir
+    // never promoted) must be restored by the NEXT compaction, not read
+    // as an empty index
+    assert(idxDir.renameTo(new java.io.File(s"$idx/_preidx")))
+    StreamingPipeline.compactIngestIndex(spark, out, idx)
+    assert(idxDir.exists())
+    assert(spark.read.parquet(idxDir.getPath).distinct().count() === 5)
   }
 
   test("nearDupIngest: cross-batch near-copies never land; fresh and short docs do") {

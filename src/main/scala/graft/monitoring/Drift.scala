@@ -99,7 +99,11 @@ object Drift {
   def ksStatistic(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   isRef: Column): DataFrame = {
     val gcols = groupCols.map(col)
+    // NULLs have no place in an ECDF — and engines disagree on where
+    // they sort (Spark nulls-first, DuckDB nulls-last), so excluding
+    // them is both the right semantics and the portable one
     val perV = df
+      .filter(col(valueCol).isNotNull)
       .groupBy(gcols :+ col(valueCol).as("v"): _*)
       .agg(sum(when(isRef, 1L).otherwise(0L)).as("c_ref"),
         sum(when(isRef, 0L).otherwise(1L)).as("c_cur"))

@@ -234,7 +234,7 @@ object Dedup {
     * stored bucketed on bh (Warehouse.writeBucketed), not re-derived per
     * batch; deriving it here keeps the API self-contained. */
   def sigBands(sigs: DataFrame, numPerms: Int = 16,
-               rowsPerBand: Int = 4): DataFrame = {
+               rowsPerBand: Int = 4, carrySig: Boolean = false): DataFrame = {
     val bandStructs = (0 until numPerms / rowsPerBand).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
@@ -242,8 +242,11 @@ object Dedup {
             element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)
           .cast("binary")).as("bh"))
     }
-    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    sigs.select(col("id"), col("sig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id") +: col("bb.band").as("band") +:
+        col("bb.bh").as("bh") +:
+        (if (carrySig) Seq(col("sig")) else Nil): _*)
   }
 
   /** Estimated Jaccard from two MinHash signatures: the fraction of
@@ -260,30 +263,28 @@ object Dedup {
     * [[minhashSigTable]]) — never historical text or shingles.
     *
     * Shape at 100 TB: candidates come from a banded equi-join (batch
-    * bands × history bands), verification joins SIGNATURES by candidate
-    * id (8·numPerms bytes/doc), and history text is never read. The
-    * batch's signature aggregation is computed twice (bands + verify) —
-    * one extra pass over the day's batch beats persisting blocks into a
-    * long-running ingest job. Within-batch near-dups are deliberately
-    * out of scope (run [[minhashNearDups]]/[[exactDedup]] on the batch
-    * first); this operator answers only "is it new vs history". */
+    * bands × history bands) that CARRIES both signatures, so estimated-
+    * Jaccard verification happens inline on the joined rows and each
+    * side's signature aggregation runs exactly once — no re-join back to
+    * the signature tables, no second pass over the batch's shingles.
+    * The band rows widen by 8·numPerms bytes; that is the entire cost,
+    * and history text is never read. Within-batch near-dups are
+    * deliberately out of scope (run [[minhashNearDups]]/[[exactDedup]]
+    * on the batch first); this operator answers only "is it new vs
+    * history". */
   def incrementalMinhashDedup(batch: DataFrame, textCol: String,
                               idCol: String, histSigs: DataFrame,
                               estThreshold: Double, shingleN: Int = 3,
                               numPerms: Int = 16,
                               rowsPerBand: Int = 4): DataFrame = {
     val bSigs = minhashSigTable(batch, textCol, idCol, shingleN, numPerms)
-    val cand = sigBands(bSigs, numPerms, rowsPerBand)
-      .select(col("id").as("bid"), col("band"), col("bh"))
-      .join(sigBands(histSigs, numPerms, rowsPerBand)
-        .select(col("id").as("hid"), col("band"), col("bh")),
+    val dupIds = sigBands(bSigs, numPerms, rowsPerBand, carrySig = true)
+      .select(col("id").as("bid"), col("band"), col("bh"),
+        col("sig").as("sig_b"))
+      .join(sigBands(histSigs, numPerms, rowsPerBand, carrySig = true)
+        .select(col("id").as("hid"), col("band"), col("bh"),
+          col("sig").as("sig_h")),
         Seq("band", "bh"))
-      .select("bid", "hid").distinct()
-    val dupIds = cand
-      .join(bSigs.select(col("id").as("bid"), col("sig").as("sig_b")),
-        Seq("bid"))
-      .join(histSigs.select(col("id").as("hid"), col("sig").as("sig_h")),
-        Seq("hid"))
       .filter(estJaccard(col("sig_b"), col("sig_h"), numPerms)
         >= estThreshold)
       .select(col("bid").as(idCol)).distinct()

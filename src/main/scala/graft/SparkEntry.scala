@@ -1487,6 +1487,49 @@ object SparkEntry {
           .orderBy("vec_id")
       }),
 
+    // X-semdedup-calibration: the dedup-rate curve a user reads BEFORE
+    // picking the SemDeDup threshold — for each candidate threshold, how
+    // many docs would be flagged (docs whose max within-cell cosine to a
+    // lower-id neighbor reaches it). Runs semanticDedup unthresholded
+    // (threshold = -1 keeps every within-cell pair) and sweeps the
+    // candidates over the ROUNDED per-doc maximum, so the count can't
+    // flip on a last-ulp dot-product boundary.
+    Q("x_semdedup_calibration",
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |dims AS (SELECT label, i, AVG(v[i]) AS m FROM el, range(1, 65) r(i) GROUP BY label, i),
+              |cent AS (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM dims GROUP BY label),
+              |assign AS (SELECT vec_id, v, cell FROM (
+              |    SELECT e.vec_id, e.v, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |                         ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+              |n AS (SELECT vec_id, v, cell, sqrt(list_dot_product(v, v)) AS nrm
+              |      FROM assign WHERE sqrt(list_dot_product(v, v)) > 0),
+              |p AS (SELECT a.cell, a.vec_id AS ia, b.vec_id AS ib,
+              |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+              |      FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+              |m AS (SELECT ib AS vec_id, ROUND(MAX(c) + 1e-9, 4) AS mx
+              |      FROM p GROUP BY ib)
+              |SELECT thr, CAST(COUNT(*) AS BIGINT) AS candidates,
+              |  CAST(SUM(CASE WHEN mx >= thr THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
+              |FROM m CROSS JOIN (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS thr)
+              |GROUP BY thr ORDER BY thr""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+        val m = Similarity.semanticDedup(emb,
+            Similarity.centroids(emb, "label", 64), threshold = -1.0)
+          .select(col("vec_id"), R(col("max_cos")).as("mx"))
+        // tiny literal threshold spine — a documented broadcast
+        m.crossJoin(broadcast(Seq(0.3, 0.4, 0.5, 0.6, 0.7).toDF("thr")))
+          .groupBy("thr")
+          .agg(count(lit(1)).as("candidates"),
+            sum(when(col("mx") >= col("thr"), 1L).otherwise(0L))
+              .as("flagged_docs"))
+          .orderBy("thr")
+      }),
+
     // X-multimodal: opaque-binary column metadata view (byte length +
     // content key), no decode — proves column pruning drops payloads.
     Q("x_multimodal_meta",

@@ -188,7 +188,7 @@ class PlanSpec extends SparkTestBase {
     val nlAllowed = Set(
       "x_cosine_topk", "x_embedding_neardups", "x_ivf_topk",
       "x_ivf_lloyd_probe2", "x_ivf_recall_curve", "x_knn_classify",
-      "x_semantic_dedup",
+      "x_semantic_dedup", "x_semdedup_calibration",
       "x_pq_codes", "x_minhash_est_vs_exact", "j_range_join_bands",
       "w_asof_prior_signup", "x_srp_lsh_neardups",
       // single-row aggregate / tiny-spine broadcasts (share-of-total,

@@ -58,4 +58,38 @@ class CurateSpec extends SparkTestBase {
     // the index delta is exactly the survivors' fingerprints
     assert(r.indexDelta.count() === s("after_cap"))
   }
+
+  test("incrementalFull: each stage drops its own kind of document") {
+    import graft.ext.{Dedup, TextAnalysis}
+    import spark.implicits._
+    def sentence(p: String) =
+      s"the quick brown $p fox jumps over the lazy dog and the cat is in the house on the hill " * 3
+    val hist = Seq((1L, "a", sentence("one")), (2L, "a", sentence("two")))
+      .toDF("doc_id", "source", "text")
+    val fpIndex = hist
+      .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .distinct()
+    val sigIndex = Dedup.minhashSigTable(hist, "text", "doc_id")
+    val batch = Seq(
+      (10L, "a", "x"),                                // junk → stage b
+      (11L, "a", sentence("one")),                    // exact history copy → stage c
+      (12L, "a", sentence("two") + " tail tok1 tok2"), // near-copy → stage d
+      // genuinely fresh: shares no template with history (a doc built
+      // from the SAME sentence template is, correctly, a near-dup)
+      (13L, "a", "apples and oranges are sold at the market on every " +
+        "sunday while the children play in the park near the river " * 3),
+      (14L, "a", "apples and oranges are sold at the market on every " +
+        "sunday while the children play in the park near the river " * 3)
+      // 14 is an in-batch exact dup of 13 → stage c
+    ).toDF("doc_id", "source", "text")
+    val r = Curate.incrementalFull(batch, fpIndex, sigIndex,
+      minQuality = 0.35, estThreshold = 0.5, perSourceCap = 15)
+    assert(r.stats === Seq(
+      "a_input" -> 5L, "b_quality" -> 4L, "c_exact_dedup" -> 2L,
+      "d_neardup_dedup" -> 1L, "e_cap" -> 1L))
+    assert(r.survivors.select("doc_id").as[Long].collect().toSeq === Seq(13L))
+    // both deltas describe exactly the survivors
+    assert(r.fpDelta.count() === 1L && r.sigDelta.count() === 1L)
+    r.survivors.unpersist()
+  }
 }

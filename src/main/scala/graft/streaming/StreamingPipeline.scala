@@ -339,40 +339,65 @@ object StreamingPipeline {
                              emptyIndex: SparkSession => DataFrame =
                                s => s.emptyDataFrame
                                  .select(lit("").as("fingerprint")).limit(0))
-      (compute: DataFrame => (DataFrame, DataFrame, () => Unit)): Unit = {
+      (compute: DataFrame => (DataFrame, DataFrame, () => Unit)): Unit =
+    withBatchIndexes(spark, id, outPath, Seq(indexPath -> emptyIndex)) {
+      case Seq(index) =>
+        val (survivors, delta, after) = compute(index)
+        (survivors, Seq(delta), after)
+    }
+
+  /** The multi-index form of the crash-safe protocol — used directly by
+    * [[curateFullIngestBatch]], which maintains BOTH the fingerprint and
+    * the signature index in one exactly-once batch. Every index gets the
+    * same treatment: interrupted-compaction restore, then this batch's
+    * own b$id- delta files cleared BEFORE any index is read (the
+    * loss-window ordering), survivors written once, every delta staged
+    * and renamed in, marker last. */
+  private def withBatchIndexes(spark: SparkSession, id: Long,
+                               outPath: String,
+                               indexes: Seq[(String, SparkSession => DataFrame)])
+      (compute: Seq[DataFrame] => (DataFrame, Seq[DataFrame], () => Unit)): Unit = {
     val marker = new java.io.File(s"$outPath/_batches/$id")
     if (marker.exists()) return
-    val idxDir = new java.io.File(s"$indexPath/data")
-    // finish a compaction interrupted mid-swap: the backup generation is
-    // authoritative (see compactIngestIndex)
-    locally {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+    val idxDirs = indexes.map { case (indexPath, _) =>
+      val idxDir = new java.io.File(s"$indexPath/data")
+      // finish a compaction interrupted mid-swap: the backup generation
+      // is authoritative (see compactIngestIndex)
       val b = new java.io.File(s"$indexPath/_preidx")
       if (!idxDir.exists() && b.exists() && !b.renameTo(idxDir))
         throw new java.io.IOException(
           s"index swap: could not restore $b to $idxDir after crash")
+      if (idxDir.exists())
+        idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
+          .foreach(f => { f.delete(); () })
+      idxDir
     }
-    if (idxDir.exists())
-      idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
-        .foreach(f => { f.delete(); () })
-    val index =
-      if (idxDir.exists() &&
-          idxDir.listFiles().exists(_.getName.endsWith(".parquet")))
-        spark.read.parquet(idxDir.getPath)
-      else emptyIndex(spark)
-    val (survivors, delta, afterWrite) = compute(index)
+    val indexDfs = indexes.zip(idxDirs).map {
+      case ((_, emptyIndex), idxDir) =>
+        if (idxDir.exists() &&
+            idxDir.listFiles().exists(_.getName.endsWith(".parquet")))
+          spark.read.parquet(idxDir.getPath)
+        else emptyIndex(spark)
+    }
+    val (survivors, deltas, afterWrite) = compute(indexDfs)
+    require(deltas.length == indexes.length,
+      s"expected ${indexes.length} index deltas, got ${deltas.length}")
     survivors.write.mode("overwrite")
       .parquet(s"$outPath/data/batch_id=$id")
-    val stage = new java.io.File(s"$indexPath/_stage_$id")
-    delta.write.mode("overwrite").parquet(stage.getPath)
-    idxDir.mkdirs()
-    stage.listFiles().filter(_.getName.startsWith("part-"))
-      .foreach { f =>
-        f.renameTo(new java.io.File(idxDir, s"b$id-${f.getName}")); ()
-      }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    indexes.zip(idxDirs).zip(deltas).foreach {
+      case (((indexPath, _), idxDir), delta) =>
+        val stage = new java.io.File(s"$indexPath/_stage_$id")
+        delta.write.mode("overwrite").parquet(stage.getPath)
+        idxDir.mkdirs()
+        stage.listFiles().filter(_.getName.startsWith("part-"))
+          .foreach { f =>
+            f.renameTo(new java.io.File(idxDir, s"b$id-${f.getName}")); ()
+          }
+        rm(stage)
     }
-    rm(stage)
     afterWrite()
     marker.getParentFile.mkdirs()
     marker.createNewFile()
@@ -528,6 +553,52 @@ object StreamingPipeline {
       (r.survivors, r.indexDelta,
         () => { r.survivors.unpersist(); counts.add(id, r.stats) })
     }
+
+  /** Streaming FULL curation — the streaming twin of
+    * `Curate.incrementalFull`: per micro-batch, quality gate → exact
+    * dedup against the persistent FINGERPRINT index → near-dup dedup
+    * against the persistent SIGNATURE index → per-source cap, with both
+    * indices maintained in the same exactly-once protocol and per-stage
+    * counts in `counts`. The whole production day, as a stream. */
+  def curateFullIngest(stream: DataFrame, outPath: String,
+                       fpIndexPath: String, sigIndexPath: String,
+                       ckpt: String, minQuality: Double = 0.35,
+                       estThreshold: Double = 0.5, perSourceCap: Int = 15,
+                       counts: CurateCounts = new CurateCounts): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        curateFullIngestBatch(batch, id, outPath, fpIndexPath,
+          sigIndexPath, minQuality, estThreshold, perSourceCap, counts)
+      }
+      .start()
+
+  /** The per-batch body of [[curateFullIngest]] (see
+    * [[withBatchIndexes]] for the replay-safety contract). */
+  def curateFullIngestBatch(batch: DataFrame, id: Long, outPath: String,
+                            fpIndexPath: String, sigIndexPath: String,
+                            minQuality: Double, estThreshold: Double,
+                            perSourceCap: Int,
+                            counts: CurateCounts): Unit = {
+    val emptyFp = (s: SparkSession) =>
+      s.emptyDataFrame.select(lit("").as("fingerprint")).limit(0)
+    val emptySigs = (s: SparkSession) => s.createDataFrame(
+      s.sparkContext.emptyRDD[Row],
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sig",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))))
+    withBatchIndexes(batch.sparkSession, id, outPath,
+      Seq(fpIndexPath -> emptyFp, sigIndexPath -> emptySigs)) {
+      case Seq(fpIndex, sigIndex) =>
+        val r = graft.ext.Curate.incrementalFull(batch, fpIndex, sigIndex,
+          minQuality, estThreshold, perSourceCap)
+        (r.survivors, Seq(r.fpDelta, r.sigDelta),
+          () => { r.survivors.unpersist(); counts.add(id, r.stats) })
+    }
+  }
 
   /** Streaming NEAR-dup ingest: per micro-batch, exact-dedup within the
     * batch, then drop docs whose MinHash signatures estimate ≥

@@ -339,6 +339,72 @@ class IngestStreamingSpec extends SparkTestBase {
     r1.survivors.unpersist(); r2.survivors.unpersist()
   }
 
+  test("curateFullIngest: both indices live across batches; counts match the batch capstone") {
+    val inDir = Files.createTempDirectory("graft-cf-in").toString
+    val out = Files.createTempDirectory("graft-cf-out").toString
+    val fpIdx = Files.createTempDirectory("graft-cf-fp").toString
+    val sigIdx = Files.createTempDirectory("graft-cf-sig").toString
+    val ckpt = Files.createTempDirectory("graft-cf-ckpt").toString
+    val counts = new StreamingPipeline.CurateCounts
+
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    def row(id: Long, text: String) =
+      s"""{"doc_id":$id,"source":"a","text":"$text"}"""
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .json(inDir)
+      val q = StreamingPipeline.curateFullIngest(src, out, fpIdx, sigIdx,
+        ckpt, minQuality = 0.1, estThreshold = 0.5, perSourceCap = 15,
+        counts = counts)
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    // batch 1: two long docs land (minQuality 0.1 ≈ length-only gate)
+    val tA = words(1 to 40, "a"); val tB = words(100 to 140, "b")
+    Files.writeString(java.nio.file.Path.of(inDir, "b1.json"),
+      Seq(row(10, tA), row(11, tB)).mkString("", "\n", "\n"))
+    run()
+    assert(spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet === Set(10L, 11L))
+
+    // batch 2: junk (quality), exact copy of 10 (fp index), near-copy
+    // of 11 (sig index), one genuinely fresh doc
+    Files.writeString(java.nio.file.Path.of(inDir, "b2.json"),
+      Seq(row(20, "x"), row(21, tA),
+        row(22, words(100 to 138, "b") + " zz1 zz2"),
+        row(23, words(500 to 540, "c"))).mkString("", "\n", "\n"))
+    run()
+    val landed = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed === Set(10L, 11L, 23L))
+
+    // counts equal the batch capstone run on the same two days
+    val hist = counts.history.sortBy(_._1).map(_._2)
+    assert(hist.size === 2)
+    val emptyFp = spark.emptyDataFrame
+      .select(lit("").as("fingerprint")).limit(0)
+    val b1 = Seq((10L, "a", tA), (11L, "a", tB))
+      .toDF("doc_id", "source", "text")
+    val sig0 = graft.ext.Dedup.minhashSigTable(
+      spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+        .withColumn("source", lit("a")), "text", "doc_id")
+    val r1 = graft.ext.Curate.incrementalFull(b1, emptyFp, sig0,
+      minQuality = 0.1, estThreshold = 0.5, perSourceCap = 15)
+    assert(hist(0) === r1.stats)
+    val b2 = Seq((20L, "a", "x"), (21L, "a", tA),
+      (22L, "a", words(100 to 138, "b") + " zz1 zz2"),
+      (23L, "a", words(500 to 540, "c"))).toDF("doc_id", "source", "text")
+    val r2 = graft.ext.Curate.incrementalFull(b2, r1.fpDelta, r1.sigDelta,
+      minQuality = 0.1, estThreshold = 0.5, perSourceCap = 15)
+    assert(hist(1) === r2.stats)
+    r1.survivors.unpersist(); r2.survivors.unpersist()
+
+    // replay: nothing re-lands
+    run()
+    assert(spark.read.parquet(s"$out/data").count() === 3)
+  }
+
   test("S7/S8: CSV replay source round-trips through producer-shaped JSON") {
     val csvDir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Path.of(csvDir, "replay.csv"),

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,6 +31,18 @@ import graft.ingest.JsonIngest
   * sandbox).
   */
 object StreamingPipeline {
+
+  /** Every state/index path operation below goes through the Hadoop
+    * FileSystem API resolved from the path's own URI — so the exactly-once
+    * protocols (marker-last, clear-own-delta-before-read, staged
+    * rename-aside swap) run unchanged against HDFS, where directory rename
+    * is atomic, and against local `file://` in tests. On object stores
+    * without atomic rename (plain S3A) the rename-aside swap is NOT safe:
+    * front the state paths with HDFS or a consistent, rename-capable
+    * layer — the protocol's correctness rests on rename atomicity, not on
+    * any POSIX behavior. */
+  private def stateFs(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   final case class Config(
       watermark: String = "10 minutes",
@@ -166,56 +179,49 @@ object StreamingPipeline {
   private def mergeSwapState(spark: SparkSession, storePath: String,
                              batchId: Long)
       (merge: Option[DataFrame] => DataFrame): Unit = {
-    val dataDir = s"$storePath/data"
+    val fs = stateFs(spark, storePath)
+    val dataDir = new Path(s"$storePath/data")
+    val backup = new Path(s"$storePath/_prestate")
     // recover from a crash mid-swap: if the table moved aside but the
     // staged dir was never promoted, the backup is the authoritative
     // state — put it back before doing anything else
-    locally {
-      val d = new java.io.File(dataDir)
-      val b = new java.io.File(s"$storePath/_prestate")
-      if (!d.exists() && b.exists() && !b.renameTo(d))
-        throw new java.io.IOException(
-          s"state swap: could not restore $b to $d after crash")
-    }
-    val marker = new java.io.File(s"$dataDir/_merged/$batchId")
-    if (marker.exists()) return // replayed batch: already merged
+    if (!fs.exists(dataDir) && fs.exists(backup) && !fs.rename(backup, dataDir))
+      throw new java.io.IOException(
+        s"state swap: could not restore $backup to $dataDir after crash")
+    val marker = new Path(s"$storePath/data/_merged/$batchId")
+    if (fs.exists(marker)) return // replayed batch: already merged
     val existing =
-      if (new java.io.File(dataDir).exists())
-        Some(spark.read.parquet(dataDir))
+      if (fs.exists(dataDir)) Some(spark.read.parquet(dataDir.toString))
       else None
     // stage-and-swap: the merge plan reads dataDir, so materialize it
     // next door before replacing
-    val tmp = s"$storePath/_stage"
-    merge(existing).write.mode("overwrite").parquet(tmp)
+    val tmp = new Path(s"$storePath/_stage")
+    merge(existing).write.mode("overwrite").parquet(tmp.toString)
     // carry the accumulated markers (plus this batch's) into the staged
     // dir BEFORE the swap — see the marker consistency note above
-    val stagedMarkers = new java.io.File(s"$tmp/_merged")
-    stagedMarkers.mkdirs()
-    val currentMarkers = new java.io.File(s"$dataDir/_merged")
-    if (currentMarkers.exists())
-      currentMarkers.listFiles().foreach { m =>
-        new java.io.File(stagedMarkers, m.getName).createNewFile(); ()
+    val stagedMarkers = new Path(tmp, "_merged")
+    fs.mkdirs(stagedMarkers)
+    val currentMarkers = new Path(dataDir, "_merged")
+    if (fs.exists(currentMarkers))
+      fs.listStatus(currentMarkers).foreach { m =>
+        fs.createNewFile(new Path(stagedMarkers, m.getPath.getName)); ()
       }
-    new java.io.File(stagedMarkers, batchId.toString).createNewFile()
+    fs.createNewFile(new Path(stagedMarkers, batchId.toString))
     // swap via rename-aside (same pattern as Warehouse.compact): a failed
     // rename must never leave the table destroyed, so the old dir moves
-    // to a backup first and comes back if the promotion fails.
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
-    }
-    val target = new java.io.File(dataDir)
-    val backup = new java.io.File(s"$storePath/_prestate")
-    if (backup.exists()) rm(backup)
-    val hadData = target.exists()
-    if (hadData && !target.renameTo(backup))
+    // to a backup first and comes back if the promotion fails. Atomic on
+    // HDFS and local FS; see [[stateFs]] for the object-store caveat.
+    if (fs.exists(backup)) fs.delete(backup, true)
+    val hadData = fs.exists(dataDir)
+    if (hadData && !fs.rename(dataDir, backup))
       throw new java.io.IOException(
         s"state swap: could not move $dataDir aside")
-    if (!new java.io.File(tmp).renameTo(target)) {
-      if (hadData) backup.renameTo(target)
+    if (!fs.rename(tmp, dataDir)) {
+      if (hadData) fs.rename(backup, dataDir)
       throw new java.io.IOException(
         s"state swap: could not promote staged merge to $dataDir")
     }
-    if (hadData) rm(backup)
+    if (hadData) fs.delete(backup, true)
     ()
   }
 
@@ -357,29 +363,28 @@ object StreamingPipeline {
                                outPath: String,
                                indexes: Seq[(String, SparkSession => DataFrame)])
       (compute: Seq[DataFrame] => (DataFrame, Seq[DataFrame], () => Unit)): Unit = {
-    val marker = new java.io.File(s"$outPath/_batches/$id")
-    if (marker.exists()) return
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
-    }
+    val outFs = stateFs(spark, outPath)
+    val marker = new Path(s"$outPath/_batches/$id")
+    if (outFs.exists(marker)) return
     val idxDirs = indexes.map { case (indexPath, _) =>
-      val idxDir = new java.io.File(s"$indexPath/data")
+      val fs = stateFs(spark, indexPath)
+      val idxDir = new Path(s"$indexPath/data")
       // finish a compaction interrupted mid-swap: the backup generation
       // is authoritative (see compactIngestIndex)
-      val b = new java.io.File(s"$indexPath/_preidx")
-      if (!idxDir.exists() && b.exists() && !b.renameTo(idxDir))
+      val b = new Path(s"$indexPath/_preidx")
+      if (!fs.exists(idxDir) && fs.exists(b) && !fs.rename(b, idxDir))
         throw new java.io.IOException(
           s"index swap: could not restore $b to $idxDir after crash")
-      if (idxDir.exists())
-        idxDir.listFiles().filter(_.getName.startsWith(s"b$id-"))
-          .foreach(f => { f.delete(); () })
-      idxDir
+      if (fs.exists(idxDir))
+        fs.listStatus(idxDir).filter(_.getPath.getName.startsWith(s"b$id-"))
+          .foreach(f => { fs.delete(f.getPath, false); () })
+      (fs, idxDir)
     }
     val indexDfs = indexes.zip(idxDirs).map {
-      case ((_, emptyIndex), idxDir) =>
-        if (idxDir.exists() &&
-            idxDir.listFiles().exists(_.getName.endsWith(".parquet")))
-          spark.read.parquet(idxDir.getPath)
+      case ((_, emptyIndex), (fs, idxDir)) =>
+        if (fs.exists(idxDir) &&
+            fs.listStatus(idxDir).exists(_.getPath.getName.endsWith(".parquet")))
+          spark.read.parquet(idxDir.toString)
         else emptyIndex(spark)
     }
     val (survivors, deltas, afterWrite) = compute(indexDfs)
@@ -388,19 +393,19 @@ object StreamingPipeline {
     survivors.write.mode("overwrite")
       .parquet(s"$outPath/data/batch_id=$id")
     indexes.zip(idxDirs).zip(deltas).foreach {
-      case (((indexPath, _), idxDir), delta) =>
-        val stage = new java.io.File(s"$indexPath/_stage_$id")
-        delta.write.mode("overwrite").parquet(stage.getPath)
-        idxDir.mkdirs()
-        stage.listFiles().filter(_.getName.startsWith("part-"))
+      case (((indexPath, _), (fs, idxDir)), delta) =>
+        val stage = new Path(s"$indexPath/_stage_$id")
+        delta.write.mode("overwrite").parquet(stage.toString)
+        fs.mkdirs(idxDir)
+        fs.listStatus(stage).filter(_.getPath.getName.startsWith("part-"))
           .foreach { f =>
-            f.renameTo(new java.io.File(idxDir, s"b$id-${f.getName}")); ()
+            fs.rename(f.getPath,
+              new Path(idxDir, s"b$id-${f.getPath.getName}")); ()
           }
-        rm(stage)
+        fs.delete(stage, true); ()
     }
     afterWrite()
-    marker.getParentFile.mkdirs()
-    marker.createNewFile()
+    outFs.createNewFile(marker)
     ()
   }
 
@@ -466,47 +471,64 @@ object StreamingPipeline {
     * [[withBatchIndex]] restores an interrupted swap before its next
     * read. */
   def compactIngestIndex(spark: SparkSession, outPath: String,
-                         indexPath: String, targetFiles: Int = 1): Unit = {
-    val idxDir = new java.io.File(s"$indexPath/data")
+                         indexPath: String, targetFiles: Int = 1,
+                         onBeforeSwap: () => Unit = () => ()): Unit = {
+    val fs = stateFs(spark, indexPath)
+    val outFs = stateFs(spark, outPath)
+    val idxDir = new Path(s"$indexPath/data")
+    val backup = new Path(s"$indexPath/_preidx")
     // finish an earlier compaction interrupted mid-swap first — without
     // this, a missing data dir would read as "nothing to compact" while
     // _preidx silently holds the whole index
-    locally {
-      val b = new java.io.File(s"$indexPath/_preidx")
-      if (!idxDir.exists() && b.exists() && !b.renameTo(idxDir))
-        throw new java.io.IOException(
-          s"index swap: could not restore $b to $idxDir after crash")
-    }
-    if (!idxDir.exists()) return
-    val files = idxDir.listFiles().filter(_.getName.endsWith(".parquet"))
-    if (files.length <= targetFiles) return
-    val batchIds = files.flatMap(f =>
-      "^b(\\d+)-".r.findFirstMatchIn(f.getName).map(_.group(1))).distinct
+    if (!fs.exists(idxDir) && fs.exists(backup) && !fs.rename(backup, idxDir))
+      throw new java.io.IOException(
+        s"index swap: could not restore $backup to $idxDir after crash")
+    if (!fs.exists(idxDir)) return
+    def parquetNames(): Set[String] =
+      fs.listStatus(idxDir).map(_.getPath.getName)
+        .filter(_.endsWith(".parquet")).toSet
+    val snapshot = parquetNames()
+    if (snapshot.size <= targetFiles) return
+    val batchIds = snapshot.toSeq.flatMap(n =>
+      "^b(\\d+)-".r.findFirstMatchIn(n).map(_.group(1))).distinct
     batchIds.foreach { id =>
-      if (!new java.io.File(s"$outPath/_batches/$id").exists())
+      if (!outFs.exists(new Path(s"$outPath/_batches/$id")))
         throw new IllegalStateException(
           s"refusing to compact: batch $id has index deltas but no marker " +
             "(in-flight or crash-window batch; its replay must be able to " +
             "clear its own delta files)")
     }
-    val stage = new java.io.File(s"$indexPath/_compact")
-    spark.read.parquet(idxDir.getPath).distinct()
+    val stage = new Path(s"$indexPath/_compact")
+    spark.read.parquet(idxDir.toString).distinct()
       .repartition(targetFiles)
-      .write.mode("overwrite").parquet(stage.getPath)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+      .write.mode("overwrite").parquet(stage.toString)
+    // the upfront marker check is one-shot: a micro-batch could rename a
+    // fresh delta into the dir between the snapshot read and the swap, and
+    // the rename-aside below would silently destroy it. Re-list right
+    // before swapping and abort on ANY change (a replay clearing its own
+    // delta also invalidates the snapshot) — quiescence is enforced, not
+    // merely documented. `onBeforeSwap` is a test seam for injecting a
+    // racing delta into exactly this window.
+    onBeforeSwap()
+    val now = parquetNames()
+    if (now != snapshot) {
+      fs.delete(stage, true)
+      throw new IllegalStateException(
+        "refusing to swap: index contents changed during compaction " +
+          s"(appeared: ${(now -- snapshot).toSeq.sorted.mkString(", ")}; " +
+          s"vanished: ${(snapshot -- now).toSeq.sorted.mkString(", ")}) — " +
+          "the stream is not quiesced")
     }
-    val backup = new java.io.File(s"$indexPath/_preidx")
-    if (backup.exists()) rm(backup)
-    if (!idxDir.renameTo(backup))
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(idxDir, backup))
       throw new java.io.IOException(
         s"index swap: could not move $idxDir aside")
-    if (!stage.renameTo(idxDir)) {
-      backup.renameTo(idxDir)
+    if (!fs.rename(stage, idxDir)) {
+      fs.rename(backup, idxDir)
       throw new java.io.IOException(
         s"index swap: could not promote compacted index to $idxDir")
     }
-    rm(backup)
+    fs.delete(backup, true)
     ()
   }
 

@@ -219,6 +219,56 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(idxDir.getPath).distinct().count() === 5)
   }
 
+  test("compaction aborts the swap when a delta lands after the quiescence check") {
+    val out = Files.createTempDirectory("graft-race-out").toString
+    val idx = Files.createTempDirectory("graft-race-idx").toString
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    (1L to 3L).foreach { i =>
+      StreamingPipeline.dedupIngestBatch(batch(i -> s"doc number $i"), i,
+        "text", "doc_id", out, idx)
+    }
+    // a micro-batch completes in the window between the upfront marker
+    // check + snapshot read and the rename-aside swap: its fresh delta
+    // must survive, so the compaction must refuse to swap
+    val e = intercept[IllegalStateException] {
+      StreamingPipeline.compactIngestIndex(spark, out, idx,
+        onBeforeSwap = () =>
+          StreamingPipeline.dedupIngestBatch(batch(4L -> "doc number 4"), 4L,
+            "text", "doc_id", out, idx))
+    }
+    assert(e.getMessage.contains("changed during compaction"))
+    // nothing lost: all four fingerprints remain readable, and a
+    // quiesced retry compacts cleanly
+    assert(spark.read.parquet(s"$idx/data").distinct().count() === 4)
+    StreamingPipeline.compactIngestIndex(spark, out, idx)
+    assert(new java.io.File(s"$idx/data").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1)
+    assert(spark.read.parquet(s"$idx/data").distinct().count() === 4)
+  }
+
+  test("the exactly-once protocol runs through scheme-qualified file:// URIs") {
+    // state paths resolve their FileSystem from the path URI (HDFS in
+    // production, file:// here) — drive the whole protocol with explicit
+    // scheme-qualified paths to pin that no java.io assumption remains
+    val out = "file://" + Files.createTempDirectory("graft-uri-out").toString
+    val idx = "file://" + Files.createTempDirectory("graft-uri-idx").toString
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    StreamingPipeline.dedupIngestBatch(
+      batch(10L -> "alpha beta", 20L -> "gamma delta"),
+      1L, "text", "doc_id", out, idx)
+    StreamingPipeline.dedupIngestBatch(
+      batch(30L -> "alpha beta", 31L -> "epsilon zeta"),
+      2L, "text", "doc_id", out, idx)
+    // replay is a no-op through the URI-resolved marker
+    StreamingPipeline.dedupIngestBatch(
+      batch(30L -> "alpha beta", 31L -> "epsilon zeta"),
+      2L, "text", "doc_id", out, idx)
+    assert(spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(10L, 20L, 31L))
+    StreamingPipeline.compactIngestIndex(spark, out, idx)
+    assert(spark.read.parquet(s"$idx/data").distinct().count() === 3)
+  }
+
   test("nearDupIngest: cross-batch near-copies never land; fresh and short docs do") {
     val inDir = Files.createTempDirectory("graft-nd-in").toString
     val out = Files.createTempDirectory("graft-nd-out").toString

@@ -1125,7 +1125,7 @@ object SparkEntry {
           .distinct()
         val sigIndex = Dedup.minhashSigTable(hist, "text", "doc_id")
         val r = graft.ext.Curate.incrementalFull(batch, fpIndex, sigIndex)
-        r.survivors.unpersist()
+        r.release()
         r.stats.toDF("stage", "n").orderBy("stage")
       }),
 
@@ -2430,7 +2430,7 @@ object SparkEntry {
         val r = graft.ext.Curate.incremental(batch, index)
         // stats are already-materialized Longs; release the survivors
         // cache so a 143-query sweep doesn't accumulate persisted blocks
-        r.survivors.unpersist()
+        r.release()
         val named = Seq("a_input", "b_quality", "c_dedup", "d_cap")
           .zip(r.stats.map(_._2))
         named.toDF("stage", "n").orderBy("stage")

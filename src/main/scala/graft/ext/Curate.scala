@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -74,7 +74,16 @@ object Curate {
   }
 
   final case class IncResult(survivors: DataFrame, indexDelta: DataFrame,
-                             stats: Seq[(String, Long)])
+                             stats: Seq[(String, Long)]) {
+    /** Drop the caches backing `survivors`/`indexDelta` — call once both
+      * are published. */
+    def release(): Unit = { survivors.unpersist(); () }
+  }
+
+  private def nExpr = count(lit(1)).as("n")
+
+  private def metric(o: Observation): Long =
+    o.get("n").asInstanceOf[Long]
 
   /** The daily-increment form of [[run]]: quality gate → within-batch +
     * against-index exact dedup → per-source cap. History is the
@@ -82,80 +91,109 @@ object Curate {
     * its own batch plus fingerprint-keyed lookups. Union `indexDelta`
     * into the index after publishing the survivors.
     *
+    * Driver discipline: the per-stage counts are `observe` metrics
+    * collected on the ONE materializing action (the survivor count), not
+    * repeated `count()` jobs — the reference's count-per-stage
+    * anti-pattern (bronze_to_silver.py:190-219) pays a full job per
+    * number; this pays zero extra. Each observe node sits on a
+    * single-consumption edge directly above a persisted stage, so the
+    * metric is the stage's exact row count.
+    *
     * The returned `survivors` frame stays persisted so publishing it and
     * writing `indexDelta` (which derives from it) don't re-run the whole
-    * gate/dedup/cap pipeline — call `survivors.unpersist()` when both are
-    * written. */
+    * gate/dedup/cap pipeline — call `release()` when both are written. */
   def incremental(batch: DataFrame, index: DataFrame,
                   minQuality: Double = 0.35,
                   perSourceCap: Int = 15): IncResult = {
-    val total = batch.count()
-    val kept = batch
+    val obsIn = Observation(); val obsKept = Observation()
+    val obsDedup = Observation()
+    val kept = batch.observe(obsIn, nExpr)
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nKept = kept.count()
-    val deduped = Dedup.incrementalExactDedup(kept, "text", "doc_id", index)
+    val deduped = Dedup.incrementalExactDedup(
+        kept.observe(obsKept, nExpr), "text", "doc_id", index)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDeduped = deduped.count()
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val capped = deduped.withColumn("_rn", row_number().over(w))
+    val capped = deduped.observe(obsDedup, nExpr)
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= perSourceCap).drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nCapped = capped.count()
+    val nCapped = capped.count() // the single action; fills every cache
     // capped is materialized, so the upstream caches can go now
     kept.unpersist(); deduped.unpersist()
     IncResult(capped, Dedup.survivorFingerprints(capped, "text"), Seq(
-      "input" -> total,
-      "quality_kept" -> nKept,
-      "after_dedup" -> nDeduped,
+      "input" -> metric(obsIn),
+      "quality_kept" -> metric(obsKept),
+      "after_dedup" -> metric(obsDedup),
       "after_cap" -> nCapped))
   }
 
   final case class IncFullResult(survivors: DataFrame,
                                  fpDelta: DataFrame, sigDelta: DataFrame,
-                                 stats: Seq[(String, Long)])
+                                 stats: Seq[(String, Long)],
+                                 private val cached: Seq[DataFrame]) {
+    /** Drop the caches backing the survivors and both deltas — call once
+      * all three are published. */
+    def release(): Unit = { cached.foreach(_.unpersist()); () }
+  }
 
   /** The FULL daily increment — [[incremental]] plus the near-dup stage:
     * quality gate → within-batch + against-fingerprint-index exact dedup
     * → against-SIGNATURE-index near-dup dedup → per-source cap. History
     * is two slim indices (32-byte fingerprints; 8·numPerms-byte MinHash
     * signatures) — historical text never participates. Returns the
-    * survivors plus BOTH index deltas; union them in after publishing.
-    * This is the production shape end to end: every stage's history
-    * side is index-sized, and each day pays one pass over its own
-    * batch. */
+    * survivors plus BOTH index deltas; union them in after publishing,
+    * then call `release()`. This is the production shape end to end:
+    * every stage's history side is index-sized, and each day pays one
+    * pass over its own batch.
+    *
+    * ONE shingle pass per batch: the batch's signature table is computed
+    * once (cached), feeds the banded join against the signature index,
+    * and the signature delta is that same table semi-joined on the
+    * surviving ids — tokenization never runs twice. Stage counts are
+    * `observe` metrics on the single materializing action, as in
+    * [[incremental]]. */
   def incrementalFull(batch: DataFrame, fpIndex: DataFrame,
                       sigIndex: DataFrame, minQuality: Double = 0.35,
                       estThreshold: Double = 0.5,
                       perSourceCap: Int = 15): IncFullResult = {
-    val total = batch.count()
-    val kept = batch
+    val obsIn = Observation(); val obsKept = Observation()
+    val obsExact = Observation(); val obsNear = Observation()
+    val kept = batch.observe(obsIn, nExpr)
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nKept = kept.count()
-    val exact = Dedup.incrementalExactDedup(kept, "text", "doc_id", fpIndex)
+    val exact = Dedup.incrementalExactDedup(
+        kept.observe(obsKept, nExpr), "text", "doc_id", fpIndex)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nExact = exact.count()
-    val nearDeduped = Dedup.incrementalMinhashDedup(exact, "text", "doc_id",
+    // the batch's one shingle pass: cached, consumed by the banded join
+    // below and by the sig delta after the cap. NOT observed — `exact`'s
+    // count is taken on the anti-join edge, which consumes it once.
+    val bSigs = Dedup.minhashSigTable(exact, "text", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearDeduped = Dedup.incrementalMinhashDedupSigs(
+        exact.observe(obsExact, nExpr), bSigs, "doc_id",
         sigIndex, estThreshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nNear = nearDeduped.count()
     val w = Window.partitionBy("source")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val capped = nearDeduped.withColumn("_rn", row_number().over(w))
+    val capped = nearDeduped.observe(obsNear, nExpr)
+      .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= perSourceCap).drop("_rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nCapped = capped.count()
+    val nCapped = capped.count() // the single action; fills every cache
     kept.unpersist(); exact.unpersist(); nearDeduped.unpersist()
+    val sigDelta = bSigs
+      .join(capped.select(col("doc_id").as("id")), Seq("id"), "left_semi")
     IncFullResult(capped,
       Dedup.survivorFingerprints(capped, "text"),
-      Dedup.minhashSigTable(capped, "text", "doc_id"),
+      sigDelta,
       Seq(
-        "a_input" -> total,
-        "b_quality" -> nKept,
-        "c_exact_dedup" -> nExact,
-        "d_neardup_dedup" -> nNear,
-        "e_cap" -> nCapped))
+        "a_input" -> metric(obsIn),
+        "b_quality" -> metric(obsKept),
+        "c_exact_dedup" -> metric(obsExact),
+        "d_neardup_dedup" -> metric(obsNear),
+        "e_cap" -> nCapped),
+      cached = Seq(capped, bSigs))
   }
 }

@@ -276,9 +276,25 @@ object Dedup {
                               idCol: String, histSigs: DataFrame,
                               estThreshold: Double, shingleN: Int = 3,
                               numPerms: Int = 16,
-                              rowsPerBand: Int = 4): DataFrame = {
-    val bSigs = minhashSigTable(batch, textCol, idCol, shingleN, numPerms)
-    val dupIds = sigBands(bSigs, numPerms, rowsPerBand, carrySig = true)
+                              rowsPerBand: Int = 4): DataFrame =
+    incrementalMinhashDedupSigs(batch,
+      minhashSigTable(batch, textCol, idCol, shingleN, numPerms),
+      idCol, histSigs, estThreshold, numPerms, rowsPerBand)
+
+  /** [[incrementalMinhashDedup]] with the batch's signature table already
+    * computed — the one-shingle-pass form. Callers that also need the
+    * batch's signatures downstream (the signature-index DELTA is exactly
+    * the survivors' rows of this table) compute `batchSigs` once, persist
+    * it, pass it here, and semi-join it on the surviving ids afterwards —
+    * so each batch pays tokenization exactly once, not once for the dedup
+    * and again for the delta. `batchSigs` must be
+    * `minhashSigTable(batch, ...)` with the same `numPerms`. */
+  def incrementalMinhashDedupSigs(batch: DataFrame, batchSigs: DataFrame,
+                                  idCol: String, histSigs: DataFrame,
+                                  estThreshold: Double,
+                                  numPerms: Int = 16,
+                                  rowsPerBand: Int = 4): DataFrame = {
+    val dupIds = sigBands(batchSigs, numPerms, rowsPerBand, carrySig = true)
       .select(col("id").as("bid"), col("band"), col("bh"),
         col("sig").as("sig_b"))
       .join(sigBands(histSigs, numPerms, rowsPerBand, carrySig = true)

@@ -17,7 +17,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
   def fanOut(df: DataFrame, target: Int): DataFrame =
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // toRdd, not .rdd: same partition count, but no extra tracked
+    // QueryExecution (Dataset.rdd plans a DeserializeToObject query and
+    // posts it to every QueryExecutionListener as a separate "action")
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
 
   /** Fan out to the session's default parallelism. */
   def fanOut(df: DataFrame): DataFrame =

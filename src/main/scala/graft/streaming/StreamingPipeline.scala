@@ -573,7 +573,7 @@ object StreamingPipeline {
       val r = graft.ext.Curate.incremental(batch, index, minQuality,
         perSourceCap)
       (r.survivors, r.indexDelta,
-        () => { r.survivors.unpersist(); counts.add(id, r.stats) })
+        () => { r.release(); counts.add(id, r.stats) })
     }
 
   /** Streaming FULL curation — the streaming twin of
@@ -618,7 +618,7 @@ object StreamingPipeline {
         val r = graft.ext.Curate.incrementalFull(batch, fpIndex, sigIndex,
           minQuality, estThreshold, perSourceCap)
         (r.survivors, Seq(r.fpDelta, r.sigDelta),
-          () => { r.survivors.unpersist(); counts.add(id, r.stats) })
+          () => { r.release(); counts.add(id, r.stats) })
     }
   }
 
@@ -657,11 +657,15 @@ object StreamingPipeline {
     withBatchIndex(batch.sparkSession, id, outPath, sigIndexPath,
       emptySigs) { histSigs =>
       val inBatch = graft.ext.Dedup.exactDedup(batch, textCol, idCol)
-      val survivors = graft.ext.Dedup.incrementalMinhashDedup(
-        inBatch, textCol, idCol, histSigs, estThreshold)
-      (survivors,
-        graft.ext.Dedup.minhashSigTable(survivors, textCol, idCol),
-        () => ())
+      // one shingle pass per batch: the cached signature table feeds the
+      // banded join AND, semi-joined on the surviving ids, the index delta
+      val bSigs = graft.ext.Dedup.minhashSigTable(inBatch, textCol, idCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val survivors = graft.ext.Dedup.incrementalMinhashDedupSigs(
+        inBatch, bSigs, idCol, histSigs, estThreshold)
+      val sigDelta = bSigs.join(
+        survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      (survivors, sigDelta, () => { bSigs.unpersist(); () })
     }
   }
 

@@ -90,6 +90,74 @@ class CurateSpec extends SparkTestBase {
     assert(r.survivors.select("doc_id").as[Long].collect().toSeq === Seq(13L))
     // both deltas describe exactly the survivors
     assert(r.fpDelta.count() === 1L && r.sigDelta.count() === 1L)
-    r.survivors.unpersist()
+    // the sig delta's values are the SAME signatures the banded join used
+    // (a semi-join on the cached table), byte-identical to recomputing
+    // them from the survivor's text
+    val expected = graft.ext.Dedup
+      .minhashSigTable(r.survivors, "text", "doc_id")
+      .select("sig").as[Seq[Long]].head()
+    assert(r.sigDelta.select("sig").as[Seq[Long]].head() === expected)
+    r.release()
+  }
+
+  test("incremental/incrementalFull collect all stage counts on one action") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import graft.ext.Dedup
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val names = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = {
+        names.add(funcName + ":" + qe.logical.nodeName)
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    val docs = model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val index = Dedup.survivorFingerprints(
+      docs.filter(col("doc_id") < 250), "text").distinct()
+    val batch = docs.filter(col("doc_id") >= 250)
+    // listener delivery is async — poll until the count stops moving
+    def settled(): Int = {
+      var last = -1
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline && actions.get() != last) {
+        last = actions.get(); Thread.sleep(300)
+      }
+      actions.get()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = Curate.incremental(batch, index)
+      assert(r.stats.map(_._1) ===
+        Seq("input", "quality_kept", "after_dedup", "after_cap"))
+      assert(r.stats.forall(_._2 > 0))
+      assert(settled() === 1,
+        "incremental's stage counts must ride the single materializing action")
+      r.release()
+
+      actions.set(0)
+      val sigIndex = Dedup.minhashSigTable(
+        docs.filter(col("doc_id") < 250), "text", "doc_id")
+      val rf = Curate.incrementalFull(batch, index, sigIndex)
+      assert(rf.stats.map(_._1) ===
+        Seq("a_input", "b_quality", "c_exact_dedup", "d_neardup_dedup", "e_cap"))
+      assert(settled() === 1,
+        s"incrementalFull must run one action, saw: ${names.toArray.mkString(", ")}")
+      // one shingle pass: with the batch signatures cached, the sig
+      // delta's OUTER plan reads the in-memory table — no Generate
+      // (shingle explode) above the cache boundary. (The InMemoryRelation
+      // block prints the plan that BUILT the cache, which rightly contains
+      // the one explode — cut the string there.)
+      val deltaPlan = rf.sigDelta.queryExecution.executedPlan.toString
+      val cacheAt = deltaPlan.indexOf("InMemoryRelation")
+      assert(cacheAt >= 0, deltaPlan)
+      val outer = deltaPlan.substring(0, cacheAt)
+      assert(outer.contains("InMemoryTableScan"), deltaPlan)
+      assert(!outer.contains("Generate"), outer)
+      rf.release()
+    } finally spark.listenerManager.unregister(listener)
   }
 }

@@ -386,7 +386,7 @@ class IngestStreamingSpec extends SparkTestBase {
     val r2 = graft.ext.Curate.incremental(b2df, idx1, 0.35, 2)
     assert(hist(0) === r1.stats)
     assert(hist(1) === r2.stats)
-    r1.survivors.unpersist(); r2.survivors.unpersist()
+    r1.release(); r2.release()
   }
 
   test("curateFullIngest: both indices live across batches; counts match the batch capstone") {
@@ -448,7 +448,7 @@ class IngestStreamingSpec extends SparkTestBase {
     val r2 = graft.ext.Curate.incrementalFull(b2, r1.fpDelta, r1.sigDelta,
       minQuality = 0.1, estThreshold = 0.5, perSourceCap = 15)
     assert(hist(1) === r2.stats)
-    r1.survivors.unpersist(); r2.survivors.unpersist()
+    r1.release(); r2.release()
 
     // replay: nothing re-lands
     run()

@@ -103,12 +103,29 @@ object Alerts {
     * breached row's firing/pending if the rule breaches at that window,
     * `resolved` otherwise — the instantaneous view a scraper wants
     * ([[Prometheus.renderAlerts]] renders it). Returns a driver-side Seq:
-    * the evaluated frame is (windows × rules)-bounded by construction. */
+    * the evaluated frame is (windows × rules)-bounded by construction.
+    *
+    * Absence is a state of its own: an EMPTY series reports every rule as
+    * `no_data`, never "resolved" — a scraper must not read a dead metric
+    * source as all-clear (producer_down included). Pass `asOf` (the
+    * scrape/evaluation time) to also detect a STALLED series: if the
+    * newest window is more than one cadence older than `asOf`, the series
+    * itself has stopped and every rule likewise reports `no_data` instead
+    * of freezing at its last state. */
   def currentStates(metrics: DataFrame, rules: Seq[Rule],
-                    windowSeconds: Long = 3600L): Seq[(String, String, String)] = {
-    val latest = metrics
-      .agg(date_format(max(col("window_start")), "yyyy-MM-dd HH:mm:ss"))
-      .collect()(0).getString(0)
+                    windowSeconds: Long = 3600L,
+                    asOf: Option[java.time.Instant] = None): Seq[(String, String, String)] = {
+    val latestRow = metrics
+      .agg(max(col("window_start")).as("w"),
+        date_format(max(col("window_start")), "yyyy-MM-dd HH:mm:ss").as("s"))
+      .collect()(0)
+    if (latestRow.isNullAt(0))
+      return rules.map(r => (r.alert, r.severity, "no_data"))
+    val stale = asOf.exists(a => latestRow.getTimestamp(0).toInstant
+      .plusSeconds(windowSeconds).isBefore(a))
+    if (stale)
+      return rules.map(r => (r.alert, r.severity, "no_data"))
+    val latest = latestRow.getString(1)
     val active = evaluate(metrics, rules, windowSeconds)
       .filter(col("window_start") === latest)
       .select("alert", "state").collect()

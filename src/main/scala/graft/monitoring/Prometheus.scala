@@ -17,7 +17,13 @@ object Prometheus {
     s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
   private def fmt(d: Double): String =
-    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+    // Spark progress rates can be NaN/Infinity on zero-duration batches;
+    // the 0.0.4 text format spells these NaN/+Inf/-Inf — Double.toString's
+    // "Infinity" would corrupt the whole scrape body
+    if (d.isNaN) "NaN"
+    else if (d == Double.PositiveInfinity) "+Inf"
+    else if (d == Double.NegativeInfinity) "-Inf"
+    else if (d == d.toLong.toDouble) d.toLong.toString else d.toString
 
   /** Render a StreamingPipeline.MetricsListener batch history
     * ((batch_id, input_rows, rows_per_second, batch_duration_ms) rows) as
@@ -52,8 +58,9 @@ object Prometheus {
   /** Render per-rule alert states as an ALERTS-style gauge: 1 while the
     * rule is pending or firing at the newest evaluated window, 0 once
     * resolved. `states` rows are (alert, severity, state) with state ∈
-    * {firing, pending, resolved} — [[Alerts.currentStates]] produces
-    * exactly this. */
+    * {firing, pending, resolved, no_data} — [[Alerts.currentStates]]
+    * produces exactly this. `no_data` renders as 1 (needs attention): an
+    * absent or stale metric series must never read as all-clear. */
   def renderAlerts(states: Seq[(String, String, String)]): String = {
     val sb = new StringBuilder
     sb ++= "# HELP graft_alert_active Alert rule state (1 = pending or firing at the latest window).\n"

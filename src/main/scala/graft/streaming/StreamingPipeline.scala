@@ -412,13 +412,19 @@ object StreamingPipeline {
   /** CDC materialization — the Debezium/changelog shape: a stream of
     * (keys..., `seqCol`, `opCol` ∈ {upsert, delete}, payload...) rows
     * folds into a stored latest-wins keyed table. Per batch: keep each
-    * key's highest-`seqCol` row within the batch, merge against the
+    * key's highest-`seqCol` row within the batch, then merge against the
     * stored table by sequence (stored rows win over LATE arrivals — an
     * out-of-order change with a lower sequence than what's applied is
-    * correctly ignored; batch wins ties, new info over old), and apply
-    * tombstones (a winning delete removes the key). Exactly-once via
-    * [[mergeSwapState]]; state is the live table itself, which a keyed
-    * store must hold anyway — no extra streaming state. */
+    * correctly ignored; batch wins ties, new info over old). A winning
+    * delete is RETAINED as a tombstone row (op column kept in the store),
+    * so the lower-sequence guarantee holds for deleted keys too: an
+    * out-of-order upsert arriving in a later batch with a sequence below
+    * the tombstone's cannot resurrect the key. Read the store through
+    * [[cdcLive]] for the live (non-deleted) view. Exactly-once via
+    * [[mergeSwapState]]; state is the keyed table itself plus its
+    * tombstones — no extra streaming state. (Tombstone retention is what
+    * makes out-of-order safety possible; prune tombstones only past the
+    * source's max disorder horizon.) */
   def cdcUpsert(stream: DataFrame, keys: Seq[String], seqCol: String,
                 opCol: String, storePath: String,
                 ckpt: String): StreamingQuery =
@@ -429,7 +435,9 @@ object StreamingPipeline {
       }
       .start()
 
-  /** The per-batch body of [[cdcUpsert]]. */
+  /** The per-batch body of [[cdcUpsert]]. The stored table keeps the
+    * `opCol`: winning deletes persist as tombstones so their sequence
+    * keeps guarding against late lower-sequence upserts. */
   def cdcUpsertBatch(batch: DataFrame, id: Long, keys: Seq[String],
                      seqCol: String, opCol: String,
                      storePath: String): Unit = {
@@ -442,18 +450,24 @@ object StreamingPipeline {
         .withColumn("_src", lit(1))
       val all = existingOpt match {
         case Some(ex) =>
-          // stored rows are live upserts; batch wins sequence ties
-          ex.withColumn(opCol, lit("upsert")).withColumn("_src", lit(0))
-            .unionByName(latest)
+          // stored rows carry their real op (tombstones included); batch
+          // wins sequence ties — new info over old
+          ex.withColumn("_src", lit(0)).unionByName(latest)
         case None => latest
       }
       val wMerge = Window.partitionBy(kcols: _*)
         .orderBy(col(seqCol).desc, col("_src").desc)
       all.withColumn("_rn", row_number().over(wMerge))
-        .filter(col("_rn") === 1 && col(opCol) === "upsert")
-        .drop("_rn", "_src", opCol)
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_src")
     }
   }
+
+  /** The live view of a [[cdcUpsert]] store: tombstoned keys filtered
+    * out, the op column dropped — what a consumer of the materialized
+    * table reads. */
+  def cdcLive(stored: DataFrame, opCol: String = "op"): DataFrame =
+    stored.filter(col(opCol) =!= "delete").drop(opCol)
 
   /** Compact an ingest index's accumulated per-batch delta files into one
     * generation of `targetFiles` (fingerprints/signatures deduplicated).

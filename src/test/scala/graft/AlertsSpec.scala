@@ -215,4 +215,56 @@ class AlertsSpec extends SparkTestBase {
     assert(empty.contains("""graft_batches_total{job="graft"} 0"""))
     assert(!empty.contains("graft_last_batch_id"))
   }
+
+  test("Prometheus renders NaN/Inf rates in valid 0.0.4 spelling") {
+    import graft.monitoring.Prometheus
+    // Spark progress reports rows_per_second = Infinity on a zero-duration
+    // batch and NaN before the first progress — both must render in the
+    // text format's spelling, never Java's "Infinity"
+    val inf = Prometheus.renderProgress(
+      Seq((0L, 10L, Double.PositiveInfinity, 0L)))
+    assert(inf.contains("""graft_last_batch_rows_per_second{job="graft"} +Inf"""))
+    assert(!inf.contains("Infinity"))
+    val nan = Prometheus.renderProgress(Seq((0L, 10L, Double.NaN, 0L)))
+    assert(nan.contains("""graft_last_batch_rows_per_second{job="graft"} NaN"""))
+  }
+
+  test("an empty or stalled metric series reports no_data, never all-clear") {
+    import graft.monitoring.Prometheus
+    val rules = Seq(
+      Rule("producer_down", "critical", "events_total", "<=", 0.0, 1),
+      Rule("hot_high", "warning", "hot", ">", 10.0, 1))
+    // empty series: every rule is no_data (producer_down especially must
+    // not read as resolved when there is no data at all)
+    val empty = Seq.empty[(java.sql.Timestamp, String, Double)]
+      .toDF("window_start", "metric", "value")
+    val s0 = Alerts.currentStates(empty, rules)
+    assert(s0.toSet === Set(
+      ("producer_down", "critical", "no_data"),
+      ("hot_high", "warning", "no_data")))
+    // no_data renders as active (1), not all-clear
+    val text = Prometheus.renderAlerts(s0)
+    assert(text.contains(
+      """graft_alert_active{alertname="producer_down",severity="critical",alertstate="no_data"} 1"""))
+
+    // a series whose newest window is older than one cadence before asOf
+    // has stalled: also no_data — the last state must not freeze
+    val m = Seq(("2024-01-01 00:00:00", "hot", 99.0))
+      .toDF("window_start", "metric", "value")
+      .select(to_timestamp(col("window_start")).as("window_start"),
+        col("metric"), col("value"))
+    val staleAsOf = java.time.Instant.parse("2024-01-01T05:00:00Z")
+    val s1 = Alerts.currentStates(m, rules, 3600L, Some(staleAsOf))
+    assert(s1.forall(_._3 == "no_data"))
+    // within one cadence of asOf the series is current: states evaluate
+    val freshAsOf = java.time.Instant.parse("2024-01-01T00:30:00Z")
+    val s2 = Alerts.currentStates(m, rules, 3600L, Some(freshAsOf)).toMap2
+    assert(s2(("hot_high", "warning")) === "firing")
+    assert(s2(("producer_down", "critical")) === "resolved")
+  }
+
+  private implicit class StateSeqOps(s: Seq[(String, String, String)]) {
+    def toMap2: Map[(String, String), String] =
+      s.map(t => (t._1, t._2) -> t._3).toMap
+  }
 }

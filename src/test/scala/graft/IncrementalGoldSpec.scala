@@ -63,8 +63,8 @@ class IncrementalGoldSpec extends SparkTestBase {
     val store = Files.createTempDirectory("graft-cdc").toString + "/t"
     def b(rows: (String, Long, String, String)*) =
       rows.toSeq.toDF("k", "seq", "op", "v")
-    def table: Map[String, (Long, String)] = spark.read
-      .parquet(s"$store/data")
+    def table: Map[String, (Long, String)] = StreamingPipeline
+      .cdcLive(spark.read.parquet(s"$store/data"))
       .select("k", "seq", "v").as[(String, Long, String)]
       .collect().map(r => r._1 -> (r._2, r._3)).toMap
 
@@ -86,9 +86,16 @@ class IncrementalGoldSpec extends SparkTestBase {
     StreamingPipeline.cdcUpsertBatch(b1, 1L, Seq("k"), "seq", "op", store)
     assert(table === Map("k1" -> (3L, "v10"), "k3" -> (5L, "v3")))
 
+    // an OUT-OF-ORDER upsert for the deleted k2 with a sequence BELOW its
+    // tombstone (seq 1 < deleted-at 2) must NOT resurrect the key: the
+    // tombstone is retained in the store and its sequence still guards
+    StreamingPipeline.cdcUpsertBatch(
+      b(("k2", 1L, "upsert", "zombie")), 3L, Seq("k"), "seq", "op", store)
+    assert(!table.contains("k2"))
+
     // a key re-inserted after its tombstone, with a higher sequence
     StreamingPipeline.cdcUpsertBatch(
-      b(("k2", 3L, "upsert", "back")), 3L, Seq("k"), "seq", "op", store)
+      b(("k2", 3L, "upsert", "back")), 4L, Seq("k"), "seq", "op", store)
     assert(table("k2") === ((3L, "back")))
   }
 

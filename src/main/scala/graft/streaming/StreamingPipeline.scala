@@ -546,6 +546,22 @@ object StreamingPipeline {
     ()
   }
 
+  /** Compact EVERY index of a multi-index ingest — [[curateFullIngest]]
+    * maintains a fingerprint AND a signature index, each accumulating one
+    * b$id- delta per micro-batch, and both age toward the same
+    * too-many-tiny-files problem. One [[compactIngestIndex]] per index
+    * against the shared `outPath` marker set: the marker gate is already
+    * per-batch (a batch in its crash window blocks the compaction of ANY
+    * index it wrote to, because its marker is missing), each swap is
+    * per-index atomic, and compaction is content-preserving, so no
+    * cross-index invariant can break mid-sequence — an abort on the
+    * second index leaves the first compacted and both fully correct. */
+  def compactIngestIndexes(spark: SparkSession, outPath: String,
+                           indexPaths: Seq[String],
+                           targetFiles: Int = 1): Unit =
+    indexPaths.foreach(p =>
+      compactIngestIndex(spark, outPath, p, targetFiles))
+
   /** Per-batch stage counts recorded by [[curateIngest]] — the streaming
     * twin of `Curate.IncResult.stats`. Replayed batches may append a
     * second entry (at-least-once monitoring, same contract as Spark's own

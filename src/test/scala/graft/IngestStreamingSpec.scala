@@ -455,6 +455,50 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/data").count() === 3)
   }
 
+  test("multi-index compaction folds both curation indices to one generation") {
+    val out = Files.createTempDirectory("graft-mc-out").toString
+    val fpIdx = Files.createTempDirectory("graft-mc-fp").toString
+    val sigIdx = Files.createTempDirectory("graft-mc-sig").toString
+    val counts = new StreamingPipeline.CurateCounts
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    def runBatch(id: Long, rows: (Long, String)*): Unit =
+      StreamingPipeline.curateFullIngestBatch(
+        rows.toSeq.toDF("doc_id", "text").withColumn("source", lit("a")),
+        id, out, fpIdx, sigIdx, minQuality = 0.1, estThreshold = 0.5,
+        perSourceCap = 15, counts = counts)
+    runBatch(1L, 10L -> words(1 to 40, "a"))
+    runBatch(2L, 11L -> words(100 to 140, "b"))
+    runBatch(3L, 12L -> words(500 to 540, "c"))
+    def gen(dir: String): Int = new java.io.File(s"$dir/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(gen(fpIdx) >= 3 && gen(sigIdx) >= 3)
+
+    // an unmarkered (crash-window) batch blocks compaction of BOTH
+    // indices — its replay must be able to clear its own deltas
+    runBatch(9L, 13L -> words(900 to 940, "d"))
+    assert(new java.io.File(s"$out/_batches/9").delete())
+    val e = intercept[IllegalStateException] {
+      StreamingPipeline.compactIngestIndexes(spark, out, Seq(fpIdx, sigIdx))
+    }
+    assert(e.getMessage.contains("batch 9"))
+    // replay to completion, then compact both for real
+    runBatch(9L, 13L -> words(900 to 940, "d"))
+    StreamingPipeline.compactIngestIndexes(spark, out, Seq(fpIdx, sigIdx))
+    assert(gen(fpIdx) === 1 && gen(sigIdx) === 1)
+    assert(spark.read.parquet(s"$fpIdx/data").distinct().count() === 4)
+    assert(spark.read.parquet(s"$sigIdx/data").count() === 4)
+
+    // compacted indices still curate: an exact copy and a near copy of
+    // history never land; a fresh doc does
+    runBatch(10L,
+      20L -> words(1 to 40, "a"),
+      21L -> (words(100 to 138, "b") + " zz1 zz2"),
+      22L -> words(7000 to 7040, "e"))
+    val landed = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed === Set(10L, 11L, 12L, 13L, 22L))
+  }
+
   test("S7/S8: CSV replay source round-trips through producer-shaped JSON") {
     val csvDir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Path.of(csvDir, "replay.csv"),

@@ -1530,6 +1530,99 @@ object SparkEntry {
           .orderBy("thr")
       }),
 
+    // X-ivf-indexed: IVF top-k answered from the STORED index table
+    // (Similarity.assignCells — the persistent ANN index the streaming
+    // ivfIngest maintains) instead of re-assigning the corpus: queries
+    // probe their 2 nearest cells, the probe equi-joins the index on
+    // cell. Assignment is stateless, so the indexed answer must equal
+    // the direct ivfTopK recompute (SimilaritySpec pins that parity;
+    // this oracle pins correctness of the indexed path itself).
+    Q("x_ivf_indexed_topk",
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |dims AS (SELECT label, i, AVG(v[i]) AS m
+              |         FROM e, range(1, 65) r(i) GROUP BY label, i),
+              |cent AS (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv
+              |         FROM dims GROUP BY label),
+              |idx AS (SELECT vec_id, v, cell FROM (
+              |    SELECT e.vec_id, e.v, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |                         ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+              |q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+              |probes AS (SELECT qid, qv, cell FROM (
+              |    SELECT q.vec_id AS qid, q.v AS qv, c.cell,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |                         ORDER BY (${cosSql("q.v", "c.cv")}) DESC, c.cell) AS crn
+              |    FROM q CROSS JOIN cent c) WHERE crn <= 2),
+              |scored AS (SELECT p.qid, a.vec_id AS cid, (${cosSql("a.v", "p.qv")}) AS cosine
+              |           FROM idx a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid)
+              |SELECT qid AS query_id, cid AS corpus_id,
+              |       ROUND(cosine + 1e-9, 4) AS cosine, CAST(rn AS INT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY cosine DESC, cid) AS rn FROM scored)
+              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.centroids(emb, "label", 64)
+        val index = Similarity.assignCells(emb, cents)
+        Similarity.ivfTopKIndexed(index, emb.filter(col("vec_id") < 5),
+            cents, k = 5, nProbe = 2)
+          .select(col("query_id"), col("corpus_id"),
+            R(col("cosine")).as("cosine"), col("rank"))
+          .orderBy("query_id", "rank")
+      }),
+
+    // X-semdedup-incremental: the embedding twin of the incremental
+    // near-dup path — today's batch of embeddings vs the persistent
+    // (id, cell, v, nrm) index built from history. The batch includes
+    // 2x-scaled copies of history vectors (cosine exactly 1 vs their
+    // originals, same cell by construction) so the cross-batch drop
+    // provably fires on both engines; fresh vectors survive.
+    Q("x_semantic_dedup_incremental",
+      Some(s"""WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |hist AS (SELECT * FROM el WHERE vec_id < 300),
+              |batch AS (SELECT vec_id, v FROM el WHERE vec_id >= 300
+              |          UNION ALL
+              |          SELECT vec_id + 1000000, list_transform(v, x -> x * 2)
+              |          FROM el WHERE vec_id < 10),
+              |dims AS (SELECT label, i, AVG(v[i]) AS m
+              |         FROM hist, range(1, 65) r(i) GROUP BY label, i),
+              |cent AS (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv
+              |         FROM dims GROUP BY label),
+              |hidx AS (SELECT vec_id, v, cell FROM (
+              |    SELECT h.vec_id, h.v, c.cell,
+              |      row_number() OVER (PARTITION BY h.vec_id
+              |                         ORDER BY (${cosSql("h.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM hist h CROSS JOIN cent c) WHERE rn = 1),
+              |hn AS (SELECT vec_id, v, cell, sqrt(list_dot_product(v, v)) AS nrm
+              |       FROM hidx WHERE sqrt(list_dot_product(v, v)) > 0),
+              |bidx AS (SELECT vec_id, v, cell FROM (
+              |    SELECT b.vec_id, b.v, c.cell,
+              |      row_number() OVER (PARTITION BY b.vec_id
+              |                         ORDER BY (${cosSql("b.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM batch b CROSS JOIN cent c) WHERE rn = 1),
+              |bn AS (SELECT vec_id, v, cell, sqrt(list_dot_product(v, v)) AS nrm
+              |       FROM bidx WHERE sqrt(list_dot_product(v, v)) > 0),
+              |dups AS (SELECT DISTINCT b.vec_id FROM bn b JOIN hn h ON b.cell = h.cell
+              |         WHERE list_dot_product(b.v, h.v) / (b.nrm * h.nrm) >= 0.95)
+              |SELECT vec_id FROM batch
+              |WHERE vec_id NOT IN (SELECT vec_id FROM dups) ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val hist = emb.filter(col("vec_id") < 300)
+        val batch = emb.filter(col("vec_id") >= 300)
+          .unionByName(emb.filter(col("vec_id") < 10)
+            .withColumn("vec_id", col("vec_id") + lit(1000000L))
+            .withColumn("embedding",
+              transform(col("embedding").cast("array<double>"),
+                x => x * lit(2.0))))
+        val cents = Similarity.centroids(hist, "label", 64)
+        val index = Similarity.assignCells(hist, cents)
+        Similarity.incrementalSemanticDedup(batch, index, cents,
+            threshold = 0.95)
+          .select(col("vec_id")).orderBy("vec_id")
+      }),
+
     // X-multimodal: opaque-binary column metadata view (byte length +
     // content key), no decode — proves column pruning drops payloads.
     Q("x_multimodal_meta",

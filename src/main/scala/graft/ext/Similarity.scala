@@ -256,4 +256,75 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
+
+  /** Assign every vector to its nearest centroid cell — the STORABLE form
+    * of an IVF index: (id, cell, v: array<double>, nrm) rows, one per
+    * vector. This is what a persistent ANN index holds: at 100 TB the
+    * table is written bucketed on `cell` (Warehouse.writeBucketed) so a
+    * probe reads only the probed cells in place; the streaming ingest
+    * ([[graft.streaming.StreamingPipeline.ivfIngest]]) appends one delta
+    * of these rows per micro-batch. Assignment is stateless per vector,
+    * so incrementally-built and batch-built indexes are row-identical. */
+  def assignCells(vectors: DataFrame, cents: DataFrame,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame =
+    nearestCells(
+      vectors.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v")),
+      cents, "id", "v", 1)
+      .withColumn("nrm", l2Norm(col("v")))
+      .select(col("id"), col("cell"), col("v"), col("nrm"))
+
+  /** [[ivfTopK]] answered from a PRE-BUILT index (the stored
+    * [[assignCells]] table) — the history side is never rescanned or
+    * re-assigned: queries probe their `nProbe` nearest cells and the
+    * probe equi-joins the index on `cell`. With the index bucketed on
+    * cell, the join prunes to the probed cells' buckets. */
+  def ivfTopKIndexed(index: DataFrame, queries: DataFrame, cents: DataFrame,
+                     k: Int, nProbe: Int = 1, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val probed = nearestCells(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec")),
+      cents, "query_id", "qvec", nProbe)
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    val scored = index
+      .select(col("id").as("corpus_id"), col("cell"), col("v").as("cvec"),
+        col("nrm").as("cnorm"))
+      .join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine",
+        cosineWithNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** Incremental SemDeDup — the embedding twin of
+    * `Dedup.incrementalMinhashDedup`: drop batch vectors whose cosine
+    * against ANY history vector in the SAME centroid cell reaches
+    * `threshold`, where history is the stored [[assignCells]] index —
+    * historical raw embeddings never rescan; the quadratic stage is
+    * bounded to (batch rows × history rows) within each cell, exactly
+    * the SemDeDup cell trick applied across batches. Zero-norm vectors
+    * on either side never match (cosine undefined → kept). Within-batch
+    * duplicates are out of scope: run [[semanticDedup]] on the batch
+    * first. */
+  def incrementalSemanticDedup(batch: DataFrame, histIndex: DataFrame,
+                               cents: DataFrame, threshold: Double,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignCells(batch, cents, idCol, vecCol)
+      .filter(col("nrm") > 0.0)
+    val dupIds = assigned
+      .join(histIndex.filter(col("nrm") > 0.0)
+        .select(col("cell"), col("v").as("hv"), col("nrm").as("hn")),
+        Seq("cell"))
+      .filter(cosineWithNorms(col("v"), col("hv"), col("nrm"), col("hn"))
+        >= threshold)
+      .select(col("id").as(idCol)).distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
 }

@@ -699,6 +699,90 @@ object StreamingPipeline {
     }
   }
 
+  /** Empty (id, cell, v, nrm) frame — the schema of a stored
+    * [[graft.ext.Similarity.assignCells]] IVF index. */
+  private def emptyIvfIndex(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+      StructField("id", LongType), StructField("cell", StringType),
+      StructField("v", ArrayType(DoubleType)),
+      StructField("nrm", DoubleType))))
+  }
+
+  /** Streaming ANN-index maintenance — the embedding twin of the
+    * signature-index family: per micro-batch, assign the batch's
+    * embeddings to the STORED centroid table (tiny, broadcast) and append
+    * the (id, cell, v, nrm) rows to the persistent IVF index under the
+    * same exactly-once protocol as every other ingest index. Top-k is
+    * then answered by `Similarity.ivfTopKIndexed` against the stored
+    * index — history is never rescanned or re-assigned. `cents` is the
+    * stored centroid table ((cell, centroid), built offline by
+    * `Similarity.centroids`/`lloydRefine` and persisted); re-clustering
+    * is an offline rebuild followed by index compaction, never an
+    * in-stream mutation. At 100 TB the compacted index generations are
+    * written bucketed on `cell` so probes prune to their cells. */
+  def ivfIngest(stream: DataFrame, idCol: String, vecCol: String,
+                outPath: String, indexPath: String, cents: DataFrame,
+                ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ivfIngestBatch(batch, id, idCol, vecCol, outPath, indexPath, cents)
+      }
+      .start()
+
+  /** The per-batch body of [[ivfIngest]]. */
+  def ivfIngestBatch(batch: DataFrame, id: Long, idCol: String,
+                     vecCol: String, outPath: String, indexPath: String,
+                     cents: DataFrame): Unit =
+    withBatchIndex(batch.sparkSession, id, outPath, indexPath,
+      emptyIvfIndex) { _ =>
+      (batch,
+        graft.ext.Similarity.assignCells(batch, cents, idCol, vecCol),
+        () => ())
+    }
+
+  /** Streaming SemDeDup at ingest — [[ivfIngest]] plus the dedup gate:
+    * per micro-batch, drop vectors that semantically duplicate (cosine ≥
+    * `threshold` within the same centroid cell) EITHER a lower-id vector
+    * of the same batch (`Similarity.semanticDedup`) or any earlier
+    * batch's survivor (`Similarity.incrementalSemanticDedup` against the
+    * stored index). Survivors land in `outPath` and their assignment
+    * rows extend the index — so a semantically-duplicate embedding
+    * arriving in ANY later batch never lands. History is the
+    * (id, cell, v, nrm) index, bounded by survivors, not arrivals. */
+  def semanticDedupIngest(stream: DataFrame, idCol: String, vecCol: String,
+                          outPath: String, indexPath: String,
+                          cents: DataFrame, threshold: Double,
+                          ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        semanticDedupIngestBatch(batch, id, idCol, vecCol, outPath,
+          indexPath, cents, threshold)
+      }
+      .start()
+
+  /** The per-batch body of [[semanticDedupIngest]]. */
+  def semanticDedupIngestBatch(batch: DataFrame, id: Long, idCol: String,
+                               vecCol: String, outPath: String,
+                               indexPath: String, cents: DataFrame,
+                               threshold: Double): Unit =
+    withBatchIndex(batch.sparkSession, id, outPath, indexPath,
+      emptyIvfIndex) { histIndex =>
+      val inBatchDropped = graft.ext.Similarity
+        .semanticDedup(batch, cents, threshold, idCol, vecCol)
+        .select(col("vec_id").as(idCol))
+      val inBatch = batch.join(inBatchDropped, Seq(idCol), "left_anti")
+      val survivors = graft.ext.Similarity
+        .incrementalSemanticDedup(inBatch, histIndex, cents, threshold,
+          idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val delta = graft.ext.Similarity
+        .assignCells(survivors, cents, idCol, vecCol)
+      (survivors, delta, () => { survivors.unpersist(); () })
+    }
+
   /** T7 (extension): in-stream tumbling-window aggregation with watermark —
     * the streaming counterpart of Gold.windowAgg. The reference computes
     * windows only in batch (silver_to_gold.py:57,106); this gives the same

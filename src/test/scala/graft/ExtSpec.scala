@@ -233,6 +233,36 @@ class ExtSpec extends SparkTestBase {
     assert(ids.size === 3)
   }
 
+  test("ivfTopKIndexed from the stored assignment table equals the direct recompute") {
+    val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), "a"))
+    val cluster2 = (6 to 10).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.01f), "b"))
+    val df = (cluster1 ++ cluster2).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(df, "label", 2)
+    val index = Similarity.assignCells(df, cents)
+    assert(index.count() === 10) // one stored row per vector
+    val q = df.filter($"vec_id" === 1)
+    val direct = Similarity.ivfTopK(df, q, cents, k = 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val indexed = Similarity.ivfTopKIndexed(index, q, cents, k = 3, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(indexed === direct)
+  }
+
+  test("incrementalSemanticDedup drops cell-mates above threshold, keeps the rest") {
+    val hist = Seq((1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.0f, 1.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(hist, "label", 2)
+    val index = Similarity.assignCells(hist, cents)
+    val batch = Seq(
+      (10L, Array(2.0f, 0.0f), "a"),  // scaled copy of history 1 → drop
+      (11L, Array(1.0f, 0.9f), "a"),  // cos ~0.74 to history in its cell → keeps
+      (12L, Array(0.0f, 0.0f), "a"))  // zero vector: cosine undefined → keeps
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.incrementalSemanticDedup(batch, index, cents, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out === Set(11L, 12L))
+  }
+
   test("multimodal: decode stub is deterministic, batched, and keeps schema through resize") {
     val df = Seq((1L, "some fake image bytes"), (2L, "")).toDF("doc_id", "payload")
     val recs = Multimodal.asMediaRecords(df, "doc_id", "payload", "image")

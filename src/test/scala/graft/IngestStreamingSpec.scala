@@ -455,6 +455,73 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/data").count() === 3)
   }
 
+  test("ivfIngest: the stored ANN index answers top-k; replays are no-ops") {
+    import graft.ext.Similarity
+    val out = Files.createTempDirectory("graft-ivf-out").toString
+    val idx = Files.createTempDirectory("graft-ivf-idx").toString
+    val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), "a"))
+    val cluster2 = (6 to 10).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.01f), "b"))
+    val all = (cluster1 ++ cluster2).toDF("vec_id", "embedding", "label")
+    // the stored centroid table, built offline once (here: label means)
+    val cents = Similarity.centroids(all, "label", 2)
+    // two micro-batches extend the persistent index incrementally
+    StreamingPipeline.ivfIngestBatch(all.filter($"vec_id" <= 5), 1L,
+      "vec_id", "embedding", out, idx, cents)
+    StreamingPipeline.ivfIngestBatch(all.filter($"vec_id" > 5), 2L,
+      "vec_id", "embedding", out, idx, cents)
+    val stored = spark.read.parquet(s"$idx/data")
+    assert(stored.count() === 10)
+    // the stored index answers top-k identically to the direct recompute
+    // over everything ingested — history is never re-assigned
+    val q = all.filter($"vec_id" === 1)
+    val indexed = Similarity.ivfTopKIndexed(stored, q, cents, k = 3, nProbe = 2)
+      .orderBy("rank").collect().toSeq
+    val direct = Similarity.ivfTopK(all, q, cents, k = 3, nProbe = 2)
+      .orderBy("rank").collect().toSeq
+    assert(indexed === direct)
+    // at-least-once replay of batch 2: the index must not double
+    StreamingPipeline.ivfIngestBatch(all.filter($"vec_id" > 5), 2L,
+      "vec_id", "embedding", out, idx, cents)
+    assert(spark.read.parquet(s"$idx/data").count() === 10)
+  }
+
+  test("semanticDedupIngest: semantic dups never land across batches; replay no-op") {
+    import graft.ext.Similarity
+    val out = Files.createTempDirectory("graft-sd-out").toString
+    val idx = Files.createTempDirectory("graft-sd-idx").toString
+    val b1 = Seq((1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.0f, 1.0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(b1, "label", 2)
+    StreamingPipeline.semanticDedupIngestBatch(b1, 1L, "vec_id", "embedding",
+      out, idx, cents, threshold = 0.95)
+    assert(spark.read.parquet(s"$out/data")
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L))
+    // batch 2: 10 duplicates history 1 (scaled copy, cos 1) → dropped via
+    // the stored index; 11 is a fresh direction → lands; 12 duplicates 11
+    // within the batch → dropped in-batch
+    val b2 = Seq((10L, Array(2.0f, 0.0f), "a"),
+      (11L, Array(1.0f, 0.9f), "a"), (12L, Array(2.0f, 1.8f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    StreamingPipeline.semanticDedupIngestBatch(b2, 2L, "vec_id", "embedding",
+      out, idx, cents, threshold = 0.95)
+    val landed = spark.read.parquet(s"$out/data")
+      .select("vec_id").as[Long].collect().toSet
+    assert(landed === Set(1L, 2L, 11L))
+    // the index holds survivors only, and a replay changes nothing
+    assert(spark.read.parquet(s"$idx/data").count() === 3)
+    StreamingPipeline.semanticDedupIngestBatch(b2, 2L, "vec_id", "embedding",
+      out, idx, cents, threshold = 0.95)
+    assert(spark.read.parquet(s"$out/data").count() === 3)
+    assert(spark.read.parquet(s"$idx/data").count() === 3)
+    // a batch-3 copy of batch-2's SURVIVOR is also caught (the index
+    // grew): scaled copy of 11 never lands
+    StreamingPipeline.semanticDedupIngestBatch(
+      Seq((20L, Array(3.0f, 2.7f), "a")).toDF("vec_id", "embedding", "label"),
+      3L, "vec_id", "embedding", out, idx, cents, threshold = 0.95)
+    assert(spark.read.parquet(s"$out/data")
+      .select("vec_id").as[Long].collect().toSet === Set(1L, 2L, 11L))
+  }
+
   test("multi-index compaction folds both curation indices to one generation") {
     val out = Files.createTempDirectory("graft-mc-out").toString
     val fpIdx = Files.createTempDirectory("graft-mc-fp").toString

@@ -2239,6 +2239,76 @@ object SparkEntry {
           .orderBy("vec_id")
       }),
 
+    // X-ivf-pq: IVF-PQ top-k with asymmetric distance computation — the
+    // billion-scale ANN query shape: candidates come from the probed
+    // cells of the stored (id, cell, code0..3) index and are scored
+    // purely from codes (cosine of the query vs the candidate's PQ
+    // reconstruction), never touching corpus vectors. Ranking uses the
+    // rounded score + id tie-break; the oracle pivots the per-subspace
+    // partial dots wide so both engines accumulate j = 0..3 in the same
+    // order.
+    Q("x_ivf_pq_topk",
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |dims AS (SELECT label, i, AVG(v[i]) AS m
+              |         FROM e, range(1, 65) r(i) GROUP BY label, i),
+              |cent AS (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv
+              |         FROM dims GROUP BY label),
+              |idx AS (SELECT vec_id, cell FROM (
+              |    SELECT e.vec_id, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |                         ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+              |sub AS (SELECT vec_id, j, v[(j*16+1):(j*16+16)] AS sv FROM e CROSS JOIN range(0, 4) r(j)),
+              |subc AS (SELECT cell, j, cv[(j*16+1):(j*16+16)] AS scv FROM cent CROSS JOIN range(0, 4) r(j)),
+              |scored0 AS (SELECT s.vec_id, s.j, c.cell,
+              |    list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.scv)
+              |      + list_dot_product(c.scv, c.scv) AS d2
+              |  FROM sub s JOIN subc c ON s.j = c.j),
+              |codes AS (SELECT vec_id, j, cell AS code FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cell) AS rn
+              |    FROM scored0) WHERE rn = 1),
+              |q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 5),
+              |probes AS (SELECT qid, cell FROM (
+              |    SELECT q.vec_id AS qid, c.cell,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |                         ORDER BY (${cosSql("q.v", "c.cv")}) DESC, c.cell) AS crn
+              |    FROM q CROSS JOIN cent c) WHERE crn <= 2),
+              |cand AS (SELECT p.qid, i.vec_id AS cid
+              |         FROM idx i JOIN probes p ON i.cell = p.cell AND i.vec_id <> p.qid),
+              |parts AS (SELECT cd.qid, cd.cid, co.j,
+              |    list_dot_product(q.v[(co.j*16+1):(co.j*16+16)], sc.scv) AS qdot,
+              |    list_dot_product(sc.scv, sc.scv) AS cn2
+              |  FROM cand cd JOIN codes co ON co.vec_id = cd.cid
+              |    JOIN subc sc ON sc.j = co.j AND sc.cell = co.code
+              |    JOIN q ON q.vec_id = cd.qid),
+              |wide AS (SELECT qid, cid,
+              |    MAX(CASE WHEN j = 0 THEN qdot END) AS q0, MAX(CASE WHEN j = 1 THEN qdot END) AS q1,
+              |    MAX(CASE WHEN j = 2 THEN qdot END) AS q2, MAX(CASE WHEN j = 3 THEN qdot END) AS q3,
+              |    MAX(CASE WHEN j = 0 THEN cn2 END) AS n0, MAX(CASE WHEN j = 1 THEN cn2 END) AS n1,
+              |    MAX(CASE WHEN j = 2 THEN cn2 END) AS n2, MAX(CASE WHEN j = 3 THEN cn2 END) AS n3
+              |  FROM parts GROUP BY qid, cid),
+              |adc AS (SELECT w.qid, w.cid,
+              |    CASE WHEN q.qn = 0 OR (((n0 + n1) + n2) + n3) <= 0 THEN 0.0
+              |         ELSE (((q0 + q1) + q2) + q3)
+              |              / (q.qn * sqrt(((n0 + n1) + n2) + n3)) END AS score
+              |  FROM wide w JOIN q ON q.vec_id = w.qid)
+              |SELECT qid AS query_id, cid AS corpus_id,
+              |       ROUND(score + 1e-9, 4) AS score_pq, CAST(rn AS INT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY ROUND(score + 1e-9, 4) DESC, cid) AS rn
+              |      FROM adc)
+              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.centroids(emb, "label", 64)
+        val index = Similarity.pqIndex(emb, cents, m = 4, dim = 64)
+        Similarity.ivfPqTopK(index, emb.filter(col("vec_id") < 5), cents,
+            k = 5, m = 4, dim = 64, nProbe = 2)
+          .select(col("query_id"), col("corpus_id"),
+            R(col("score_pq")).as("score_pq"), col("rank"))
+          .orderBy("query_id", "rank")
+      }),
+
     // P-extension: string-function surface (regex strip, pad, reverse,
     // repeat, find, edit distance, translate).
     Q("p_string_suite",

@@ -302,6 +302,83 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Build the storable IVF-PQ index: (id, cell, code0..code{m-1}) — the
+    * coarse IVF cell from [[assignCells]] plus the vector's product-
+    * quantization codes ([[Quantize.pqCodes]], same centroid table sliced
+    * per subspace as the sub-codebook). This is the billion-scale ANN
+    * index shape: dim floats per vector become one cell id + m small
+    * ints (~dim/8 bytes at m = dim/8), so the whole index fits a
+    * fraction of the corpus footprint and [[ivfPqTopK]] never touches
+    * raw vectors at query time. */
+  def pqIndex(vectors: DataFrame, cents: DataFrame, m: Int, dim: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignCells(vectors, cents, idCol, vecCol)
+      .select(col("id"), col("cell"))
+      .join(Quantize.pqCodes(vectors, cents, m, dim, idCol, vecCol)
+        .drop("recon_mse"), Seq("id"))
+
+  /** IVF-PQ top-k with asymmetric distance computation (ADC): queries
+    * probe their `nProbe` nearest cells, candidates come from the stored
+    * [[pqIndex]] rows of those cells, and each candidate is scored purely
+    * from its codes — approx cosine = Σ_j ⟨q_j, cb[code_j]⟩ / (|q| ·
+    * √Σ_j |cb[code_j]|²), i.e. cosine of the query against the candidate's
+    * PQ reconstruction, without ever reading the candidate's vector.
+    *
+    * Shape at scale: the per-query ADC lookup tables (m × k sub-dots) are
+    * tiny and broadcast; each subspace lookup is one broadcast hash join
+    * on (query_id, code_j), so scoring is map-side over the probed cells'
+    * index rows — no shuffle before the final per-query top-k window.
+    * Ranking uses the 4-decimal-rounded score with an id tie-break so the
+    * cut is reproducible across engines (sub-dot sums associate
+    * differently otherwise). */
+  def ivfPqTopK(pqIdx: DataFrame, queries: DataFrame, cents: DataFrame,
+                k: Int, m: Int, dim: Int, nProbe: Int = 1,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val probed = nearestCells(q, cents, "query_id", "qvec", nProbe)
+      .select(col("query_id"), col("cell"))
+    // ADC lookup tables: per (query, subspace, codebook cell) the partial
+    // dot ⟨q_j, cb_j⟩ and the sub-centroid's squared norm. Q x m x k rows.
+    val subc = cents
+      .select(col("cell").as("code"),
+        col("centroid").cast("array<double>").as("cv"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("scv", slice(col("cv"), col("j") * sub + 1, lit(sub)))
+      .select(col("j"), col("code"), col("scv"),
+        VectorFunctions.dot(col("scv"), col("scv")).as("cn2"))
+    val qparts = q.withColumn("qnorm", l2Norm(col("qvec")))
+      .crossJoin(broadcast(subc))
+      .withColumn("qdot", VectorFunctions.dot(
+        slice(col("qvec"), col("j") * sub + 1, lit(sub)), col("scv")))
+      .select(col("query_id"), col("qnorm"), col("j"), col("code"),
+        col("qdot"), col("cn2"))
+    var cand = pqIdx.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+    for (j <- 0 until m) {
+      val t = qparts.filter(col("j") === j)
+        .select(Seq(col("query_id"), col("code").cast("int").as(s"code$j"),
+          col("qdot").as(s"qdot$j"), col("cn2").as(s"cn2$j")) ++
+          (if (j == 0) Seq(col("qnorm")) else Nil): _*)
+      cand = cand.join(broadcast(t), Seq("query_id", s"code$j"))
+    }
+    // fixed-order accumulation (j = 0..m-1) — reproducible across engines
+    val ip = (0 until m).map(j => col(s"qdot$j")).reduce(_ + _)
+    val rn2 = (0 until m).map(j => col(s"cn2$j")).reduce(_ + _)
+    val scored = cand.withColumn("score_pq",
+      when(col("qnorm") === 0.0 || rn2 <= 0.0, lit(0.0))
+        .otherwise(ip / (col("qnorm") * sqrt(rn2))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("score_pq") + lit(1e-9), 4).desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("corpus_id"),
+        col("score_pq"), col("rank"))
+  }
+
   /** Incremental SemDeDup — the embedding twin of
     * `Dedup.incrementalMinhashDedup`: drop batch vectors whose cosine
     * against ANY history vector in the SAME centroid cell reaches

@@ -248,6 +248,29 @@ class ExtSpec extends SparkTestBase {
     assert(indexed === direct)
   }
 
+  test("ivfPqTopK with a per-vector codebook reproduces exact cosine ranking") {
+    // one codebook cell per vector and values exactly representable at 6
+    // decimals → PQ reconstruction is lossless, so the ADC score must
+    // bit-match exact cosine and the ranking must equal brute force
+    val df = Seq(
+      (1L, Array(1.0f, 0.25f)), (2L, Array(0.75f, 0.5f)),
+      (3L, Array(0.25f, 1.0f)), (4L, Array(-0.5f, 0.75f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.centroids(
+      df.withColumn("cellid", $"vec_id"), "cellid", 2)
+    val idx = Similarity.pqIndex(df, cents, m = 1, dim = 2)
+    assert(idx.count() === 4) // one (cell, code) row per vector
+    val q = df.filter($"vec_id" === 1)
+    val pq = Similarity.ivfPqTopK(idx, q, cents, k = 3, m = 1, dim = 2,
+        nProbe = 4)
+      .select($"corpus_id", round($"score_pq" + lit(1e-9), 4), $"rank")
+      .orderBy("rank").collect().toSeq
+    val exact = Similarity.bruteForceTopK(df, q, k = 3)
+      .select($"corpus_id", round($"cosine" + lit(1e-9), 4), $"rank")
+      .orderBy("rank").collect().toSeq
+    assert(pq === exact)
+  }
+
   test("incrementalSemanticDedup drops cell-mates above threshold, keeps the rest") {
     val hist = Seq((1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.0f, 1.0f), "b"))
       .toDF("vec_id", "embedding", "label")

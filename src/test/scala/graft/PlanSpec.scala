@@ -189,7 +189,7 @@ class PlanSpec extends SparkTestBase {
       "x_cosine_topk", "x_embedding_neardups", "x_ivf_topk",
       "x_ivf_lloyd_probe2", "x_ivf_recall_curve", "x_knn_classify",
       "x_semantic_dedup", "x_semdedup_calibration",
-      "x_ivf_indexed_topk", "x_semantic_dedup_incremental",
+      "x_ivf_indexed_topk", "x_semantic_dedup_incremental", "x_ivf_pq_topk",
       "x_pq_codes", "x_minhash_est_vs_exact", "j_range_join_bands",
       "w_asof_prior_signup", "x_srp_lsh_neardups",
       // single-row aggregate / tiny-spine broadcasts (share-of-total,

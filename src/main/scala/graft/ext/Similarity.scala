@@ -260,8 +260,9 @@ object Similarity {
   /** Assign every vector to its nearest centroid cell — the STORABLE form
     * of an IVF index: (id, cell, v: array<double>, nrm) rows, one per
     * vector. This is what a persistent ANN index holds: at 100 TB the
-    * table is written bucketed on `cell` (Warehouse.writeBucketed) so a
-    * probe reads only the probed cells in place; the streaming ingest
+    * table is written partitioned on `cell`
+    * ([[writeIvfIndexPartitioned]]) so a probe's scan dynamically prunes
+    * to the probed cells' directories; the streaming ingest
     * ([[graft.streaming.StreamingPipeline.ivfIngest]]) appends one delta
     * of these rows per micro-batch. Assignment is stateless per vector,
     * so incrementally-built and batch-built indexes are row-identical. */
@@ -301,6 +302,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
+
+  /** Persist a stored index ([[assignCells]] or [[pqIndex]]) hive-
+    * partitioned on `cell` — the 100 TB read path: a probe joins the
+    * index on its PARTITION column against the (tiny, broadcast) probe
+    * set, so Spark's dynamic partition pruning turns the scan into
+    * "read only the probed cells' directories". With k cells sized
+    * 10^3-10^5 vectors, an nProbe-cell query touches nProbe/k of the
+    * index regardless of corpus size. ExtSpec pins the pruning
+    * subquery's presence in the physical plan. */
+  def writeIvfIndexPartitioned(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Build the storable IVF-PQ index: (id, cell, code0..code{m-1}) — the
     * coarse IVF cell from [[assignCells]] plus the vector's product-

@@ -248,6 +248,27 @@ class ExtSpec extends SparkTestBase {
     assert(indexed === direct)
   }
 
+  test("partitioned IVF index: a probe's scan is dynamically pruned to its cells") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpart").toString
+    val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), 0))
+    val cluster2 = (6 to 10).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.01f), 1))
+    val df = (cluster1 ++ cluster2).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(df, "label", 2)
+    Similarity.writeIvfIndexPartitioned(Similarity.assignCells(df, cents), dir)
+    val index = spark.read.parquet(dir)
+    val q = df.filter($"vec_id" === 1)
+    val topk = Similarity.ivfTopKIndexed(index, q, cents, k = 3, nProbe = 1)
+    // the index scan must carry a dynamic-pruning partition filter on cell
+    // (probe side is broadcast, so DPP reuses it for free)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the index scan:\n$plan")
+    // and the pruned answer equals the direct recompute
+    val direct = Similarity.ivfTopK(df, q, cents, k = 3, nProbe = 1)
+      .orderBy("rank").collect().toSeq
+    assert(topk.orderBy("rank").collect().toSeq === direct)
+  }
+
   test("ivfPqTopK with a per-vector codebook reproduces exact cosine ranking") {
     // one codebook cell per vector and values exactly representable at 6
     // decimals → PQ reconstruction is lossless, so the ADC score must

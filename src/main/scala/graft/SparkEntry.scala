@@ -1023,6 +1023,44 @@ object SparkEntry {
           round(col("entropy_bits") + lit(1e-9), 4).as("entropy_bits"))
         .orderBy("doc_id")),
 
+    // X-nb-classifier: model-based quality filtering, trained in-engine —
+    // the CCNet/fastText-style step of an LLM pipeline: fit a closed-form
+    // Naive Bayes log-odds model over hashed token buckets on a labeled
+    // seed (doc_id < 250, positive = English), then score EVERY document
+    // as mean log-odds per token. Deterministic (counting + log), so the
+    // oracle retrains the identical model; the gate (pred_en) cuts on the
+    // rounded score in both engines.
+    Q("x_nb_quality_classifier",
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+              |bk AS (SELECT doc_id, lang,
+              |         CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
+              |       FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
+              |tr AS (SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |       FROM bk WHERE doc_id < 250),
+              |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM tr GROUP BY bucket),
+              |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM tr),
+              |wt AS (SELECT bucket,
+              |         LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
+              |       FROM cnt, tot),
+              |sc AS (SELECT b.doc_id, COUNT(*) AS n_tokens,
+              |         SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
+              |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket GROUP BY b.doc_id)
+              |SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+              | ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) AS nb_score,
+              | (ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) > 0) AS pred_en
+              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = TextAnalysis.nbTrainWeights(docs.filter(col("doc_id") < 250),
+          "text", col("lang") === "en", numBuckets = 1024)
+        TextAnalysis.nbScore(docs, "doc_id", "text", w, numBuckets = 1024)
+          .select(col("id").as("doc_id"), col("n_tokens"),
+            R(col("nb_score")).as("nb_score"),
+            (R(col("nb_score")) > 0).as("pred_en"))
+          .orderBy("doc_id")
+      }),
+
     // Incremental exact dedup: today's batch (doc_id >= 250) deduped
     // within itself and against the historical index (fingerprints of
     // doc_id < 250) — an anti join on the 128-bit fingerprint, never the

@@ -341,4 +341,71 @@ object TextAnalysis {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("entropy_bits"), lit(0.0)).as("entropy_bits"))
   }
+
+  /** Hashed-token feature bucket: the low-collision 40-bit md5 prefix
+    * (same engine-portable hash as [[charGramHashes]]) folded into
+    * `numBuckets` — the "hashing trick" feature space of a linear text
+    * classifier. */
+  def tokenBucket(tok: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(tok.cast("binary")), 1, 10), 16, 10).cast("long"),
+      lit(numBuckets.toLong))
+
+  /** Train a closed-form Naive Bayes log-odds classifier over hashed
+    * token buckets — the in-engine counterpart of the fastText-style
+    * model-based quality filter LLM pipelines run (CCNet-shape: train on
+    * a labeled seed, score the corpus, gate on the score). Training is
+    * counting plus log arithmetic, so it is deterministic, single-pass,
+    * and oracle-verifiable — no SGD, no external model artifact.
+    *
+    * Returns (bucket, w) with w = log((pos_b+α)/(pos+αB)) −
+    * log((neg_b+α)/(neg+αB)) — the per-bucket evidence a multinomial NB
+    * model assigns toward the positive class, Laplace-smoothed.
+    *
+    * Shape at scale: tokenize+explode is a narrow map, training is one
+    * hash aggregation on bucket (B rows out); the scalar total rides a
+    * documented broadcast. The weight table is B rows — broadcastable
+    * below any realistic B. */
+  def nbTrainWeights(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     positive: Column, numBuckets: Int,
+                     alpha: Double = 1.0): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(positive.cast("int").as("pos"),
+        explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", tokenBucket(col("tok"), numBuckets))
+    val counts = toks.groupBy("bucket")
+      .agg(sum(col("pos")).as("np"), sum(lit(1) - col("pos")).as("nn"))
+    val totals = toks.groupBy()
+      .agg(sum(col("pos")).as("tp"), sum(lit(1) - col("pos")).as("tn"))
+    val b = lit(alpha * numBuckets)
+    // scalar totals — broadcast of a 1-row frame
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("np") + alpha) / (col("tp") + b))
+          - log((col("nn") + alpha) / (col("tn") + b))).as("w"))
+  }
+
+  /** Score every document under [[nbTrainWeights]] weights: mean
+    * log-odds over its tokens (length-normalized so long documents don't
+    * dominate), 0 for empty docs; tokens whose bucket never occurred in
+    * training contribute 0 (neutral evidence). Returns (id, n_tokens,
+    * nb_score). Gate with `nb_score > t` for the quality filter.
+    *
+    * Shape at scale: explode → broadcast-join the B-row weight table →
+    * one hash aggregation per doc; texts never shuffle. */
+  def nbScore(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, weights: org.apache.spark.sql.DataFrame,
+              numBuckets: Int): org.apache.spark.sql.DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val agg = Par.fanOut(docs, par)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", tokenBucket(col("tok"), numBuckets))
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(coalesce(col("w"), lit(0.0))) / count(lit(1))).as("nb_score"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("nb_score"), lit(0.0)).as("nb_score"))
+  }
 }

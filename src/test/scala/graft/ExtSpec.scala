@@ -248,6 +248,27 @@ class ExtSpec extends SparkTestBase {
     assert(indexed === direct)
   }
 
+  test("NB log-odds classifier separates classes learned from a labeled seed") {
+    val docs = Seq(
+      (1L, "clean prose reads well tonight", 1),
+      (2L, "clean prose flows well today", 1),
+      (3L, "spam junk noise garbage spam", 0),
+      (4L, "junk noise spam garbage junk", 0),
+      // held out: class-typical vocabulary, not in the seed
+      (5L, "clean prose reads today", -1),
+      (6L, "garbage noise junk", -1),
+      (7L, "", -1)) // empty doc scores 0 with 0 tokens
+      .toDF("doc_id", "text", "label")
+    val w = TextAnalysis.nbTrainWeights(docs.filter($"label" >= 0), "text",
+      $"label" === 1, numBuckets = 64)
+    val scored = TextAnalysis.nbScore(docs, "doc_id", "text", w, numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scored(5L)._2 > 0, s"held-out positive must score > 0: $scored")
+    assert(scored(6L)._2 < 0, s"held-out negative must score < 0: $scored")
+    assert(scored(1L)._2 > 0 && scored(3L)._2 < 0)
+    assert(scored(7L) === ((0L, 0.0)))
+  }
+
   test("partitioned IVF index: a probe's scan is dynamically pruned to its cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpart").toString
     val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), 0))

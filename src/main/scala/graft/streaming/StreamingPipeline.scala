@@ -742,6 +742,47 @@ object StreamingPipeline {
         () => ())
     }
 
+  /** Empty (id, cell, code0..code{m-1}) frame — the schema of a stored
+    * [[graft.ext.Similarity.pqIndex]] IVF-PQ index. */
+  private def emptyPqIndex(m: Int)(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(
+      Seq(StructField("id", LongType), StructField("cell", StringType)) ++
+        (0 until m).map(j => StructField(s"code$j", IntegerType))))
+  }
+
+  /** Streaming IVF-PQ index maintenance — [[ivfIngest]] storing CODES
+    * instead of raw vectors: per micro-batch, encode the batch against
+    * the stored centroid table (coarse cell + product-quantization
+    * codes, `Similarity.pqIndex`) and append the (id, cell, code0..m-1)
+    * rows under the shared exactly-once protocol. Top-k is answered by
+    * `Similarity.ivfPqTopK` purely from the stored codes — the index
+    * stays ~dim/8 bytes per vector no matter how many batches arrive,
+    * the shape that keeps a billion-vector ANN index in memory.
+    * Re-clustering the codebook is an offline rebuild + compaction,
+    * never an in-stream mutation. */
+  def pqIngest(stream: DataFrame, idCol: String, vecCol: String,
+               outPath: String, indexPath: String, cents: DataFrame,
+               m: Int, dim: Int, ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        pqIngestBatch(batch, id, idCol, vecCol, outPath, indexPath,
+          cents, m, dim)
+      }
+      .start()
+
+  /** The per-batch body of [[pqIngest]]. */
+  def pqIngestBatch(batch: DataFrame, id: Long, idCol: String,
+                    vecCol: String, outPath: String, indexPath: String,
+                    cents: DataFrame, m: Int, dim: Int): Unit =
+    withBatchIndex(batch.sparkSession, id, outPath, indexPath,
+      emptyPqIndex(m)) { _ =>
+      (batch,
+        graft.ext.Similarity.pqIndex(batch, cents, m, dim, idCol, vecCol),
+        () => ())
+    }
+
   /** Streaming SemDeDup at ingest — [[ivfIngest]] plus the dedup gate:
     * per micro-batch, drop vectors that semantically duplicate (cosine ≥
     * `threshold` within the same centroid cell) EITHER a lower-id vector

@@ -485,6 +485,37 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/data").count() === 10)
   }
 
+  test("pqIngest: incrementally stored codes equal the batch build; replay no-op") {
+    import graft.ext.Similarity
+    val out = Files.createTempDirectory("graft-pq-out").toString
+    val idx = Files.createTempDirectory("graft-pq-idx").toString
+    val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.25f, 0.25f), 0))
+    val cluster2 = (6 to 10).map(i => (i.toLong, Array(0.25f, 1.0f + i * 0.25f), 1))
+    val all = (cluster1 ++ cluster2).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(all, "label", 2)
+    StreamingPipeline.pqIngestBatch(all.filter($"vec_id" <= 5), 1L,
+      "vec_id", "embedding", out, idx, cents, m = 1, dim = 2)
+    StreamingPipeline.pqIngestBatch(all.filter($"vec_id" > 5), 2L,
+      "vec_id", "embedding", out, idx, cents, m = 1, dim = 2)
+    val stored = spark.read.parquet(s"$idx/data")
+    // code assignment is stateless, so the incrementally-built index is
+    // row-identical to a one-shot batch build...
+    val direct = Similarity.pqIndex(all, cents, m = 1, dim = 2)
+    assert(stored.orderBy("id").collect().toSeq ===
+      direct.select(stored.columns.map(col): _*).orderBy("id").collect().toSeq)
+    // ...and answers IVF-PQ top-k identically
+    val q = all.filter($"vec_id" === 1)
+    val fromStored = Similarity.ivfPqTopK(stored, q, cents, k = 3, m = 1,
+      dim = 2, nProbe = 2).orderBy("rank").collect().toSeq
+    val fromDirect = Similarity.ivfPqTopK(direct, q, cents, k = 3, m = 1,
+      dim = 2, nProbe = 2).orderBy("rank").collect().toSeq
+    assert(fromStored === fromDirect)
+    // at-least-once replay: the index must not double
+    StreamingPipeline.pqIngestBatch(all.filter($"vec_id" > 5), 2L,
+      "vec_id", "embedding", out, idx, cents, m = 1, dim = 2)
+    assert(spark.read.parquet(s"$idx/data").count() === 10)
+  }
+
   test("semanticDedupIngest: semantic dups never land across batches; replay no-op") {
     import graft.ext.Similarity
     val out = Files.createTempDirectory("graft-sd-out").toString

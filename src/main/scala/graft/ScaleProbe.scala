@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * direct evidence of whether chain throughput holds when the input is
   * 100× the sf0.1 bench table. `ScaleProbe [rows] [dir]`, or
   * `ScaleProbe dedup [nDocs]` for the MinHash-LSH near-dup sweep over a
-  * deterministic synthetic corpus with 1% planted near-copies. */
+  * deterministic synthetic corpus with 1% planted near-copies, or
+  * `ScaleProbe ann [nVecs]` for the IVF-PQ build + query sweep
+  * (deterministic clustered vectors; times index build and code-only
+  * top-k, reports recall@10 vs exact brute force and the index:raw
+  * storage ratio). */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup")) { dedupProbe(args); return }
+    if (args.headOption.contains("ann")) { annProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -84,6 +89,90 @@ object ScaleProbe {
       println(f"[scale] dedup run$i docs=$nDocs pairs=$pairs sec=$sec%.2f " +
         f"docs_per_sec=${nDocs / sec}%.0f")
     }
+    spark.stop()
+  }
+
+  /** IVF-PQ at scale: N deterministic 64-dim vectors in 256 hash-seeded
+    * clusters (cluster direction + 15% per-vector noise), k-means-free
+    * centroid table from the cluster labels, PQ codes at m=8. Times the
+    * index build (one pass) and the code-only `ivfPqTopK` for 20 queries
+    * at nProbe=4, then reports recall@10 against exact brute force and
+    * the index:raw parquet footprint ratio — the two numbers that
+    * justify the IVF-PQ path at 100 TB. */
+  private def annProbe(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 100000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dim = 64; val kCells = 256; val m = 8
+    import graft.ext.Similarity
+    def comp(seed: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      pmod(hash(seed, j), lit(2001)).cast("double") / 1000.0 - 1.0
+    val rawDir = "/tmp/graft_scale_vecs"
+    val idxDir = "/tmp/graft_scale_pqidx"
+    // cluster direction + a per-vector point on the cluster's 2-D residual
+    // manifold — real embeddings concentrate on low-intrinsic-dimension
+    // manifolds, which is exactly what makes PQ codes informative; full-
+    // rank iid noise would be the (unrealistic) worst case for any PQ
+    spark.range(n).select(col("id").as("vec_id"),
+        pmod(col("id"), lit(kCells)).cast("int").as("label"))
+      .withColumn("a", comp(col("vec_id") * 7919, lit(0)))
+      .withColumn("b", comp(col("vec_id") * 7919, lit(1)))
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)),
+        j => comp(col("label") * 131, j)
+          + (col("a") * comp(col("label") * 517 + lit(1), j)
+            + col("b") * comp(col("label") * 811 + lit(2), j)) * lit(0.15)))
+      .drop("a", "b")
+      .repartition(cpus * 2)
+      .write.mode("overwrite").parquet(rawDir)
+    val df = spark.read.parquet(rawDir)
+    val cents = Similarity.centroids(df, "label", dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cents.count()
+    // residual IVF-PQ (the FAISS shape): 256-entry sampled residual
+    // codebook; raw-vector PQ against the coarse codebook cannot rank
+    // within a cell (all cell-mates reconstruct to ~the centroid)
+    val cb = Similarity.pqResidualCodebook(df, cents, entries = 256)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cb.count()
+    val tb0 = System.nanoTime()
+    Similarity.pqIndexResidual(df, cents, cb, m, dim)
+      .write.mode("overwrite").parquet(idxDir)
+    val buildSec = (System.nanoTime() - tb0) / 1e9
+    val idx = spark.read.parquet(idxDir)
+    val q = df.filter(col("vec_id") < 20)
+    def dirBytes(p: String): Long =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    (1 to 3).foreach { i =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows = Similarity.ivfPqTopKResidual(idx, q, cents, cb, k = 10,
+        m = m, dim = dim, nProbe = 4).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] ann run$i vecs=$n topk_rows=$rows build_sec=$buildSec%.2f " +
+        f"query_sec=$sec%.2f vecs_per_sec=${n / sec}%.0f")
+    }
+    val exact = Similarity.bruteForceTopK(df, q, k = 10)
+      .select(col("query_id"), col("corpus_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val approx = Similarity.ivfPqTopKResidual(idx, q, cents, cb, k = 10,
+      m = m, dim = dim, nProbe = 4).select(col("query_id"), col("corpus_id"))
+    val hits = approx.join(exact, Seq("query_id", "corpus_id")).count()
+    // the production two-stage shape: 100-deep code shortlist, exact
+    // rerank of only those rows — recall@10 becomes ADC recall@100
+    val t0 = System.nanoTime()
+    val rr = Similarity.ivfPqRerankTopK(idx, df, q, cents, cb, k = 10,
+      shortlist = 100, m = m, dim = dim, nProbe = 4)
+      .select(col("query_id"), col("corpus_id"))
+    val rrHits = rr.join(exact, Seq("query_id", "corpus_id")).count()
+    val rerankSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] ann recall@10=${hits.toDouble / (20 * 10)}%.3f " +
+      f"rerank_recall@10=${rrHits.toDouble / (20 * 10)}%.3f " +
+      f"rerank_sec=$rerankSec%.2f " +
+      f"index_bytes=${dirBytes(idxDir)} raw_bytes=${dirBytes(rawDir)} " +
+      f"ratio=${dirBytes(rawDir).toDouble / dirBytes(idxDir)}%.1f")
+    exact.unpersist()
     spark.stop()
   }
 }

@@ -2347,6 +2347,92 @@ object SparkEntry {
           .orderBy("query_id", "rank")
       }),
 
+    // X-ivf-pq-residual: the FAISS-shaped residual IVF-PQ — codes encode
+    // v − centroid against a sampled residual codebook (residuals of the
+    // 64 lowest-id vectors), and the index stores the reconstruction
+    // norm, so cell-mates stay distinguishable (raw-vector PQ against
+    // the coarse codebook collapses a cell to one reconstruction).
+    // score = (⟨q,c⟩ + Σ_j⟨q_j,r̂_j⟩)/(|q|·rnorm); both engines pivot the
+    // per-subspace terms wide and accumulate j = 0..3 in fixed order.
+    Q("x_ivf_pq_residual_topk",
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |dims AS (SELECT label, i, AVG(v[i]) AS m
+              |         FROM e, range(1, 65) r(i) GROUP BY label, i),
+              |cent AS (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv
+              |         FROM dims GROUP BY label),
+              |asg AS (SELECT vec_id, v, cell, cv FROM (
+              |    SELECT e.vec_id, e.v, c.cell, c.cv,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |                         ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+              |rcomp AS (SELECT vec_id, i, v[i] - cv[i] AS rc FROM asg, range(1, 65) r(i)),
+              |rlist AS (SELECT vec_id, list(rc ORDER BY i) AS rv FROM rcomp GROUP BY vec_id),
+              |cb AS (SELECT vec_id AS code, rv AS ev FROM rlist WHERE vec_id < 64),
+              |subv AS (SELECT vec_id, j, rv[(j*16+1):(j*16+16)] AS sv
+              |         FROM rlist CROSS JOIN range(0, 4) r(j)),
+              |subcb AS (SELECT code, j, ev[(j*16+1):(j*16+16)] AS scv
+              |          FROM cb CROSS JOIN range(0, 4) r(j)),
+              |sc0 AS (SELECT s.vec_id, s.j, c.code,
+              |    list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.scv)
+              |      + list_dot_product(c.scv, c.scv) AS d2
+              |  FROM subv s JOIN subcb c ON s.j = c.j),
+              |codes AS (SELECT vec_id, j, code FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+              |    FROM sc0) WHERE rn = 1),
+              |cvsub AS (SELECT vec_id, cell, j, cv[(j*16+1):(j*16+16)] AS cvj
+              |          FROM asg CROSS JOIN range(0, 4) r(j)),
+              |tms AS (SELECT co.vec_id, co.j,
+              |    list_dot_product(cs.cvj, cs.cvj) + 2 * list_dot_product(cs.cvj, sc.scv)
+              |      + list_dot_product(sc.scv, sc.scv) AS term
+              |  FROM codes co JOIN cvsub cs ON cs.vec_id = co.vec_id AND cs.j = co.j
+              |    JOIN subcb sc ON sc.j = co.j AND sc.code = co.code),
+              |rnorms AS (SELECT vec_id, sqrt(GREATEST(((t0 + t1) + t2) + t3, 0.0)) AS rnorm
+              |  FROM (SELECT vec_id,
+              |      MAX(CASE WHEN j = 0 THEN term END) AS t0, MAX(CASE WHEN j = 1 THEN term END) AS t1,
+              |      MAX(CASE WHEN j = 2 THEN term END) AS t2, MAX(CASE WHEN j = 3 THEN term END) AS t3
+              |    FROM tms GROUP BY vec_id)),
+              |q AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 5),
+              |probes AS (SELECT qid, cell, list_dot_product(qv, cv) AS qcdot FROM (
+              |    SELECT q.vec_id AS qid, q.v AS qv, c.cell, c.cv,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |                         ORDER BY (${cosSql("q.v", "c.cv")}) DESC, c.cell) AS crn
+              |    FROM q CROSS JOIN cent c) WHERE crn <= 2),
+              |cand AS (SELECT p.qid, a.vec_id AS cid, p.qcdot
+              |         FROM asg a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
+              |parts AS (SELECT cd.qid, cd.cid, co.j,
+              |    list_dot_product(q.v[(co.j*16+1):(co.j*16+16)], sc.scv) AS qrdot
+              |  FROM cand cd JOIN codes co ON co.vec_id = cd.cid
+              |    JOIN subcb sc ON sc.j = co.j AND sc.code = co.code
+              |    JOIN q ON q.vec_id = cd.qid),
+              |wide AS (SELECT qid, cid,
+              |    MAX(CASE WHEN j = 0 THEN qrdot END) AS q0, MAX(CASE WHEN j = 1 THEN qrdot END) AS q1,
+              |    MAX(CASE WHEN j = 2 THEN qrdot END) AS q2, MAX(CASE WHEN j = 3 THEN qrdot END) AS q3
+              |  FROM parts GROUP BY qid, cid),
+              |adc AS (SELECT w.qid, w.cid,
+              |    CASE WHEN q.qn = 0 OR r.rnorm <= 0 THEN 0.0
+              |         ELSE (c.qcdot + (((q0 + q1) + q2) + q3)) / (q.qn * r.rnorm) END AS score
+              |  FROM wide w JOIN q ON q.vec_id = w.qid
+              |    JOIN rnorms r ON r.vec_id = w.cid
+              |    JOIN (SELECT DISTINCT qid, cid, qcdot FROM cand) c
+              |      ON c.qid = w.qid AND c.cid = w.cid)
+              |SELECT qid AS query_id, cid AS corpus_id,
+              |       ROUND(score + 1e-9, 4) AS score_pq, CAST(rn AS INT) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |                                   ORDER BY ROUND(score + 1e-9, 4) DESC, cid) AS rn
+              |      FROM adc)
+              |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.centroids(emb, "label", 64)
+        val cb = Similarity.pqResidualCodebook(emb, cents, entries = 64)
+        val idx = Similarity.pqIndexResidual(emb, cents, cb, m = 4, dim = 64)
+        Similarity.ivfPqTopKResidual(idx, emb.filter(col("vec_id") < 5),
+            cents, cb, k = 5, m = 4, dim = 64, nProbe = 2)
+          .select(col("query_id"), col("corpus_id"),
+            R(col("score_pq")).as("score_pq"), col("rank"))
+          .orderBy("query_id", "rank")
+      }),
+
     // P-extension: string-function surface (regex strip, pad, reverse,
     // repeat, find, edit distance, translate).
     Q("p_string_suite",

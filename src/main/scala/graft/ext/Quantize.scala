@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -83,9 +82,14 @@ object Quantize {
       .withColumn("d2", VectorFunctions.dot(col("sv"), col("sv"))
         - lit(2.0) * VectorFunctions.dot(col("sv"), col("scv"))
         + VectorFunctions.dot(col("scv"), col("scv")))
-    val w = Window.partitionBy("id", "j").orderBy(col("d2").asc, col("cell").asc)
-    val best = scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // argmin as a lexicographic struct-min hash aggregation — same
+    // (d2 asc, cell asc) tie-break as a rank-1 window, but one partial-
+    // aggregating exchange of (id, j) keys instead of shuffling and
+    // sorting all |V|·m·k scored rows (d2 can't be -0.0: an exact-match
+    // cancellation yields +0.0 in IEEE, so struct ordering == sort order)
+    val best = scored.groupBy("id", "j")
+      .agg(min(struct(col("d2"), col("cell"))).as("b"))
+      .select(col("id"), col("j"), col("b.d2").as("d2"), col("b.cell").as("cell"))
     val codeCols = (0 until m).map(k =>
       max(when(col("j") === k, col("cell"))).cast("int").as(s"code$k"))
     best.groupBy("id")

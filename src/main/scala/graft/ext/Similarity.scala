@@ -391,6 +391,176 @@ object Similarity {
         col("score_pq"), col("rank"))
   }
 
+  /** Every vector with its coarse cell, centroid and residual
+    * (v − centroid): the encode-side front half of residual IVF-PQ. */
+  private def withResiduals(vectors: DataFrame, cents: DataFrame,
+                            idCol: String, vecCol: String): DataFrame =
+    assignCells(vectors, cents, idCol, vecCol)
+      .join(broadcast(cents.select(col("cell"),
+        col("centroid").cast("array<double>").as("cv"))), Seq("cell"))
+      .withColumn("rv", zip_with(col("v"), col("cv"), (a, b) => a - b))
+
+  /** Per-subspace (j, code, scv) slices of a residual codebook. */
+  private def codebookSlices(codebook: DataFrame, m: Int, sub: Int): DataFrame =
+    codebook.select(col("code"), col("ev").cast("array<double>").as("ev"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("scv", slice(col("ev"), col("j") * sub + 1, lit(sub)))
+      .select(col("j"), col("code"), col("scv"))
+
+  /** Sampled residual codebook for [[pqIndexResidual]]: the residuals of
+    * the `entries` lowest-id vectors, coded by their own id (codes must
+    * fit an int). Returns (code, ev). Sampling by id is deterministic and
+    * engine-reproducible; production recall improves by Lloyd-refining
+    * these entries offline — the index/query protocol is unchanged. */
+  def pqResidualCodebook(vectors: DataFrame, cents: DataFrame, entries: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame =
+    withResiduals(vectors, cents, idCol, vecCol)
+      .orderBy("id").limit(entries)
+      .select(col("id").cast("int").as("code"), col("rv").as("ev"))
+
+  /** Residual IVF-PQ encode — the FAISS IVF-PQ index shape: each vector
+    * stores its coarse cell, the per-subspace codes of its RESIDUAL
+    * (v − centroid) against `codebook`, and the norm of its
+    * reconstruction (centroid + decoded residual), computed once at
+    * encode time. Encoding the residual rather than the raw vector is
+    * what preserves within-cell ranking: cell-mates share a centroid but
+    * differ in residual codes, so ADC can still order them. Returns
+    * (id, cell, code0..code{m-1}, rnorm).
+    *
+    * Shape at scale: one broadcast-scored narrow pipeline (slice →
+    * score → struct-min argmin → wide pivot); |recon|² = Σ_j (⟨c_j,c_j⟩
+    * + 2⟨c_j,r̂_j⟩ + ⟨r̂_j,r̂_j⟩) is accumulated from the argmin rows in
+    * fixed subspace order, so no reconstruction array is ever built. */
+  def pqIndexResidual(vectors: DataFrame, cents: DataFrame,
+                      codebook: DataFrame, m: Int, dim: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val cbs = codebookSlices(codebook, m, sub)
+    val sliced = withResiduals(vectors, cents, idCol, vecCol)
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("id"), col("cell"), col("j"),
+        slice(col("rv"), col("j") * sub + 1, lit(sub)).as("sv"))
+    val scored = sliced.join(broadcast(cbs), Seq("j"))
+      .withColumn("d2", dot(col("sv"), col("sv"))
+        - lit(2.0) * dot(col("sv"), col("scv"))
+        + dot(col("scv"), col("scv")))
+    // lexicographic struct-min argmin (d2, code) — deterministic, one
+    // fixed-width hash aggregation over the |V|·m·entries scored rows
+    // (no arrays in the aggregation buffer; cell rides as a group key
+    // since it is functionally dependent on id)
+    val best = scored.groupBy("id", "cell", "j")
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("id"), col("cell"), col("j"), col("b.code").as("code"))
+    // per-(cell, code, j) reconstruction-norm term ⟨c_j,c_j⟩ + 2⟨c_j,r̂_j⟩
+    // + ⟨r̂_j,r̂_j⟩ — a cells × entries × m cross table built from two tiny
+    // sides and broadcast back onto the argmin rows
+    val cslices = cents
+      .select(col("cell"), col("centroid").cast("array<double>").as("cv"))
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("cell"), col("j"),
+        slice(col("cv"), col("j") * sub + 1, lit(sub)).as("cvj"))
+    val termTable = cslices.join(cbs, Seq("j"))
+      .select(col("cell"), col("j"), col("code"),
+        (dot(col("cvj"), col("cvj"))
+          + lit(2.0) * dot(col("cvj"), col("scv"))
+          + dot(col("scv"), col("scv"))).as("term"))
+    val withTerms = best.join(broadcast(termTable), Seq("cell", "j", "code"))
+    val codeCols = (0 until m).map(j =>
+      max(when(col("j") === j, col("code"))).cast("int").as(s"code$j"))
+    val termCols = (0 until m).map(j =>
+      max(when(col("j") === j, col("term"))).as(s"_t$j"))
+    val wide = withTerms.groupBy("id")
+      .agg(max(col("cell")).as("cell"), (codeCols ++ termCols): _*)
+    val rn2 = (0 until m).map(j => col(s"_t$j")).reduce(_ + _)
+    wide.select(Seq(col("id"), col("cell")) ++
+      (0 until m).map(j => col(s"code$j")) :+
+      sqrt(greatest(rn2, lit(0.0))).as("rnorm"): _*)
+  }
+
+  /** [[ivfPqTopK]] over a RESIDUAL index ([[pqIndexResidual]]): approx
+    * cosine = (⟨q, c_cell⟩ + Σ_j ⟨q_j, r̂_j⟩) / (|q| · rnorm) — the
+    * centroid term comes from the probe table, the residual terms from
+    * per-subspace broadcast ADC lookups, and rnorm was stored at encode
+    * time, so scoring reads nothing but the candidate's index row. Same
+    * map-side join shape and rounded-score rank cut as [[ivfPqTopK]]. */
+  def ivfPqTopKResidual(index: DataFrame, queries: DataFrame,
+                        cents: DataFrame, codebook: DataFrame, k: Int,
+                        m: Int, dim: Int, nProbe: Int = 1,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val probed = nearestCells(q, cents, "query_id", "qvec", nProbe)
+      .join(broadcast(cents.select(col("cell"),
+        col("centroid").cast("array<double>").as("cv"))), Seq("cell"))
+      .withColumn("qcdot", dot(col("qvec"), col("cv")))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+      .select(col("query_id"), col("cell"), col("qcdot"), col("qnorm"))
+    val qr = q.crossJoin(broadcast(codebookSlices(codebook, m, sub)))
+      .withColumn("qrdot", dot(
+        slice(col("qvec"), col("j") * sub + 1, lit(sub)), col("scv")))
+      .select(col("query_id"), col("j"), col("code"), col("qrdot"))
+    var cand = index.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+    for (j <- 0 until m)
+      cand = cand.join(broadcast(qr.filter(col("j") === j)
+        .select(col("query_id"), col("code").cast("int").as(s"code$j"),
+          col("qrdot").as(s"_qr$j"))),
+        Seq("query_id", s"code$j"))
+    val ip = col("qcdot") +
+      (0 until m).map(j => col(s"_qr$j")).reduce(_ + _)
+    val scored = cand.withColumn("score_pq",
+      when(col("qnorm") === 0.0 || col("rnorm") <= 0.0, lit(0.0))
+        .otherwise(ip / (col("qnorm") * col("rnorm"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("score_pq") + lit(1e-9), 4).desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("corpus_id"),
+        col("score_pq"), col("rank"))
+  }
+
+  /** Two-stage retrieve-and-rerank — the production IVF-PQ query shape:
+    * ADC over the code index shortlists `shortlist` candidates per query
+    * ([[ivfPqTopKResidual]]), then ONLY those candidates' raw vectors are
+    * fetched and exactly cosine-reranked to the final top-k. Recall@k of
+    * the pair equals ADC recall@shortlist, which converges to 1 far
+    * faster than ADC recall@k — codes only need to be good enough to not
+    * drop true neighbors from a 10-50× longer list. The rerank join
+    * touches |queries| · shortlist corpus rows by id (a broadcast semi
+    * join against the corpus), never the corpus at large. */
+  def ivfPqRerankTopK(index: DataFrame, corpus: DataFrame,
+                      queries: DataFrame, cents: DataFrame,
+                      codebook: DataFrame, k: Int, shortlist: Int,
+                      m: Int, dim: Int, nProbe: Int = 1,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val sl = ivfPqTopKResidual(index, queries, cents, codebook,
+        k = shortlist, m = m, dim = dim, nProbe = nProbe, idCol = idCol,
+        vecCol = vecCol)
+      .select(col("query_id"), col("corpus_id"))
+    val c = corpus.select(col(idCol).as("corpus_id"),
+        col(vecCol).cast("array<double>").as("cvec"))
+      .withColumn("cnorm", l2Norm(col("cvec")))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", l2Norm(col("qvec")))
+    val scored = c.join(broadcast(sl), Seq("corpus_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine",
+        cosineWithNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
   /** Incremental SemDeDup — the embedding twin of
     * `Dedup.incrementalMinhashDedup`: drop batch vectors whose cosine
     * against ANY history vector in the SAME centroid cell reaches

@@ -313,6 +313,52 @@ class ExtSpec extends SparkTestBase {
     assert(pq === exact)
   }
 
+  test("residual IVF-PQ with a full codebook reproduces exact cosine ranking") {
+    // codebook holds every vector's residual → reconstruction is exact →
+    // ADC must bit-match exact cosine, including WITHIN-cell ranking
+    // (the case the raw-vector PQ codebook cannot distinguish)
+    val df = Seq(
+      (1L, Array(1.0f, 0.25f), 0), (2L, Array(0.75f, 0.5f), 0),
+      (3L, Array(0.25f, 1.0f), 1), (4L, Array(-0.5f, 0.75f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(df, "label", 2)
+    val cb = Similarity.pqResidualCodebook(df, cents, entries = 4)
+    val idx = Similarity.pqIndexResidual(df, cents, cb, m = 1, dim = 2)
+    assert(idx.count() === 4)
+    // stored rnorm is the true vector norm when reconstruction is exact
+    val rn = idx.filter($"id" === 1).select("rnorm").as[Double].head()
+    assert(math.abs(rn - math.sqrt(1.0 + 0.25 * 0.25)) < 1e-9)
+    val q = df.filter($"vec_id" === 1)
+    val pq = Similarity.ivfPqTopKResidual(idx, q, cents, cb, k = 3, m = 1,
+        dim = 2, nProbe = 2)
+      .select($"corpus_id", round($"score_pq" + lit(1e-9), 4), $"rank")
+      .orderBy("rank").collect().toSeq
+    val exact = Similarity.bruteForceTopK(df, q, k = 3)
+      .select($"corpus_id", round($"cosine" + lit(1e-9), 4), $"rank")
+      .orderBy("rank").collect().toSeq
+    assert(pq === exact)
+  }
+
+  test("PQ shortlist + exact rerank returns exact cosine order over the shortlist") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.25f), 0), (2L, Array(0.75f, 0.5f), 0),
+      (3L, Array(0.25f, 1.0f), 1), (4L, Array(-0.5f, 0.75f), 1),
+      (5L, Array(0.9f, 0.3f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(df, "label", 2)
+    val cb = Similarity.pqResidualCodebook(df, cents, entries = 5)
+    val idx = Similarity.pqIndexResidual(df, cents, cb, m = 1, dim = 2)
+    val q = df.filter($"vec_id" === 1)
+    // shortlist covers every candidate → rerank must equal brute force
+    // bit-for-bit (exact cosine, exact ordering — no rounding involved)
+    val rr = Similarity.ivfPqRerankTopK(idx, df, q, cents, cb, k = 3,
+        shortlist = 5, m = 1, dim = 2, nProbe = 2)
+      .orderBy("rank").collect().toSeq
+    val exact = Similarity.bruteForceTopK(df, q, k = 3)
+      .orderBy("rank").collect().toSeq
+    assert(rr === exact)
+  }
+
   test("incrementalSemanticDedup drops cell-mates above threshold, keeps the rest") {
     val hist = Seq((1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.0f, 1.0f), "b"))
       .toDF("vec_id", "embedding", "label")

@@ -190,11 +190,14 @@ class PlanSpec extends SparkTestBase {
       "x_ivf_lloyd_probe2", "x_ivf_recall_curve", "x_knn_classify",
       "x_semantic_dedup", "x_semdedup_calibration",
       "x_ivf_indexed_topk", "x_semantic_dedup_incremental", "x_ivf_pq_topk",
+      "x_ivf_pq_residual_topk",
       "x_pq_codes", "x_minhash_est_vs_exact", "j_range_join_bands",
       "w_asof_prior_signup", "x_srp_lsh_neardups",
       // single-row aggregate / tiny-spine broadcasts (share-of-total,
-      // type×hour gap-fill grids) — bounded sides by construction
-      "a_supplier_value_share", "a_missing_hours", "a_gapfill_ffill")
+      // type×hour gap-fill grids, NB training's scalar class totals) —
+      // bounded sides by construction
+      "a_supplier_value_share", "a_missing_hours", "a_gapfill_ffill",
+      "x_nb_quality_classifier")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -159,17 +159,21 @@ object ScaleProbe {
     val approx = Similarity.ivfPqTopKResidual(idx, q, cents, cb, k = 10,
       m = m, dim = dim, nProbe = 4).select(col("query_id"), col("corpus_id"))
     val hits = approx.join(exact, Seq("query_id", "corpus_id")).count()
-    // the production two-stage shape: 100-deep code shortlist, exact
-    // rerank of only those rows — recall@10 becomes ADC recall@100
+    // the production two-stage shape: deep code shortlist, exact rerank
+    // of only those rows — recall@10 becomes ADC recall@shortlist. The
+    // shortlist scales with per-cell density (fixed code resolution
+    // separates a fixed FRACTION of a cell, not a fixed count), and
+    // stays a trivial fetch: even 1000/query is 10^-3 of a 1M corpus.
+    val shortlist = math.max(100, (n / 1000).toInt)
     val t0 = System.nanoTime()
     val rr = Similarity.ivfPqRerankTopK(idx, df, q, cents, cb, k = 10,
-      shortlist = 100, m = m, dim = dim, nProbe = 4)
+      shortlist = shortlist, m = m, dim = dim, nProbe = 4)
       .select(col("query_id"), col("corpus_id"))
     val rrHits = rr.join(exact, Seq("query_id", "corpus_id")).count()
     val rerankSec = (System.nanoTime() - t0) / 1e9
     println(f"[scale] ann recall@10=${hits.toDouble / (20 * 10)}%.3f " +
       f"rerank_recall@10=${rrHits.toDouble / (20 * 10)}%.3f " +
-      f"rerank_sec=$rerankSec%.2f " +
+      f"shortlist=$shortlist rerank_sec=$rerankSec%.2f " +
       f"index_bytes=${dirBytes(idxDir)} raw_bytes=${dirBytes(rawDir)} " +
       f"ratio=${dirBytes(rawDir).toDouble / dirBytes(idxDir)}%.1f")
     exact.unpersist()

@@ -2281,10 +2281,10 @@ object SparkEntry {
     // billion-scale ANN query shape: candidates come from the probed
     // cells of the stored (id, cell, code0..3) index and are scored
     // purely from codes (cosine of the query vs the candidate's PQ
-    // reconstruction), never touching corpus vectors. Ranking uses the
-    // rounded score + id tie-break; the oracle pivots the per-subspace
-    // partial dots wide so both engines accumulate j = 0..3 in the same
-    // order.
+    // reconstruction), never touching corpus vectors. The oracle pivots
+    // the per-subspace partial dots wide so both engines accumulate
+    // j = 0..3 in the same order — scores are bit-identical, so the
+    // rank cut safely uses the raw score + id tie-break.
     Q("x_ivf_pq_topk",
       Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
               |dims AS (SELECT label, i, AVG(v[i]) AS m
@@ -2333,7 +2333,7 @@ object SparkEntry {
               |SELECT qid AS query_id, cid AS corpus_id,
               |       ROUND(score + 1e-9, 4) AS score_pq, CAST(rn AS INT) AS rank
               |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-              |                                   ORDER BY ROUND(score + 1e-9, 4) DESC, cid) AS rn
+              |                                   ORDER BY score DESC, cid) AS rn
               |      FROM adc)
               |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
       (s, dir) => {
@@ -2418,7 +2418,7 @@ object SparkEntry {
               |SELECT qid AS query_id, cid AS corpus_id,
               |       ROUND(score + 1e-9, 4) AS score_pq, CAST(rn AS INT) AS rank
               |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-              |                                   ORDER BY ROUND(score + 1e-9, 4) DESC, cid) AS rn
+              |                                   ORDER BY score DESC, cid) AS rn
               |      FROM adc)
               |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin),
       (s, dir) => {

@@ -340,9 +340,10 @@ object Similarity {
     * tiny and broadcast; each subspace lookup is one broadcast hash join
     * on (query_id, code_j), so scoring is map-side over the probed cells'
     * index rows — no shuffle before the final per-query top-k window.
-    * Ranking uses the 4-decimal-rounded score with an id tie-break so the
-    * cut is reproducible across engines (sub-dot sums associate
-    * differently otherwise). */
+    * Both engines accumulate the per-subspace terms in fixed j order, so
+    * scores are bit-reproducible and the rank cut uses the RAW score
+    * with an id tie-break (rounding the cut would collapse dense
+    * neighborhoods into id-ordered ties). */
   def ivfPqTopK(pqIdx: DataFrame, queries: DataFrame, cents: DataFrame,
                 k: Int, m: Int, dim: Int, nProbe: Int = 1,
                 idCol: String = "vec_id",
@@ -384,7 +385,7 @@ object Similarity {
       when(col("qnorm") === 0.0 || rn2 <= 0.0, lit(0.0))
         .otherwise(ip / (col("qnorm") * sqrt(rn2))))
     val w = Window.partitionBy("query_id")
-      .orderBy(round(col("score_pq") + lit(1e-9), 4).desc, col("id").asc)
+      .orderBy(col("score_pq").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("corpus_id"),
@@ -485,7 +486,7 @@ object Similarity {
     * centroid term comes from the probe table, the residual terms from
     * per-subspace broadcast ADC lookups, and rnorm was stored at encode
     * time, so scoring reads nothing but the candidate's index row. Same
-    * map-side join shape and rounded-score rank cut as [[ivfPqTopK]]. */
+    * map-side join shape and raw-score rank cut as [[ivfPqTopK]]. */
   def ivfPqTopKResidual(index: DataFrame, queries: DataFrame,
                         cents: DataFrame, codebook: DataFrame, k: Int,
                         m: Int, dim: Int, nProbe: Int = 1,
@@ -518,7 +519,7 @@ object Similarity {
       when(col("qnorm") === 0.0 || col("rnorm") <= 0.0, lit(0.0))
         .otherwise(ip / (col("qnorm") * col("rnorm"))))
     val w = Window.partitionBy("query_id")
-      .orderBy(round(col("score_pq") + lit(1e-9), 4).desc, col("id").asc)
+      .orderBy(col("score_pq").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("corpus_id"),

@@ -2723,6 +2723,65 @@ object SparkEntry {
         named.toDF("stage", "n").orderBy("stage")
       }),
 
+    // Classifier-gated curation: the CCNet-shape daily increment — the
+    // NB model (trained in-engine on the seed, x_nb_quality_classifier)
+    // replaces the hand-rule quality gate; confident positives proceed
+    // to within-batch + against-index dedup and the per-source cap.
+    // Batch spiked with re-keyed copies of index docs so the index kill
+    // path provably fires behind the model gate.
+    Q("x_classifier_curation",
+      Some(s"""WITH fpb AS (SELECT doc_id, source, text FROM documents WHERE doc_id >= 250
+              |  UNION ALL SELECT doc_id + 1000000, source, text FROM documents WHERE doc_id < 50),
+              |seedt AS (SELECT lang, $toksSql AS toks FROM documents WHERE doc_id < 250),
+              |trbk AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+              |    CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
+              |  FROM (SELECT lang, unnest(toks) AS tok FROM seedt)),
+              |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM trbk GROUP BY bucket),
+              |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM trbk),
+              |wt AS (SELECT bucket,
+              |    LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
+              |  FROM cnt, tot),
+              |bt AS (SELECT doc_id, source, text, $toksSql AS toks FROM fpb),
+              |bbk AS (SELECT doc_id,
+              |    CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
+              |  FROM (SELECT doc_id, unnest(toks) AS tok FROM bt)),
+              |sc AS (SELECT b.doc_id, SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
+              |  FROM bbk b LEFT JOIN wt ON b.bucket = wt.bucket GROUP BY b.doc_id),
+              |gate AS (SELECT bt.doc_id, bt.source, bt.text FROM bt JOIN sc USING (doc_id)
+              |  WHERE ROUND(sc.s + 1e-9, 4) > 0.0),
+              |idx AS (SELECT DISTINCT md5($normSql) AS f FROM documents WHERE doc_id < 250),
+              |fp AS (SELECT doc_id, source, md5($normSql) AS f FROM gate),
+              |d1 AS (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp),
+              |d2 AS (SELECT doc_id, source FROM d1
+              |       WHERE rn = 1 AND f NOT IN (SELECT f FROM idx)),
+              |cap AS (SELECT doc_id FROM (SELECT doc_id,
+              |    row_number() OVER (PARTITION BY source
+              |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn FROM d2)
+              |  WHERE crn <= 15)
+              |SELECT 'a_input' AS stage, COUNT(*) AS n FROM fpb
+              |UNION ALL SELECT 'b_model_gate', COUNT(*) FROM gate
+              |UNION ALL SELECT 'c_dedup', COUNT(*) FROM d2
+              |UNION ALL SELECT 'd_cap', COUNT(*) FROM cap
+              |ORDER BY stage""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .unionByName(docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        val index = docs.filter(col("doc_id") < 250)
+          .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+          .distinct()
+        val wts = TextAnalysis.nbTrainWeights(docs.filter(col("doc_id") < 250),
+          "text", col("lang") === "en", numBuckets = 1024)
+        val r = graft.ext.Curate.modelGated(batch, index, wts,
+          numBuckets = 1024)
+        r.release()
+        Seq("a_input", "b_model_gate", "c_dedup", "d_cap")
+          .zip(r.stats.map(_._2))
+          .toDF("stage", "n").orderBy("stage")
+      }),
+
     // L2-extension: SCD Type-2 attribute history (gaps-and-islands over
     // location changes per sensor) — versioned valid_from/valid_to rows,
     // 'current' for the open-ended latest version.

@@ -129,6 +129,45 @@ object Curate {
       "after_cap" -> nCapped))
   }
 
+  /** [[incremental]] with a MODEL gate: the trained NB log-odds
+    * classifier ([[TextAnalysis.nbTrainWeights]]) replaces the hand-rule
+    * quality score — the CCNet-style curation shape where a model scores
+    * every incoming document and only confident positives proceed to
+    * dedup and capping. The gate cuts on the 4-decimal-rounded mean
+    * log-odds (`> minScore`) so the decision is engine-reproducible.
+    * Everything else (within-batch + against-index exact dedup,
+    * per-source cap, observe-based stage counts, fingerprint delta) is
+    * the [[incremental]] machinery unchanged. */
+  def modelGated(batch: DataFrame, index: DataFrame, weights: DataFrame,
+                 numBuckets: Int, minScore: Double = 0.0,
+                 perSourceCap: Int = 15): IncResult = {
+    val obsIn = Observation(); val obsKept = Observation()
+    val obsDedup = Observation()
+    val gateIds = TextAnalysis.nbScore(batch, "doc_id", "text",
+        weights, numBuckets)
+      .filter(round(col("nb_score") + lit(1e-9), 4) > minScore)
+      .select(col("id").as("doc_id"))
+    val kept = batch.observe(obsIn, nExpr)
+      .join(gateIds, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deduped = Dedup.incrementalExactDedup(
+        kept.observe(obsKept, nExpr), "text", "doc_id", index)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val capped = deduped.observe(obsDedup, nExpr)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= perSourceCap).drop("_rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCapped = capped.count()
+    kept.unpersist(); deduped.unpersist()
+    IncResult(capped, Dedup.survivorFingerprints(capped, "text"), Seq(
+      "input" -> metric(obsIn),
+      "model_gate_kept" -> metric(obsKept),
+      "after_dedup" -> metric(obsDedup),
+      "after_cap" -> nCapped))
+  }
+
   final case class IncFullResult(survivors: DataFrame,
                                  fpDelta: DataFrame, sigDelta: DataFrame,
                                  stats: Seq[(String, Long)],

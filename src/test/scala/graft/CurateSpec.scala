@@ -35,6 +35,40 @@ class CurateSpec extends SparkTestBase {
     assert(viol === 0)
   }
 
+  test("modelGated curation: gate, index dedup, and in-batch dedup each bite") {
+    import graft.ext.Dedup
+    import spark.implicits._
+    val seed = Seq(
+      (1L, "clean prose reads well tonight", 1),
+      (2L, "clean prose flows well today", 1),
+      (3L, "spam junk noise garbage spam", 0),
+      (4L, "junk noise spam garbage junk", 0))
+      .toDF("doc_id", "text", "label")
+    val wts = TextAnalysis.nbTrainWeights(seed, "text", $"label" === 1,
+      numBuckets = 64)
+    val index = seed
+      .select(TextAnalysis.fingerprint($"text").as("fingerprint")).distinct()
+    val batch = Seq(
+      (10L, "clean prose reads well", "A"),    // positive, fresh → survives
+      (11L, "junk noise spam garbage", "A"),   // negative → model gate kills
+      (12L, "clean prose reads well tonight", "A"), // exact seed copy → index kills
+      (13L, "clean prose reads well", "A"))    // in-batch dup of 10 → window kills
+      .toDF("doc_id", "text", "source")
+    val r = Curate.modelGated(batch, index, wts, numBuckets = 64)
+    val s = r.stats.toMap
+    assert(s("input") === 4)
+    assert(s("model_gate_kept") === 3) // only 11 fails the classifier
+    assert(s("after_dedup") === 1)     // 12 via index, 13 via in-batch window
+    assert(s("after_cap") === 1)
+    assert(r.survivors.select("doc_id").as[Long].collect().toSeq === Seq(10L))
+    // the fingerprint delta covers exactly the survivors
+    assert(r.indexDelta.count() === 1)
+    assert(Dedup.survivorFingerprints(
+      batch.filter($"doc_id" === 10), "text").collect().toSeq ===
+      r.indexDelta.collect().toSeq)
+    r.release()
+  }
+
   test("incremental curation: monotone stages, exact index delta, cap binds") {
     import graft.ext.Dedup
     val docs = model.Tables.documents(spark, "/root/testdata/sf0.001")

@@ -197,7 +197,7 @@ class PlanSpec extends SparkTestBase {
       // type×hour gap-fill grids, NB training's scalar class totals) —
       // bounded sides by construction
       "a_supplier_value_share", "a_missing_hours", "a_gapfill_ffill",
-      "x_nb_quality_classifier")
+      "x_nb_quality_classifier", "x_classifier_curation")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -3153,6 +3153,49 @@ object SparkEntry {
           (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"top$i")): _*)
         .orderBy("event_type")),
 
+    // X-pagerank: weighted PageRank over the per-user k-state transition
+    // graph (consecutive events' props.k values) — the classic simplified
+    // power iteration at 5 fixed rounds, transition probabilities and
+    // per-round ranks rounded to 10 decimals so the whole trajectory is
+    // engine-reproducible (the oracle unrolls the identical rounds).
+    Q("x_pagerank_transitions",
+      Some {
+        val iterSql = (1 to 5).map(k =>
+          s"""r$k AS (SELECT n.node, ROUND((1 - 0.85) / c.n + 0.85 * COALESCE(s.s, 0.0), 10) AS r
+             |  FROM nodes n CROSS JOIN cnt c
+             |  LEFT JOIN (SELECT t.dst, SUM(r.r * t.p) AS s
+             |             FROM t JOIN r${k - 1} r ON r.node = t.src GROUP BY t.dst) s
+             |    ON s.dst = n.node)""".stripMargin).mkString(",\n")
+        s"""WITH ev AS (SELECT user_id, ts, event_id,
+           |        CAST(json_extract_string(props, '$$.k') AS INT) AS k FROM events),
+           |tr AS (SELECT k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk FROM ev),
+           |ed AS (SELECT pk AS src, k AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+           |       FROM tr WHERE pk IS NOT NULL AND pk <> k GROUP BY 1, 2),
+           |ow AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY src),
+           |t AS (SELECT ed.src, ed.dst, ROUND(ed.w / ow.ow, 10) AS p FROM ed JOIN ow USING (src)),
+           |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+           |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+           |r0 AS (SELECT node, ROUND(1.0 / c.n, 10) AS r FROM nodes, cnt c),
+           |$iterSql
+           |SELECT node AS k_state, ROUND(r + 1e-9, 6) AS pagerank
+           |FROM r5 ORDER BY node""".stripMargin
+      },
+      (s, dir) => {
+        val wl = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        val edges = ev.withColumn("pk", lag(col("k"), 1).over(wl))
+          .filter(col("pk").isNotNull && col("pk") =!= col("k"))
+          .groupBy(col("pk").as("src"), col("k").as("dst"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        graft.ext.Graph.pageRank(edges, iters = 5)
+          .select(col("node").as("k_state"),
+            round(col("r") + lit(1e-9), 6).as("pagerank"))
+          .orderBy("k_state")
+      }),
+
     // X-cluster: near-duplicate clustering — pairwise Jaccard edges
     // collapsed into connected components (HashMin label propagation), the
     // step that turns pair detection into "keep one doc per cluster".

@@ -185,4 +185,53 @@ object Graph {
     comp.join(sizes, "cluster_id")
       .select(col("id"), col("cluster_id"), col("cluster_size"))
   }
+
+  /** Weighted PageRank over a (src, dst, w) edge list — the classic
+    * simplified power iteration: r_{t+1}(v) = (1−d)/N + d·Σ_{u→v}
+    * r_t(u)·p(u,v) with p = w/out-weight, run for a FIXED `iters` rounds
+    * (no dangling-mass redistribution — sinks leak mass, exactly like
+    * the canonical example implementations; callers needing the strict
+    * probability interpretation can add self-loops to sinks).
+    *
+    * Determinism: transition probabilities and every per-round rank are
+    * rounded to `roundTo` decimals, so the whole trajectory is engine-
+    * reproducible (the DuckDB oracle unrolls the identical rounds) —
+    * the same convention as [[Similarity.lloydRefine]]. Returns
+    * (node, r).
+    *
+    * Shape at scale: each round is one join keyed on src + one hash
+    * aggregation keyed on dst — shuffles carry (node, double) pairs,
+    * never adjacency; lineage is truncated per round (localCheckpoint)
+    * like the CC loop, keeping plan depth constant. */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+               roundTo: Int = 10): DataFrame = {
+    val ew = edges.select(col("src"), col("dst"),
+      col("w").cast("double").as("w"))
+    val outw = ew.groupBy("src").agg(sum("w").as("ow"))
+    val trans = ew.join(outw, "src")
+      .select(col("src"), col("dst"),
+        round(col("w") / col("ow"), roundTo).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count().toDouble
+    var ranks = nodes.select(col("node"),
+      round(lit(1.0 / n), roundTo).as("r"))
+    for (_ <- 0 until iters) {
+      val prev = ranks
+      val contrib = trans
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("c"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          round(lit((1 - damping) / n)
+            + lit(damping) * coalesce(col("c"), lit(0.0)), roundTo).as("r"))
+        .localCheckpoint()
+      freeCheckpoint(prev)
+    }
+    trans.unpersist(); nodes.unpersist()
+    ranks
+  }
 }

@@ -248,6 +248,23 @@ class ExtSpec extends SparkTestBase {
     assert(indexed === direct)
   }
 
+  test("pageRank: cycle stays uniform; star concentrates by hand-computed amounts") {
+    // 3-cycle is stationary at uniform 1/3 through every rounded round
+    val cyc = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val r1 = Graph.pageRank(cyc, iters = 5).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1.values.toSet === Set(0.3333333333))
+    // star 1→2←3 after one round: center = (1−d)/3 + d·(2/3 of the mass)
+    // = 0.6166666666; the leaves keep only the teleport term 0.05 (node 2
+    // is a sink, so total mass leaks — the documented simplification)
+    val star = Seq((1L, 2L, 1.0), (3L, 2L, 1.0)).toDF("src", "dst", "w")
+    val r2 = Graph.pageRank(star, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r2(2L) === 0.6166666666)
+    assert(r2(1L) === 0.05 && r2(3L) === 0.05)
+  }
+
   test("NB log-odds classifier separates classes learned from a labeled seed") {
     val docs = Seq(
       (1L, "clean prose reads well tonight", 1),

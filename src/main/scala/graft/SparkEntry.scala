@@ -1719,6 +1719,41 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // X-media-dedup: perceptual dedup over the media pipeline — decode
+    // stub features (the CLIP-embedding stand-in), block by extracted
+    // dimensions, exact cosine within a block. The composition that
+    // turns "decode media" into "dedup media"; swap decodeStub for a
+    // real embedding model and nothing else changes. Features rebuilt as
+    // exact thousandths so both engines score identical doubles.
+    Q("x_media_dedup",
+      Some("""WITH t AS (SELECT doc_id, text, len(text) AS L FROM documents),
+             |f AS (SELECT doc_id,
+             |        CAST(CASE WHEN L = 0 THEN 0 ELSE 64 + L % 64 END AS INT) AS width,
+             |        list_transform(range(0, 16), i ->
+             |          COALESCE(list_sum(list_transform(range(1 + i, L + 1, 16),
+             |                    p -> ascii(substr(text, p, 1)))), 0) % 1000 / 1000.0) AS fv
+             |      FROM t),
+             |n AS (SELECT doc_id, width, fv, sqrt(list_dot_product(fv, fv)) AS nm
+             |      FROM f WHERE sqrt(list_dot_product(fv, fv)) > 0),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |        list_dot_product(a.fv, b.fv) / (a.nm * b.nm) AS c
+             |      FROM n a JOIN n b ON a.width = b.width AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b, ROUND(c + 1e-9, 4) AS cosine
+             |FROM p WHERE c >= 0.99 ORDER BY doc_a, doc_b""".stripMargin),
+      (s, dir) => {
+        val recs = Multimodal.asMediaRecords(Tables.documents(s, dir),
+          "doc_id", "text", "image")
+        val feat = Multimodal.decodeStub(recs, featureDim = 16).toDF()
+          .select(col("media_id").as("vec_id"), col("width"),
+            transform(col("features"),
+              f => round(f.cast("double") * 1000) / lit(1000.0)).as("embedding"))
+        Similarity.cosineNearDupPairs(feat, threshold = 0.99,
+            blockCol = Some("width"))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            R(col("cosine")).as("cosine"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // S7: CSV serialization round trip — producer-shaped to_csv lines
     // parsed back with from_csv against a declared schema (the offline
     // stand-in for the CSV-replay source).

@@ -606,6 +606,40 @@ object StreamingPipeline {
         () => { r.release(); counts.add(id, r.stats) })
     }
 
+  /** Streaming CLASSIFIER-gated curation — the streaming twin of
+    * `Curate.modelGated`: per micro-batch, the trained NB model scores
+    * every document (weights are a STORED table, broadcast per batch,
+    * like the centroid table in [[ivfIngest]]), confident positives
+    * proceed to within-batch + against-index dedup and the per-source
+    * cap, under the same exactly-once index protocol. Retraining the
+    * model is an offline rebuild of the weights table, never an
+    * in-stream mutation. */
+  def modelGatedIngest(stream: DataFrame, outPath: String,
+                       indexPath: String, weights: DataFrame,
+                       numBuckets: Int, ckpt: String,
+                       minScore: Double = 0.0, perSourceCap: Int = 15,
+                       counts: CurateCounts = new CurateCounts): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        modelGatedIngestBatch(batch, id, outPath, indexPath, weights,
+          numBuckets, minScore, perSourceCap, counts)
+      }
+      .start()
+
+  /** The per-batch body of [[modelGatedIngest]]. */
+  def modelGatedIngestBatch(batch: DataFrame, id: Long, outPath: String,
+                            indexPath: String, weights: DataFrame,
+                            numBuckets: Int, minScore: Double,
+                            perSourceCap: Int,
+                            counts: CurateCounts): Unit =
+    withBatchIndex(batch.sparkSession, id, outPath, indexPath) { index =>
+      val r = graft.ext.Curate.modelGated(batch, index, weights,
+        numBuckets, minScore, perSourceCap)
+      (r.survivors, r.indexDelta,
+        () => { r.release(); counts.add(id, r.stats) })
+    }
+
   /** Streaming FULL curation — the streaming twin of
     * `Curate.incrementalFull`: per micro-batch, quality gate → exact
     * dedup against the persistent FINGERPRINT index → near-dup dedup

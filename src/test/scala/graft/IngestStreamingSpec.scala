@@ -485,6 +485,45 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/data").count() === 10)
   }
 
+  test("modelGatedIngest: classifier gates the stream; index kills cross-batch dups") {
+    import graft.ext.TextAnalysis
+    val out = Files.createTempDirectory("graft-mg-out").toString
+    val idx = Files.createTempDirectory("graft-mg-idx").toString
+    val seed = Seq(
+      (1L, "clean prose reads well tonight", 1),
+      (2L, "clean prose flows well today", 1),
+      (3L, "spam junk noise garbage spam", 0),
+      (4L, "junk noise spam garbage junk", 0))
+      .toDF("doc_id", "text", "label")
+    // the stored model: trained offline once, broadcast per batch
+    val wts = TextAnalysis.nbTrainWeights(seed, "text", $"label" === 1,
+      numBuckets = 64)
+    val counts = new StreamingPipeline.CurateCounts
+    val b1 = Seq((10L, "clean prose reads well", "A"),
+      (11L, "junk noise spam garbage", "A")) // classifier kills 11
+      .toDF("doc_id", "text", "source")
+    StreamingPipeline.modelGatedIngestBatch(b1, 1L, out, idx, wts, 64,
+      minScore = 0.0, perSourceCap = 15, counts)
+    assert(spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet === Set(10L))
+    // batch 2: exact copy of batch 1's survivor → killed by the index;
+    // fresh positive prose lands
+    val b2 = Seq((20L, "clean prose reads well", "B"),
+      (21L, "clean prose flows tonight", "B"))
+      .toDF("doc_id", "text", "source")
+    StreamingPipeline.modelGatedIngestBatch(b2, 2L, out, idx, wts, 64,
+      minScore = 0.0, perSourceCap = 15, counts)
+    assert(spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet === Set(10L, 21L))
+    // replay is a no-op; stage counts were recorded per batch
+    StreamingPipeline.modelGatedIngestBatch(b2, 2L, out, idx, wts, 64,
+      minScore = 0.0, perSourceCap = 15, counts)
+    assert(spark.read.parquet(s"$out/data").count() === 2)
+    val s2 = counts.history.filter(_._1 == 2L).map(_._2.toMap).head
+    assert(s2("input") === 2 && s2("model_gate_kept") === 2 &&
+      s2("after_dedup") === 1 && s2("after_cap") === 1)
+  }
+
   test("pqIngest: incrementally stored codes equal the batch build; replay no-op") {
     import graft.ext.Similarity
     val out = Files.createTempDirectory("graft-pq-out").toString

@@ -3,12 +3,46 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.warehouse.Warehouse
+import graft.warehouse.{Versioned, Warehouse}
 
 /** Star-schema warehouse operators: calendar seed, dim upsert, idempotent
   * partition load. */
 class WarehouseSpec extends SparkTestBase {
   import spark.implicits._
+
+  test("versioned publish: atomic flip, time travel, rollback, crash-window heal, vacuum") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-ver").toString
+    val v1 = Versioned.publish(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    val v2 = Versioned.publish(Seq((1L, "a2"), (3L, "c")).toDF("k", "v"), root)
+    assert((v1, v2) === ((1L, 2L)))
+    assert(Versioned.versions(spark, root) === Seq(1L, 2L))
+    // readers see exactly the current generation; time travel sees v1
+    assert(Versioned.read(spark, root).select("k").as[Long].collect().toSet
+      === Set(1L, 3L))
+    assert(Versioned.readVersion(spark, root, 1L)
+      .select("k").as[Long].collect().toSet === Set(1L, 2L))
+    // rollback is a pointer rewrite — data never moves
+    Versioned.rollback(spark, root, 1L)
+    assert(Versioned.read(spark, root).select("k").as[Long].collect().toSet
+      === Set(1L, 2L))
+    // crash window: tmp written, old pointer deleted, rename never ran —
+    // the next resolve()/read() completes the interrupted flip
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(s"$root/_current.tmp"), true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    fs.delete(new Path(s"$root/_current"), false)
+    assert(Versioned.resolve(spark, root) === Some(2L))
+    assert(Versioned.read(spark, root).select("k").as[Long].collect().toSet
+      === Set(1L, 3L))
+    // vacuum keeps the newest `keep` and never the current target
+    Versioned.rollback(spark, root, 1L)
+    Versioned.publish(Seq((9L, "z")).toDF("k", "v"), root) // v3
+    Versioned.vacuum(spark, root, keep = 1)
+    assert(Versioned.versions(spark, root) === Seq(3L))
+    assert(Versioned.read(spark, root).select("k").as[Long].collect().toSet
+      === Set(9L))
+  }
 
   test("L3 dim_time: dense keys, correct fields, weekend flags") {
     val dt = Warehouse.dimTime(spark, "2024-01-01 00:00:00", 48)

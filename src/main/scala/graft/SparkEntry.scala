@@ -4295,6 +4295,71 @@ object SparkEntry {
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy("p_brand", "p_type")),
 
+    // A-extension: EWMA smoothing of the per-type daily series — the
+    // recursive s' = α·s + (1−α)·x fold expressed as a bounded-window
+    // list reduction (10-day window, seed = oldest value), identical in
+    // both engines: Spark aggregate() over the frame-ordered collect_list
+    // vs DuckDB list_reduce, per-day averages rounded BEFORE the fold so
+    // the recursion runs on identical doubles.
+    Q("a_ewma_daily",
+      Some("""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |        ROUND(AVG(value) + 1e-9, 4) AS v
+             |      FROM events GROUP BY 1, 2),
+             |l AS (SELECT event_type, day,
+             |        list(v) OVER (PARTITION BY event_type ORDER BY day
+             |                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS lv
+             |      FROM d)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  ROUND(list_reduce(lv, (a, b) -> a * 0.5 + b * 0.5) + 1e-9, 4) AS ewma
+             |FROM l ORDER BY event_type, day""".stripMargin),
+      (s, dir) => {
+        val d = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(R(avg(col("value"))).as("v"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-9, Window.currentRow)
+        d.withColumn("lv", collect_list(col("v")).over(w))
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            R(aggregate(
+              slice(col("lv"), lit(2), greatest(size(col("lv")) - 1, lit(0))),
+              element_at(col("lv"), 1),
+              (a, x) => a * lit(0.5) + x * lit(0.5))).as("ewma"))
+          .orderBy("event_type", "day")
+      }),
+
+    // A-extension: seasonal-baseline anomaly counts — residual z-score
+    // against the per-(type, hour-of-day) mean/stddev baseline (the
+    // cheap seasonal decomposition: remove the diurnal profile, flag
+    // |z| > 3). Baseline rounded so both engines score identical z.
+    Q("a_seasonal_anomalies",
+      Some("""WITH b AS (SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             |        ROUND(AVG(value) + 1e-9, 4) AS m,
+             |        ROUND(STDDEV_SAMP(value) + 1e-9, 4) AS sd
+             |      FROM events GROUP BY 1, 2),
+             |j AS (SELECT e.event_type, (e.value - b.m) / b.sd AS z
+             |      FROM events e JOIN b ON e.event_type = b.event_type
+             |        AND EXTRACT(hour FROM e.ts) = b.hod
+             |      WHERE b.sd > 0)
+             |SELECT event_type,
+             |  CAST(COUNT(*) FILTER (ABS(z) > 3) AS BIGINT) AS n_anomalies,
+             |  COUNT(*) AS total
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val base = ev.groupBy(col("event_type"), hour(col("ts")).as("hod"))
+          .agg(R(avg(col("value"))).as("m"),
+            R(stddev_samp(col("value"))).as("sd"))
+          .filter(col("sd") > 0)
+        ev.withColumn("hod", hour(col("ts")))
+          .join(broadcast(base), Seq("event_type", "hod"))
+          .withColumn("z", (col("value") - col("m")) / col("sd"))
+          .groupBy("event_type")
+          .agg(sum(when(abs(col("z")) > 3, 1L).otherwise(0L)).as("n_anomalies"),
+            count(lit(1)).as("total"))
+          .orderBy("event_type")
+      }),
+
     // A-extension: time-series resample + forward fill — the hourly grid
     // (generated calendar × types) left-joined against observed hourly
     // averages, gaps forward-filled from the last observed hour. Averages

@@ -148,4 +148,34 @@ object Quality {
       .agg(count(lit(1)).as("row_count"),
         expr("bit_xor(h)").as("content_hash"))
   }
+
+  /** Schema drift between an expected and an observed frame: one row per
+    * column name with status `added` (observed only), `dropped`
+    * (expected only), `type_changed`, or `ok`, plus both type strings.
+    * Pure metadata — no job runs. The upstream-contract tripwire to run
+    * before a late-merge (`Silver.lateMerge`) or warehouse load accepts
+    * a new day's files. */
+  def schemaDiff(expected: DataFrame, observed: DataFrame): Seq[(String, String, String, String)] = {
+    val e = expected.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val o = observed.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val names = (expected.schema.map(_.name) ++
+      observed.schema.map(_.name).filterNot(e.contains)).distinct
+    names.map { n =>
+      (e.get(n), o.get(n)) match {
+        case (Some(t), None)              => (n, "dropped", t, "")
+        case (None, Some(t))              => (n, "added", "", t)
+        case (Some(a), Some(b)) if a != b => (n, "type_changed", a, b)
+        case (Some(a), Some(_))           => (n, "ok", a, a)
+        case (None, None)                 => (n, "ok", "", "") // unreachable
+      }
+    }
+  }
+
+  /** [[schemaDiff]] reduced to the breaking subset (anything but `ok`
+    * and `added` — additions are tolerated by unionByName-style late
+    * merges, drops and type changes are not). */
+  def breakingSchemaChanges(expected: DataFrame,
+                            observed: DataFrame): Seq[(String, String, String, String)] =
+    schemaDiff(expected, observed)
+      .filterNot(d => d._2 == "ok" || d._2 == "added")
 }

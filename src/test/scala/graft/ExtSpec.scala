@@ -286,6 +286,34 @@ class ExtSpec extends SparkTestBase {
     assert(scored(7L) === ((0L, 0.0)))
   }
 
+  test("ANN index refresh rides the versioned publish: old gen serves until the flip") {
+    import graft.warehouse.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft-veridx").toString
+    val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), 0))
+    val cluster2 = (6 to 10).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.01f), 1))
+    val df = (cluster1 ++ cluster2).toDF("vec_id", "embedding", "label")
+    val q = df.filter($"vec_id" === 1)
+    // generation 1: label-mean centroids
+    val cents1 = Similarity.centroids(df, "label", 2)
+    Versioned.publish(Similarity.assignCells(df, cents1), root)
+    val r1 = Similarity.ivfTopKIndexed(Versioned.read(spark, root), q, cents1,
+      k = 3, nProbe = 2).orderBy("rank").collect().toSeq
+    assert(r1 === Similarity.ivfTopK(df, q, cents1, k = 3, nProbe = 2)
+      .orderBy("rank").collect().toSeq)
+    // offline rebuild: Lloyd-refined codebook re-encodes the corpus into
+    // a NEW generation; the flip is atomic, old readers were never torn
+    val cents2 = Similarity.lloydRefine(df, cents1, iters = 2)
+    Versioned.publish(Similarity.assignCells(df, cents2), root)
+    val r2 = Similarity.ivfTopKIndexed(Versioned.read(spark, root), q, cents2,
+      k = 3, nProbe = 2).orderBy("rank").collect().toSeq
+    assert(r2 === Similarity.ivfTopK(df, q, cents2, k = 3, nProbe = 2)
+      .orderBy("rank").collect().toSeq)
+    // rollback restores the old index-generation answer exactly
+    Versioned.rollback(spark, root, 1L)
+    assert(Similarity.ivfTopKIndexed(Versioned.read(spark, root), q, cents1,
+      k = 3, nProbe = 2).orderBy("rank").collect().toSeq === r1)
+  }
+
   test("partitioned IVF index: a probe's scan is dynamically pruned to its cells") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpart").toString
     val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), 0))

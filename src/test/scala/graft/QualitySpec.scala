@@ -7,6 +7,19 @@ import graft.model.Schemas
 class QualitySpec extends SparkTestBase {
   import spark.implicits._
 
+  test("schemaDiff classifies added/dropped/type-changed/ok; breaking subset filters") {
+    val expected = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val observed = Seq((1, "a", true)).toDF("id", "extra", "score")
+    val d = Quality.schemaDiff(expected, observed).map(x => x._1 -> x._2).toMap
+    assert(d("id") === "type_changed")   // bigint -> int
+    assert(d("name") === "dropped")
+    assert(d("score") === "type_changed") // double -> boolean
+    assert(d("extra") === "added")
+    val breaking = Quality.breakingSchemaChanges(expected, observed).map(_._1).toSet
+    assert(breaking === Set("id", "name", "score")) // additions tolerated
+    assert(Quality.breakingSchemaChanges(expected, expected).isEmpty)
+  }
+
   test("profile emits per-column metrics; nulls and types handled") {
     val df = Seq(
       (Some(1L), Some("ab"), Some(2.0)),

@@ -82,10 +82,12 @@ object Quantize {
       .withColumn("d2", VectorFunctions.dot(col("sv"), col("sv"))
         - lit(2.0) * VectorFunctions.dot(col("sv"), col("scv"))
         + VectorFunctions.dot(col("scv"), col("scv")))
-    // argmin as a lexicographic struct-min hash aggregation — same
-    // (d2 asc, cell asc) tie-break as a rank-1 window, but one partial-
-    // aggregating exchange of (id, j) keys instead of shuffling and
-    // sorting all |V|·m·k scored rows (d2 can't be -0.0: an exact-match
+    // argmin as a lexicographic struct-min aggregation — same
+    // (d2 asc, cell asc) tie-break as a rank-1 window. Struct MIN plans
+    // as a SortAggregate (struct ordering has no codegen), but rows are
+    // fixed-width, partial aggregation runs map-side, and only (id, j)
+    // groups cross the exchange — vs the window's full shuffle-and-sort
+    // of all |V|·m·k scored rows (d2 can't be -0.0: an exact-match
     // cancellation yields +0.0 in IEEE, so struct ordering == sort order)
     val best = scored.groupBy("id", "j")
       .agg(min(struct(col("d2"), col("cell"))).as("b"))

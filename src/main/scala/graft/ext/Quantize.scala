@@ -61,9 +61,9 @@ object Quantize {
     *
     * Shape at scale: the codebook is tiny and broadcast; scoring is a
     * narrow map over (vector, subspace) rows with codegen dot products
-    * (d² = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩); the argmin is a bounded window over
-    * m·k rows per vector. No shuffle touches the vectors themselves
-    * beyond the per-id rollup. */
+    * (d² = ⟨s,s⟩ − 2⟨s,c⟩ + ⟨c,c⟩); the argmin is a struct-min
+    * aggregation keyed on (id, subspace). No shuffle touches the vectors
+    * themselves beyond the per-id rollup. */
   def pqCodes(vectors: DataFrame, cents: DataFrame, m: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, "dim must divide into m equal subspaces")

@@ -733,6 +733,57 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuously-maintained keyed stats served as ATOMIC VERSIONED
+    * snapshots — the feature-table publish pattern: per micro-batch,
+    * merge the batch's partial (count, sum) per key into the current
+    * snapshot and stage the result as a NEW generation of a
+    * [[graft.warehouse.Versioned]] table; the pointer flip is the
+    * exactly-once commit point. Readers always scan one complete,
+    * consistent generation (never a half-merged table), can time-travel
+    * to any retained snapshot, and roll back a bad batch by pointer
+    * rewrite alone.
+    *
+    * Replay safety without a separate marker: each generation records
+    * the batch id that produced it (`_meta`, written INSIDE the
+    * generation dir BEFORE the flip). A replay whose id matches the
+    * current generation's meta is a no-op; a crash before the flip
+    * leaves an orphan generation no pointer references — invisible to
+    * readers, reclaimed by `Versioned.vacuum`, and the replay simply
+    * re-merges from the old current. */
+  def versionedStatsIngest(stream: DataFrame, root: String,
+                           keyCols: Seq[String], valueCol: String,
+                           ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        versionedStatsBatch(batch, id, root, keyCols, valueCol)
+      }
+      .start()
+
+  /** The per-batch body of [[versionedStatsIngest]]. */
+  def versionedStatsBatch(batch: DataFrame, id: Long, root: String,
+                          keyCols: Seq[String], valueCol: String): Unit = {
+    import graft.warehouse.Versioned
+    val spark = batch.sparkSession
+    val cur = Versioned.resolve(spark, root)
+    if (cur.exists(v =>
+        Versioned.generationMeta(spark, root, v).contains(s"batch=$id")))
+      return // replay after a completed flip: already committed
+    val keys = keyCols.map(col)
+    val part = batch.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("s"))
+    val merged = cur match {
+      case None => part
+      case Some(v) =>
+        Versioned.readVersion(spark, root, v).unionByName(part)
+          .groupBy(keys: _*).agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+    }
+    val next = Versioned.versions(spark, root).lastOption.getOrElse(0L) + 1L
+    merged.write.mode("overwrite").parquet(s"$root/gen=$next")
+    Versioned.setGenerationMeta(spark, root, next, s"batch=$id")
+    Versioned.setCurrent(spark, root, next) // the atomic commit
+  }
+
   /** Empty (id, cell, v, nrm) frame — the schema of a stored
     * [[graft.ext.Similarity.assignCells]] IVF index. */
   private def emptyIvfIndex(s: SparkSession): DataFrame = {

@@ -82,6 +82,12 @@ object Versioned {
     v
   }
 
+  /** Atomically point the table at an already-written generation `v` —
+    * the commit point of a stage-then-flip publish that wrote its own
+    * generation directory (plus any [[setGenerationMeta]]) first. */
+  def setCurrent(spark: SparkSession, root: String, v: Long): Unit =
+    rollback(spark, root, v)
+
   /** Point the table at generation `v` (rollback or roll-forward). */
   def rollback(spark: SparkSession, root: String, v: Long): Unit = {
     require(versions(spark, root).contains(v),
@@ -109,6 +115,22 @@ object Versioned {
   /** Time travel: a specific published generation. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
     spark.read.parquet(genDir(root, v).toString)
+
+  /** Attach a small metadata string to a generation (e.g. the streaming
+    * batch id it materializes) — written INSIDE the generation directory,
+    * so for write-then-flip protocols it lands before the pointer flip
+    * and travels with the generation under rollback/vacuum. */
+  def setGenerationMeta(spark: SparkSession, root: String, v: Long,
+                        body: String): Unit =
+    writeFile(fs(spark, root), new Path(genDir(root, v), "_meta"), body)
+
+  /** The metadata attached by [[setGenerationMeta]], if any. */
+  def generationMeta(spark: SparkSession, root: String,
+                     v: Long): Option[String] = {
+    val f = fs(spark, root)
+    val p = new Path(genDir(root, v), "_meta")
+    if (f.exists(p)) Some(readFile(f, p)) else None
+  }
 
   /** Drop all generations except the newest `keep` (never the current
     * pointer's target) plus any orphan tmp pointer. */

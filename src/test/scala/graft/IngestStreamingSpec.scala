@@ -485,6 +485,39 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/data").count() === 10)
   }
 
+  test("versionedStatsIngest: atomic snapshots, replay no-op, orphan gen invisible") {
+    import graft.warehouse.Versioned
+    val root = Files.createTempDirectory("graft-vstats").toString
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    StreamingPipeline.versionedStatsBatch(
+      Seq(("A", 1.0), ("A", 3.0), ("B", 5.0)).toDF("k", "value"),
+      1L, root, Seq("k"), "value")
+    assert(snap(Versioned.read(spark, root)) === Set(("A", 2L, 4.0), ("B", 1L, 5.0)))
+    StreamingPipeline.versionedStatsBatch(Seq(("A", 6.0)).toDF("k", "value"),
+      2L, root, Seq("k"), "value")
+    assert(snap(Versioned.read(spark, root)) === Set(("A", 3L, 10.0), ("B", 1L, 5.0)))
+    assert(Versioned.versions(spark, root) === Seq(1L, 2L))
+    // replay of a committed batch: no new generation, same snapshot
+    StreamingPipeline.versionedStatsBatch(Seq(("A", 6.0)).toDF("k", "value"),
+      2L, root, Seq("k"), "value")
+    assert(Versioned.versions(spark, root) === Seq(1L, 2L))
+    // time travel: the first snapshot is intact
+    assert(snap(Versioned.readVersion(spark, root, 1L))
+      === Set(("A", 2L, 4.0), ("B", 1L, 5.0)))
+    // crash window: generation staged (data + meta) but the flip never
+    // ran — readers still see gen 2; the replay re-merges from the OLD
+    // current and commits as a fresh generation
+    Seq(("B", 1L, 1.0)).toDF("k", "n", "s")
+      .write.parquet(s"$root/gen=3")
+    Versioned.setGenerationMeta(spark, root, 3L, "batch=3")
+    assert(snap(Versioned.read(spark, root)) === Set(("A", 3L, 10.0), ("B", 1L, 5.0)))
+    StreamingPipeline.versionedStatsBatch(Seq(("B", 1.0)).toDF("k", "value"),
+      3L, root, Seq("k"), "value")
+    assert(Versioned.resolve(spark, root) === Some(4L))
+    assert(snap(Versioned.read(spark, root)) === Set(("A", 3L, 10.0), ("B", 2L, 6.0)))
+  }
+
   test("modelGatedIngest: classifier gates the stream; index kills cross-batch dups") {
     import graft.ext.TextAnalysis
     val out = Files.createTempDirectory("graft-mg-out").toString

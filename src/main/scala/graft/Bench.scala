@@ -82,12 +82,18 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()
         val fn = SparkEntry.queries(name)
-        val rt = time {
+        var reFailed = false
+        val rtRaw = time {
           try { fn(spark, sfDir).count(); () }
           catch { case e: Throwable =>
+            reFailed = true
             System.err.println(s"[bench] re-probe of $name failed: $e")
           }
         }
+        // a failed re-probe must not masquerade as a speedup: keep the
+        // sweep measurement (which already applied the -1.0 sentinel
+        // discipline) rather than adopting the failed attempt's elapsed
+        val rt = if (reFailed) Double.MaxValue else rtRaw
         if (rt < t / 1.5)
           System.err.println(f"[bench] $name: sweep $t%.2fs -> clean $rt%.2fs (contaminated cell)")
         spark.catalog.clearCache()

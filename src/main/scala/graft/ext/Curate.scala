@@ -104,11 +104,23 @@ object Curate {
     * gate/dedup/cap pipeline — call `release()` when both are written. */
   def incremental(batch: DataFrame, index: DataFrame,
                   minQuality: Double = 0.35,
-                  perSourceCap: Int = 15): IncResult = {
+                  perSourceCap: Int = 15): IncResult =
+    incrementTail(batch,
+      _.filter(TextAnalysis.qualityScore(col("text")) >= minQuality),
+      index, perSourceCap, "quality_kept")
+
+  /** The shared gate → dedup → cap tail of the two-stage increments
+    * ([[incremental]], [[modelGated]]): observe the input, apply the
+    * caller's gate, exact-dedup within the batch and against the index,
+    * cap per source, and collect every stage count on the ONE
+    * materializing action. `gateStat` names the gate stage in the
+    * returned stats. */
+  private def incrementTail(batch: DataFrame, gate: DataFrame => DataFrame,
+                            index: DataFrame, perSourceCap: Int,
+                            gateStat: String): IncResult = {
     val obsIn = Observation(); val obsKept = Observation()
     val obsDedup = Observation()
-    val kept = batch.observe(obsIn, nExpr)
-      .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
+    val kept = gate(batch.observe(obsIn, nExpr))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deduped = Dedup.incrementalExactDedup(
         kept.observe(obsKept, nExpr), "text", "doc_id", index)
@@ -124,7 +136,7 @@ object Curate {
     kept.unpersist(); deduped.unpersist()
     IncResult(capped, Dedup.survivorFingerprints(capped, "text"), Seq(
       "input" -> metric(obsIn),
-      "quality_kept" -> metric(obsKept),
+      gateStat -> metric(obsKept),
       "after_dedup" -> metric(obsDedup),
       "after_cap" -> nCapped))
   }
@@ -141,31 +153,12 @@ object Curate {
   def modelGated(batch: DataFrame, index: DataFrame, weights: DataFrame,
                  numBuckets: Int, minScore: Double = 0.0,
                  perSourceCap: Int = 15): IncResult = {
-    val obsIn = Observation(); val obsKept = Observation()
-    val obsDedup = Observation()
     val gateIds = TextAnalysis.nbScore(batch, "doc_id", "text",
         weights, numBuckets)
       .filter(round(col("nb_score") + lit(1e-9), 4) > minScore)
       .select(col("id").as("doc_id"))
-    val kept = batch.observe(obsIn, nExpr)
-      .join(gateIds, Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deduped = Dedup.incrementalExactDedup(
-        kept.observe(obsKept, nExpr), "text", "doc_id", index)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val capped = deduped.observe(obsDedup, nExpr)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= perSourceCap).drop("_rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nCapped = capped.count()
-    kept.unpersist(); deduped.unpersist()
-    IncResult(capped, Dedup.survivorFingerprints(capped, "text"), Seq(
-      "input" -> metric(obsIn),
-      "model_gate_kept" -> metric(obsKept),
-      "after_dedup" -> metric(obsDedup),
-      "after_cap" -> nCapped))
+    incrementTail(batch, _.join(gateIds, Seq("doc_id")),
+      index, perSourceCap, "model_gate_kept")
   }
 
   final case class IncFullResult(survivors: DataFrame,

@@ -111,7 +111,12 @@ object Alerts {
     * scrape/evaluation time) to also detect a STALLED series: if the
     * newest window is more than one cadence older than `asOf`, the series
     * itself has stopped and every rule likewise reports `no_data` instead
-    * of freezing at its last state. */
+    * of freezing at its last state. Staleness is judged from the newest
+    * window's END (start + cadence): a complete-window feed legitimately
+    * has its newest start up to TWO cadences behind `asOf` just after a
+    * boundary (the in-progress window hasn't landed yet), so only a
+    * window that ENDED more than one cadence ago means the series
+    * stopped. */
   def currentStates(metrics: DataFrame, rules: Seq[Rule],
                     windowSeconds: Long = 3600L,
                     asOf: Option[java.time.Instant] = None): Seq[(String, String, String)] = {
@@ -122,7 +127,7 @@ object Alerts {
     if (latestRow.isNullAt(0))
       return rules.map(r => (r.alert, r.severity, "no_data"))
     val stale = asOf.exists(a => latestRow.getTimestamp(0).toInstant
-      .plusSeconds(windowSeconds).isBefore(a))
+      .plusSeconds(2 * windowSeconds).isBefore(a))
     if (stale)
       return rules.map(r => (r.alert, r.severity, "no_data"))
     val latest = latestRow.getString(1)

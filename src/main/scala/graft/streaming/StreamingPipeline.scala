@@ -399,8 +399,17 @@ object StreamingPipeline {
         fs.mkdirs(idxDir)
         fs.listStatus(stage).filter(_.getPath.getName.startsWith("part-"))
           .foreach { f =>
-            fs.rename(f.getPath,
-              new Path(idxDir, s"b$id-${f.getPath.getName}")); ()
+            // rename failure MUST abort the batch before the marker is
+            // written: FileSystem.rename reports failure by returning
+            // false (no exception), and silently proceeding would commit
+            // the batch with its index delta lost — every later batch
+            // would then miss these fingerprints forever. Task-UUID file
+            // names make true collisions impossible, so any false here
+            // is an FS fault; the replay re-stages from scratch.
+            val dest = new Path(idxDir, s"b$id-${f.getPath.getName}")
+            if (!fs.rename(f.getPath, dest))
+              throw new java.io.IOException(
+                s"index delta: could not promote ${f.getPath} to $dest")
           }
         fs.delete(stage, true); ()
     }
@@ -451,8 +460,14 @@ object StreamingPipeline {
       val all = existingOpt match {
         case Some(ex) =>
           // stored rows carry their real op (tombstones included); batch
-          // wins sequence ties — new info over old
-          ex.withColumn("_src", lit(0)).unionByName(latest)
+          // wins sequence ties — new info over old. A store materialized
+          // by the pre-tombstone format has no op column (it was dropped
+          // after filtering to upserts) — treat those rows as upserts so
+          // the first post-upgrade merge migrates the store in place
+          // instead of crashing on an unresolvable column.
+          val exOp = if (ex.columns.contains(opCol)) ex
+            else ex.withColumn(opCol, lit("upsert"))
+          exOp.withColumn("_src", lit(0)).unionByName(latest)
         case None => latest
       }
       val wMerge = Window.partitionBy(kcols: _*)

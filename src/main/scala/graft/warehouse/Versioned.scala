@@ -133,10 +133,17 @@ object Versioned {
   }
 
   /** Drop all generations except the newest `keep` (never the current
-    * pointer's target) plus any orphan tmp pointer. */
+    * pointer's target) plus any orphan tmp pointer. Maintenance op:
+    * run QUIESCED (no publish in flight), like index compaction — the
+    * tmp reap would otherwise race a mid-protocol flip. */
   def vacuum(spark: SparkSession, root: String, keep: Int): Unit = {
     val f = fs(spark, root)
-    val cur = resolve(spark, root)
+    val cur = resolve(spark, root) // completes an interrupted flip first
+    // a setPointer that crashed between writing the tmp and deleting the
+    // live pointer leaves a STALE tmp next to an intact pointer; resolve
+    // only consumes tmp when the pointer is missing, so reap it here
+    if (f.exists(pointer(root)) && f.exists(pointerTmp(root)))
+      f.delete(pointerTmp(root), false)
     val vs = versions(spark, root)
     val retain = (vs.takeRight(keep) ++ cur).toSet
     vs.filterNot(retain.contains)

@@ -261,6 +261,16 @@ class AlertsSpec extends SparkTestBase {
     val s2 = Alerts.currentStates(m, rules, 3600L, Some(freshAsOf)).toMap2
     assert(s2(("hot_high", "warning")) === "firing")
     assert(s2(("producer_down", "critical")) === "resolved")
+    // boundary: just past the newest window's END a complete-window feed
+    // hasn't produced the in-progress window yet — that is NOT stale
+    // (staleness keys off the window end, not its start)
+    val justPastEnd = java.time.Instant.parse("2024-01-01T01:00:01Z")
+    val s3 = Alerts.currentStates(m, rules, 3600L, Some(justPastEnd)).toMap2
+    assert(s3(("hot_high", "warning")) === "firing")
+    // but one full cadence after the end, the series has stopped
+    val wellPast = java.time.Instant.parse("2024-01-01T02:00:01Z")
+    val s4 = Alerts.currentStates(m, rules, 3600L, Some(wellPast))
+    assert(s4.forall(_._3 == "no_data"))
   }
 
   private implicit class StateSeqOps(s: Seq[(String, String, String)]) {

@@ -459,7 +459,11 @@ object Similarity {
       .select(col("id"), col("cell"), col("j"), col("b.code").as("code"))
     // per-(cell, code, j) reconstruction-norm term ⟨c_j,c_j⟩ + 2⟨c_j,r̂_j⟩
     // + ⟨r̂_j,r̂_j⟩ — a cells × entries × m cross table built from two tiny
-    // sides and broadcast back onto the argmin rows
+    // sides and broadcast back onto the argmin rows. Size bound: the
+    // table is k·entries·m rows (256 cells × 256 entries × 8 = 524k —
+    // comfortably broadcastable); if a deployment pushes k·entries·m
+    // past ~10^7, drop the broadcast() hint and let this become a
+    // shuffle join — the protocol is unchanged
     val cslices = cents
       .select(col("cell"), col("centroid").cast("array<double>").as("cv"))
       .withColumn("j", explode(sequence(lit(0), lit(m - 1))))

@@ -273,6 +273,35 @@ class AlertsSpec extends SparkTestBase {
     assert(s4.forall(_._3 == "no_data"))
   }
 
+  test("Grafana dashboard: valid JSON, rule-derived panels, only exposed metrics") {
+    import graft.monitoring.{Grafana, Prometheus}
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.{JArray, JObject, JString}
+    val rules = Seq(
+      Alerts.Rule("hot_high", "warning", "hot", ">", 50.0, 1),
+      Alerts.Rule("producer_down", "critical", "input_rows", "<=", 0.0, 2))
+    val json = Grafana.dashboardJson(rules)
+    val parsed = JsonMethods.parse(json).asInstanceOf[JObject]
+    val panels = (parsed \ "panels").asInstanceOf[JArray].arr
+    assert(panels.size === 6 + rules.size) // base board + one per rule
+    // every panel expr queries a metric name the engine actually exposes
+    val exposed = Prometheus.scrape(Seq((1L, 10L, 5.0, 100L)),
+      Seq(("hot_high", "warning", "firing")))
+    val metricNames = "graft_[a-z_]+".r.findAllIn(exposed).toSet
+    val exprs = for {
+      p <- panels
+      t <- (p \ "targets").asInstanceOf[JArray].arr
+      JString(e) <- Seq(t \ "expr")
+    } yield e
+    assert(exprs.nonEmpty)
+    exprs.foreach { e =>
+      val base = "graft_[a-z_]+".r.findFirstIn(e)
+      assert(base.exists(metricNames.contains), s"unexposed metric in: $e")
+    }
+    // the alert panels are derived from the SAME rules the evaluator runs
+    assert(exprs.exists(_.contains("""alertname="producer_down"""")))
+  }
+
   private implicit class StateSeqOps(s: Seq[(String, String, String)]) {
     def toMap2: Map[(String, String), String] =
       s.map(t => (t._1, t._2) -> t._3).toMap

@@ -12,6 +12,37 @@ import graft.streaming.StreamingPipeline
 class OperatorsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("orchestration combinators: retries, SLA verdict, ordered catchup") {
+    import graft.operators.Orchestrate
+    // flaky body: fails twice, then succeeds; sleeps are recorded not slept
+    var calls = 0
+    val slept = scala.collection.mutable.ListBuffer.empty[Long]
+    val (r, attempts) = Orchestrate.withRetries(3, delayMs = 50L, slept += _) {
+      () => { calls += 1; if (calls < 3) sys.error("transient"); "ok" }
+    }
+    assert((r, attempts, calls) === (("ok", 3, 3)))
+    assert(slept.toSeq === Seq(50L, 50L)) // no sleep after the success
+    // exhausted attempts rethrow the LAST failure
+    intercept[RuntimeException] {
+      Orchestrate.withRetries(2, 0L, _ => ())(() => sys.error("always"))
+    }
+    // runReport never throws; failure + SLA verdict are data
+    val (none, rep) = Orchestrate.runReport(2, 0L, slaMs = Some(-1L),
+      sleep = _ => ())(() => sys.error("down"))
+    assert(none.isEmpty && !rep.succeeded && rep.attempts === 2)
+    assert(rep.slaMissed) // elapsed (>= 0 ms) always exceeds a -1 ms SLA
+    assert(!Orchestrate.RunReport(1, true, 5L, Some(100L)).slaMissed)
+    assert(Orchestrate.RunReport(1, true, 500L, Some(100L)).slaMissed)
+    // catchup runs only missing dates, in order, and stops at a failure
+    val ran = scala.collection.mutable.ListBuffer.empty[String]
+    val out = Orchestrate.catchup(
+      Seq("d1", "d2", "d3", "d4"), isDone = _ == "d1") { d =>
+      if (d == "d3") sys.error("broken day") else ran += d
+    }
+    assert(out === Seq("d2"))        // d1 skipped (done), d3 failed → stop
+    assert(ran.toSeq === Seq("d2"))  // d4 never attempted after the failure
+  }
+
   test("asofSelf carries the last prior matching value per key") {
     val df = Seq(
       ("u1", 1L, "signup"), ("u1", 2L, "click"), ("u1", 3L, "signup"),

@@ -44,6 +44,37 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Production media ingestion: Spark's built-in `binaryFile` source
+    * reads a directory tree as (path, modificationTime, length, content)
+    * — the real on-ramp for image/audio/video corpora (no codec needed
+    * to INGEST; decode happens downstream via [[decodeStub]]'s
+    * mapPartitions shape). Records are keyed by a stable 40-bit hash of
+    * the file path (engine-portable md5 prefix, same convention as the
+    * text operators), with path/length/mtime in the sidecar meta.
+    *
+    * Scale notes: `pathGlobFilter` prunes non-media files at listing
+    * time; the source pushes `length < maxBytes` down to the file
+    * listing (oversized assets never reach an executor); media bytes
+    * stay in their own column so metadata-only queries prune them. */
+  def readMediaDir(spark: SparkSession, dir: String, modality: String,
+                   pathGlob: String = "*", maxBytes: Long = Long.MaxValue): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(dir)
+      .filter(col("length") <= maxBytes)
+      .select(
+        conv(substring(md5(col("path").cast("binary")), 1, 10), 16, 10)
+          .cast("long").as("media_id"),
+        lit(modality).as("modality"),
+        col("content"),
+        map(
+          lit("path"), col("path"),
+          lit("bytes"), col("length").cast("string"),
+          lit("mtime"), col("modificationTime").cast("string")).as("meta"))
+      .as[MediaRecord]
+  }
+
   /** STUB decoder: deterministic fake features derived from the bytes
     * (length, simple rolling byte statistics). A real implementation would
     * decode the image/audio here; the signature, batching and output

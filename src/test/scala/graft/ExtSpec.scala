@@ -419,6 +419,29 @@ class ExtSpec extends SparkTestBase {
     assert(out === Set(11L, 12L))
   }
 
+  test("readMediaDir ingests binary files: glob + size pruning, stable ids, decode composes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    java.nio.file.Files.write(dir.resolve("a.img"), "fake image payload A".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.img"), "payload B".getBytes)
+    java.nio.file.Files.write(dir.resolve("big.img"), ("x" * 4096).getBytes)
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "not media".getBytes)
+    val recs = Multimodal.readMediaDir(spark, dir.toString, "image",
+      pathGlob = "*.img", maxBytes = 1024)
+    val got = recs.collect()
+    assert(got.length === 2) // .txt glob-pruned, big.img size-pruned
+    assert(got.forall(_.modality === "image"))
+    assert(got.map(_.media_id).distinct.length === 2) // stable distinct keys
+    assert(got.forall(r => r.meta("path").endsWith(".img") &&
+      r.meta("bytes").toLong === r.content.length.toLong))
+    // ingestion composes with the decode pipeline unchanged
+    val feats = Multimodal.decodeStub(recs, featureDim = 16).collect()
+    assert(feats.length === 2 && feats.forall(_.features.length === 16))
+    // ids are a pure path function: re-reading yields identical keys
+    val again = Multimodal.readMediaDir(spark, dir.toString, "image",
+      pathGlob = "*.img", maxBytes = 1024).collect()
+    assert(again.map(_.media_id).sorted.toSeq === got.map(_.media_id).sorted.toSeq)
+  }
+
   test("multimodal: decode stub is deterministic, batched, and keeps schema through resize") {
     val df = Seq((1L, "some fake image bytes"), (2L, "")).toDF("doc_id", "payload")
     val recs = Multimodal.asMediaRecords(df, "doc_id", "payload", "image")

@@ -427,6 +427,11 @@ class ExtSpec extends SparkTestBase {
     java.nio.file.Files.write(dir.resolve("notes.txt"), "not media".getBytes)
     val recs = Multimodal.readMediaDir(spark, dir.toString, "image",
       pathGlob = "*.img", maxBytes = 1024)
+    // the size cap reaches the binaryFile scan as a pushed filter, so
+    // oversized assets are skipped at the source, not post-read
+    val plan = recs.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("LessThanOrEqual(length"),
+      s"expected length pushdown in the binaryFile scan:\n$plan")
     val got = recs.collect()
     assert(got.length === 2) // .txt glob-pruned, big.img size-pruned
     assert(got.forall(_.modality === "image"))

@@ -172,7 +172,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = reprobed.map(_._2).filter(_ >= 0).sum
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps}"""
+    println(json)
+    // stdout gets truncated by callers that keep only a tail; also land
+    // the complete per-query JSON as a repo artifact so round-over-round
+    // comparison covers every cell
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_full.json: $e")
+    }
     spark.stop()
   }
 }

@@ -141,9 +141,12 @@ object ScaleProbe {
     val buildSec = (System.nanoTime() - tb0) / 1e9
     val idx = spark.read.parquet(idxDir)
     val q = df.filter(col("vec_id") < 20)
-    def dirBytes(p: String): Long =
-      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(_.length()).sum
+    def dirBytes(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .listStatus(hp).filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum
+    }
     (1 to 3).foreach { i =>
       System.gc()
       val t0 = System.nanoTime()

@@ -1711,7 +1711,7 @@ object SparkEntry {
         val recs = Multimodal.asMediaRecords(Tables.documents(s, dir), "doc_id",
           "text", "image")
         Multimodal.decodeStub(recs, featureDim = 16).toDF()
-          .select(col("media_id").as("doc_id"), col("width"),
+          .select(col("media_id").cast("long").as("doc_id"), col("width"),
             aggregate(
               transform(col("features"),
                 f => round(f.cast("double") * 1000).cast("long")),
@@ -1744,7 +1744,7 @@ object SparkEntry {
         val recs = Multimodal.asMediaRecords(Tables.documents(s, dir),
           "doc_id", "text", "image")
         val feat = Multimodal.decodeStub(recs, featureDim = 16).toDF()
-          .select(col("media_id").as("vec_id"), col("width"),
+          .select(col("media_id").cast("long").as("vec_id"), col("width"),
             transform(col("features"),
               f => round(f.cast("double") * 1000) / lit(1000.0)).as("embedding"))
         Similarity.cosineNearDupPairs(feat, threshold = 0.99,
@@ -3228,6 +3228,58 @@ object SparkEntry {
         graft.ext.Graph.pageRank(edges, iters = 5)
           .select(col("node").as("k_state"),
             round(col("r") + lit(1e-9), 6).as("pagerank"))
+          .orderBy("k_state")
+      }),
+
+    // X-pagerank-dangling: the strict-probability PageRank mode — the
+    // edge set keeps only ASCENDING k transitions (a DAG, so the top
+    // states are guaranteed sinks) and the per-round dangling mass is
+    // redistributed as d·m/N to every node. Ranks therefore remain a
+    // probability distribution: total_mass pins the sum at 1.0, which
+    // the leaky default cannot produce on a graph with sinks.
+    Q("x_pagerank_dangling",
+      Some {
+        val iterSql = (1 to 5).map(k =>
+          s"""m$k AS (SELECT ROUND(COALESCE(SUM(r.r), 0.0), 10) AS m
+             |  FROM r${k - 1} r JOIN sinks ON sinks.node = r.node),
+             |r$k AS (SELECT n.node,
+             |    ROUND((1 - 0.85) / c.n + 0.85 * (COALESCE(s.s, 0.0) + m.m / c.n), 10) AS r
+             |  FROM nodes n CROSS JOIN cnt c CROSS JOIN m$k m
+             |  LEFT JOIN (SELECT t.dst, SUM(r.r * t.p) AS s
+             |             FROM t JOIN r${k - 1} r ON r.node = t.src GROUP BY t.dst) s
+             |    ON s.dst = n.node)""".stripMargin).mkString(",\n")
+        s"""WITH ev AS (SELECT user_id, ts, event_id,
+           |        CAST(json_extract_string(props, '$$.k') AS INT) AS k FROM events),
+           |tr AS (SELECT k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk FROM ev),
+           |ed AS (SELECT pk AS src, k AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+           |       FROM tr WHERE pk IS NOT NULL AND pk < k GROUP BY 1, 2),
+           |ow AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY src),
+           |t AS (SELECT ed.src, ed.dst, ROUND(ed.w / ow.ow, 10) AS p FROM ed JOIN ow USING (src)),
+           |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
+           |sinks AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM ed)),
+           |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+           |r0 AS (SELECT node, ROUND(1.0 / c.n, 10) AS r FROM nodes, cnt c),
+           |$iterSql
+           |SELECT node AS k_state, ROUND(r + 1e-9, 6) AS pagerank,
+           |  ROUND(SUM(ROUND(r + 1e-9, 6)) OVER (), 4) AS total_mass
+           |FROM r5 ORDER BY node""".stripMargin
+      },
+      (s, dir) => {
+        val wl = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val ev = Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        val edges = ev.withColumn("pk", lag(col("k"), 1).over(wl))
+          .filter(col("pk").isNotNull && col("pk") < col("k"))
+          .groupBy(col("pk").as("src"), col("k").as("dst"))
+          .agg(count(lit(1)).cast("double").as("w"))
+        graft.ext.Graph.pageRank(edges, iters = 5,
+            redistributeDangling = true)
+          .select(col("node").as("k_state"),
+            round(col("r") + lit(1e-9), 6).as("pagerank"))
+          .withColumn("total_mass",
+            round(sum(col("pagerank")).over(Window.partitionBy()), 4))
           .orderBy("k_state")
       }),
 

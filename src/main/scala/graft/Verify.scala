@@ -12,7 +12,7 @@ object Verify {
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     var sinceGc = 0
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))

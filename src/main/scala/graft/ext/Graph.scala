@@ -188,23 +188,29 @@ object Graph {
 
   /** Weighted PageRank over a (src, dst, w) edge list — the classic
     * simplified power iteration: r_{t+1}(v) = (1−d)/N + d·Σ_{u→v}
-    * r_t(u)·p(u,v) with p = w/out-weight, run for a FIXED `iters` rounds
-    * (no dangling-mass redistribution — sinks leak mass, exactly like
-    * the canonical example implementations; callers needing the strict
-    * probability interpretation can add self-loops to sinks).
+    * r_t(u)·p(u,v) with p = w/out-weight, run for a FIXED `iters` rounds.
     *
-    * Determinism: transition probabilities and every per-round rank are
-    * rounded to `roundTo` decimals, so the whole trajectory is engine-
-    * reproducible (the DuckDB oracle unrolls the identical rounds) —
-    * the same convention as [[Similarity.lloydRefine]]. Returns
-    * (node, r).
+    * By default sinks leak mass, exactly like the canonical example
+    * implementations. With `redistributeDangling = true` each round also
+    * computes the dangling mass m = Σ r_t(sink) and adds d·m/N to every
+    * node — the strict probability interpretation where ranks stay a
+    * distribution (sum to 1 within rounding).
+    *
+    * Determinism: transition probabilities and every per-round rank
+    * (and, when enabled, the per-round dangling mass) are rounded to
+    * `roundTo` decimals, so the whole trajectory is engine-reproducible
+    * (the DuckDB oracle unrolls the identical rounds) — the same
+    * convention as [[Similarity.lloydRefine]]. Returns (node, r).
     *
     * Shape at scale: each round is one join keyed on src + one hash
     * aggregation keyed on dst — shuffles carry (node, double) pairs,
-    * never adjacency; lineage is truncated per round (localCheckpoint)
-    * like the CC loop, keeping plan depth constant. */
+    * never adjacency; the dangling mass is a one-row aggregate joined
+    * back by broadcast (never a driver collect); lineage is truncated
+    * per round (localCheckpoint) like the CC loop, keeping plan depth
+    * constant. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
-               roundTo: Int = 10): DataFrame = {
+               roundTo: Int = 10,
+               redistributeDangling: Boolean = false): DataFrame = {
     val ew = edges.select(col("src"), col("dst"),
       col("w").cast("double").as("w"))
     val outw = ew.groupBy("src").agg(sum("w").as("ow"))
@@ -215,6 +221,13 @@ object Graph {
     val nodes = ew.select(col("src").as("node"))
       .union(ew.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sinks = nodes with no outgoing edge; only materialized when the
+    // dangling mass is actually redistributed
+    val sinks =
+      if (!redistributeDangling) None
+      else Some(nodes
+        .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = nodes.count().toDouble
     var ranks = nodes.select(col("node"),
       round(lit(1.0 / n), roundTo).as("r"))
@@ -223,15 +236,24 @@ object Graph {
       val contrib = trans
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("c"))
-      ranks = nodes
+      val base = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          round(lit((1 - damping) / n)
-            + lit(damping) * coalesce(col("c"), lit(0.0)), roundTo).as("r"))
-        .localCheckpoint()
+      ranks = (sinks match {
+        case None =>
+          base.select(col("node"),
+            round(lit((1 - damping) / n)
+              + lit(damping) * coalesce(col("c"), lit(0.0)), roundTo).as("r"))
+        case Some(sk) =>
+          val m = ranks.join(sk, Seq("node"), "left_semi")
+            .agg(round(coalesce(sum("r"), lit(0.0)), roundTo).as("m"))
+          base.crossJoin(broadcast(m))
+            .select(col("node"),
+              round(lit((1 - damping) / n) + lit(damping)
+                * (coalesce(col("c"), lit(0.0)) + col("m") / n), roundTo).as("r"))
+      }).localCheckpoint()
       freeCheckpoint(prev)
     }
-    trans.unpersist(); nodes.unpersist()
+    trans.unpersist(); nodes.unpersist(); sinks.foreach { s => s.unpersist(); () }
     ranks
   }
 }

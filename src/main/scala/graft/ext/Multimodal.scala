@@ -21,13 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** One media asset: id, modality tag, raw bytes, sidecar metadata. */
-  final case class MediaRecord(media_id: Long, modality: String,
+  /** One media asset: id, modality tag, raw bytes, sidecar metadata.
+    * `media_id` is a string so identity can carry a full 128-bit digest
+    * (or a source path) without truncation — at corpus scale the id is a
+    * join/dedup key, and a truncated hash key silently conflates distinct
+    * assets (birthday bound: 40 bits collide with p≈0.45 at 1 M files). */
+  final case class MediaRecord(media_id: String, modality: String,
                                content: Array[Byte], meta: Map[String, String])
 
   /** Decoded/feature-extracted output: id + fixed-width feature vector +
     * extracted dims. */
-  final case class MediaFeatures(media_id: Long, modality: String,
+  final case class MediaFeatures(media_id: String, modality: String,
                                  width: Int, height: Int, n_frames: Int,
                                  features: Array[Float])
 
@@ -37,7 +41,7 @@ object Multimodal {
                      modality: String): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"),
+    df.select(col(idCol).cast("string").as("media_id"),
         lit(modality).as("modality"),
         col(payloadCol).cast("binary").as("content"))
       .withColumn("meta", map(lit("src"), lit(payloadCol)))
@@ -48,9 +52,11 @@ object Multimodal {
     * reads a directory tree as (path, modificationTime, length, content)
     * — the real on-ramp for image/audio/video corpora (no codec needed
     * to INGEST; decode happens downstream via [[decodeStub]]'s
-    * mapPartitions shape). Records are keyed by a stable 40-bit hash of
-    * the file path (engine-portable md5 prefix, same convention as the
-    * text operators), with path/length/mtime in the sidecar meta.
+    * mapPartitions shape). Records are keyed by the FULL 128-bit md5 of
+    * the file path (hex string): unlike the text operators' 40-bit
+    * feature hashes — which feed collision-tolerant aggregates — this is
+    * a primary join/dedup key, and a truncated digest conflates distinct
+    * assets at corpus scale. Path/length/mtime ride in the sidecar meta.
     *
     * Scale notes: `pathGlobFilter` prunes non-media files at listing
     * time; the source pushes `length < maxBytes` down to the file
@@ -64,8 +70,7 @@ object Multimodal {
       .load(dir)
       .filter(col("length") <= maxBytes)
       .select(
-        conv(substring(md5(col("path").cast("binary")), 1, 10), 16, 10)
-          .cast("long").as("media_id"),
+        md5(col("path").cast("binary")).as("media_id"),
         lit(modality).as("modality"),
         col("content"),
         map(
@@ -73,6 +78,26 @@ object Multimodal {
           lit("bytes"), col("length").cast("string"),
           lit("mtime"), col("modificationTime").cast("string")).as("meta"))
       .as[MediaRecord]
+  }
+
+  /** Fail-fast duplicate-identity guard: raises if any `media_id` is
+    * carried by more than one record (distinct paths hashing to one id,
+    * or a caller-supplied id column with repeats). Identity collisions
+    * here silently merge distinct assets in every downstream join/dedup,
+    * so the guard is an explicit maintenance check. Cost: one aggregation
+    * over (media_id, path) — media bytes never move. NOTE: runs an
+    * eager Spark action. */
+  def requireUniqueIds(records: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    val dups = records.toDF()
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_set(element_at(col("meta"), "path"))).as("paths"))
+      .filter(col("n") > 1)
+      .limit(5)
+      .collect()
+    require(dups.isEmpty,
+      s"duplicate media_id(s): ${dups.map(r => s"${r.get(0)} ×${r.get(1)} ${r.get(2)}").mkString("; ")}")
+    records
   }
 
   /** STUB decoder: deterministic fake features derived from the bytes

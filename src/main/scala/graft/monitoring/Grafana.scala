@@ -46,8 +46,12 @@ object Grafana {
       panel(6, "stat", "Alerts needing attention",
         Seq("sum(graft_alert_active)"), 0, 12, w = 6, h = 4))
     val rulePanels = rules.zipWithIndex.map { case (r, i) =>
+      // rule names are user input inside a quoted PromQL matcher: escape
+      // with the SAME helper the Prometheus exposition side uses, so a
+      // name carrying " or \ still yields a valid expr that matches the
+      // exported label value byte-for-byte
       panel(100 + i, "stat", s"alert: ${r.alert} (${r.severity})",
-        Seq(s"""graft_alert_active{alertname="${r.alert}"}"""),
+        Seq(s"""graft_alert_active{alertname="${Prometheus.esc(r.alert)}"}"""),
         (i % 4) * 6, 16 + (i / 4) * 4, w = 6, h = 4)
     }
     val dash = ("title" -> title) ~

@@ -13,7 +13,10 @@ package graft.monitoring
   * cluster. */
 object Prometheus {
 
-  private def esc(s: String): String =
+  /** Label-VALUE escaping per the Prometheus text format — the same
+    * backslash rules govern PromQL label matchers, so [[Grafana]] reuses
+    * this to keep exposition and query sides in exact agreement. */
+  private[monitoring] def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
 
   private def fmt(d: Double): String =

@@ -29,7 +29,13 @@ object Orchestrate {
 
   /** Run `body` up to `maxAttempts` times, sleeping `delayMs` between
     * attempts; rethrows the LAST failure once attempts are exhausted.
-    * Returns (result, attempts used). `sleep` is injectable for tests. */
+    * Returns (result, attempts used). `sleep` is injectable for tests.
+    *
+    * Only non-fatal failures are retried: a VirtualMachineError (OOM,
+    * stack overflow) means the JVM is compromised — retrying it hides
+    * the crash — and an interrupt is a cancellation request, never a
+    * transient fault, so it propagates immediately with the thread's
+    * interrupt flag restored. */
   def withRetries[T](maxAttempts: Int, delayMs: Long = 0L,
                      sleep: Long => Unit = Thread.sleep)(body: () => T): (T, Int) = {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
@@ -38,17 +44,22 @@ object Orchestrate {
     while (attempt < maxAttempts) {
       attempt += 1
       try return (body(), attempt)
-      catch { case e: Throwable =>
-        last = e
-        if (attempt < maxAttempts && delayMs > 0) sleep(delayMs)
+      catch {
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e) =>
+          last = e
+          if (attempt < maxAttempts && delayMs > 0) sleep(delayMs)
       }
     }
     throw last
   }
 
-  /** [[withRetries]] plus timing and an SLA verdict; never throws —
-    * failure after all attempts is reported, not raised, so the caller
-    * can alert AND continue with other partitions. */
+  /** [[withRetries]] plus timing and an SLA verdict; never throws on a
+    * NON-FATAL failure — that is reported, not raised, so the caller can
+    * alert AND continue with other partitions. Fatal errors and
+    * interrupts escape: a report row is no place to bury an OOM. */
   def runReport[T](maxAttempts: Int, delayMs: Long = 0L,
                    slaMs: Option[Long] = None,
                    sleep: Long => Unit = Thread.sleep)
@@ -58,7 +69,7 @@ object Orchestrate {
       val (r, n) = withRetries(maxAttempts, delayMs, sleep)(body)
       (Some(r), RunReport(n, succeeded = true,
         (System.nanoTime() - t0) / 1000000L, slaMs))
-    } catch { case _: Throwable =>
+    } catch { case scala.util.control.NonFatal(_) =>
       (None, RunReport(maxAttempts, succeeded = false,
         (System.nanoTime() - t0) / 1000000L, slaMs))
     }
@@ -77,7 +88,7 @@ object Orchestrate {
     val done = scala.collection.mutable.ListBuffer.empty[String]
     dates.filterNot(isDone).foreach { d =>
       try { withRetries(maxAttempts, delayMs, sleep)(() => run(d)); done += d }
-      catch { case _: Throwable => return done.toSeq }
+      catch { case scala.util.control.NonFatal(_) => return done.toSeq }
     }
     done.toSeq
   }

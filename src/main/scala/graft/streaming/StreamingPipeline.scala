@@ -278,6 +278,109 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Continuous EWMA gold: the per-(key, day) average series behind the
+    * batch `a_ewma_daily` query, kept incrementally as algebraic
+    * (n, Σv) day-level state under the same marker+swap exactly-once
+    * protocol as [[mergeGoldBatch]]. The EWMA itself is a READ-time fold
+    * over the stored day aggregates ([[ewmaDailyView]]) — the recursion
+    * is not mergeable, but its day-average input is, so state stays
+    * aggregate-sized (keys × days) and the view over it always equals
+    * the batch recomputation over everything processed so far. */
+  def ewmaGoldIngest(stream: DataFrame, storePath: String, ckpt: String,
+                     timeCol: String, keys: Seq[String],
+                     valueCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ewmaGoldBatch(batch, id, storePath, timeCol, keys, valueCol)
+      }
+      .start()
+
+  /** The per-batch body of [[ewmaGoldIngest]]. */
+  def ewmaGoldBatch(batch: DataFrame, id: Long, storePath: String,
+                    timeCol: String, keys: Seq[String],
+                    valueCol: String): Unit = {
+    val gb = (keys :+ "day").map(col)
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val partial = batch.withColumn("day", to_date(col(timeCol)))
+        .groupBy(gb: _*)
+        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"))
+      existingOpt match {
+        case Some(existing) =>
+          existing.unionByName(partial).groupBy(gb: _*)
+            .agg(sum("n").as("n"), sum("sum_v").as("sum_v"))
+        case None => partial
+      }
+    }
+  }
+
+  /** Read-time EWMA over [[ewmaGoldIngest]] state: identical fold to the
+    * batch `a_ewma_daily` shape — per-day averages rounded to 4 decimals
+    * BEFORE the recursion, a `windowDays`-bounded frame seeded by its
+    * oldest value — so incremental ≡ batch recompute, bit for bit. */
+  def ewmaDailyView(stored: DataFrame, keys: Seq[String],
+                    alpha: Double = 0.5, windowDays: Int = 10): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("day")
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    stored
+      .withColumn("v", round(col("sum_v") / col("n") + lit(1e-9), 4))
+      .withColumn("lv", collect_list(col("v")).over(w))
+      .select(keys.map(col) :+ col("day") :+
+        round(aggregate(
+          slice(col("lv"), lit(2), greatest(size(col("lv")) - 1, lit(0))),
+          element_at(col("lv"), 1),
+          (a, x) => a * lit(1 - alpha) + x * lit(alpha)) + lit(1e-9), 4)
+          .as("ewma"): _*)
+  }
+
+  /** Continuous seasonal baseline: the per-(key, hour-of-day) diurnal
+    * mean/stddev profile behind the batch `a_seasonal_anomalies` query,
+    * kept incrementally as algebraic moments (n, Σv, Σv²) under the
+    * marker+swap protocol. State is (keys × 24) rows at any corpus size;
+    * [[seasonalBaselineView]] turns the moments into the m/sd baseline
+    * new batches score z-values against. */
+  def seasonalBaselineIngest(stream: DataFrame, storePath: String,
+                             ckpt: String, timeCol: String,
+                             keys: Seq[String],
+                             valueCol: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        seasonalBaselineBatch(batch, id, storePath, timeCol, keys, valueCol)
+      }
+      .start()
+
+  /** The per-batch body of [[seasonalBaselineIngest]]. */
+  def seasonalBaselineBatch(batch: DataFrame, id: Long, storePath: String,
+                            timeCol: String, keys: Seq[String],
+                            valueCol: String): Unit = {
+    val gb = (keys :+ "hod").map(col)
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val partial = batch.withColumn("hod", hour(col(timeCol)))
+        .groupBy(gb: _*)
+        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"),
+          sum(col(valueCol) * col(valueCol)).as("sum_sq"))
+      existingOpt match {
+        case Some(existing) =>
+          existing.unionByName(partial).groupBy(gb: _*)
+            .agg(sum("n").as("n"), sum("sum_v").as("sum_v"),
+              sum("sum_sq").as("sum_sq"))
+        case None => partial
+      }
+    }
+  }
+
+  /** Mean + sample stddev from [[seasonalBaselineIngest]] moments:
+    * sd² = (Σv² − (Σv)²/n)/(n−1), clamped at 0 against FP cancellation;
+    * sd is NULL for single-observation groups (like stddev_samp). */
+  def seasonalBaselineView(stored: DataFrame): DataFrame =
+    stored
+      .withColumn("m", col("sum_v") / col("n"))
+      .withColumn("sd", when(col("n") > 1,
+        sqrt(greatest(
+          (col("sum_sq") - col("sum_v") * col("sum_v") / col("n"))
+            / (col("n") - lit(1)), lit(0.0)))))
+
   /** Dedup-at-ingest: each micro-batch is deduped within itself and
     * against the persistent fingerprint index, survivors append to
     * `outPath`, and their fingerprints append to the index — so a
@@ -513,10 +616,10 @@ object StreamingPipeline {
       throw new java.io.IOException(
         s"index swap: could not restore $backup to $idxDir after crash")
     if (!fs.exists(idxDir)) return
-    def parquetNames(): Set[String] =
-      fs.listStatus(idxDir).map(_.getPath.getName)
+    def parquetNames(dir: Path): Set[String] =
+      fs.listStatus(dir).map(_.getPath.getName)
         .filter(_.endsWith(".parquet")).toSet
-    val snapshot = parquetNames()
+    val snapshot = parquetNames(idxDir)
     if (snapshot.size <= targetFiles) return
     val batchIds = snapshot.toSeq.flatMap(n =>
       "^b(\\d+)-".r.findFirstMatchIn(n).map(_.group(1))).distinct
@@ -532,26 +635,33 @@ object StreamingPipeline {
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(stage.toString)
     // the upfront marker check is one-shot: a micro-batch could rename a
-    // fresh delta into the dir between the snapshot read and the swap, and
-    // the rename-aside below would silently destroy it. Re-list right
-    // before swapping and abort on ANY change (a replay clearing its own
-    // delta also invalidates the snapshot) — quiescence is enforced, not
-    // merely documented. `onBeforeSwap` is a test seam for injecting a
-    // racing delta into exactly this window.
+    // fresh delta into the dir between the snapshot read and the swap.
+    // Quiescence is enforced, not merely documented, by re-listing AFTER
+    // the rename-aside: any delta that slipped in rides inside `backup`,
+    // and on mismatch the backup is restored and the swap aborted — the
+    // racing delta SURVIVES. (A delta rename attempted after the aside
+    // fails loudly on the writer's side: the data dir is gone.) A replay
+    // clearing its own delta also invalidates the snapshot and aborts.
+    // `onBeforeSwap` is a test seam for injecting a racing delta into
+    // exactly the snapshot→aside window.
     onBeforeSwap()
-    val now = parquetNames()
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (!fs.rename(idxDir, backup))
+      throw new java.io.IOException(
+        s"index swap: could not move $idxDir aside")
+    val now = parquetNames(backup)
     if (now != snapshot) {
       fs.delete(stage, true)
+      if (!fs.rename(backup, idxDir))
+        throw new java.io.IOException(
+          s"index swap: could not restore $backup to $idxDir after " +
+            "detecting a racing delta")
       throw new IllegalStateException(
         "refusing to swap: index contents changed during compaction " +
           s"(appeared: ${(now -- snapshot).toSeq.sorted.mkString(", ")}; " +
           s"vanished: ${(snapshot -- now).toSeq.sorted.mkString(", ")}) — " +
           "the stream is not quiesced")
     }
-    if (fs.exists(backup)) fs.delete(backup, true)
-    if (!fs.rename(idxDir, backup))
-      throw new java.io.IOException(
-        s"index swap: could not move $idxDir aside")
     if (!fs.rename(stage, idxDir)) {
       fs.rename(backup, idxDir)
       throw new java.io.IOException(

@@ -49,11 +49,19 @@ object Versioned {
   }
 
   /** Complete an interrupted pointer flip (tmp exists, pointer missing),
-    * then return the current version, or None for an empty table. */
+    * then return the current version, or None for an empty table.
+    *
+    * Concurrency: the heal rename RACES both the writer's own flip and
+    * other readers' heals — whoever renames first wins and everyone
+    * else's rename returns false. A failed rename is therefore only an
+    * error if the pointer is STILL missing afterwards; "pointer present"
+    * means some actor completed the flip, which is the outcome the heal
+    * wanted. */
   def resolve(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
     if (!f.exists(pointer(root)) && f.exists(pointerTmp(root)) &&
-        !f.rename(pointerTmp(root), pointer(root)))
+        !f.rename(pointerTmp(root), pointer(root)) &&
+        !f.exists(pointer(root)))
       throw new java.io.IOException(
         s"versioned table $root: could not complete interrupted pointer flip")
     if (f.exists(pointer(root))) Some(readFile(f, pointer(root)).toLong)
@@ -95,16 +103,29 @@ object Versioned {
     setPointer(spark, root, v)
   }
 
-  private def setPointer(spark: SparkSession, root: String, v: Long): Unit = {
+  /** `onBeforeFlip` is a test seam invoked between retiring the old
+    * pointer and the tmp→pointer rename — the window where a concurrent
+    * reader's [[resolve]] heal can legitimately complete OUR flip. */
+  private[graft] def setPointer(spark: SparkSession, root: String, v: Long,
+                                onBeforeFlip: () => Unit = () => ()): Unit = {
     val f = fs(spark, root)
     resolve(spark, root) // finish any interrupted flip first
     writeFile(f, pointerTmp(root), v.toString)
     if (f.exists(pointer(root)) && !f.delete(pointer(root), false))
       throw new java.io.IOException(
         s"versioned table $root: could not retire old pointer")
-    if (!f.rename(pointerTmp(root), pointer(root)))
-      throw new java.io.IOException(
-        s"versioned table $root: could not flip pointer to gen=$v")
+    onBeforeFlip()
+    if (!f.rename(pointerTmp(root), pointer(root))) {
+      // a concurrent reader healing the delete→rename window may have
+      // renamed our tmp into place already: the rename reports false but
+      // the flip SUCCEEDED. Only a pointer that is still absent — or one
+      // carrying a different version — is a real failure.
+      val healed = f.exists(pointer(root)) &&
+        scala.util.Try(readFile(f, pointer(root)).toLong).toOption.contains(v)
+      if (!healed)
+        throw new java.io.IOException(
+          s"versioned table $root: could not flip pointer to gen=$v")
+    }
   }
 
   /** The current generation's rows (self-healing resolve first). */

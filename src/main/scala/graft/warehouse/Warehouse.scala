@@ -95,32 +95,35 @@ object Warehouse {
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, path: String, targetRowsPerFile: Long,
               partitionBy: Seq[String] = Nil): (Long, Long) = {
+    // all table-path IO goes through the Hadoop FileSystem API so the
+    // stage-then-swap works on whatever filesystem actually holds the
+    // table (HDFS, S3A, file://) — java.io.File would walk/rename the
+    // DRIVER's local disk on a real cluster
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     def countFiles(): Long = {
-      def walk(f: java.io.File): Long =
-        if (f.isDirectory) f.listFiles().map(walk).sum
-        else if (f.getName.endsWith(".parquet")) 1L else 0L
-      walk(new java.io.File(path))
+      val it = fs.listFiles(live, true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1L
+      }
+      n
     }
     val before = countFiles()
     val df = spark.read.parquet(path)
     val rows = df.count()
     val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
     val writer = df.repartition(nFiles).write.mode(SaveMode.Overwrite)
-    val tmp = path + "_compacting"
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
     // write to a sibling, then swap — a failed compaction never corrupts
     // the live table (object stores: write to a new prefix + atomic
     // manifest/metastore repoint instead)
     val w = if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer
-    w.parquet(tmp)
-    val live = new java.io.File(path)
-    val backup = new java.io.File(path + "_precompact")
-    require(live.renameTo(backup), s"could not stage $path aside")
-    require(new java.io.File(tmp).renameTo(live), s"could not promote $tmp")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(backup)
+    w.parquet(tmp.toString)
+    val backup = new org.apache.hadoop.fs.Path(path + "_precompact")
+    require(fs.rename(live, backup), s"could not stage $path aside")
+    require(fs.rename(tmp, live), s"could not promote $tmp")
+    fs.delete(backup, true)
     (before, countFiles())
   }
 

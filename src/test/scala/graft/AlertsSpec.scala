@@ -302,6 +302,36 @@ class AlertsSpec extends SparkTestBase {
     assert(exprs.exists(_.contains("""alertname="producer_down"""")))
   }
 
+  test("Grafana: rule names with quotes/backslashes escape into valid PromQL matchers") {
+    import graft.monitoring.Grafana
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.{JArray, JObject, JString}
+    // adversarial rule name: a quote and a backslash, each of which would
+    // terminate/corrupt a naive {alertname="..."} matcher
+    val name = """rate "hot" \ spike"""
+    val json = Grafana.dashboardJson(Seq(Alerts.Rule(name, "warning", "m", ">", 1.0, 1)))
+    // the dashboard itself must stay valid JSON
+    val parsed = JsonMethods.parse(json).asInstanceOf[JObject]
+    val exprs = for {
+      p <- (parsed \ "panels").asInstanceOf[JArray].arr
+      t <- (p \ "targets").asInstanceOf[JArray].arr
+      JString(e) <- Seq(t \ "expr")
+    } yield e
+    val matchers = exprs.filter(_.contains("alertname="))
+    assert(matchers.size === 1)
+    val matcher = matchers.head
+    // inside the matcher the name is escaped with the exposition-side
+    // rules (\\ and \"), so the PromQL string round-trips to the exact
+    // label value Prometheus.scrape exports
+    assert(matcher === """graft_alert_active{alertname="rate \"hot\" \\ spike"}""")
+    // un-escaping the matcher body recovers the original rule name
+    val body = matcher.stripPrefix("""graft_alert_active{alertname="""")
+      .stripSuffix("\"}")
+    val unescaped = body.replace("\\\\", "\u0000")
+      .replace("\\\"", "\"").replace("\u0000", "\\")
+    assert(unescaped === name)
+  }
+
   private implicit class StateSeqOps(s: Seq[(String, String, String)]) {
     def toMap2: Map[(String, String), String] =
       s.map(t => (t._1, t._2) -> t._3).toMap

@@ -436,8 +436,28 @@ class ExtSpec extends SparkTestBase {
     assert(got.length === 2) // .txt glob-pruned, big.img size-pruned
     assert(got.forall(_.modality === "image"))
     assert(got.map(_.media_id).distinct.length === 2) // stable distinct keys
+    // identity is the FULL 128-bit md5 of the path (hex string), not a
+    // truncated prefix: recompute it locally and compare
+    got.foreach { r =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.meta("path").getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString
+      assert(r.media_id === hex && r.media_id.length === 32)
+    }
     assert(got.forall(r => r.meta("path").endsWith(".img") &&
       r.meta("bytes").toLong === r.content.length.toLong))
+    // duplicate-identity guard: clean ingest passes through…
+    assert(Multimodal.requireUniqueIds(recs).count() === 2)
+    // …and a corpus where two distinct assets share one id fails fast
+    val collided = Seq(
+      Multimodal.MediaRecord("deadbeef", "image", "A".getBytes,
+        Map("path" -> "/m/a.img")),
+      Multimodal.MediaRecord("deadbeef", "image", "B".getBytes,
+        Map("path" -> "/m/b.img"))).toDS()
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.requireUniqueIds(collided).count()
+    }
+    assert(err.getMessage.contains("deadbeef"))
     // ingestion composes with the decode pipeline unchanged
     val feats = Multimodal.decodeStub(recs, featureDim = 16).collect()
     assert(feats.length === 2 && feats.forall(_.features.length === 16))
@@ -453,13 +473,13 @@ class ExtSpec extends SparkTestBase {
     val feats = Multimodal.decodeStub(recs, featureDim = 8)
     val resized = Multimodal.resize(feats, 224, 224)
     val rows = resized.collect().map(f => f.media_id -> f).toMap
-    assert(rows(1L).features.length === 8)
-    assert(rows(1L).width === 224 && rows(1L).height === 224)
-    assert(rows(2L).features.forall(_ === 0.0f)) // empty payload → zero features
+    assert(rows("1").features.length === 8)
+    assert(rows("1").width === 224 && rows("1").height === 224)
+    assert(rows("2").features.forall(_ === 0.0f)) // empty payload → zero features
     // determinism: run twice, same features
     val again = Multimodal.decodeStub(recs, featureDim = 8).collect()
       .map(f => f.media_id -> f.features.toSeq).toMap
-    assert(again(1L) === rows(1L).features.toSeq)
+    assert(again("1") === rows("1").features.toSeq)
   }
 
   test("metadataView never touches payload bytes in the plan output columns") {

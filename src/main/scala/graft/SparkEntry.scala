@@ -3516,6 +3516,81 @@ object SparkEntry {
           R(col("dup_ratio")).as("dup_ratio"), col("keep"))
         .orderBy("doc_id")),
 
+    // X-dup-spans: cross-document duplicated token spans (the ExactSubstr
+    // dedup shape): every 5-token window hashed, windows shared by >1
+    // distinct doc mark their ranges, overlapping marks merge into
+    // maximal [start, end) spans — sub-document boilerplate detection at
+    // exact-match granularity (finer than whole-doc or chunk dedup).
+    Q("x_dup_spans",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+              |g0 AS (SELECT doc_id,
+              |        unnest(list_transform(range(0, n - 4),
+              |          i -> {'pos': i, 'h': md5(array_to_string(toks[(i + 1):(i + 5)], ' '))})) AS s
+              |       FROM b WHERE n >= 5),
+              |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g0),
+              |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+              |hits AS (SELECT doc_id, pos, pos + 5 AS e FROM g JOIN dup USING (h)),
+              |isl AS (SELECT doc_id, pos, e,
+              |         MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+              |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              |        FROM hits),
+              |i2 AS (SELECT doc_id, pos, e,
+              |        SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+              |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |       FROM isl)
+              |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+              |  CAST(MAX(e) AS BIGINT) AS span_end,
+              |  CAST(MAX(e) - MIN(pos) AS BIGINT) AS span_tokens
+              |FROM i2 GROUP BY doc_id, island
+              |ORDER BY doc_id, span_start""".stripMargin),
+      (s, dir) => Dedup.duplicatedSpans(Tables.documents(s, dir), "text",
+          "doc_id", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "span_start")),
+
+    // X-dup-span-removal: the surgery over x_dup_spans — tokens covered
+    // by any duplicated span are cut out, survivors re-join on single
+    // spaces; docs without spans pass through untouched. The whole
+    // corpus comes back (one row per doc) ready to feed the downstream
+    // curation chain.
+    Q("x_dup_span_removal",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+              |g0 AS (SELECT doc_id,
+              |        unnest(list_transform(range(0, n - 4),
+              |          i -> {'pos': i, 'h': md5(array_to_string(toks[(i + 1):(i + 5)], ' '))})) AS s
+              |       FROM b WHERE n >= 5),
+              |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g0),
+              |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+              |hits AS (SELECT doc_id, pos, pos + 5 AS e FROM g JOIN dup USING (h)),
+              |isl AS (SELECT doc_id, pos, e,
+              |         MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+              |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              |        FROM hits),
+              |i2 AS (SELECT doc_id, pos, e,
+              |        SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+              |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |       FROM isl),
+              |sp AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+              |       FROM i2 GROUP BY doc_id, island),
+              |agg AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans,
+              |          SUM(e - s) AS rem FROM sp GROUP BY doc_id)
+              |SELECT b.doc_id,
+              |  COALESCE(array_to_string(list_transform(
+              |    list_filter(range(0, b.n), i ->
+              |      len(list_filter(COALESCE(a.spans, []::STRUCT(s BIGINT, e BIGINT)[]),
+              |            sp2 -> i >= sp2.s AND i < sp2.e)) = 0),
+              |    i -> b.toks[i + 1]), ' '), '') AS clean_text,
+              |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_tokens,
+              |  CAST(COALESCE(a.rem, 0) AS BIGINT) AS n_removed
+              |FROM b LEFT JOIN agg a USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Dedup.removeDuplicatedSpans(Tables.documents(s, dir),
+          "text", "doc_id", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // X-decontam: benchmark decontamination — train docs sharing any
     // distinct 3-gram with the held-out set (doc_id % 47 = 0 stands in for
     // the benchmark). n=3 for the ~30-word synthetic vocab; real pipelines

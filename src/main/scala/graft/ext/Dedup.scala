@@ -467,6 +467,96 @@ object Dedup {
       .withColumn("keep", col("dup_ratio") < maxDupRatio)
   }
 
+  /** Every length-`k` token window of every document, positioned and
+    * hashed: (id, pos, h) with h = md5 of the space-joined window.
+    * The gram stream behind [[duplicatedSpans]]. */
+  private def tokenGramHashes(docs: DataFrame, textCol: String,
+                              idCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))))
+            .as("h")))).as("g"))
+      .select(col("id"), col("g.pos").as("pos"), col("g.h").as("h"))
+
+  /** Cross-document duplicated token spans — the ExactSubstr dedup
+    * shape (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"; the deduplicate-text-datasets tool):
+    * every length-`k` token window is hashed, a window whose hash
+    * occurs in MORE THAN ONE distinct document marks its token range,
+    * and per document the overlapping marks merge into maximal
+    * [span_start, span_end) spans (end exclusive, token offsets into
+    * the normalized tokenization). Within-document self-repetition is
+    * deliberately NOT flagged (that is `repetitionStats`' signal);
+    * this operator finds boilerplate shared ACROSS documents —
+    * licenses, headers, templated paragraphs — at exact-match
+    * granularity finer than whole-doc or chunk dedup.
+    *
+    * Shape at scale: the gram stream is (id, pos, md5) — fixed-width
+    * rows, ~tokens-per-doc of them, never text (same cost family as
+    * TF-IDF and chunk stats). The duplicated-hash set is one
+    * gram-keyed aggregation, the mark join reuses that key, and span
+    * merging is a per-doc sort over only the DUPLICATED positions —
+    * a small fraction of the corpus. Raw text is read exactly once,
+    * at tokenization. */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int): DataFrame = {
+    val grams = tokenGramHashes(docs, textCol, idCol, k)
+    val dup = grams.groupBy("h")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val hits = grams.join(dup, "h")
+      .select(col("id"), col("pos"), (col("pos") + k).as("e"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    // classic island merge: a mark starts a new span iff it begins
+    // past the furthest end seen so far
+    hits
+      .withColumn("pme", max(col("e"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pme").isNull || col("pos") > col("pme"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy("id", "island")
+      .agg(min("pos").as("s"), max("e").as("e"))
+      .select(col("id"), col("s").cast("long").as("span_start"),
+        col("e").cast("long").as("span_end"),
+        (col("e") - col("s")).cast("long").as("span_tokens"))
+  }
+
+  /** Cut every [[duplicatedSpans]] span out of the text: tokens covered
+    * by any span are dropped, survivors re-join on single spaces.
+    * Returns (id, clean_text, n_tokens, n_removed) for EVERY input doc
+    * (docs with no duplicated span pass through with n_removed = 0).
+    *
+    * Shape at scale: spans collapse to a per-doc array (a handful of
+    * (start, end) pairs) broadcast back onto the token arrays by id —
+    * the surgery itself is a narrow per-row map, no second text
+    * shuffle. */
+  def removeDuplicatedSpans(docs: DataFrame, textCol: String,
+                            idCol: String, k: Int): DataFrame = {
+    val spans = duplicatedSpans(docs, textCol, idCol, k)
+      .groupBy("id")
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"),
+        sum("span_tokens").as("n_removed"))
+    val noSpans = array().cast(
+      "array<struct<span_start:bigint,span_end:bigint>>")
+    docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id"),
+        concat_ws(" ", filter(col("toks"), (_, i) =>
+          !exists(coalesce(col("spans"), noSpans),
+            s => i >= s("span_start") && i < s("span_end"))))
+          .as("clean_text"),
+        coalesce(size(col("toks")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * distinct word n-gram with a held-out test set. Returns one row per
     * contaminated train doc: (id, n_grams, n_shared, contamination) with

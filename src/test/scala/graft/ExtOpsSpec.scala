@@ -21,6 +21,29 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out.map(_.getAs[Boolean]("keep")).toSeq === Seq(false, false, true))
   }
 
+  test("duplicatedSpans: cross-doc spans merge; same-doc repetition ignored; removal cuts exactly") {
+    val docs = Seq(
+      (1L, "a b c d e x1 x2 x3 x4 x5"),          // shares "a b c d e" with 2
+      (2L, "y1 y2 a b c d e y3 y4 y5"),
+      (3L, "z1 z2 m1 m2 m3 m4 m5 m6 z3"),        // shares 6-token run with 4:
+      (4L, "m1 m2 m3 m4 m5 m6 z4 z5"),           //   two 5-windows merge
+      (5L, "u1 u2 u3 u4 u5 u1 u2 u3 u4 u5"))     // repeats only WITHIN itself
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spans === Map(
+      1L -> ((0L, 5L)), 2L -> ((2L, 7L)),
+      3L -> ((2L, 8L)), 4L -> ((0L, 6L))))      // doc 5 absent: nd = 1
+    val cleaned = Dedup.removeDuplicatedSpans(docs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(cleaned(1L) === (("x1 x2 x3 x4 x5", 10L, 5L)))
+    assert(cleaned(2L) === (("y1 y2 y3 y4 y5", 10L, 5L)))
+    assert(cleaned(3L) === (("z1 z2 z3", 9L, 6L)))
+    assert(cleaned(4L) === (("z4 z5", 8L, 6L)))
+    assert(cleaned(5L) === (("u1 u2 u3 u4 u5 u1 u2 u3 u4 u5", 10L, 0L)))
+  }
+
   test("ngramContamination flags only train docs sharing a test n-gram") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),  // test doc (id % 2 == 0)

@@ -498,22 +498,28 @@ object Dedup {
     * Shape at scale: the gram stream is (id, pos, md5) — fixed-width
     * rows, ~tokens-per-doc of them, never text (same cost family as
     * TF-IDF and chunk stats). The duplicated-hash set is one
-    * gram-keyed aggregation, the mark join reuses that key, and span
-    * merging is a per-doc sort over only the DUPLICATED positions —
-    * a small fraction of the corpus. Raw text is read exactly once,
-    * at tokenization. */
+    * gram-keyed aggregation, the mark join keys on the same hash, and
+    * span merging is a per-doc sort over only the DUPLICATED positions
+    * — a small fraction of the corpus. The gram stream feeds BOTH the
+    * aggregation and the join probe, so its tokenize+hash subtree is
+    * evaluated twice within the action; at 100 TB, if the input scan
+    * dominates, checkpoint the gram table between the passes — every
+    * shuffle still carries only fixed-width rows. */
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
                       k: Int): DataFrame = {
     val grams = tokenGramHashes(docs, textCol, idCol, k)
     val dup = grams.groupBy("h")
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") > 1).select("h")
-    val hits = grams.join(dup, "h")
-      .select(col("id"), col("pos"), (col("pos") + k).as("e"))
+    mergeMarks(grams.join(dup, "h"), k)
+  }
+
+  /** Island-merge of duplicate marks (id, pos) into maximal spans:
+    * a mark starts a new span iff it begins past the furthest end seen
+    * so far. Returns (id, span_start, span_end, span_tokens). */
+  private def mergeMarks(hits: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("id").orderBy("pos")
-    // classic island merge: a mark starts a new span iff it begins
-    // past the furthest end seen so far
-    hits
+    hits.select(col("id"), col("pos"), (col("pos") + k).as("e"))
       .withColumn("pme", max(col("e"))
         .over(w.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("brk",
@@ -537,9 +543,15 @@ object Dedup {
     * the surgery itself is a narrow per-row map, no second text
     * shuffle. */
   def removeDuplicatedSpans(docs: DataFrame, textCol: String,
-                            idCol: String, k: Int): DataFrame = {
-    val spans = duplicatedSpans(docs, textCol, idCol, k)
-      .groupBy("id")
+                            idCol: String, k: Int): DataFrame =
+    cutSpans(docs, textCol, idCol, duplicatedSpans(docs, textCol, idCol, k))
+
+  /** Token surgery shared by the batch and incremental span dedup:
+    * drop every token of `docs` covered by a `spans` row, re-join
+    * survivors on single spaces. */
+  private def cutSpans(docs: DataFrame, textCol: String, idCol: String,
+                       spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy("id")
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("spans"),
         sum("span_tokens").as("n_removed"))
@@ -547,7 +559,7 @@ object Dedup {
       "array<struct<span_start:bigint,span_end:bigint>>")
     docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
-      .join(spans, Seq("id"), "left")
+      .join(perDoc, Seq("id"), "left")
       .select(col("id"),
         concat_ws(" ", filter(col("toks"), (_, i) =>
           !exists(coalesce(col("spans"), noSpans),
@@ -555,6 +567,38 @@ object Dedup {
           .as("clean_text"),
         coalesce(size(col("toks")), lit(0)).cast("long").as("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** The distinct k-gram hashes of a corpus/batch — the gram-index
+    * delta an incremental span-dedup appends after curating a batch. */
+  def batchGramHashes(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int): DataFrame =
+    tokenGramHashes(docs, textCol, idCol, k).select("h").distinct()
+
+  /** Incremental [[removeDuplicatedSpans]] against a persistent gram
+    * index: a k-gram window is duplicated when its hash occurs in more
+    * than one distinct doc of THIS batch, or in ANY earlier batch (the
+    * index, rows (h)). Earlier batches' published docs are immutable —
+    * their copy of the boilerplate stays published; the current
+    * batch's copies are cut. That is [[incrementalExactDedup]]'s
+    * keep-first asymmetry pushed down to span granularity. Returns
+    * (id, clean_text, n_tokens, n_removed) for every batch doc;
+    * append [[batchGramHashes]] of the batch to the index afterwards.
+    *
+    * Shape at scale: the index is gram-hash-sized (one 32-hex md5 per
+    * distinct k-gram ever seen) — big, but fixed-width and join-keyed;
+    * a production deployment buckets it on h (map-side index lookups)
+    * or fronts it with a Bloom filter, exactly like the fingerprint
+    * index's scale path. */
+  def incrementalDuplicatedSpans(batch: DataFrame, textCol: String,
+                                 idCol: String, index: DataFrame,
+                                 k: Int): DataFrame = {
+    val grams = tokenGramHashes(batch, textCol, idCol, k)
+    val batchDup = grams.groupBy("h")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val dup = batchDup.union(index.select(col("h"))).distinct()
+    cutSpans(batch, textCol, idCol, mergeMarks(grams.join(dup, "h"), k))
   }
 
   /** Benchmark decontamination: flag training documents sharing any

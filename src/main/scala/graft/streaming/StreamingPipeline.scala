@@ -420,6 +420,44 @@ object StreamingPipeline {
         () => ())
     }
 
+  /** Span-dedup-at-ingest — the ExactSubstr surgery as a streaming
+    * stage: each micro-batch's docs are cleaned of token spans
+    * duplicated within the batch or against ANY earlier batch (a
+    * persistent gram-hash index), cleaned docs land per-batch in
+    * `outPath`, and the batch's distinct gram hashes extend the index.
+    * Exactly-once via the same batch-marker protocol as [[dedupIngest]].
+    * Earlier batches' published docs stay as published — boilerplate
+    * keeps its first-seen copy; later copies are cut at span
+    * granularity. */
+  def spanDedupIngest(stream: DataFrame, textCol: String, idCol: String,
+                      outPath: String, indexPath: String, ckpt: String,
+                      k: Int = 5): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        spanDedupIngestBatch(batch, id, textCol, idCol, outPath,
+          indexPath, k)
+      }
+      .start()
+
+  /** The per-batch body of [[spanDedupIngest]]. */
+  def spanDedupIngestBatch(batch: DataFrame, id: Long, textCol: String,
+                           idCol: String, outPath: String,
+                           indexPath: String, k: Int = 5): Unit =
+    withBatchIndex(batch.sparkSession, id, outPath, indexPath,
+      emptyIndex = s => s.emptyDataFrame
+        .select(lit("").as("h")).limit(0)) { index =>
+      val cleaned = graft.ext.Dedup
+        .incrementalDuplicatedSpans(batch, textCol, idCol, index, k)
+      // only hashes not already indexed append, so the index stays
+      // distinct instead of accumulating one copy per batch that
+      // re-encounters the same boilerplate
+      val delta = graft.ext.Dedup
+        .batchGramHashes(batch, textCol, idCol, k)
+        .join(index.select(col("h")), Seq("h"), "left_anti")
+      (cleaned, delta, () => ())
+    }
+
   /** The crash-safe protocol shared by every index-backed ingest path
     * ([[dedupIngestBatch]], [[curateIngestBatch]]): batch-marker no-op,
     * per-batch overwrite of survivors, staged-then-renamed index delta,

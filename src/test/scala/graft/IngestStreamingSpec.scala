@@ -132,6 +132,44 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/data").count() === 3)
   }
 
+  test("spanDedupIngest cuts cross-batch boilerplate at span granularity; replay no-op") {
+    val out = Files.createTempDirectory("graft-span-out").toString
+    val idx = Files.createTempDirectory("graft-span-idx").toString
+    def b(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // batch 1: nothing duplicated yet — docs publish intact, grams indexed
+    StreamingPipeline.spanDedupIngestBatch(
+      b(1L -> "l1 l2 l3 l4 l5 body1 body2", 2L -> "c1 c2 c3 c4"),
+      1L, "text", "doc_id", out, idx)
+    val s1 = spark.read.parquet(s"$out/data")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(s1(1L) === (("l1 l2 l3 l4 l5 body1 body2", 0L)))
+    assert(s1(2L) === (("c1 c2 c3 c4", 0L)))
+    // batch 2: doc 10 repeats batch 1's 5-token header → span cut; the
+    // first-seen copy in doc 1 stays published untouched. Doc 11 unique.
+    StreamingPipeline.spanDedupIngestBatch(
+      b(10L -> "l1 l2 l3 l4 l5 fresh1 fresh2", 11L -> "n1 n2 n3 n4 n5 n6"),
+      2L, "text", "doc_id", out, idx)
+    val s2 = spark.read.parquet(s"$out/data")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(s2(10L) === (("fresh1 fresh2", 5L)))
+    assert(s2(11L) === (("n1 n2 n3 n4 n5 n6", 0L)))
+    assert(s2(1L) === (("l1 l2 l3 l4 l5 body1 body2", 0L))) // unchanged
+    // replaying batch 2 is a marker no-op: store byte-identical
+    StreamingPipeline.spanDedupIngestBatch(
+      b(10L -> "l1 l2 l3 l4 l5 fresh1 fresh2", 11L -> "n1 n2 n3 n4 n5 n6"),
+      2L, "text", "doc_id", out, idx)
+    val s3 = spark.read.parquet(s"$out/data")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(s3 === s2)
+    // the gram index carries only 32-hex md5 hashes, deduplicated
+    val hs = spark.read.parquet(s"$idx/data").select("h").as[String].collect()
+    assert(hs.forall(_.length === 32))
+    assert(hs.length === hs.distinct.length)
+  }
+
   test("dedupIngest replay after index-rename/pre-marker crash loses no data") {
     val out = Files.createTempDirectory("graft-ddc-out").toString
     val idx = Files.createTempDirectory("graft-ddc-idx").toString

@@ -175,13 +175,18 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errsJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps}"""
     println(json)
     // stdout gets truncated by callers that keep only a tail; also land
-    // the complete per-query JSON as a repo artifact so round-over-round
-    // comparison covers every cell
+    // the complete per-query JSON as an artifact so round-over-round
+    // comparison covers every cell. Default lands in the launch cwd
+    // (the repo root when run per the harness contract); override with
+    // SPARK_GRAFT_BENCH_OUT when launching from elsewhere. The errors
+    // field travels in the JSON, so a partial run is self-describing.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_full.json"),
+      java.nio.file.Paths.get(benchOut),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
-      System.err.println(s"[bench] could not write BENCH_full.json: $e")
+      System.err.println(s"[bench] could not write $benchOut: $e")
     }
     spark.stop()
   }

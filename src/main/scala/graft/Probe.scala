@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * driver contract. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val q = args.headOption.getOrElse("x_minhash_lsh_neardups")
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val explain = args.contains("--explain")
+    val rest = args.filterNot(_ == "--explain")
+    val q = rest.headOption.getOrElse("x_minhash_lsh_neardups")
+    val sfDir = if (rest.length > 1) rest(1) else "/root/testdata/sf0.1"
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    if (explain) SparkEntry.queries(q)(spark, sfDir).explain("formatted")
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

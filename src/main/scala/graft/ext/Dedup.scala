@@ -470,8 +470,8 @@ object Dedup {
   /** Every length-`k` token window of every document, positioned and
     * hashed: (id, pos, h) with h = md5 of the space-joined window.
     * The gram stream behind [[duplicatedSpans]]. */
-  private def tokenGramHashes(docs: DataFrame, textCol: String,
-                              idCol: String, k: Int): DataFrame =
+  private[graft] def tokenGramHashes(docs: DataFrame, textCol: String,
+                                     idCol: String, k: Int): DataFrame =
     docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
@@ -508,11 +508,15 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
                       k: Int): DataFrame = {
     val grams = tokenGramHashes(docs, textCol, idCol, k)
-    val dup = grams.groupBy("h")
+    mergeMarks(grams.join(dupHashes(grams), "h"), k)
+  }
+
+  /** The duplicate criterion, shared by batch and incremental span
+    * dedup: hashes carried by MORE THAN ONE distinct doc of `grams`. */
+  private def dupHashes(grams: DataFrame): DataFrame =
+    grams.groupBy("h")
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") > 1).select("h")
-    mergeMarks(grams.join(dup, "h"), k)
-  }
 
   /** Island-merge of duplicate marks (id, pos) into maximal spans:
     * a mark starts a new span iff it begins past the furthest end seen
@@ -592,12 +596,18 @@ object Dedup {
     * index's scale path. */
   def incrementalDuplicatedSpans(batch: DataFrame, textCol: String,
                                  idCol: String, index: DataFrame,
-                                 k: Int): DataFrame = {
-    val grams = tokenGramHashes(batch, textCol, idCol, k)
-    val batchDup = grams.groupBy("h")
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") > 1).select("h")
-    val dup = batchDup.union(index.select(col("h"))).distinct()
+                                 k: Int): DataFrame =
+    incrementalDuplicatedSpansGrams(batch, textCol, idCol,
+      tokenGramHashes(batch, textCol, idCol, k), index, k)
+
+  /** [[incrementalDuplicatedSpans]] over a precomputed (and ideally
+    * persisted) gram table — the streaming hot path hands the SAME
+    * grams to the span cut and to the index delta, so tokenize+hash
+    * runs once per batch instead of once per consumer. */
+  private[graft] def incrementalDuplicatedSpansGrams(
+      batch: DataFrame, textCol: String, idCol: String,
+      grams: DataFrame, index: DataFrame, k: Int): DataFrame = {
+    val dup = dupHashes(grams).union(index.select(col("h"))).distinct()
     cutSpans(batch, textCol, idCol, mergeMarks(grams.join(dup, "h"), k))
   }
 

@@ -96,7 +96,9 @@ object Multimodal {
       .limit(5)
       .collect()
     require(dups.isEmpty,
-      s"duplicate media_id(s): ${dups.map(r => s"${r.get(0)} ×${r.get(1)} ${r.get(2)}").mkString("; ")}")
+      s"duplicate media_id(s): ${dups.map(r =>
+        s"${r.get(0)} ×${r.get(1)} [${r.getSeq[String](2).mkString(", ")}]")
+        .mkString("; ")}")
     records
   }
 

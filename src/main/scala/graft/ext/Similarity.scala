@@ -107,7 +107,7 @@ object Similarity {
 
   /** SRP-LSH signature: bit j = sign(v . plane_j), as a bit string. */
   def srpSignature(vec: Column, planes: Array[Array[Double]]): Column =
-    concat(planes.map(p =>
+    concat(planes.toIndexedSeq.map(p =>
       when(dot(vec, typedlit(p.toSeq)) >= 0.0, lit("1")).otherwise(lit("0"))): _*)
 
   /** The scale path for cosine near-duplicate pairs: SRP-LSH banding.

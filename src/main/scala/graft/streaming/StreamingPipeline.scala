@@ -317,7 +317,11 @@ object StreamingPipeline {
   /** Read-time EWMA over [[ewmaGoldIngest]] state: identical fold to the
     * batch `a_ewma_daily` shape — per-day averages rounded to 4 decimals
     * BEFORE the recursion, a `windowDays`-bounded frame seeded by its
-    * oldest value — so incremental ≡ batch recompute, bit for bit. */
+    * oldest value — so incremental matches the batch recompute after the
+    * rounding. (Cross-batch partial sums can differ from a single-scan
+    * sum by final-ULP floating-point error; the pre-fold rounding is
+    * what absorbs it, except for averages landing within one ULP of a
+    * rounding boundary.) */
   def ewmaDailyView(stored: DataFrame, keys: Seq[String],
                     alpha: Double = 0.5, windowDays: Int = 10): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy("day")
@@ -440,22 +444,30 @@ object StreamingPipeline {
       }
       .start()
 
-  /** The per-batch body of [[spanDedupIngest]]. */
+  /** The per-batch body of [[spanDedupIngest]]. The gram table is
+    * computed ONCE per batch and persisted for its duration — it feeds
+    * three consumers (duplicate-hash aggregation, mark join, index
+    * delta), and the survivors and delta writes are separate actions,
+    * so without the persist the tokenize+md5 subtree would re-evaluate
+    * per consumer per action. Unpersisted via the afterWrite hook. */
   def spanDedupIngestBatch(batch: DataFrame, id: Long, textCol: String,
                            idCol: String, outPath: String,
                            indexPath: String, k: Int = 5): Unit =
     withBatchIndex(batch.sparkSession, id, outPath, indexPath,
       emptyIndex = s => s.emptyDataFrame
         .select(lit("").as("h")).limit(0)) { index =>
+      val grams = graft.ext.Dedup
+        .tokenGramHashes(batch, textCol, idCol, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cleaned = graft.ext.Dedup
-        .incrementalDuplicatedSpans(batch, textCol, idCol, index, k)
+        .incrementalDuplicatedSpansGrams(batch, textCol, idCol, grams,
+          index, k)
       // only hashes not already indexed append, so the index stays
       // distinct instead of accumulating one copy per batch that
       // re-encounters the same boilerplate
-      val delta = graft.ext.Dedup
-        .batchGramHashes(batch, textCol, idCol, k)
+      val delta = grams.select(col("h")).distinct()
         .join(index.select(col("h")), Seq("h"), "left_anti")
-      (cleaned, delta, () => ())
+      (cleaned, delta, () => { grams.unpersist(); () })
     }
 
   /** The crash-safe protocol shared by every index-backed ingest path
@@ -642,7 +654,8 @@ object StreamingPipeline {
     * read. */
   def compactIngestIndex(spark: SparkSession, outPath: String,
                          indexPath: String, targetFiles: Int = 1,
-                         onBeforeSwap: () => Unit = () => ()): Unit = {
+                         onBeforeSwap: () => Unit = () => (),
+                         onAfterAside: () => Unit = () => ()): Unit = {
     val fs = stateFs(spark, indexPath)
     val outFs = stateFs(spark, outPath)
     val idxDir = new Path(s"$indexPath/data")
@@ -674,26 +687,30 @@ object StreamingPipeline {
       .write.mode("overwrite").parquet(stage.toString)
     // the upfront marker check is one-shot: a micro-batch could rename a
     // fresh delta into the dir between the snapshot read and the swap.
-    // Quiescence is enforced, not merely documented, by re-listing AFTER
-    // the rename-aside: any delta that slipped in rides inside `backup`,
-    // and on mismatch the backup is restored and the swap aborted — the
-    // racing delta SURVIVES. (A delta rename attempted after the aside
-    // fails loudly on the writer's side: the data dir is gone.) A replay
-    // clearing its own delta also invalidates the snapshot and aborts.
-    // `onBeforeSwap` is a test seam for injecting a racing delta into
-    // exactly the snapshot→aside window.
+    // Re-listing AFTER the rename-aside closes the delta-into-old-dir
+    // race: any delta that slipped in rides inside `backup`, and on
+    // mismatch the backup is restored and the swap aborted — the racing
+    // delta SURVIVES. A batch that instead interleaves with the swap
+    // itself (reads while the dir is aside, then recreates it) is OUT OF
+    // CONTRACT — quiescence is a requirement, the re-list is defense in
+    // depth — but even then [[restoreFoldingRacers]] folds the racer's
+    // fresh deltas into the restored history rather than stranding the
+    // whole index in `_preidx`, so a quiescence violation costs at most
+    // re-published duplicates, never the index. `onBeforeSwap` is a test
+    // seam for injecting a racing delta into exactly the snapshot→aside
+    // window.
     onBeforeSwap()
     if (fs.exists(backup)) fs.delete(backup, true)
     if (!fs.rename(idxDir, backup))
       throw new java.io.IOException(
         s"index swap: could not move $idxDir aside")
+    // second test seam: the window where an out-of-contract micro-batch
+    // could recreate the data dir while the index sits in the backup
+    onAfterAside()
     val now = parquetNames(backup)
     if (now != snapshot) {
       fs.delete(stage, true)
-      if (!fs.rename(backup, idxDir))
-        throw new java.io.IOException(
-          s"index swap: could not restore $backup to $idxDir after " +
-            "detecting a racing delta")
+      restoreFoldingRacers(fs, idxDir, backup)
       throw new IllegalStateException(
         "refusing to swap: index contents changed during compaction " +
           s"(appeared: ${(now -- snapshot).toSeq.sorted.mkString(", ")}; " +
@@ -701,12 +718,53 @@ object StreamingPipeline {
           "the stream is not quiesced")
     }
     if (!fs.rename(stage, idxDir)) {
-      fs.rename(backup, idxDir)
+      // promote failed: either an FS fault, or a racing batch recreated
+      // the data dir after our aside (mkdirs + fresh delta). Restore the
+      // authoritative history, folding any racer files in, then abort.
+      fs.delete(stage, true)
+      restoreFoldingRacers(fs, idxDir, backup)
       throw new java.io.IOException(
-        s"index swap: could not promote compacted index to $idxDir")
+        s"index swap: could not promote compacted index to $idxDir " +
+          "(index recreated during the swap? stream not quiesced); " +
+          "original index restored")
+    }
+    // on HDFS, rename into an EXISTING destination dir "succeeds" by
+    // nesting the source inside it — which here means a racer recreated
+    // the data dir and the compacted output landed at data/_compact.
+    // Detect, unwind, restore the authoritative history, abort.
+    if (fs.exists(new Path(idxDir, stage.getName))) {
+      fs.delete(new Path(idxDir, stage.getName), true)
+      restoreFoldingRacers(fs, idxDir, backup)
+      throw new java.io.IOException(
+        s"index swap: promote nested into a recreated $idxDir (stream " +
+          "not quiesced); original index restored")
     }
     fs.delete(backup, true)
     ()
+  }
+
+  /** Put `backup` (the authoritative pre-swap index) back at `idxDir`.
+    * If a racing micro-batch recreated `idxDir` while the index was
+    * aside, its fresh delta files are folded INTO the backup first so
+    * neither the history nor the racer's delta is lost, then the merged
+    * dir is swapped back. Throws if the filesystem refuses — leaving
+    * `_preidx` in place, which [[withBatchIndexes]]' restore-on-read
+    * heals only when the data dir is absent, so failure here is loud. */
+  private def restoreFoldingRacers(fs: FileSystem, idxDir: Path,
+                                   backup: Path): Unit = {
+    if (fs.exists(idxDir)) {
+      fs.listStatus(idxDir).foreach { f =>
+        if (!fs.rename(f.getPath, new Path(backup, f.getPath.getName)))
+          throw new java.io.IOException(
+            s"index swap: could not fold racer file ${f.getPath} into $backup")
+      }
+      if (!fs.delete(idxDir, true))
+        throw new java.io.IOException(
+          s"index swap: could not clear racer dir $idxDir before restore")
+    }
+    if (!fs.rename(backup, idxDir))
+      throw new java.io.IOException(
+        s"index swap: could not restore $backup to $idxDir")
   }
 
   /** Compact EVERY index of a multi-index ingest — [[curateFullIngest]]
@@ -1256,7 +1314,7 @@ object StreamingPipeline {
             // close via watermark once last+gap passes; never set a timeout
             // at or before the current watermark (illegal)
             state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs + 1, buf.lastUs / 1000L + gapSeconds * 1000L))
+              math.max(state.getCurrentWatermarkMs() + 1, buf.lastUs / 1000L + gapSeconds * 1000L))
             closed.reverseIterator
           }
       }

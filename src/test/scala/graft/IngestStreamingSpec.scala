@@ -284,6 +284,48 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/data").distinct().count() === 4)
   }
 
+  test("compaction swap raced by a batch that recreates the data dir: history restored, racer delta folded") {
+    val out = Files.createTempDirectory("graft-fold-out").toString
+    val idx = Files.createTempDirectory("graft-fold-idx").toString
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    (1L to 3L).foreach { i =>
+      StreamingPipeline.dedupIngestBatch(batch(i -> s"doc number $i"), i,
+        "text", "doc_id", out, idx)
+    }
+    val before = spark.read.parquet(s"$idx/data").distinct().count()
+    // prebuild the racer's delta file (a batch that read an empty index
+    // while the real one sat in _preidx, then recreated data/)
+    val racerTmp = Files.createTempDirectory("graft-fold-racer").toString
+    Seq("zz-racer-fingerprint").toDF("fingerprint").coalesce(1)
+      .write.mode("overwrite").parquet(racerTmp)
+    val racerPart = new java.io.File(racerTmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val e = intercept[java.io.IOException] {
+      StreamingPipeline.compactIngestIndex(spark, out, idx,
+        onAfterAside = () => {
+          val dataDir = new java.io.File(s"$idx/data")
+          assert(dataDir.mkdirs())
+          java.nio.file.Files.move(racerPart.toPath,
+            new java.io.File(dataDir, "b9-" + racerPart.getName).toPath)
+        })
+    }
+    assert(e.getMessage.contains("not quiesced"))
+    // nothing stranded: the data dir holds the FULL history plus the
+    // racer's fingerprint, and no _preidx backup is left behind
+    val after = spark.read.parquet(s"$idx/data").distinct()
+    assert(after.count() === before + 1)
+    assert(after.filter($"fingerprint" === "zz-racer-fingerprint").count() === 1)
+    assert(!new java.io.File(s"$idx/_preidx").exists())
+    // once the racer's batch is markered (quiesced again), compaction
+    // folds everything — history and racer delta — into one generation
+    Files.createDirectories(java.nio.file.Path.of(out, "_batches"))
+    Files.createFile(java.nio.file.Path.of(out, "_batches", "9"))
+    StreamingPipeline.compactIngestIndex(spark, out, idx)
+    assert(new java.io.File(s"$idx/data").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 1)
+    assert(spark.read.parquet(s"$idx/data").distinct().count() === before + 1)
+  }
+
   test("the exactly-once protocol runs through scheme-qualified file:// URIs") {
     // state paths resolve their FileSystem from the path URI (HDFS in
     // production, file:// here) — drive the whole protocol with explicit

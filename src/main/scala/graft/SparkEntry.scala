@@ -3591,6 +3591,49 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // X-self-repeat: within-document repetition surgery — second and
+    // later occurrences of any 5-token window repeating INSIDE one doc
+    // are cut (first kept); looping/stuttered text trimmed exactly,
+    // where the Gopher repetition ratios only gate whole docs.
+    Q("x_self_repeat_trim",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+              |g0 AS (SELECT doc_id,
+              |        unnest(list_transform(range(0, n - 4),
+              |          i -> {'pos': i, 'h': md5(array_to_string(toks[(i + 1):(i + 5)], ' '))})) AS s
+              |       FROM b WHERE n >= 5),
+              |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g0),
+              |hits AS (SELECT doc_id, pos, pos + 5 AS e
+              |         FROM (SELECT doc_id, pos, ROW_NUMBER() OVER
+              |                 (PARTITION BY doc_id, h ORDER BY pos) AS occ
+              |               FROM g) WHERE occ > 1),
+              |isl AS (SELECT doc_id, pos, e,
+              |         MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+              |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              |        FROM hits),
+              |i2 AS (SELECT doc_id, pos, e,
+              |        SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+              |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |       FROM isl),
+              |sp AS (SELECT doc_id, MIN(pos) AS s, MAX(e) AS e
+              |       FROM i2 GROUP BY doc_id, island),
+              |agg AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans,
+              |          SUM(e - s) AS rem FROM sp GROUP BY doc_id)
+              |SELECT b.doc_id,
+              |  COALESCE(array_to_string(list_transform(
+              |    list_filter(range(0, b.n), i ->
+              |      len(list_filter(COALESCE(a.spans, []::STRUCT(s BIGINT, e BIGINT)[]),
+              |            sp2 -> i >= sp2.s AND i < sp2.e)) = 0),
+              |    i -> b.toks[i + 1]), ' '), '') AS clean_text,
+              |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_tokens,
+              |  CAST(COALESCE(a.rem, 0) AS BIGINT) AS n_removed
+              |FROM b LEFT JOIN agg a USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Dedup.trimSelfRepeats(Tables.documents(s, dir),
+          "text", "doc_id", k = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // X-decontam: benchmark decontamination — train docs sharing any
     // distinct 3-gram with the held-out set (doc_id % 47 = 0 stands in for
     // the benchmark). n=3 for the ~30-word synthetic vocab; real pipelines

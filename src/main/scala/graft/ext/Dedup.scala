@@ -573,6 +573,34 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** WITHIN-document repeated token spans — the self-repetition
+    * complement of [[duplicatedSpans]]: the SECOND and later
+    * occurrences of any length-`k` window that repeats inside the same
+    * document mark their ranges (first occurrence kept); overlapping
+    * marks merge into maximal spans. Cross-document sharing is NOT
+    * flagged here — that is [[duplicatedSpans]]' contract; this one
+    * catches looping/stuttering text and repeated in-document
+    * boilerplate at exact-match granularity, where the Gopher-style
+    * repetition RATIOS only gate whole documents.
+    *
+    * Shape at scale: embarrassingly per-document — the only shuffle
+    * keys on (id, h) for the occurrence numbering, then on id for the
+    * island merge; nothing is corpus-global. */
+  def selfRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int): DataFrame = {
+    val grams = tokenGramHashes(docs, textCol, idCol, k)
+    val w = Window.partitionBy("id", "h").orderBy("pos")
+    mergeMarks(grams.withColumn("occ", row_number().over(w))
+      .filter(col("occ") > 1).select("id", "pos"), k)
+  }
+
+  /** Cut every [[selfRepeatedSpans]] span out of the text — same
+    * surgery and output shape as [[removeDuplicatedSpans]]:
+    * (id, clean_text, n_tokens, n_removed) for every input doc. */
+  def trimSelfRepeats(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int): DataFrame =
+    cutSpans(docs, textCol, idCol, selfRepeatedSpans(docs, textCol, idCol, k))
+
   /** The distinct k-gram hashes of a corpus/batch — the gram-index
     * delta an incremental span-dedup appends after curating a batch. */
   def batchGramHashes(docs: DataFrame, textCol: String, idCol: String,

@@ -44,6 +44,29 @@ class ExtOpsSpec extends SparkTestBase {
     assert(cleaned(5L) === (("u1 u2 u3 u4 u5 u1 u2 u3 u4 u5", 10L, 0L)))
   }
 
+  test("selfRepeatedSpans: later in-doc occurrences trimmed, first kept, cross-doc ignored") {
+    val docs = Seq(
+      // "u1..u5" repeats at pos 5: window pos5 is occurrence 2 → [5,10)
+      (1L, "u1 u2 u3 u4 u5 u1 u2 u3 u4 u5"),
+      // pure stutter: every window after pos0 re-hits "a a a a a" → [1,6)
+      (2L, "a a a a a a"),
+      // no in-doc repeat, even though it shares a 5-gram with doc 4 —
+      // cross-doc sharing is duplicatedSpans' business, not this one's
+      (3L, "s1 s2 s3 s4 s5 t1"),
+      (4L, "s1 s2 s3 s4 s5 t2"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.selfRepeatedSpans(docs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(spans === Map(1L -> ((5L, 10L)), 2L -> ((1L, 6L))))
+    val out = Dedup.trimSelfRepeats(docs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L) === (("u1 u2 u3 u4 u5", 5L)))
+    assert(out(2L) === (("a", 5L)))
+    assert(out(3L) === (("s1 s2 s3 s4 s5 t1", 0L)))
+    assert(out(4L) === (("s1 s2 s3 s4 s5 t2", 0L)))
+  }
+
   test("ngramContamination flags only train docs sharing a test n-gram") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),  // test doc (id % 2 == 0)

@@ -18,6 +18,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dedup")) { dedupProbe(args); return }
     if (args.headOption.contains("ann")) { annProbe(args); return }
+    if (args.headOption.contains("spans")) { spansProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -89,6 +90,58 @@ object ScaleProbe {
       println(f"[scale] dedup run$i docs=$nDocs pairs=$pairs sec=$sec%.2f " +
         f"docs_per_sec=${nDocs / sec}%.0f")
     }
+    spark.stop()
+  }
+
+  /** ExactSubstr span dedup at scale: 70-word hash-deterministic docs,
+    * every 5th doc prefixed with a FIXED 10-token boilerplate block —
+    * so the expected outcome is exact (nDocs/5 spans, each [0, 10),
+    * 10 tokens removed per flagged doc) and correctness is verified
+    * while the sweep is timed. */
+  private def spansProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 50000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val boiler = (0 until 10).map(i => s"lic$i").mkString(" ")
+    val words = (i: Int) =>
+      concat(lit("w"), pmod(hash(col("doc_id") * 131 + lit(i)), lit(20000)))
+    // the first body word is doc-UNIQUE so the block→body boundary
+    // window can never match across docs — the planted spans are then
+    // exactly [0, 10) and the expectation is closed-form
+    spark.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("body", concat_ws(" ",
+        concat(lit("u"), col("doc_id")) +: (1 until 70).map(words): _*))
+      .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+        concat_ws(" ", lit(boiler), col("body"))).otherwise(col("body")))
+      .drop("body")
+      .repartition(cpus * 2)
+      .write.mode("overwrite").parquet("/tmp/graft_scale_spans")
+    val df = spark.read.parquet("/tmp/graft_scale_spans")
+    val expected = nDocs / 5
+    (1 to 3).foreach { i =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val spans = graft.ext.Dedup.duplicatedSpans(df, "text", "doc_id", 5)
+      val (n, bad) = {
+        val agg = spans.agg(count(lit(1)),
+          sum(when(col("span_start") =!= 0L || col("span_end") =!= 10L, 1L)
+            .otherwise(0L))).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] spans run$i docs=$nDocs spans=$n " +
+        f"(expected $expected, off_shape=$bad) sec=$sec%.2f " +
+        f"docs_per_sec=${nDocs / sec}%.0f")
+    }
+    System.gc()
+    val t0 = System.nanoTime()
+    val removed = graft.ext.Dedup
+      .removeDuplicatedSpans(df, "text", "doc_id", 5)
+      .agg(sum("n_removed")).head().getLong(0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] spans removal docs=$nDocs tokens_removed=$removed " +
+      f"(expected ${expected * 10}) sec=$sec%.2f")
     spark.stop()
   }
 

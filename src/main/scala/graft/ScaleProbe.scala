@@ -118,7 +118,7 @@ object ScaleProbe {
       .repartition(cpus * 2)
       .write.mode("overwrite").parquet("/tmp/graft_scale_spans")
     val df = spark.read.parquet("/tmp/graft_scale_spans")
-    val expected = nDocs / 5
+    val expected = (nDocs + 4) / 5 // doc_id % 5 == 0 count, any nDocs
     (1 to 3).foreach { i =>
       System.gc()
       val t0 = System.nanoTime()

@@ -576,12 +576,16 @@ object Dedup {
   /** WITHIN-document repeated token spans — the self-repetition
     * complement of [[duplicatedSpans]]: the SECOND and later
     * occurrences of any length-`k` window that repeats inside the same
-    * document mark their ranges (first occurrence kept); overlapping
-    * marks merge into maximal spans. Cross-document sharing is NOT
-    * flagged here — that is [[duplicatedSpans]]' contract; this one
-    * catches looping/stuttering text and repeated in-document
-    * boilerplate at exact-match granularity, where the Gopher-style
-    * repetition RATIOS only gate whole documents.
+    * document mark their ranges; overlapping marks merge into maximal
+    * spans. The first WINDOW of each repeat is never marked, but a
+    * stutter whose repeat period is shorter than `k` produces later
+    * marks that overlap into the first occurrence's tokens — "a a a a
+    * a a" at k=5 trims to "a", not to one full 5-token copy (pinned in
+    * spec). Cross-document sharing is NOT flagged here — that is
+    * [[duplicatedSpans]]' contract; this one catches looping/
+    * stuttering text and repeated in-document boilerplate at
+    * exact-match granularity, where the Gopher-style repetition RATIOS
+    * only gate whole documents.
     *
     * Shape at scale: embarrassingly per-document — the only shuffle
     * keys on (id, h) for the occurrence numbering, then on id for the

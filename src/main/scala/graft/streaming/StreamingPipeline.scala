@@ -452,23 +452,29 @@ object StreamingPipeline {
     * per consumer per action. Unpersisted via the afterWrite hook. */
   def spanDedupIngestBatch(batch: DataFrame, id: Long, textCol: String,
                            idCol: String, outPath: String,
-                           indexPath: String, k: Int = 5): Unit =
-    withBatchIndex(batch.sparkSession, id, outPath, indexPath,
-      emptyIndex = s => s.emptyDataFrame
-        .select(lit("").as("h")).limit(0)) { index =>
-      val grams = graft.ext.Dedup
-        .tokenGramHashes(batch, textCol, idCol, k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cleaned = graft.ext.Dedup
-        .incrementalDuplicatedSpansGrams(batch, textCol, idCol, grams,
-          index, k)
-      // only hashes not already indexed append, so the index stays
-      // distinct instead of accumulating one copy per batch that
-      // re-encounters the same boilerplate
-      val delta = grams.select(col("h")).distinct()
-        .join(index.select(col("h")), Seq("h"), "left_anti")
-      (cleaned, delta, () => { grams.unpersist(); () })
-    }
+                           indexPath: String, k: Int = 5): Unit = {
+    // persisted OUTSIDE withBatchIndex and released in a finally: an
+    // aborted batch (FS fault mid-write) must not leak cached blocks
+    // across replays
+    val grams = graft.ext.Dedup
+      .tokenGramHashes(batch, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withBatchIndex(batch.sparkSession, id, outPath, indexPath,
+        emptyIndex = s => s.emptyDataFrame
+          .select(lit("").as("h")).limit(0)) { index =>
+        val cleaned = graft.ext.Dedup
+          .incrementalDuplicatedSpansGrams(batch, textCol, idCol, grams,
+            index, k)
+        // only hashes not already indexed append, so the index stays
+        // distinct instead of accumulating one copy per batch that
+        // re-encounters the same boilerplate
+        val delta = grams.select(col("h")).distinct()
+          .join(index.select(col("h")), Seq("h"), "left_anti")
+        (cleaned, delta, () => ())
+      }
+    } finally { grams.unpersist(); () }
+  }
 
   /** The crash-safe protocol shared by every index-backed ingest path
     * ([[dedupIngestBatch]], [[curateIngestBatch]]): batch-marker no-op,
@@ -528,6 +534,14 @@ object StreamingPipeline {
       if (!fs.exists(idxDir) && fs.exists(b) && !fs.rename(b, idxDir))
         throw new java.io.IOException(
           s"index swap: could not restore $b to $idxDir after crash")
+      // divergent state (BOTH dirs present) — left by a crash inside a
+      // racer repair, or by a crash after a successful promote but
+      // before the backup delete. Fold the backup's files in before
+      // reading: content-preserving in both cases (a stale copy only
+      // re-adds rows the index already carries, and the reads/compaction
+      // dedupe), where ignoring it would silently serve a partial index
+      // until something deletes the only full copy.
+      foldBackupInto(fs, idxDir, b)
       if (fs.exists(idxDir))
         fs.listStatus(idxDir).filter(_.getPath.getName.startsWith(s"b$id-"))
           .foreach(f => { fs.delete(f.getPath, false); () })
@@ -666,6 +680,12 @@ object StreamingPipeline {
     if (!fs.exists(idxDir) && fs.exists(backup) && !fs.rename(backup, idxDir))
       throw new java.io.IOException(
         s"index swap: could not restore $backup to $idxDir after crash")
+    // divergent state (both dirs present — crashed racer repair, or a
+    // crash between promote and backup delete): fold the backup in
+    // BEFORE the snapshot, so its content rides through this compaction
+    // (the distinct() below removes any stale-copy duplicates) instead
+    // of being deleted as if it were guaranteed redundant
+    foldBackupInto(fs, idxDir, backup)
     if (!fs.exists(idxDir)) return
     def parquetNames(dir: Path): Set[String] =
       fs.listStatus(dir).map(_.getPath.getName)
@@ -700,7 +720,13 @@ object StreamingPipeline {
     // seam for injecting a racing delta into exactly the snapshot→aside
     // window.
     onBeforeSwap()
-    if (fs.exists(backup)) fs.delete(backup, true)
+    // the backup was folded in (or absent) at entry; one REAPPEARING
+    // here means another compaction is running — abort rather than
+    // delete what might be its authoritative copy
+    if (fs.exists(backup))
+      throw new IllegalStateException(
+        s"refusing to swap: $backup reappeared mid-compaction " +
+          "(concurrent compaction?)")
     if (!fs.rename(idxDir, backup))
       throw new java.io.IOException(
         s"index swap: could not move $idxDir aside")
@@ -738,6 +764,30 @@ object StreamingPipeline {
       throw new java.io.IOException(
         s"index swap: promote nested into a recreated $idxDir (stream " +
           "not quiesced); original index restored")
+    }
+    fs.delete(backup, true)
+    ()
+  }
+
+  /** Heal the divergent both-dirs-present state: move every file of
+    * `backup` into `idxDir`, then drop the emptied backup. No-op unless
+    * both exist. Content-preserving whichever history the state came
+    * from — a stale pre-compaction copy only re-adds rows the index
+    * already carries (removed by the next compaction's distinct), while
+    * a stranded post-racer-crash history is restored outright. A name
+    * collision aborts loudly with both copies intact. */
+  private def foldBackupInto(fs: FileSystem, idxDir: Path,
+                             backup: Path): Unit = {
+    if (!fs.exists(idxDir) || !fs.exists(backup)) return
+    fs.listStatus(backup).foreach { f =>
+      val dest = new Path(idxDir, f.getPath.getName)
+      if (fs.exists(dest))
+        throw new java.io.IOException(
+          s"index heal: name collision folding ${f.getPath} into $idxDir; " +
+            "manual merge required")
+      if (!fs.rename(f.getPath, dest))
+        throw new java.io.IOException(
+          s"index heal: could not fold ${f.getPath} into $idxDir")
     }
     fs.delete(backup, true)
     ()
@@ -939,19 +989,24 @@ object StreamingPipeline {
         org.apache.spark.sql.types.StructField("sig",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.LongType)))))
-    withBatchIndex(batch.sparkSession, id, outPath, sigIndexPath,
-      emptySigs) { histSigs =>
-      val inBatch = graft.ext.Dedup.exactDedup(batch, textCol, idCol)
-      // one shingle pass per batch: the cached signature table feeds the
-      // banded join AND, semi-joined on the surviving ids, the index delta
-      val bSigs = graft.ext.Dedup.minhashSigTable(inBatch, textCol, idCol)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val survivors = graft.ext.Dedup.incrementalMinhashDedupSigs(
-        inBatch, bSigs, idCol, histSigs, estThreshold)
-      val sigDelta = bSigs.join(
-        survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      (survivors, sigDelta, () => { bSigs.unpersist(); () })
-    }
+    val inBatch = graft.ext.Dedup.exactDedup(batch, textCol, idCol)
+    // one shingle pass per batch: the cached signature table feeds the
+    // banded join AND, semi-joined on the surviving ids, the index delta.
+    // Persisted OUTSIDE withBatchIndex and released in a finally: an
+    // aborted batch (FS fault mid-write) must not leak cached blocks
+    // across replays.
+    val bSigs = graft.ext.Dedup.minhashSigTable(inBatch, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withBatchIndex(batch.sparkSession, id, outPath, sigIndexPath,
+        emptySigs) { histSigs =>
+        val survivors = graft.ext.Dedup.incrementalMinhashDedupSigs(
+          inBatch, bSigs, idCol, histSigs, estThreshold)
+        val sigDelta = bSigs.join(
+          survivors.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        (survivors, sigDelta, () => ())
+      }
+    } finally { bSigs.unpersist(); () }
   }
 
   /** Continuously-maintained keyed stats served as ATOMIC VERSIONED

@@ -326,6 +326,37 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/data").distinct().count() === before + 1)
   }
 
+  test("divergent data + _preidx state heals by folding before the next read") {
+    val out = Files.createTempDirectory("graft-heal-out").toString
+    val idx = Files.createTempDirectory("graft-heal-idx").toString
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    StreamingPipeline.dedupIngestBatch(batch(1L -> "alpha beta"), 1L,
+      "text", "doc_id", out, idx)
+    StreamingPipeline.dedupIngestBatch(batch(2L -> "gamma delta"), 2L,
+      "text", "doc_id", out, idx)
+    // simulate a crash mid-repair: the index was moved aside, a partial
+    // fold put only batch 2's delta back — data/ and _preidx BOTH exist,
+    // history split across them
+    val dataDir = new java.io.File(s"$idx/data")
+    val preidx = new java.io.File(s"$idx/_preidx")
+    assert(dataDir.renameTo(preidx))
+    assert(dataDir.mkdirs())
+    preidx.listFiles().filter(_.getName.startsWith("b2-")).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(dataDir, f.getName).toPath)
+    }
+    // the next batch folds the remainder in before reading: the dup of
+    // doc 1 — whose fingerprint sat in the STRANDED half — is blocked
+    StreamingPipeline.dedupIngestBatch(
+      batch(3L -> "alpha beta", 4L -> "epsilon zeta"), 3L,
+      "text", "doc_id", out, idx)
+    val landed = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed === Set(1L, 2L, 4L)) // 3 blocked by the healed index
+    assert(!preidx.exists()) // divergence gone
+    assert(spark.read.parquet(s"$idx/data").distinct().count() === 3)
+  }
+
   test("the exactly-once protocol runs through scheme-qualified file:// URIs") {
     // state paths resolve their FileSystem from the path URI (HDFS in
     // production, file:// here) — drive the whole protocol with explicit

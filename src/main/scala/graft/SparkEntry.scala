@@ -909,6 +909,39 @@ object SparkEntry {
         .select(col("n_ref"), col("n_cur"),
           round(col("psi") + lit(1e-9), 4).as("psi"))),
 
+    // M-drift (embeddings): centroid-shift cosine per label — the
+    // vector-column analogue of PSI: 1.0 = direction unchanged, falling
+    // cosine = the embedding distribution is moving (new topics, encoder
+    // change, upstream corruption). Even/odd vec_id stands in for the
+    // reference/current periods.
+    Q("m_embedding_drift",
+      Some("""WITH e AS (SELECT vec_id, label, embedding,
+             |        vec_id % 2 = 0 AS is_ref FROM embeddings),
+             |x AS (SELECT label, is_ref, t.i AS dim,
+             |        AVG(embedding[t.i + 1]) AS c
+             |      FROM e, (SELECT unnest(range(0, 64)) AS i) t
+             |      GROUP BY 1, 2, 3),
+             |v AS (SELECT label, is_ref, list(c ORDER BY dim) AS cv
+             |      FROM x GROUP BY 1, 2),
+             |j AS (SELECT r.label, r.cv AS rc, c.cv AS cc
+             |      FROM v r JOIN v c ON r.label = c.label
+             |        AND r.is_ref AND NOT c.is_ref),
+             |n AS (SELECT label,
+             |        COUNT(*) FILTER (is_ref) AS n_ref,
+             |        COUNT(*) FILTER (NOT is_ref) AS n_cur
+             |      FROM e GROUP BY 1)
+             |SELECT j.label, n.n_ref, n.n_cur,
+             |  ROUND(list_dot_product(rc, cc)
+             |    / (sqrt(list_dot_product(rc, rc))
+             |       * sqrt(list_dot_product(cc, cc))) + 1e-9, 4) AS centroid_cosine
+             |FROM j JOIN n USING (label) ORDER BY label""".stripMargin),
+      (s, dir) => graft.monitoring.Drift.embeddingDrift(
+          Tables.embeddings(s, dir), Seq("label"), "embedding",
+          isRef = col("vec_id") % 2 === 0)
+        .select(col("label"), col("n_ref"), col("n_cur"),
+          round(col("centroid_cosine") + lit(1e-9), 4).as("centroid_cosine"))
+        .orderBy("label")),
+
     // Content fingerprint: one (count, xor-of-row-hashes) row replaces a
     // full table diff for re-run/replica/engine-port equality checks —
     // the oracle recomputing the identical value IS the cross-engine

@@ -144,4 +144,47 @@ object Drift {
       .na.fill(0L, Seq("c_ref", "c_cur"))
     psiFromCounts(counts, groupCols, lit(0.5 * buckets))
   }
+
+  /** Embedding-space drift: per group, the cosine between the reference
+    * period's centroid and the current period's centroid. 1.0 = the
+    * corpus direction is unchanged; falling cosine = the embedding
+    * distribution is moving (new topics, encoder change, upstream
+    * corruption) — the vector-column analogue of [[psi]] on scalars.
+    * Returns (groupCols..., n_ref, n_cur, centroid_cosine); groups
+    * missing either side produce no row (no centroid to compare).
+    *
+    * Shape at scale: one posexplode to (keys, side, dim, x) narrow rows
+    * — n×dim of them, never full vectors through the aggregation — one
+    * hash aggregate down to (groups × 2 × dim) means, and centroid
+    * reassembly/cosine over group-sized data. Nothing quadratic,
+    * nothing driver-side. */
+  def embeddingDrift(df: DataFrame, groupCols: Seq[String],
+                     vecCol: String, isRef: Column): DataFrame = {
+    val kcols = groupCols.map(col)
+    val tagged = df.select(kcols :+ isRef.as("is_ref")
+      :+ col(vecCol).as("v"): _*)
+    val byDim = tagged
+      .select(kcols :+ col("is_ref")
+        :+ posexplode(col("v")).as(Seq("dim", "x")): _*)
+      .groupBy(kcols :+ col("is_ref") :+ col("dim"): _*)
+      .agg(avg(col("x")).as("c"))
+    val cents = byDim
+      .groupBy(kcols :+ col("is_ref"): _*)
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val counts = tagged.groupBy(kcols: _*)
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("is_ref"), 0L).otherwise(1L)).as("n_cur"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, p) => acc + p)
+    val r = cents.filter(col("is_ref"))
+      .select(kcols :+ col("cv").as("rc"): _*)
+    val c = cents.filter(!col("is_ref"))
+      .select(kcols :+ col("cv").as("cc"): _*)
+    r.join(c, groupCols).join(counts, groupCols)
+      .select(kcols :+ col("n_ref") :+ col("n_cur") :+
+        (dot(col("rc"), col("cc"))
+          / (sqrt(dot(col("rc"), col("rc")))
+            * sqrt(dot(col("cc"), col("cc"))))).as("centroid_cosine"): _*)
+  }
 }

@@ -123,6 +123,23 @@ class AlertsSpec extends SparkTestBase {
     assert(math.abs(streaming.getDouble(2) - batch.getDouble(2)) < 1e-12)
   }
 
+  test("embeddingDrift: identical direction scores 1, inverted scores -1, one-sided groups drop") {
+    import graft.monitoring.Drift
+    val rows = Seq(
+      ("same", true, Array(1.0f, 0.0f)), ("same", false, Array(2.0f, 0.0f)),
+      ("flip", true, Array(1.0f, 1.0f)), ("flip", false, Array(-2.0f, -2.0f)),
+      ("onesided", true, Array(1.0f, 0.0f)))
+      .toDF("g", "ref", "v")
+    val out = Drift.embeddingDrift(rows, Seq("g"), "v", col("ref"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // scale-invariant: doubled magnitude, same direction → cosine 1
+    assert(out("same")._1 === 1L && out("same")._2 === 1L)
+    assert(math.abs(out("same")._3 - 1.0) < 1e-12)
+    assert(math.abs(out("flip")._3 + 1.0) < 1e-12)
+    assert(!out.contains("onesided")) // no current period → no comparison
+  }
+
   test("KS statistic: hand-computed value, zero on identical samples, NULL on an empty side") {
     import graft.monitoring.Drift
     // ref {1,2} vs cur {2,3}: ECDF gaps are 0.5 at v=1 and v=2 → D = 0.5

@@ -3667,6 +3667,31 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // X-novelty: per-doc n-gram novelty — the fraction of a doc's
+    // 5-token windows occurring nowhere else (other docs or elsewhere in
+    // the same doc). The ranking signal that prioritizes novel content
+    // in mix/curation decisions; the span operators locate repeats, this
+    // scores docs by them.
+    Q("x_gram_novelty",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+              |g0 AS (SELECT doc_id,
+              |        unnest(list_transform(range(0, n - 4),
+              |          i -> md5(array_to_string(toks[(i + 1):(i + 5)], ' ')))) AS h
+              |       FROM b WHERE n >= 5),
+              |occ AS (SELECT h, COUNT(*) AS n_occ FROM g0 GROUP BY 1)
+              |SELECT doc_id, COUNT(*) AS n_grams,
+              |  CAST(SUM(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |  ROUND(SUM(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END)::DOUBLE
+              |    / COUNT(*) + 1e-9, 4) AS novelty
+              |FROM g0 JOIN occ USING (h) GROUP BY doc_id
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => Dedup.gramNovelty(Tables.documents(s, dir), "text",
+          "doc_id", k = 5)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_novel"),
+          R(col("novelty")).as("novelty"))
+        .orderBy("doc_id")),
+
     // X-decontam: benchmark decontamination — train docs sharing any
     // distinct 3-gram with the held-out set (doc_id % 47 = 0 stands in for
     // the benchmark). n=3 for the ~30-word synthetic vocab; real pipelines

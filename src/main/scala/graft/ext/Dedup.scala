@@ -605,6 +605,30 @@ object Dedup {
                       k: Int): DataFrame =
     cutSpans(docs, textCol, idCol, selfRepeatedSpans(docs, textCol, idCol, k))
 
+  /** Per-document n-gram novelty: the fraction of a doc's length-`k`
+    * token windows that occur NOWHERE else in the corpus (other docs OR
+    * elsewhere in the same doc) — the "prioritize novel content"
+    * curation signal: 1.0 = fully novel, 0.0 = every window appears
+    * somewhere else. Returns (id, n_grams, n_novel, novelty) for every
+    * doc with at least `k` tokens; duplicatedSpans/selfRepeatedSpans
+    * LOCATE the repeats, this SCORES docs by them for ranking and mix
+    * decisions.
+    *
+    * Shape at scale: one gram-keyed count aggregation + a same-key
+    * join + a per-doc rollup — fixed-width (id, pos, md5) rows
+    * throughout, the TF-IDF cost family. */
+  def gramNovelty(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int): DataFrame = {
+    val grams = tokenGramHashes(docs, textCol, idCol, k)
+    val occ = grams.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    grams.join(occ, "h")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_occ") === 1L, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams"))
+  }
+
   /** The distinct k-gram hashes of a corpus/batch — the gram-index
     * delta an incremental span-dedup appends after curating a batch. */
   def batchGramHashes(docs: DataFrame, textCol: String, idCol: String,

@@ -67,6 +67,20 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out(4L) === (("s1 s2 s3 s4 s5 t2", 0L)))
   }
 
+  test("gramNovelty: shared and self-repeated windows lower the score, unique text scores 1") {
+    val docs = Seq(
+      (1L, "a b c d e f"),             // 2 windows, both unique → 1.0
+      (2L, "a b c d e z"),             // shares window "a b c d e" with 1
+      (3L, "r r r r r r"))             // both windows identical → 0.0
+      .toDF("doc_id", "text")
+    val out = Dedup.gramNovelty(docs, "text", "doc_id", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((2L, 1L, 0.5)))  // "b c d e f" unique, "a b c d e" shared
+    assert(out(2L) === ((2L, 1L, 0.5)))
+    assert(out(3L) === ((2L, 0L, 0.0)))  // self-repeat counts against novelty
+  }
+
   test("ngramContamination flags only train docs sharing a test n-gram") {
     val docs = Seq(
       (0L, "alpha beta gamma delta"),  // test doc (id % 2 == 0)

@@ -91,7 +91,11 @@ object Multimodal {
     val dups = records.toDF()
       .groupBy("media_id")
       .agg(count(lit(1)).as("n"),
-        array_sort(collect_set(element_at(col("meta"), "path"))).as("paths"))
+        // diagnostic provenance: mediaFromDir meta carries 'path',
+        // the asMediaRecords on-ramp carries 'src' — take whichever exists
+        array_sort(collect_set(coalesce(
+          element_at(col("meta"), "path"),
+          element_at(col("meta"), "src")))).as("paths"))
       .filter(col("n") > 1)
       .limit(5)
       .collect()

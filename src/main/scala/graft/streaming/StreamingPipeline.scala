@@ -302,9 +302,12 @@ object StreamingPipeline {
                     valueCol: String): Unit = {
     val gb = (keys :+ "day").map(col)
     mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      // n counts NON-NULL values (not rows): sum() skips NULLs, so a
+      // count(1) row count would inflate the denominator and diverge
+      // from the batch AVG the read-time view claims parity with.
       val partial = batch.withColumn("day", to_date(col(timeCol)))
         .groupBy(gb: _*)
-        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"))
+        .agg(count(col(valueCol)).as("n"), sum(col(valueCol)).as("sum_v"))
       existingOpt match {
         case Some(existing) =>
           existing.unionByName(partial).groupBy(gb: _*)
@@ -360,9 +363,11 @@ object StreamingPipeline {
                             valueCol: String): Unit = {
     val gb = (keys :+ "hod").map(col)
     mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      // n = non-null count, matching AVG/STDDEV_SAMP denominators (the
+      // moment sums already skip NULLs natively).
       val partial = batch.withColumn("hod", hour(col(timeCol)))
         .groupBy(gb: _*)
-        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_v"),
+        .agg(count(col(valueCol)).as("n"), sum(col(valueCol)).as("sum_v"),
           sum(col(valueCol) * col(valueCol)).as("sum_sq"))
       existingOpt match {
         case Some(existing) =>
@@ -774,12 +779,19 @@ object StreamingPipeline {
     * both exist. Content-preserving whichever history the state came
     * from — a stale pre-compaction copy only re-adds rows the index
     * already carries (removed by the next compaction's distinct), while
-    * a stranded post-racer-crash history is restored outright. A name
-    * collision aborts loudly with both copies intact. */
+    * a stranded post-racer-crash history is restored outright. Only
+    * `.parquet` files are folded — committer markers (`_SUCCESS`, left by
+    * every compaction's `write.parquet` and therefore present in BOTH
+    * dirs whenever a backup survives a later compaction's crash window)
+    * collide by name without carrying data, and folding on them would
+    * wedge every subsequent batch behind a spurious "manual merge"; they
+    * are simply dropped with the emptied backup. A COLLIDING `.parquet`
+    * name still aborts loudly with both copies intact. */
   private def foldBackupInto(fs: FileSystem, idxDir: Path,
                              backup: Path): Unit = {
     if (!fs.exists(idxDir) || !fs.exists(backup)) return
-    fs.listStatus(backup).foreach { f =>
+    fs.listStatus(backup)
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
       val dest = new Path(idxDir, f.getPath.getName)
       if (fs.exists(dest))
         throw new java.io.IOException(

@@ -478,6 +478,17 @@ class ExtSpec extends SparkTestBase {
       Multimodal.requireUniqueIds(collided).count()
     }
     assert(err.getMessage.contains("deadbeef"))
+    assert(err.getMessage.contains("/m/a.img") &&
+      err.getMessage.contains("/m/b.img"))
+    // the DataFrame on-ramp's meta carries 'src' (not 'path'): the
+    // collision diagnostic falls back to it instead of an empty list
+    val srcCollided = Multimodal.asMediaRecords(
+      Seq((7L, "A"), (7L, "B")).toDF("doc_id", "payload"),
+      "doc_id", "payload", "image")
+    val err2 = intercept[IllegalArgumentException] {
+      Multimodal.requireUniqueIds(srcCollided).count()
+    }
+    assert(err2.getMessage.contains("payload"))
     // ingestion composes with the decode pipeline unchanged
     val feats = Multimodal.decodeStub(recs, featureDim = 16).collect()
     assert(feats.length === 2 && feats.forall(_.features.length === 16))

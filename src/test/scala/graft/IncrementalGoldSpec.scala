@@ -134,6 +134,32 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(after === before)
   }
 
+  test("EWMA/seasonal state: NULL values do not inflate n (AVG/STDDEV_SAMP parity)") {
+    val ewmaDir = Files.createTempDirectory("graft-ewma-null").toString + "/s"
+    val seasDir = Files.createTempDirectory("graft-seas-null").toString + "/s"
+    val rows = Seq(
+      ("2024-06-10 01:00:00", "click", Some(2.0)),
+      ("2024-06-10 02:00:00", "click", None),
+      ("2024-06-10 03:00:00", "click", Some(4.0)))
+      .toDF("ts", "event_type", "value")
+      .select(to_timestamp(col("ts")).as("ts"), col("event_type"), col("value"))
+    StreamingPipeline.ewmaGoldBatch(rows, 0L, ewmaDir,
+      "ts", Seq("event_type"), "value")
+    StreamingPipeline.seasonalBaselineBatch(rows, 0L, seasDir,
+      "ts", Seq("event_type"), "value")
+    // day state must carry AVG semantics: n = 2 non-null values, not 3 rows
+    val st = spark.read.parquet(s"$ewmaDir/data")
+      .select("n", "sum_v").as[(Long, Double)].head()
+    assert(st === ((2L, 6.0)))
+    assert(StreamingPipeline.ewmaDailyView(
+        spark.read.parquet(s"$ewmaDir/data"), Seq("event_type"))
+      .select("ewma").as[Double].head() === 3.0) // (2+4)/2, not /3
+    // seasonal: the NULL-only hour contributes n=0, the others n=1
+    val ns = spark.read.parquet(s"$seasDir/data")
+      .select("hod", "n").as[(Int, Long)].collect().toMap
+    assert(ns === Map(1 -> 1L, 2 -> 0L, 3 -> 1L))
+  }
+
   test("cdcUpsert: latest-wins with tombstones, late changes ignored, replay no-op") {
     val store = Files.createTempDirectory("graft-cdc").toString + "/t"
     def b(rows: (String, Long, String, String)*) =

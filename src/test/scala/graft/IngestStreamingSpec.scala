@@ -357,6 +357,44 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$idx/data").distinct().count() === 3)
   }
 
+  test("heal tolerates committer markers (_SUCCESS) present in both dirs") {
+    val out = Files.createTempDirectory("graft-heal2-out").toString
+    val idx = Files.createTempDirectory("graft-heal2-idx").toString
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    StreamingPipeline.dedupIngestBatch(batch(1L -> "alpha beta"), 1L,
+      "text", "doc_id", out, idx)
+    StreamingPipeline.dedupIngestBatch(batch(2L -> "gamma delta"), 2L,
+      "text", "doc_id", out, idx)
+    // a compaction leaves a _SUCCESS marker in data/ alongside the parquet
+    StreamingPipeline.compactIngestIndex(spark, out, idx)
+    assert(new java.io.File(s"$idx/data/_SUCCESS").exists())
+    StreamingPipeline.dedupIngestBatch(batch(3L -> "epsilon zeta"), 3L,
+      "text", "doc_id", out, idx)
+    // crash mid-repair: history (with its marker) stranded in _preidx,
+    // data/ recreated carrying batch 3's delta AND its own _SUCCESS —
+    // the marker name now collides across the two dirs
+    val dataDir = new java.io.File(s"$idx/data")
+    val preidx = new java.io.File(s"$idx/_preidx")
+    assert(dataDir.renameTo(preidx))
+    assert(dataDir.mkdirs())
+    preidx.listFiles().filter(_.getName.startsWith("b3-")).foreach { f =>
+      java.nio.file.Files.move(f.toPath,
+        new java.io.File(dataDir, f.getName).toPath)
+    }
+    java.nio.file.Files.createFile(
+      java.nio.file.Path.of(s"$idx/data/_SUCCESS"))
+    // the heal must fold the stranded parquet in and DROP the colliding
+    // marker instead of aborting — doc 1's dup is blocked afterwards
+    StreamingPipeline.dedupIngestBatch(
+      batch(5L -> "alpha beta", 6L -> "eta theta"), 4L,
+      "text", "doc_id", out, idx)
+    val landed = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed === Set(1L, 2L, 3L, 6L))
+    assert(!preidx.exists())
+    assert(spark.read.parquet(s"$idx/data").distinct().count() === 4)
+  }
+
   test("the exactly-once protocol runs through scheme-qualified file:// URIs") {
     // state paths resolve their FileSystem from the path URI (HDFS in
     // production, file:// here) — drive the whole protocol with explicit

@@ -3269,18 +3269,20 @@ object SparkEntry {
     // states are guaranteed sinks) and the per-round dangling mass is
     // redistributed as d·m/N to every node. Ranks therefore remain a
     // probability distribution: total_mass pins the sum at 1.0, which
-    // the leaky default cannot produce on a graph with sinks.
+    // the leaky default cannot produce on a graph with sinks. The mass
+    // falls out of conservation — m = Σ r_prev − Σ contrib — mirroring
+    // the engine (Graph.pageRank), which never touches the sink set.
     Q("x_pagerank_dangling",
       Some {
         val iterSql = (1 to 5).map(k =>
-          s"""m$k AS (SELECT ROUND(COALESCE(SUM(r.r), 0.0), 10) AS m
-             |  FROM r${k - 1} r JOIN sinks ON sinks.node = r.node),
+          s"""c$k AS (SELECT t.dst, SUM(r.r * t.p) AS s
+             |  FROM t JOIN r${k - 1} r ON r.node = t.src GROUP BY t.dst),
+             |m$k AS (SELECT ROUND((SELECT SUM(r) FROM r${k - 1})
+             |    - COALESCE((SELECT SUM(s) FROM c$k), 0.0), 10) AS m),
              |r$k AS (SELECT n.node,
-             |    ROUND((1 - 0.85) / c.n + 0.85 * (COALESCE(s.s, 0.0) + m.m / c.n), 10) AS r
+             |    ROUND((1 - 0.85) / c.n + 0.85 * (COALESCE(cc.s, 0.0) + m.m / c.n), 10) AS r
              |  FROM nodes n CROSS JOIN cnt c CROSS JOIN m$k m
-             |  LEFT JOIN (SELECT t.dst, SUM(r.r * t.p) AS s
-             |             FROM t JOIN r${k - 1} r ON r.node = t.src GROUP BY t.dst) s
-             |    ON s.dst = n.node)""".stripMargin).mkString(",\n")
+             |  LEFT JOIN c$k cc ON cc.dst = n.node)""".stripMargin).mkString(",\n")
         s"""WITH ev AS (SELECT user_id, ts, event_id,
            |        CAST(json_extract_string(props, '$$.k') AS INT) AS k FROM events),
            |tr AS (SELECT k, LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pk FROM ev),
@@ -3289,7 +3291,6 @@ object SparkEntry {
            |ow AS (SELECT src, SUM(w) AS ow FROM ed GROUP BY src),
            |t AS (SELECT ed.src, ed.dst, ROUND(ed.w / ow.ow, 10) AS p FROM ed JOIN ow USING (src)),
            |nodes AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed),
-           |sinks AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM ed)),
            |cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
            |r0 AS (SELECT node, ROUND(1.0 / c.n, 10) AS r FROM nodes, cnt c),
            |$iterSql

@@ -204,10 +204,14 @@ object Graph {
     *
     * Shape at scale: each round is one join keyed on src + one hash
     * aggregation keyed on dst — shuffles carry (node, double) pairs,
-    * never adjacency; the dangling mass is a one-row aggregate joined
-    * back by broadcast (never a driver collect); lineage is truncated
-    * per round (localCheckpoint) like the CC loop, keeping plan depth
-    * constant. */
+    * never adjacency; the dangling mass falls out of mass conservation
+    * (m = Σ r_prev − Σ contrib: every non-sink node forwards its whole
+    * rank through its probability rows, so whatever the contribution
+    * aggregate did NOT carry is exactly the sink mass) — two one-row
+    * aggregates over tables the round already materializes, joined back
+    * by broadcast, instead of a per-round sink-filtered join; lineage is
+    * truncated per round (localCheckpoint) like the CC loop, keeping
+    * plan depth constant. */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                roundTo: Int = 10,
                redistributeDangling: Boolean = false): DataFrame = {
@@ -221,39 +225,43 @@ object Graph {
     val nodes = ew.select(col("src").as("node"))
       .union(ew.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sinks = nodes with no outgoing edge; only materialized when the
-    // dangling mass is actually redistributed
-    val sinks =
-      if (!redistributeDangling) None
-      else Some(nodes
-        .join(outw.select(col("src").as("node")), Seq("node"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val n = nodes.count().toDouble
     var ranks = nodes.select(col("node"),
       round(lit(1.0 / n), roundTo).as("r"))
     for (_ <- 0 until iters) {
       val prev = ranks
-      val contrib = trans
+      val contrib0 = trans
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst")).agg(sum(col("r") * col("p")).as("c"))
+      // In dangling mode contrib has two consumers this round (the
+      // per-node join AND the mass aggregate); persist it for the round
+      // so the rank join + aggregation runs once, not twice.
+      val contrib =
+        if (redistributeDangling)
+          contrib0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else contrib0
       val base = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-      ranks = (sinks match {
-        case None =>
-          base.select(col("node"),
-            round(lit((1 - damping) / n)
-              + lit(damping) * coalesce(col("c"), lit(0.0)), roundTo).as("r"))
-        case Some(sk) =>
-          val m = ranks.join(sk, Seq("node"), "left_semi")
-            .agg(round(coalesce(sum("r"), lit(0.0)), roundTo).as("m"))
-          base.crossJoin(broadcast(m))
-            .select(col("node"),
-              round(lit((1 - damping) / n) + lit(damping)
-                * (coalesce(col("c"), lit(0.0)) + col("m") / n), roundTo).as("r"))
+      ranks = (if (!redistributeDangling) {
+        base.select(col("node"),
+          round(lit((1 - damping) / n)
+            + lit(damping) * coalesce(col("c"), lit(0.0)), roundTo).as("r"))
+      } else {
+        // m = Σ r_prev − Σ contrib (mass conservation): the sink mass
+        // without touching the sink set — ranks is checkpointed and
+        // contrib persisted, so both aggregates are narrow cached scans.
+        val m = ranks.agg(sum("r").as("_tr"))
+          .crossJoin(contrib.agg(coalesce(sum("c"), lit(0.0)).as("_tc")))
+          .select(round(col("_tr") - col("_tc"), roundTo).as("m"))
+        base.crossJoin(broadcast(m))
+          .select(col("node"),
+            round(lit((1 - damping) / n) + lit(damping)
+              * (coalesce(col("c"), lit(0.0)) + col("m") / n), roundTo).as("r"))
       }).localCheckpoint()
       freeCheckpoint(prev)
+      if (redistributeDangling) contrib.unpersist(blocking = false)
     }
-    trans.unpersist(); nodes.unpersist(); sinks.foreach { s => s.unpersist(); () }
+    trans.unpersist(); nodes.unpersist()
     ranks
   }
 }

@@ -142,6 +142,42 @@ object ScaleProbe {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[scale] spans removal docs=$nDocs tokens_removed=$removed " +
       f"(expected ${expected * 10}) sec=$sec%.2f")
+    // Incremental-vs-index probe: even docs are history (their distinct
+    // grams form the index), odd docs are today's batch. Odd docs with
+    // doc_id % 5 == 0 (i.e. ≡ 5 mod 10) carry the planted block, whose
+    // grams all sit in the index — so expected removal is closed-form
+    // again: 10 tokens per such doc. Bucketing the index on h is the
+    // production layout; the bucketed probe must match the plain one
+    // while reading the index in place.
+    val hist = df.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val todays = df.filter(pmod(col("doc_id"), lit(2)) === 1)
+    graft.ext.Dedup.batchGramHashes(hist, "text", "doc_id", 5)
+      .write.mode("overwrite").parquet("/tmp/graft_scale_gramidx")
+    val idx = spark.read.parquet("/tmp/graft_scale_gramidx")
+    // external-table path: the managed location would survive this JVM
+    // while the in-memory catalog does not (see writeBucketed's doc)
+    graft.warehouse.Warehouse.writeBucketed(idx, "scale_gram_idx", "h",
+      spark.sparkContext.defaultParallelism,
+      path = Some("/tmp/graft_scale_gramidx_bucketed"))
+    val expIncr = ((nDocs + 4) / 10) * 10
+    def timeIncr(label: String)(f: => Long): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale] spans incr-$label docs=${nDocs / 2} " +
+        f"tokens_removed=$r (expected $expIncr) " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    timeIncr("plain") {
+      graft.ext.Dedup.incrementalDuplicatedSpans(todays, "text", "doc_id",
+        spark.table("scale_gram_idx"), 5)
+        .agg(sum("n_removed")).head().getLong(0)
+    }
+    timeIncr("bucketed") {
+      graft.ext.Dedup.incrementalDuplicatedSpansBucketed(todays, "text",
+        "doc_id", "scale_gram_idx", 5)
+        .agg(sum("n_removed")).head().getLong(0)
+    }
     spark.stop()
   }
 

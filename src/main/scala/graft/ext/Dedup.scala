@@ -676,9 +676,10 @@ object Dedup {
     *
     * Shape at scale: the index is gram-hash-sized (one 32-hex md5 per
     * distinct k-gram ever seen) — big, but fixed-width and join-keyed;
-    * a production deployment buckets it on h (map-side index lookups)
-    * or fronts it with a Bloom filter, exactly like the fingerprint
-    * index's scale path. */
+    * at scale store it bucketed on h and use
+    * [[incrementalDuplicatedSpansBucketed]], which probes the index in
+    * place instead of shuffling it — exactly like the fingerprint
+    * index's [[incrementalExactDedupBucketed]]. */
   def incrementalDuplicatedSpans(batch: DataFrame, textCol: String,
                                  idCol: String, index: DataFrame,
                                  k: Int): DataFrame =
@@ -694,6 +695,41 @@ object Dedup {
       grams: DataFrame, index: DataFrame, k: Int): DataFrame = {
     val dup = dupHashes(grams).union(index.select(col("h"))).distinct()
     cutSpans(batch, textCol, idCol, mergeMarks(grams.join(dup, "h"), k))
+  }
+
+  /** Bucketed-index variant of [[incrementalDuplicatedSpans]] — the
+    * production lookup shape when the gram index dwarfs the batch,
+    * exactly like [[incrementalExactDedupBucketed]] for fingerprints:
+    * with the index stored bucketed on `h` (`Warehouse.writeBucketed`),
+    * the history probe reads the index IN PLACE — only the batch's
+    * grams shuffle into the bucket partitioning, and the index (one md5
+    * per distinct k-gram ever seen, the engine's LARGEST index) never
+    * crosses the wire.
+    *
+    * The plan shape differs from the unbucketed form to make that
+    * possible: instead of folding the index into the duplicate-hash set
+    * (a union+distinct that would re-shuffle the index) and joining the
+    * grams back against it, BOTH duplicate criteria evaluate in the
+    * index's bucket partitioning in one pass — a LEFT join of the batch
+    * grams against the bucketed table (history hit = matched), then a
+    * window over `h` where `min(id) ≠ max(id)` decides "more than one
+    * distinct batch doc" without a count-distinct aggregation. The
+    * window reuses the join's output partitioning, so the batch grams
+    * shuffle exactly once and the gram table needs no persist (it has
+    * one consumer); identical surgery to the unbucketed path is
+    * spec-pinned. */
+  def incrementalDuplicatedSpansBucketed(batch: DataFrame, textCol: String,
+                                         idCol: String, indexTable: String,
+                                         k: Int): DataFrame = {
+    val w = Window.partitionBy("h")
+    val marks = tokenGramHashes(batch, textCol, idCol, k)
+      .join(batch.sparkSession.table(indexTable)
+        .select(col("h"), lit(true).as("_hist")), Seq("h"), "left")
+      .withColumn("_dup",
+        col("_hist").isNotNull ||
+          min(col("id")).over(w) =!= max(col("id")).over(w))
+      .filter(col("_dup")).select("id", "pos")
+    cutSpans(batch, textCol, idCol, mergeMarks(marks, k))
   }
 
   /** Benchmark decontamination: flag training documents sharing any

@@ -74,6 +74,44 @@ class BucketingSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed gram index: span-dedup history probe never moves the index") {
+    import graft.ext.Dedup
+    val docs = Tables.documents(spark, dir)
+    val hist = docs.filter(col("doc_id") < 250)
+    // spike the batch with a history doc under a new id: every one of its
+    // grams is in the index, so the history probe provably cuts something
+    val batch = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val index = Dedup.batchGramHashes(hist, "text", "doc_id", 5)
+    Warehouse.writeBucketed(index, "b_gram_index", "h", 4)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = Dedup.incrementalDuplicatedSpansBucketed(
+        batch, "text", "doc_id", "b_gram_index", 5)
+      val plain = Dedup.incrementalDuplicatedSpans(batch, "text", "doc_id",
+        spark.table("b_gram_index"), 5)
+      // identical surgery either way — the layout (and the semi-join plan
+      // shape it enables) is an execution detail
+      val bRows = bucketed.orderBy("id").collect().toSeq
+      val pRows = plain.orderBy("id").collect().toSeq
+      assert(bRows === pRows)
+      // the spiked history copies are fully covered by index grams
+      val spiked = bucketed.filter(col("id") >= 1000000L)
+        .select(col("n_tokens") === col("n_removed")).collect()
+      assert(spiked.nonEmpty && spiked.forall(_.getBoolean(0)))
+      // the index side reads in place: strictly fewer exchanges than the
+      // same dedup against an unbucketed index copy
+      val unbucketed = Dedup.incrementalDuplicatedSpans(batch, "text",
+        "doc_id", index, 5)
+      val eB = exchanges(bucketed.queryExecution.executedPlan.toString)
+      val eU = exchanges(unbucketed.queryExecution.executedPlan.toString)
+      assert(eB < eU, s"bucketed gram index did not save a shuffle: $eB vs $eU")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("mismatched bucket counts shuffle at most one side") {
     Warehouse.writeBucketed(Tables.orders(spark, dir), "b_orders8",
       "o_orderkey", 8)

@@ -106,10 +106,85 @@ object Multimodal {
     records
   }
 
+  /** Decoded image output: real dimensions, raster channel count, and
+    * per-channel pixel statistics. `channels = 0` (with zero dims and
+    * features) marks bytes no installed reader could decode — kept as a
+    * row rather than dropped so corrupt-asset rates are queryable. */
+  final case class ImageFeatures(media_id: String, modality: String,
+                                 width: Int, height: Int, channels: Int,
+                                 features: Array[Float])
+
+  /** REAL image decoder over the JDK's `javax.imageio` (PNG, JPEG, GIF,
+    * BMP — no external dependency): decodes each record's bytes and
+    * extracts true width/height, the raster's channel count, and
+    * per-channel statistics as the feature vector — slots
+    * [4b, 4b+3] hold band b's (mean, stddev, min, max), each normalized
+    * by 255, for up to `featureDim/4` bands; unused slots stay 0.
+    *
+    * Same execution shape as [[decodeStub]] (which remains the
+    * deterministic-math path the oracle checks): `mapPartitions` so
+    * per-task codec setup — the ImageIO plugin registry scan, disk
+    * cache off — happens once per partition, not per row; the pixel
+    * scan is the decode cost and is embarrassingly per-row. Undecodable
+    * bytes yield the `channels = 0` marker row, never an executor
+    * throw: at corpus scale some assets ARE corrupt, and one bad file
+    * must not kill a 10^6-row task. */
+  def decodeImage(records: Dataset[MediaRecord],
+                  featureDim: Int = 16): Dataset[ImageFeatures] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+          catch { case _: java.io.IOException => null }
+        if (img == null)
+          ImageFeatures(r.media_id, r.modality, 0, 0, 0,
+            Array.fill(featureDim)(0.0f))
+        else {
+          val raster = img.getRaster
+          val w = img.getWidth
+          val h = img.getHeight
+          val nb = raster.getNumBands
+          val feats = Array.fill(featureDim)(0.0f)
+          val nStatBands = math.min(nb, featureDim / 4)
+          val n = w.toDouble * h.toDouble
+          var b = 0
+          while (b < nStatBands) {
+            var sum = 0.0; var sumSq = 0.0
+            var mn = Double.MaxValue; var mx = Double.MinValue
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = raster.getSampleDouble(x, y, b)
+                sum += v; sumSq += v * v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                x += 1
+              }
+              y += 1
+            }
+            val mean = sum / n
+            val variance = math.max(0.0, sumSq / n - mean * mean)
+            feats(b * 4) = (mean / 255.0).toFloat
+            feats(b * 4 + 1) = (math.sqrt(variance) / 255.0).toFloat
+            feats(b * 4 + 2) = (mn / 255.0).toFloat
+            feats(b * 4 + 3) = (mx / 255.0).toFloat
+            b += 1
+          }
+          ImageFeatures(r.media_id, r.modality, w, h, nb, feats)
+        }
+      }
+    }
+  }
+
   /** STUB decoder: deterministic fake features derived from the bytes
-    * (length, simple rolling byte statistics). A real implementation would
-    * decode the image/audio here; the signature, batching and output
-    * schema would not change. */
+    * (length, simple rolling byte statistics). Kept alongside
+    * [[decodeImage]] as the modality-agnostic path with closed-form
+    * oracle math; a real audio/video implementation would follow
+    * decodeImage's shape. */
   def decodeStub(records: Dataset[MediaRecord], featureDim: Int = 16): Dataset[MediaFeatures] = {
     val spark = records.sparkSession
     import spark.implicits._

@@ -498,6 +498,51 @@ class ExtSpec extends SparkTestBase {
     assert(again.map(_.media_id).sorted.toSeq === got.map(_.media_id).sorted.toSeq)
   }
 
+  test("decodeImage: real PNG/JPEG decode — exact dims, channels, per-band stats") {
+    import java.awt.image.BufferedImage
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // 7×5 RGB gradient: red = 30x, green = 40y, blue = 128 (PNG is
+    // lossless, so band statistics are hand-computable exactly)
+    val rgb = new BufferedImage(7, 5, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7)
+      rgb.setRGB(x, y, (x * 30 << 16) | (y * 40 << 8) | 128)
+    // 4×3 single-band grayscale
+    val gray = new BufferedImage(4, 3, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 3; x <- 0 until 4)
+      gray.getRaster.setSample(x, y, 0, x * 10 + y)
+    val recs = Seq(
+      Multimodal.MediaRecord("rgb_png", "image", encode(rgb, "png"), Map()),
+      Multimodal.MediaRecord("rgb_jpg", "image", encode(rgb, "jpg"), Map()),
+      Multimodal.MediaRecord("gray_png", "image", encode(gray, "png"), Map()),
+      Multimodal.MediaRecord("junk", "image", "not an image".getBytes, Map()))
+      .toDS()
+    val out = Multimodal.decodeImage(recs).collect().map(f => f.media_id -> f).toMap
+    assert(out("rgb_png").width === 7 && out("rgb_png").height === 5 &&
+      out("rgb_png").channels === 3)
+    // JPEG is lossy but dimensions and channel count decode exactly
+    assert(out("rgb_jpg").width === 7 && out("rgb_jpg").height === 5 &&
+      out("rgb_jpg").channels === 3)
+    assert(out("gray_png").width === 4 && out("gray_png").height === 3 &&
+      out("gray_png").channels === 1)
+    // undecodable bytes yield the channels=0 marker row, never a throw
+    assert(out("junk").width === 0 && out("junk").height === 0 &&
+      out("junk").channels === 0)
+    assert(out("junk").features.forall(_ === 0.0f))
+    // hand-computed band-0 (red) stats of the lossless PNG: values
+    // 0,30,..,180 uniform across rows → mean 90, min 0, max 180
+    val f = out("rgb_png").features
+    assert(math.abs(f(0) - 90.0 / 255.0) < 1e-6)
+    assert(f(2) === 0.0f)
+    assert(math.abs(f(3) - 180.0 / 255.0) < 1e-6)
+    // band 2 (blue) is constant 128 → stddev exactly 0
+    assert(math.abs(f(8) - 128.0 / 255.0) < 1e-6 && f(9) === 0.0f)
+    assert(f.length === 16)
+  }
+
   test("multimodal: decode stub is deterministic, batched, and keeps schema through resize") {
     val df = Seq((1L, "some fake image bytes"), (2L, "")).toDF("doc_id", "payload")
     val recs = Multimodal.asMediaRecords(df, "doc_id", "payload", "image")

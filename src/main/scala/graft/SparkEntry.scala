@@ -3717,6 +3717,62 @@ object SparkEntry {
           col("n_shared"), R(col("contamination")).as("contamination"))
         .orderBy("doc_id")),
 
+    // X-gram-curate: the composed one-gram-pass curation surface — span
+    // surgery, novelty scoring, and decontamination (all at k=5, test
+    // set doc_id % 47 = 0) reading ONE shared gram table
+    // (Curate.gramPipeline), so the corpus tokenizes once, not once per
+    // operator. The oracle reuses a single gram CTE the same way.
+    Q("x_gram_curate",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+              |g0 AS (SELECT doc_id,
+              |        unnest(list_transform(range(0, n - 4),
+              |          i -> {'pos': i, 'h': md5(array_to_string(toks[(i + 1):(i + 5)], ' '))})) AS s
+              |       FROM b WHERE n >= 5),
+              |g AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM g0),
+              |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+              |hits AS (SELECT doc_id, pos, pos + 5 AS e FROM g JOIN dup USING (h)),
+              |isl AS (SELECT doc_id, pos, e,
+              |         MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+              |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              |        FROM hits),
+              |i2 AS (SELECT doc_id, pos, e,
+              |        SUM(CASE WHEN pme IS NULL OR pos > pme THEN 1 ELSE 0 END)
+              |          OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |       FROM isl),
+              |sp AS (SELECT doc_id, MIN(pos) AS st, MAX(e) AS e
+              |       FROM i2 GROUP BY doc_id, island),
+              |rem AS (SELECT doc_id, SUM(e - st) AS rem FROM sp GROUP BY doc_id),
+              |occ AS (SELECT h, COUNT(*) AS n_occ FROM g GROUP BY 1),
+              |nov AS (SELECT doc_id, COUNT(*) AS n_grams,
+              |          SUM(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END) AS n_novel
+              |        FROM g JOIN occ USING (h) GROUP BY doc_id),
+              |tg AS (SELECT DISTINCT h FROM g WHERE doc_id % 47 = 0),
+              |dg AS (SELECT DISTINCT doc_id, h FROM g WHERE doc_id % 47 <> 0),
+              |con AS (SELECT doc_id, COUNT(*) AS n_shared
+              |        FROM dg JOIN tg USING (h) GROUP BY 1)
+              |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+              |  CAST(COALESCE(r.rem, 0) AS BIGINT) AS n_removed,
+              |  ROUND(nv.n_novel::DOUBLE / nv.n_grams + 1e-9, 4) AS novelty,
+              |  COALESCE(c.n_shared, 0) > 0 AS contaminated
+              |FROM b LEFT JOIN rem r USING (doc_id)
+              |  LEFT JOIN nov nv USING (doc_id)
+              |  LEFT JOIN con c USING (doc_id)
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val r = graft.ext.Curate.gramPipeline(Tables.documents(s, dir),
+          "text", "doc_id", col("doc_id") % 47 === 0, k = 5)
+        r.cleaned.select(col("id").as("doc_id"), col("n_tokens"),
+            col("n_removed"))
+          .join(r.novelty.select(col("id").as("doc_id"),
+            R(col("novelty")).as("novelty")), Seq("doc_id"), "left")
+          .join(r.contamination.select(col("id").as("doc_id"),
+            (col("n_shared") > 0).as("_c")), Seq("doc_id"), "left")
+          .withColumn("contaminated", coalesce(col("_c"), lit(false)))
+          .drop("_c")
+          .orderBy("doc_id")
+      }),
+
     // X-lm: corpus bigram language model — top-20 bigrams with conditional
     // probability p(w2 | w1) from unigram/bigram count join.
     Q("x_bigram_lm",

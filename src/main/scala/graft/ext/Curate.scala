@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -227,5 +227,40 @@ object Curate {
         "d_neardup_dedup" -> metric(obsNear),
         "e_cap" -> nCapped),
       cached = Seq(capped, bSigs))
+  }
+
+  final case class GramResult(cleaned: DataFrame, novelty: DataFrame,
+                              contamination: DataFrame,
+                              private val cached: Seq[DataFrame]) {
+    /** Drop the shared gram cache — call once every consumer is
+      * materialized/published. */
+    def release(): Unit = { cached.foreach(_.unpersist()); () }
+  }
+
+  /** ONE gram pass across the k-gram operator family — span-dedup
+    * surgery, novelty scoring, and benchmark decontamination all read
+    * the SAME persisted (id, pos, md5) gram table, so a curation
+    * pipeline using several of them tokenizes and hashes the corpus
+    * once, not once per operator (the [[incrementalFull]] one-shingle-
+    * pass discipline extended to grams). Contamination's test set is
+    * `isTest`; its distinct per-doc grams derive from the positioned
+    * stream ([[Dedup.ngramContaminationGrams]] — identical md5s, so
+    * identical results to the standalone operators, spec-pinned).
+    *
+    * Shape at scale: the gram table is the fixed-width (id, pos, md5)
+    * stream — persisted MEMORY_AND_DISK because at corpus scale it
+    * spills; every downstream consumer is the already-verified
+    * aggregation/join shape over that one materialization. */
+  def gramPipeline(docs: DataFrame, textCol: String, idCol: String,
+                   isTest: Column, k: Int): GramResult = {
+    val grams = Dedup.tokenGramHashes(docs, textCol, idCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    GramResult(
+      cleaned = Dedup.removeDuplicatedSpansGrams(docs, textCol, idCol,
+        grams, k),
+      novelty = Dedup.gramNoveltyGrams(grams),
+      contamination = Dedup.ngramContaminationGrams(grams,
+        docs.select(col(idCol).as("id"), isTest.as("is_test"))),
+      cached = Seq(grams))
   }
 }

@@ -743,6 +743,29 @@ object Dedup {
     * corpus-side gram stream is filtered map-side with NO shuffle of train
     * grams; only the surviving (id, gram-hash) pairs aggregate. Grams join
     * on their md5, fixed width. */
+  /** [[ngramContamination]] over a shared POSITIONED gram table (the
+    * [[duplicatedSpansGrams]] family): per-doc distinct grams derive
+    * from the stream, `docFlags` is (id, is_test). Gram hashes are
+    * md5 of the space-joined window on both paths ([[tokenGramHashes]]
+    * vs md5(shingle)), so results are identical at equal gram size —
+    * this is what lets a composed curation pipeline pay tokenization
+    * once across spans/novelty/contamination
+    * ([[Curate.gramPipeline]]). */
+  private[graft] def ngramContaminationGrams(grams: DataFrame,
+                                             docFlags: DataFrame): DataFrame = {
+    val dg = grams.select("id", "h").distinct().join(docFlags, "id")
+    val testGrams = dg.filter(col("is_test")).select("h").distinct()
+    dg.filter(!col("is_test"))
+      .withColumn("n_grams",
+        count(lit(1)).over(Window.partitionBy("id")))
+      .join(broadcast(testGrams), "h")
+      .groupBy("id", "n_grams")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contamination",
+        col("n_shared").cast("double") / col("n_grams"))
+      .select("id", "n_grams", "n_shared", "contamination")
+  }
+
   def ngramContamination(docs: DataFrame, textCol: String, idCol: String,
                          isTest: Column, n: Int): DataFrame = {
     val grams = Par.fanOut(docs)

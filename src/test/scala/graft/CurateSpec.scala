@@ -194,4 +194,43 @@ class CurateSpec extends SparkTestBase {
       rf.release()
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("gramPipeline: one gram pass feeds spans, novelty, and contamination") {
+    import graft.ext.Dedup
+    val docs = model.Tables.documents(spark, "/root/testdata/sf0.001")
+    val isTest = col("doc_id") % 47 === 0
+    val r = Curate.gramPipeline(docs, "text", "doc_id", isTest, k = 5)
+    // identical results to the standalone operators (which each run
+    // their own gram pass)
+    assert(r.cleaned.orderBy("id").collect().toSeq ===
+      Dedup.removeDuplicatedSpans(docs, "text", "doc_id", 5)
+        .orderBy("id").collect().toSeq)
+    assert(r.novelty.orderBy("id").collect().toSeq ===
+      Dedup.gramNovelty(docs, "text", "doc_id", 5)
+        .orderBy("id").collect().toSeq)
+    // n_grams is long from the stream vs int from the array form —
+    // align the types, then the values must match exactly
+    assert(r.contamination
+        .select(col("id"), col("n_grams").cast("long"), col("n_shared"),
+          col("contamination"))
+        .orderBy("id").collect().toSeq ===
+      Dedup.ngramContamination(docs, "text", "doc_id", isTest, 5)
+        .select(col("id"), col("n_grams").cast("long"), col("n_shared"),
+          col("contamination"))
+        .orderBy("id").collect().toSeq)
+    // ONE tokenize+hash pass: every consumer's OUTER plan reads the
+    // shared in-memory gram table — no Generate (the gram explode)
+    // above the cache boundary. (The InMemoryRelation block prints the
+    // plan that BUILT the cache, which rightly contains the one explode
+    // — cut the string there, as in the incrementalFull test.)
+    for (df <- Seq(r.cleaned, r.novelty, r.contamination)) {
+      val plan = df.queryExecution.executedPlan.toString
+      val cacheAt = plan.indexOf("InMemoryRelation")
+      assert(cacheAt >= 0, plan)
+      val outer = plan.substring(0, cacheAt)
+      assert(outer.contains("InMemoryTableScan"), plan)
+      assert(!outer.contains("Generate"), outer)
+    }
+    r.release()
+  }
 }

@@ -40,6 +40,17 @@ object Alerts {
     Rule("producer_down", "critical", "events_total", "<=", 0.0, 1),
     Rule("value_drift", "warning", "avg_value", ">", 75.0, 1))
 
+  /** Drift rules over [[Drift]] score series — [[Drift.asMetricSeries]]
+    * produces the matching metric names. PSI sustained above the 0.25
+    * investigate threshold for two windows fires (one window is often a
+    * batch-composition blip); an embedding centroid that stays more than
+    * ~18° off the reference direction (cos < 0.95) for two windows means
+    * the corpus direction itself has moved — encoder change, new topic
+    * mix, or upstream corruption. */
+  val driftRules: Seq[Rule] = Seq(
+    Rule("psi_drift", "warning", "psi", ">", 0.25, 2),
+    Rule("embedding_drift", "critical", "centroid_cosine", "<", 0.95, 2))
+
   /** Gap-filled hourly metric series over the events table, long format
     * (window_start, metric, value). Missing hours materialize as
     * events_total=0 — without them `producer_down` could never fire

@@ -145,6 +145,18 @@ object Drift {
     psiFromCounts(counts, groupCols, lit(0.5 * buckets))
   }
 
+  /** Adapt a drift score frame (one row per window) to the long-format
+    * metric series [[Alerts.evaluate]] consumes — the bridge that puts
+    * drift monitors on the same pending→firing lifecycle as every other
+    * rule. Group the drift computation by a window column (e.g.
+    * [[streamingPsi]] with `groupCols = Seq("window_start")`, or
+    * [[embeddingDrift]] per period), then name the score column here
+    * with the metric name an [[Alerts.driftRules]] rule watches. */
+  def asMetricSeries(scores: DataFrame, windowCol: String, valueCol: String,
+                     metric: String): DataFrame =
+    scores.select(col(windowCol).cast("timestamp").as("window_start"),
+      lit(metric).as("metric"), col(valueCol).cast("double").as("value"))
+
   /** Embedding-space drift: per group, the cosine between the reference
     * period's centroid and the current period's centroid. 1.0 = the
     * corpus direction is unchanged; falling cosine = the embedding

@@ -44,7 +44,10 @@ object Grafana {
       panel(5, "timeseries", "Batch input rows",
         Seq("graft_last_batch_input_rows"), 12, 8),
       panel(6, "stat", "Alerts needing attention",
-        Seq("sum(graft_alert_active)"), 0, 12, w = 6, h = 4))
+        Seq("sum(graft_alert_active)"), 0, 12, w = 6, h = 4),
+      panel(7, "timeseries", "Drift scores (PSI / centroid cosine)",
+        Seq("""graft_drift_score{kind="psi"}""",
+          """graft_drift_score{kind="centroid_cosine"}"""), 6, 12, w = 18, h = 4))
     val rulePanels = rules.zipWithIndex.map { case (r, i) =>
       // rule names are user input inside a quoted PromQL matcher: escape
       // with the SAME helper the Prometheus exposition side uses, so a

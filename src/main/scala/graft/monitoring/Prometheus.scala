@@ -75,9 +75,26 @@ object Prometheus {
     sb.result()
   }
 
-  /** One scrape body: listener history + the current alert states. */
+  /** Render drift scores ((kind, group, score) rows — e.g. the collected
+    * output of [[Drift.psi]] / [[Drift.embeddingDrift]], which are
+    * (groups × monitors)-bounded) as a gauge. The HELP/TYPE header
+    * renders even with no samples so the dashboard's drift panel always
+    * queries a declared metric. */
+  def renderDrift(scores: Seq[(String, String, Double)]): String = {
+    val sb = new StringBuilder
+    sb ++= "# HELP graft_drift_score Distribution-drift score per monitor (psi, ks, centroid_cosine).\n"
+    sb ++= "# TYPE graft_drift_score gauge\n"
+    scores.sortBy(s => (s._1, s._2)).foreach { case (kind, group, v) =>
+      sb ++= s"""graft_drift_score{kind="${esc(kind)}",group="${esc(group)}"} ${fmt(v)}\n"""
+    }
+    sb.result()
+  }
+
+  /** One scrape body: listener history + current alert states + the
+    * latest drift scores. */
   def scrape(history: Seq[(Long, Long, Double, Long)],
              states: Seq[(String, String, String)],
-             job: String = "graft"): String =
-    renderProgress(history, job) + renderAlerts(states)
+             job: String = "graft",
+             drift: Seq[(String, String, Double)] = Nil): String =
+    renderProgress(history, job) + renderAlerts(states) + renderDrift(drift)
 }

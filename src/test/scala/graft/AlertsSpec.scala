@@ -187,6 +187,69 @@ class AlertsSpec extends SparkTestBase {
     assert(out.head.getAs[String]("state") === "firing")
   }
 
+  test("embedding drift series drives the pending→firing lifecycle through driftRules") {
+    import graft.monitoring.Drift
+    // per-window centroid cosine vs one reference period: two aligned
+    // windows, then the corpus direction swings orthogonal for two —
+    // embedding_drift (< 0.95 for 2 windows) goes pending → firing
+    val windows = Seq(
+      "2024-01-01 00:00:00" -> Array(1.0f, 0.0f),
+      "2024-01-01 01:00:00" -> Array(1.0f, 0.0f),
+      "2024-01-01 02:00:00" -> Array(0.0f, 1.0f),
+      "2024-01-01 03:00:00" -> Array(0.0f, 1.0f))
+    val rows = windows.flatMap { case (w, v) =>
+      Seq((w, false, v), (w, true, Array(1.0f, 0.0f))) // ref direction per window
+    }.toDF("w", "ref", "v")
+    val scores = Drift.embeddingDrift(rows, Seq("w"), "v", col("ref"))
+    val series = Drift.asMetricSeries(scores, "w", "centroid_cosine", "centroid_cosine")
+    val out = Alerts.evaluate(series, Alerts.driftRules).collect()
+      .map(r => (r.getAs[String]("alert"), r.getAs[String]("window_start"),
+        r.getAs[String]("state")))
+    assert(out.toSeq === Seq(
+      ("embedding_drift", "2024-01-01 02:00:00", "pending"),
+      ("embedding_drift", "2024-01-01 03:00:00", "firing")))
+  }
+
+  test("per-window streamingPsi feeds psi_drift through asMetricSeries") {
+    import graft.monitoring.Drift
+    // reference histogram from a stable period; three windows of current
+    // data — stable, shifted, shifted — psi_drift (> 0.25 for 2) goes
+    // breach-skip, pending, firing
+    val ref = (0 until 200).map(i => ("2024-01-01 00:00:00", (i % 10) * 10.0))
+      .toDF("w", "v")
+    val hist = Drift.referenceHistogram(ref, Seq.empty, "v", 0.0, 100.0, 10)
+    val cur = ((0 until 100).map(i => ("2024-01-01 00:00:00", (i % 10) * 10.0)) ++
+      (0 until 100).map(_ => ("2024-01-01 01:00:00", 90.0)) ++
+      (0 until 100).map(_ => ("2024-01-01 02:00:00", 90.0))).toDF("w", "v")
+    // per-window PSI: the stored reference joins against each window's
+    // own histogram (groupCols carries the window axis on the cur side)
+    val scores = Drift.streamingPsi(cur, hist.crossJoin(cur.select("w").distinct()),
+      Seq("w"), "v", 0.0, 100.0, 10)
+    val series = Drift.asMetricSeries(scores, "w", "psi", "psi")
+    val out = Alerts.evaluate(series, Alerts.driftRules).collect()
+      .map(r => (r.getAs[String]("window_start"), r.getAs[String]("state")))
+    assert(out.toSeq === Seq(
+      ("2024-01-01 01:00:00", "pending"),
+      ("2024-01-01 02:00:00", "firing")))
+  }
+
+  test("Prometheus drift exposition: declared header, escaped labels, sorted samples") {
+    import graft.monitoring.Prometheus
+    val text = Prometheus.renderDrift(Seq(
+      ("psi", "zone_b", 0.41), ("centroid_cosine", "all", 0.87),
+      ("psi", "zone_a", 0.02)))
+    assert(text.contains("# TYPE graft_drift_score gauge"))
+    val lines = text.linesIterator.filterNot(_.startsWith("#")).toSeq
+    assert(lines === Seq(
+      """graft_drift_score{kind="centroid_cosine",group="all"} 0.87""",
+      """graft_drift_score{kind="psi",group="zone_a"} 0.02""",
+      """graft_drift_score{kind="psi",group="zone_b"} 0.41"""))
+    // the header is declared even with no samples, so the dashboard's
+    // drift panel always queries an exposed metric
+    assert(Prometheus.renderDrift(Nil).contains("# TYPE graft_drift_score gauge"))
+    assert(Prometheus.scrape(Nil, Nil).contains("graft_drift_score"))
+  }
+
   test("Prometheus exposition carries a firing rule at 1 and a resolved rule at 0") {
     import graft.monitoring.Prometheus
     // two metrics over the same windows: `hot` breaches through the end
@@ -300,7 +363,7 @@ class AlertsSpec extends SparkTestBase {
     val json = Grafana.dashboardJson(rules)
     val parsed = JsonMethods.parse(json).asInstanceOf[JObject]
     val panels = (parsed \ "panels").asInstanceOf[JArray].arr
-    assert(panels.size === 6 + rules.size) // base board + one per rule
+    assert(panels.size === 7 + rules.size) // base board (incl. drift) + one per rule
     // every panel expr queries a metric name the engine actually exposes
     val exposed = Prometheus.scrape(Seq((1L, 10L, 5.0, 100L)),
       Seq(("hot_high", "warning", "firing")))

@@ -19,6 +19,7 @@ object ScaleProbe {
     if (args.headOption.contains("dedup")) { dedupProbe(args); return }
     if (args.headOption.contains("ann")) { annProbe(args); return }
     if (args.headOption.contains("spans")) { spansProbe(args); return }
+    if (args.headOption.contains("perdoc")) { perdocProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -177,6 +178,59 @@ object ScaleProbe {
       graft.ext.Dedup.incrementalDuplicatedSpansBucketed(todays, "text",
         "doc_id", "scale_gram_idx", 5)
         .agg(sum("n_removed")).head().getLong(0)
+    }
+    spark.stop()
+  }
+
+  /** Per-document operators at scale (`trimSelfRepeats` + `gramNovelty`):
+    * 70-token docs whose every token is doc-prefixed (cross-doc gram
+    * matches impossible by construction), with every 3rd doc's last 10
+    * tokens an exact copy of its first 10 — so the expectations are
+    * closed-form at any N: the k=5 window puts 6 second-occurrence grams
+    * at positions [60, 65], which merge to one span [60, 70) → 10 tokens
+    * trimmed per planted doc and 12 of its 66 grams non-novel
+    * (novelty = 54/66); clean docs trim 0 and score exactly 1.0. */
+  private def perdocProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 50000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val planted = pmod(col("doc_id"), lit(3)) === 0
+    def word(src: org.apache.spark.sql.Column) =
+      concat(lit("d"), col("doc_id"), lit("w"),
+        pmod(hash(col("doc_id") * 131 + src), lit(20000)))
+    val toks = (0 until 70).map { p =>
+      if (p < 60) word(lit(p))
+      else word(when(planted, lit(p - 60)).otherwise(lit(p)))
+    }
+    spark.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("text", concat_ws(" ", toks: _*))
+      .repartition(cpus * 2)
+      .write.mode("overwrite").parquet("/tmp/graft_scale_perdoc")
+    val df = spark.read.parquet("/tmp/graft_scale_perdoc")
+    val nPlanted = (nDocs + 2) / 3
+    (1 to 3).foreach { i =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val trim = graft.ext.Dedup.trimSelfRepeats(df, "text", "doc_id", 5)
+        .agg(count(lit(1)), sum("n_removed")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] perdoc trim run$i docs=${trim.getLong(0)} " +
+        f"tokens_removed=${trim.getLong(1)} (expected ${nPlanted * 10}) " +
+        f"sec=$sec%.2f docs_per_sec=${nDocs / sec}%.0f")
+    }
+    val expNovel = nPlanted * 54 + (nDocs - nPlanted) * 66
+    (1 to 3).foreach { i =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val nov = graft.ext.Dedup.gramNovelty(df, "text", "doc_id", 5)
+        .agg(count(lit(1)), sum("n_novel"),
+          min(when(pmod(col("id"), lit(3)) === 0, col("novelty")))).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] perdoc novelty run$i docs=${nov.getLong(0)} " +
+        f"n_novel=${nov.getLong(1)} (expected $expNovel) " +
+        f"min_novelty=${nov.getDouble(2)}%.4f (expected ${54.0 / 66}%.4f) " +
+        f"sec=$sec%.2f docs_per_sec=${nDocs / sec}%.0f")
     }
     spark.stop()
   }

@@ -390,6 +390,69 @@ object StreamingPipeline {
           (col("sum_sq") - col("sum_v") * col("sum_v") / col("n"))
             / (col("n") - lit(1)), lit(0.0)))))
 
+  /** Continuous drift monitoring at ingest: per micro-batch, score the
+    * batch's `valueCol` distribution against a STORED reference
+    * histogram ([[graft.monitoring.Drift.referenceHistogram]], computed
+    * once at validation time) and append one score row per group to a
+    * persistent drift series — (batch_id, group..., n_ref, n_cur, psi).
+    * [[driftSeriesView]] adapts the store to the long-format series
+    * [[graft.monitoring.Alerts.driftRules]] evaluates with the
+    * pending→firing lifecycle and
+    * [[graft.monitoring.Prometheus.renderDrift]] exposes — the full
+    * score→rule→exposition path in the streaming shape.
+    *
+    * Scale shape: the reference is bucket COUNTS (broadcast-sized), so
+    * each batch pays one aggregation over its own rows — the validation
+    * slice is never rescanned — and the stored series is
+    * (batches × groups) rows. Marker+swap replay idempotence like
+    * [[mergeGoldBatch]]: foreachBatch is at-least-once, and a replayed
+    * batch must not append its score twice (a duplicated row would
+    * stretch a breach streak and mis-fire the `for:` clause). */
+  def driftMonitorIngest(stream: DataFrame, reference: DataFrame,
+                         groupCols: Seq[String], valueCol: String,
+                         storePath: String, ckpt: String,
+                         lo: Double, hi: Double,
+                         buckets: Int): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        driftMonitorBatch(batch, id, reference, groupCols, valueCol,
+          storePath, lo, hi, buckets)
+      }
+      .start()
+
+  /** The per-batch body of [[driftMonitorIngest]]. */
+  def driftMonitorBatch(batch: DataFrame, id: Long, reference: DataFrame,
+                        groupCols: Seq[String], valueCol: String,
+                        storePath: String, lo: Double, hi: Double,
+                        buckets: Int): Unit =
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val scored = graft.monitoring.Drift
+        .streamingPsi(batch, reference, groupCols, valueCol, lo, hi, buckets)
+        .select(lit(id).as("batch_id") +: (groupCols.map(col) ++
+          Seq(col("n_ref"), col("n_cur"), col("psi"))): _*)
+      existingOpt match {
+        case Some(existing) => existing.unionByName(scored)
+        case None           => scored
+      }
+    }
+
+  /** Long-format metric view of a [[driftMonitorIngest]] store —
+    * (window_start, metric="psi", value) with batch_id as the window
+    * axis; evaluate with `windowSeconds = 1` exactly like
+    * [[graft.monitoring.Alerts.evaluateProgress]]. Pass `group` to
+    * select one group's series when the monitor was grouped (a mixed
+    * multi-group series would interleave streaks); the global monitor
+    * (no groupCols) needs no filter. */
+  def driftSeriesView(stored: DataFrame,
+                      group: Seq[(String, String)] = Nil): DataFrame = {
+    val one = group.foldLeft(stored) { case (df, (c, v)) =>
+      df.filter(col(c) === v)
+    }
+    one.select(to_timestamp(col("batch_id")).as("window_start"),
+      lit("psi").as("metric"), col("psi").as("value"))
+  }
+
   /** Dedup-at-ingest: each micro-batch is deduped within itself and
     * against the persistent fingerprint index, survivors append to
     * `outPath`, and their fingerprints append to the index — so a

@@ -132,6 +132,61 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/data").count() === 3)
   }
 
+  test("driftMonitorIngest: per-batch PSI series drives driftRules pending→firing; replay no-op") {
+    import graft.monitoring.{Alerts, Drift}
+    val inDir = Files.createTempDirectory("graft-drift-in").toString
+    val store = Files.createTempDirectory("graft-drift-store").toString
+    val ckpt = Files.createTempDirectory("graft-drift-ckpt").toString
+    // reference histogram from the validation slice: uniform over
+    // {0, 10, ..., 90}
+    val ref = Drift.referenceHistogram(
+      (0 until 200).map(i => (i % 10) * 10.0).toDF("v"),
+      Seq.empty, "v", 0.0, 100.0, 10)
+
+    def run(): Unit = {
+      val src = spark.readStream.schema("id LONG, v DOUBLE").json(inDir)
+      val q = StreamingPipeline.driftMonitorIngest(src, ref, Seq.empty,
+        "v", store, ckpt, 0.0, 100.0, 10)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def batchFile(name: String, vs: Seq[Double]): Unit =
+      Files.writeString(java.nio.file.Path.of(inDir, name),
+        vs.zipWithIndex.map { case (v, i) => s"""{"id":$i,"v":$v}""" }
+          .mkString("", "\n", "\n"))
+
+    // batch 0 matches the reference; batches 1 and 2 collapse to one
+    // bucket — the drifted regime
+    batchFile("b0.json", (0 until 100).map(i => (i % 10) * 10.0))
+    run()
+    batchFile("b1.json", Seq.fill(100)(90.0))
+    run()
+    batchFile("b2.json", Seq.fill(100)(90.0))
+    run()
+
+    val stored = spark.read.parquet(s"$store/data")
+    assert(stored.count() === 3) // one score row per batch
+    val psi0 = stored.filter(col("batch_id") === 0)
+      .select("psi").as[Double].head()
+    assert(psi0 < 0.05, s"stable batch should score ~0: $psi0")
+
+    // the stored series feeds the SAME rule set as the batch side and
+    // walks the lifecycle: drifted batch 1 pending, batch 2 firing
+    val out = Alerts.evaluate(StreamingPipeline.driftSeriesView(stored),
+        Alerts.driftRules, windowSeconds = 1L).collect()
+      .map(r => (r.getAs[Long]("streak"), r.getAs[String]("state")))
+    assert(out.toSeq === Seq((1L, "pending"), (2L, "firing")))
+
+    // replay with the same checkpoint: no new input → the series must
+    // not grow (a duplicated score row would stretch the streak)
+    run()
+    assert(spark.read.parquet(s"$store/data").count() === 3)
+
+    // the newest window's breach state reaches the scrape surface
+    val states = Alerts.currentStates(StreamingPipeline.driftSeriesView(
+      spark.read.parquet(s"$store/data")), Alerts.driftRules, 1L)
+    assert(states.contains(("psi_drift", "warning", "firing")))
+  }
+
   test("spanDedupIngest cuts cross-batch boilerplate at span granularity; replay no-op") {
     val out = Files.createTempDirectory("graft-span-out").toString
     val idx = Files.createTempDirectory("graft-span-idx").toString

@@ -3717,6 +3717,35 @@ object SparkEntry {
           col("n_shared"), R(col("contamination")).as("contamination"))
         .orderBy("doc_id")),
 
+    // X-semantic-contamination: embedding-space decontamination — the
+    // paraphrase companion of x_contamination: per training vector, the
+    // max cosine to any held-out eval vector (vec_id % 20 = 0 stands in
+    // for the benchmark) and a flag at 0.4. Eval side broadcast with
+    // precomputed norms; training side streams through one codegen'd
+    // dot pass — no shuffle beyond the per-id max.
+    Q("x_semantic_contamination",
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |ev AS (SELECT vec_id AS eval_id, v AS evv FROM e WHERE vec_id % 20 = 0),
+              |tr AS (SELECT vec_id, v FROM e WHERE vec_id % 20 <> 0),
+              |sc AS (SELECT tr.vec_id, ev.eval_id, (${cosSql("tr.v", "ev.evv")}) AS c
+              |       FROM tr CROSS JOIN ev),
+              |m AS (SELECT vec_id, c AS mc, eval_id AS nid,
+              |        row_number() OVER (PARTITION BY vec_id
+              |                           ORDER BY c DESC, eval_id) AS rn
+              |      FROM sc)
+              |SELECT vec_id, CAST(nid AS BIGINT) AS nearest_eval_id,
+              |  ROUND(mc + 1e-9, 4) AS max_cosine, mc >= 0.4 AS contaminated
+              |FROM m WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.semanticContamination(
+            emb.filter(col("vec_id") % 20 =!= 0),
+            emb.filter(col("vec_id") % 20 === 0), threshold = 0.4)
+          .select(col("id").as("vec_id"), col("nearest_eval_id"),
+            R(col("max_cosine")).as("max_cosine"), col("contaminated"))
+          .orderBy("vec_id")
+      }),
+
     // X-gram-curate: the composed one-gram-pass curation surface — span
     // surgery, novelty scoring, and decontamination (all at k=5, test
     // set doc_id % 47 = 0) reading ONE shared gram table

@@ -97,6 +97,42 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Semantic decontamination: for every training vector, the maximum
+    * cosine to ANY eval/test vector plus a contaminated flag at
+    * `threshold` — the embedding-space companion of
+    * [[Dedup.ngramContamination]]: n-gram overlap catches verbatim test
+    * leakage, this catches paraphrased or re-worded test material that
+    * shares no surface n-grams. Returns
+    * (id, nearest_eval_id, max_cosine, contaminated) for every training
+    * vector; `nearest_eval_id` breaks cosine ties toward the smallest
+    * eval id so the answer is deterministic.
+    *
+    * Scale shape: eval sets are small (10³–10⁵ rows), so the eval side
+    * broadcasts with precomputed norms and the training corpus streams
+    * through one codegen'd dot-product pass per eval vector — a
+    * map-side max, no shuffle of the training side beyond the per-id
+    * aggregate. An eval set too big to broadcast gets blocked by IVF
+    * cell first (assignCells on both sides), same max within cells. */
+  def semanticContamination(train: DataFrame, evalSet: DataFrame,
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    val t = Par.fanOut(train, par)
+      .select(col(idCol).as("id"), col(vecCol).as("tv"))
+      .withColumn("tn", l2Norm(col("tv")))
+    val e = evalSet.select(col(idCol).as("eval_id"), col(vecCol).as("ev"))
+      .withColumn("en", l2Norm(col("ev")))
+    t.crossJoin(broadcast(e))
+      .withColumn("c",
+        cosineWithNorms(col("tv"), col("ev"), col("tn"), col("en")))
+      .groupBy("id")
+      .agg(max(struct(col("c").as("mc"), (-col("eval_id")).as("nid"))).as("m"))
+      .select(col("id"), (-col("m.nid")).as("nearest_eval_id"),
+        col("m.mc").as("max_cosine"))
+      .withColumn("contaminated", col("max_cosine") >= threshold)
+  }
+
   /** Deterministic signed-random-projection hyperplanes (±1 components,
     * fixed seed) — shared by the Spark operator and any external oracle so
     * LSH bucketing is engine-reproducible. */

@@ -200,6 +200,26 @@ class ExtSpec extends SparkTestBase {
     assert(pairs((1L, 3L)) === 0.0) // zero vector guarded
   }
 
+  test("semanticContamination: max cosine vs eval set, smallest-id tie-break, threshold flag") {
+    // eval: 100 → x-axis, 101 → y-axis. train: 1 ∥ eval 100 (contaminated),
+    // 2 at 45° (cos ≈ 0.707 to BOTH evals — tie broken toward id 100),
+    // 3 ⊥ both axes in the z plane (max cosine 0, clean)
+    val train = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val ev = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(train, ev, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L)._1 === 100L && math.abs(out(1L)._2 - 1.0) < 1e-12 && out(1L)._3)
+    assert(out(2L)._1 === 100L) // exact cosine tie → smallest eval id
+    assert(math.abs(out(2L)._2 - math.sqrt(0.5)) < 1e-12 && !out(2L)._3)
+    assert(out(3L) === ((100L, 0.0, false)))
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tie-break and excludes self") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)), (3L, Array(0.0f, 1.0f)),

@@ -145,6 +145,27 @@ object Drift {
     psiFromCounts(counts, groupCols, lit(0.5 * buckets))
   }
 
+  /** One-row (cv: array<double>, n) centroid of a vector column — the
+    * stored reference for continuous embedding-drift monitoring
+    * ([[graft.streaming.StreamingPipeline.embeddingDriftMonitorIngest]]):
+    * computed once at validation time, broadcast-sized forever after.
+    * Same narrow shape as [[embeddingDrift]]: posexplode to (dim, x)
+    * rows, one hash aggregate to per-dim means, reassembly over
+    * dim-sized data. */
+  def referenceCentroid(df: DataFrame, vecCol: String): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim").agg(avg("x").as("c"), count(lit(1)).as("nd"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"), max("nd").as("n"))
+
+  /** Cosine between two double-array columns; 0.0 on a zero norm. */
+  private[graft] def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, p) => acc + p)
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
   /** Adapt a drift score frame (one row per window) to the long-format
     * metric series [[Alerts.evaluate]] consumes — the bridge that puts
     * drift monitors on the same pending→firing lifecycle as every other

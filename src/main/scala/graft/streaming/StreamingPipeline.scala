@@ -437,20 +437,62 @@ object StreamingPipeline {
       }
     }
 
-  /** Long-format metric view of a [[driftMonitorIngest]] store —
-    * (window_start, metric="psi", value) with batch_id as the window
-    * axis; evaluate with `windowSeconds = 1` exactly like
+  /** The embedding twin of [[driftMonitorIngest]]: per micro-batch,
+    * cosine between the batch's embedding centroid and a STORED
+    * reference centroid ([[graft.monitoring.Drift.referenceCentroid]],
+    * one row, broadcast-sized) appended as
+    * (batch_id, n, centroid_cosine) — falling cosine = the corpus
+    * direction is moving (encoder change, new topic mix, upstream
+    * corruption). [[driftSeriesView]] with `metric/valueCol =
+    * "centroid_cosine"` feeds the `embedding_drift` rule. Per batch the
+    * vectors reduce to per-dim means ((dim, x) narrow rows, nothing
+    * quadratic) and one 1×1 cosine; replay-idempotent like every other
+    * monitor. */
+  def embeddingDriftMonitorIngest(stream: DataFrame, refCentroid: DataFrame,
+                                  vecCol: String, storePath: String,
+                                  ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        embeddingDriftMonitorBatch(batch, id, refCentroid, vecCol, storePath)
+      }
+      .start()
+
+  /** The per-batch body of [[embeddingDriftMonitorIngest]]. */
+  def embeddingDriftMonitorBatch(batch: DataFrame, id: Long,
+                                 refCentroid: DataFrame, vecCol: String,
+                                 storePath: String): Unit =
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val scored = graft.monitoring.Drift.referenceCentroid(batch, vecCol)
+        .select(col("cv").as("bv"), col("n"))
+        .crossJoin(broadcast(refCentroid.select(col("cv").as("rv"))))
+        .select(lit(id).as("batch_id"), col("n"),
+          graft.monitoring.Drift.cosineCol(col("bv"), col("rv"))
+            .as("centroid_cosine"))
+      existingOpt match {
+        case Some(existing) => existing.unionByName(scored)
+        case None           => scored
+      }
+    }
+
+  /** Long-format metric view of a [[driftMonitorIngest]] /
+    * [[embeddingDriftMonitorIngest]] store — (window_start, metric,
+    * value) with batch_id as the window axis; evaluate with
+    * `windowSeconds = 1` exactly like
     * [[graft.monitoring.Alerts.evaluateProgress]]. Pass `group` to
     * select one group's series when the monitor was grouped (a mixed
     * multi-group series would interleave streaks); the global monitor
-    * (no groupCols) needs no filter. */
+    * (no groupCols) needs no filter. The default metric/valueCol reads
+    * a PSI store; pass "centroid_cosine" for an embedding store. */
   def driftSeriesView(stored: DataFrame,
-                      group: Seq[(String, String)] = Nil): DataFrame = {
+                      group: Seq[(String, String)] = Nil,
+                      metric: String = "psi",
+                      valueCol: String = "psi"): DataFrame = {
     val one = group.foldLeft(stored) { case (df, (c, v)) =>
       df.filter(col(c) === v)
     }
     one.select(to_timestamp(col("batch_id")).as("window_start"),
-      lit("psi").as("metric"), col("psi").as("value"))
+      lit(metric).as("metric"), col(valueCol).as("value"))
   }
 
   /** Dedup-at-ingest: each micro-batch is deduped within itself and

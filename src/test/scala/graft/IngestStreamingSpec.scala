@@ -187,6 +187,54 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(states.contains(("psi_drift", "warning", "firing")))
   }
 
+  test("embeddingDriftMonitorIngest: centroid-cosine series fires embedding_drift; replay no-op") {
+    import graft.monitoring.{Alerts, Drift}
+    val inDir = Files.createTempDirectory("graft-edrift-in").toString
+    val store = Files.createTempDirectory("graft-edrift-store").toString
+    val ckpt = Files.createTempDirectory("graft-edrift-ckpt").toString
+    // reference centroid from the validation corpus: the x direction
+    val ref = Drift.referenceCentroid(
+      Seq.fill(8)(Array(1.0, 0.0)).toDF("v"), "v")
+    assert(ref.select("n").as[Long].head() === 8L)
+
+    def run(): Unit = {
+      val src = spark.readStream.schema("id LONG, v ARRAY<DOUBLE>").json(inDir)
+      val q = StreamingPipeline.embeddingDriftMonitorIngest(src, ref, "v",
+        store, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def batchFile(name: String, vs: Seq[Seq[Double]]): Unit =
+      Files.writeString(java.nio.file.Path.of(inDir, name),
+        vs.zipWithIndex.map { case (v, i) =>
+          s"""{"id":$i,"v":[${v.mkString(",")}]}"""
+        }.mkString("", "\n", "\n"))
+
+    // batch 0 stays on the reference direction; batches 1 and 2 swing
+    // orthogonal — cosine 1, 0, 0
+    batchFile("b0.json", Seq.fill(4)(Seq(2.0, 0.0)))
+    run()
+    batchFile("b1.json", Seq.fill(4)(Seq(0.0, 1.0)))
+    run()
+    batchFile("b2.json", Seq.fill(4)(Seq(0.0, 1.0)))
+    run()
+
+    val stored = spark.read.parquet(s"$store/data")
+    assert(stored.count() === 3)
+    val cos0 = stored.filter(col("batch_id") === 0)
+      .select("centroid_cosine").as[Double].head()
+    assert(math.abs(cos0 - 1.0) < 1e-12) // scale-invariant: 2x magnitude
+
+    val series = StreamingPipeline.driftSeriesView(stored,
+      metric = "centroid_cosine", valueCol = "centroid_cosine")
+    val out = Alerts.evaluate(series, Alerts.driftRules, windowSeconds = 1L)
+      .collect().map(r => (r.getAs[Long]("streak"), r.getAs[String]("state")))
+    assert(out.toSeq === Seq((1L, "pending"), (2L, "firing")))
+
+    // replay: the series must not grow
+    run()
+    assert(spark.read.parquet(s"$store/data").count() === 3)
+  }
+
   test("spanDedupIngest cuts cross-batch boilerplate at span granularity; replay no-op") {
     val out = Files.createTempDirectory("graft-span-out").toString
     val idx = Files.createTempDirectory("graft-span-idx").toString

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: images/audio/video ride through the engine
   * as opaque `binary` columns with typed metadata. The Spark-side plumbing
-  * (schema, batching, partition sizing) is real; the actual codec calls are
-  * STUBBED with a deterministic fake because no media libraries exist in
-  * this environment — swap `decodeStub` for a real decoder per modality.
+  * (schema, batching, partition sizing) is real; image and audio decode
+  * are REAL over the JDK's own codecs ([[decodeImage]] via javax.imageio,
+  * [[decodeAudio]] via javax.sound.sampled — no external dependency).
+  * [[decodeStub]] stays as the modality-agnostic deterministic path with
+  * closed-form oracle math; video decode would need a container library
+  * this environment doesn't ship and keeps the stub shape.
   *
   * Scale notes (100 TB):
   *  - Media bytes dominate row size: keep them in their own column so
@@ -175,6 +178,90 @@ object Multimodal {
             b += 1
           }
           ImageFeatures(r.media_id, r.modality, w, h, nb, feats)
+        }
+      }
+    }
+  }
+
+  /** Decoded audio output: real container-level sample rate, channel and
+    * frame counts, duration, and per-channel amplitude statistics.
+    * `channels = 0` (zero everything) marks bytes no installed reader
+    * could decode — kept as a row, not dropped, so corrupt-asset rates
+    * stay queryable, exactly like [[ImageFeatures]]. */
+  final case class AudioFeatures(media_id: String, modality: String,
+                                 sample_rate: Int, channels: Int,
+                                 n_frames: Long, duration_ms: Long,
+                                 features: Array[Float])
+
+  /** REAL audio decoder over the JDK's `javax.sound.sampled` (WAV, AIFF,
+    * AU — no external dependency): decodes each record's bytes, converts
+    * to 16-bit signed PCM when the container holds another encoding the
+    * JDK can transcode (8-bit, big-endian, µ-law/a-law), and extracts
+    * true sample rate / channels / frame count plus per-channel
+    * (rms, peak) amplitude statistics normalized by full scale — slots
+    * [2c, 2c+1] hold channel c's pair, for up to `featureDim/2`
+    * channels; unused slots stay 0.
+    *
+    * Same execution shape as [[decodeImage]]: `mapPartitions` so
+    * per-task codec setup happens once per partition; the sample scan is
+    * the decode cost and is embarrassingly per-row; undecodable bytes
+    * yield the `channels = 0` marker row, never an executor throw. */
+  def decodeAudio(records: Dataset[MediaRecord],
+                  featureDim: Int = 8): Dataset[AudioFeatures] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val bad = (r: MediaRecord) =>
+        AudioFeatures(r.media_id, r.modality, 0, 0, 0L, 0L,
+          Array.fill(featureDim)(0.0f))
+      it.map { r =>
+        try {
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.content))
+          val f = in.getFormat
+          val pcm = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, f.getChannels * 2,
+            f.getSampleRate, false)
+          val s = if (f.matches(pcm)) in
+                  else AudioSystem.getAudioInputStream(pcm, in)
+          val ch = pcm.getChannels
+          val bytes = s.readAllBytes()
+          val frames = bytes.length / (ch * 2)
+          val nStatCh = math.min(ch, featureDim / 2)
+          val sumSq = new Array[Double](nStatCh)
+          val peak = new Array[Double](nStatCh)
+          var i = 0
+          while (i < frames) {
+            var c = 0
+            while (c < nStatCh) {
+              val o = (i * ch + c) * 2
+              val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toDouble
+              sumSq(c) += v * v
+              val a = math.abs(v)
+              if (a > peak(c)) peak(c) = a
+              c += 1
+            }
+            i += 1
+          }
+          val feats = Array.fill(featureDim)(0.0f)
+          var c = 0
+          while (c < nStatCh) {
+            feats(2 * c) =
+              (math.sqrt(if (frames == 0) 0.0 else sumSq(c) / frames)
+                / 32768.0).toFloat
+            feats(2 * c + 1) = (peak(c) / 32768.0).toFloat
+            c += 1
+          }
+          AudioFeatures(r.media_id, r.modality,
+            math.round(f.getSampleRate), ch, frames.toLong,
+            math.round(frames * 1000.0 / f.getSampleRate), feats)
+        } catch {
+          // unsupported container, truncated stream, or a transcode the
+          // JDK cannot provide — all mean "not decodable here"
+          case _: javax.sound.sampled.UnsupportedAudioFileException => bad(r)
+          case _: java.io.IOException => bad(r)
+          case _: IllegalArgumentException => bad(r)
         }
       }
     }

@@ -563,6 +563,44 @@ class ExtSpec extends SparkTestBase {
     assert(f.length === 16)
   }
 
+  test("decodeAudio: real WAV decode — exact rate/channels/frames, per-channel rms/peak") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // stereo 16-bit PCM, 8 kHz, 400 frames: channel 0 constant +8192
+    // (quarter scale → rms = peak = 0.25), channel 1 a ±16384 square
+    // wave (rms = peak = 0.5) — both closed-form
+    val rate = 8000f; val frames = 400
+    val pcm = new Array[Byte](frames * 4)
+    for (i <- 0 until frames) {
+      def put(o: Int, v: Int): Unit = {
+        pcm(o) = (v & 0xff).toByte; pcm(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      put(i * 4, 8192)
+      put(i * 4 + 2, if (i % 2 == 0) 16384 else -16384)
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      rate, 16, 2, 4, rate, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val recs = Seq(
+      Multimodal.MediaRecord("wav", "audio", bos.toByteArray, Map()),
+      Multimodal.MediaRecord("junk", "audio", "not audio".getBytes, Map()))
+      .toDS()
+    val out = Multimodal.decodeAudio(recs).collect().map(f => f.media_id -> f).toMap
+    val w = out("wav")
+    assert(w.sample_rate === 8000 && w.channels === 2)
+    assert(w.n_frames === 400L && w.duration_ms === 50L)
+    assert(math.abs(w.features(0) - 0.25f) < 1e-6) // ch0 rms
+    assert(math.abs(w.features(1) - 0.25f) < 1e-6) // ch0 peak
+    assert(math.abs(w.features(2) - 0.5f) < 1e-6)  // ch1 rms
+    assert(math.abs(w.features(3) - 0.5f) < 1e-6)  // ch1 peak
+    assert(w.features.drop(4).forall(_ === 0.0f))  // unused slots
+    // undecodable bytes yield the channels=0 marker row, never a throw
+    assert(out("junk").channels === 0 && out("junk").n_frames === 0L)
+    assert(out("junk").features.forall(_ === 0.0f))
+  }
+
   test("multimodal: decode stub is deterministic, batched, and keeps schema through resize") {
     val df = Seq((1L, "some fake image bytes"), (2L, "")).toDF("doc_id", "payload")
     val recs = Multimodal.asMediaRecords(df, "doc_id", "payload", "image")

@@ -264,6 +264,67 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuous frequency maintenance — the heavy-hitter twin of
+    * [[sketchDistinct]]: per micro-batch, count-min sketch the batch's
+    * `valueCol` per `keys` group with the built-in `count_min_sketch`
+    * aggregate and union-merge into a stored sketch table via
+    * [[graft.functions.CmsFunctions.cmsMerge]] (Spark ships no SQL merge
+    * for CMS binaries). State is (groups × one depth×width register
+    * blob) — aggregate-sized; any item's frequency over the whole
+    * history reads from the registers, the events themselves are never
+    * rescanned. CMS never undercounts and overshoots by at most eps·N —
+    * the guarantee that makes it the standard "which values are hot"
+    * state at 100 TB. Exactly-once via the same marker+swap as
+    * [[mergeGoldBatch]]. */
+  def cmsFrequency(stream: DataFrame, keys: Seq[String], valueCol: String,
+                   storePath: String, ckpt: String, eps: Double = 1e-4,
+                   confidence: Double = 0.99, seed: Int = 42): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        cmsFrequencyBatch(batch, id, keys, valueCol, storePath, eps,
+          confidence, seed)
+      }
+      .start()
+
+  /** The per-batch body of [[cmsFrequency]]. */
+  def cmsFrequencyBatch(batch: DataFrame, id: Long, keys: Seq[String],
+                        valueCol: String, storePath: String, eps: Double,
+                        confidence: Double, seed: Int): Unit = {
+    val kcols = keys.map(col)
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val partial = batch.groupBy(kcols: _*)
+        .agg(expr(s"count_min_sketch($valueCol, ${eps}d, ${confidence}d, $seed)")
+          .as("sk"))
+      existingOpt match {
+        case Some(existing) =>
+          existing.select(kcols :+ col("sk"): _*)
+            .unionByName(partial)
+            .groupBy(kcols: _*)
+            .agg(graft.functions.CmsFunctions.cmsMerge(col("sk")).as("sk"))
+        case None => partial
+      }
+    }
+  }
+
+  /** Frequency estimates from a [[cmsFrequency]] store: one row per
+    * (group, item) probe with the register-read estimate. The store is
+    * groups-sized and the probe list is small, so the sketches collect
+    * to the driver like any aggregate result — the events never move. */
+  def cmsEstimates(stored: DataFrame, keys: Seq[String],
+                   items: Seq[String]): DataFrame = {
+    val spark = stored.sparkSession
+    import spark.implicits._
+    val rows = stored.select(
+        concat_ws(" ", keys.map(col): _*).as("g"), col("sk"))
+      .as[(String, Array[Byte])].collect()
+    rows.flatMap { case (g, bytes) =>
+      val sk = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      items.map(i => (g, i, sk.estimateCount(i)))
+    }.toSeq.toDF("group", "item", "est_n")
+  }
+
   /** Continuous gold maintenance: stream → per-batch partial window
     * aggregates → algebraic merge into the gold table (exactly-once via
     * the batch marker in [[mergeGoldBatch]]). */

@@ -237,6 +237,50 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(math.abs(est2("c") - 5.0) / 5.0 <= 0.05)
   }
 
+  test("cmsFrequency maintains mergeable count-min registers across batches, exactly-once") {
+    val store = Files.createTempDirectory("graft-cms").toString + "/s"
+    def batchDf(rows: Seq[(String, String)]) = rows.toDF("k", "item")
+    // batch 0: group a sees x ×30 + y ×5, group b sees x ×7;
+    // batch 1 adds x ×20 to a — merged frequency must span batches
+    StreamingPipeline.cmsFrequencyBatch(
+      batchDf(Seq.fill(30)("a" -> "x") ++ Seq.fill(5)("a" -> "y")
+        ++ Seq.fill(7)("b" -> "x")),
+      0L, Seq("k"), "item", store, 1e-4, 0.99, 42)
+    StreamingPipeline.cmsFrequencyBatch(
+      batchDf(Seq.fill(20)("a" -> "x")), 1L, Seq("k"), "item", store,
+      1e-4, 0.99, 42)
+
+    def estimates: Map[(String, String), Long] =
+      StreamingPipeline.cmsEstimates(
+          spark.read.parquet(s"$store/data"), Seq("k"), Seq("x", "y", "z"))
+        .as[(String, String, Long)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val est = estimates
+    // eps 1e-4 → width 2e4 cells: no collisions at this size, so the
+    // register reads are EXACT, not just within eps·N
+    assert(est(("a", "x")) === 50L)
+    assert(est(("a", "y")) === 5L)
+    assert(est(("b", "x")) === 7L)
+    assert(est(("a", "z")) === 0L) // never seen
+
+    // replaying batch 1 must not re-merge (exact equality, not closeness)
+    StreamingPipeline.cmsFrequencyBatch(
+      batchDf(Seq.fill(20)("a" -> "x")), 1L, Seq("k"), "item", store,
+      1e-4, 0.99, 42)
+    assert(estimates === est)
+
+    // crash mid-swap: restore the backup before merging, losing nothing
+    val dataDir = new java.io.File(s"$store/data")
+    val backup = new java.io.File(s"$store/_prestate")
+    assert(dataDir.renameTo(backup), "test setup: simulate mid-swap crash")
+    StreamingPipeline.cmsFrequencyBatch(
+      batchDf(Seq.fill(3)("c" -> "x")), 2L, Seq("k"), "item", store,
+      1e-4, 0.99, 42)
+    val est2 = estimates
+    assert(est2(("a", "x")) === 50L && est2(("b", "x")) === 7L)
+    assert(est2(("c", "x")) === 3L)
+  }
+
   test("stream-static dim join enriches every micro-batch via broadcast") {
     val inDir = Files.createTempDirectory("graft-ss-in").toString
     writeBatch(inDir, "b1.json", Seq(

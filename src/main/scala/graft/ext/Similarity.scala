@@ -133,6 +133,41 @@ object Similarity {
       .withColumn("contaminated", col("max_cosine") >= threshold)
   }
 
+  /** The cell-blocked scale path of [[semanticContamination]], for eval
+    * sets too big to broadcast: train vectors are assigned to their
+    * nearest centroid cell, eval vectors probe their `nProbe` nearest
+    * cells, and the max-cosine runs only within shared cells — a cell
+    * equi-join instead of a broadcast cross join. Approximate in exactly
+    * the IVF sense: a contaminating eval vector is by definition NEAR
+    * the train vector, so it lands in the same or an adjacent probed
+    * cell; raise `nProbe` to trade cost for recall. Train vectors in
+    * cells no eval probes come back with max_cosine 0 and a NULL
+    * nearest_eval_id (no contamination evidence near them), so the
+    * output still covers every train row like the exact form. */
+  def semanticContaminationBlocked(train: DataFrame, evalSet: DataFrame,
+                                   cents: DataFrame, threshold: Double,
+                                   nProbe: Int = 2,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame = {
+    val t = assignCells(train, cents, idCol, vecCol)
+    val e = nearestCells(
+        evalSet.select(col(idCol).as("eval_id"),
+          col(vecCol).cast("array<double>").as("ev")),
+        cents, "eval_id", "ev", nProbe)
+      .withColumn("en", l2Norm(col("ev")))
+    val scored = t.join(e, Seq("cell"))
+      .withColumn("c",
+        cosineWithNorms(col("v"), col("ev"), col("nrm"), col("en")))
+      .groupBy("id")
+      .agg(max(struct(col("c").as("mc"), (-col("eval_id")).as("nid"))).as("m"))
+      .select(col("id"), (-col("m.nid")).as("nearest_eval_id"),
+        col("m.mc").as("max_cosine"))
+    t.select("id").join(scored, Seq("id"), "left")
+      .select(col("id"), col("nearest_eval_id"),
+        coalesce(col("max_cosine"), lit(0.0)).as("max_cosine"))
+      .withColumn("contaminated", col("max_cosine") >= threshold)
+  }
+
   /** Deterministic signed-random-projection hyperplanes (±1 components,
     * fixed seed) — shared by the Spark operator and any external oracle so
     * LSH bucketing is engine-reproducible. */

@@ -220,6 +220,40 @@ class ExtSpec extends SparkTestBase {
     assert(out(3L) === ((100L, 0.0, false)))
   }
 
+  test("semanticContaminationBlocked: flags within probed cells, agrees with exact on hot pairs") {
+    // two well-separated clusters on the x/y axes; centroids from labels
+    val train = Seq(
+      (1L, 0, Array(1.0f, 0.05f)),  // cluster 0, near-copy of eval 100
+      (2L, 0, Array(0.7f, -0.7f)),  // cluster 0, clean (45° off eval)
+      (3L, 1, Array(0.05f, 1.0f))). // cluster 1 — no eval probes it at nProbe=1
+      toDF("vec_id", "label", "embedding")
+    val ev = Seq((100L, 0, Array(1.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.centroids(
+      train.unionByName(ev), "label", dim = 2)
+    val exact = Similarity.semanticContamination(
+        train.drop("label"), ev.drop("label"), threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val blocked = Similarity.semanticContaminationBlocked(
+        train.drop("label"), ev.drop("label"), cents, threshold = 0.99,
+        nProbe = 1)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), r.getDouble(2), r.getBoolean(3))).toMap
+    // every train row comes back; the shared-cell scores equal the exact
+    // ones bit-for-bit (same cosine arithmetic, just fewer pairs)
+    assert(blocked.keySet === Set(1L, 2L, 3L))
+    assert(blocked(1L)._2 === exact(1L)._1 && blocked(1L)._3 === exact(1L)._2)
+    assert(blocked(1L)._3, "near-copy in the probed cell must flag")
+    assert(blocked(2L)._2 === exact(2L)._1 && !blocked(2L)._3)
+    // cluster 1 is unprobed at nProbe=1: no evidence → 0.0, NULL id
+    assert(blocked(3L) === ((None, 0.0, false)))
+    // raising nProbe to cover all cells recovers the exact score for it
+    val full = Similarity.semanticContaminationBlocked(
+        train.drop("label"), ev.drop("label"), cents, threshold = 0.99,
+        nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full(3L) === exact(3L)._1)
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tie-break and excludes self") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.1f)), (3L, Array(0.0f, 1.0f)),

@@ -3746,6 +3746,52 @@ object SparkEntry {
           .orderBy("vec_id")
       }),
 
+    // X-semantic-contamination-blocked: the cell-blocked scale path —
+    // train vectors in their nearest label-seeded cell, eval vectors
+    // probing their 2 nearest cells, max-cosine only within shared
+    // cells (a cell equi-join, not a broadcast cross join). The oracle
+    // mirrors the assignment round-for-round (same centroid rounding
+    // and cell tie-break as the x_ivf family) so the blocked evidence
+    // set — and therefore every score — is hash-exact across engines.
+    Q("x_semantic_contamination_blocked",
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |dims AS (SELECT label, i, AVG(v[i]) AS m FROM e, range(1, 65) r(i) GROUP BY label, i),
+              |cent AS MATERIALIZED (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv FROM dims GROUP BY label),
+              |assign AS MATERIALIZED (SELECT vec_id, v, cell FROM (
+              |    SELECT e.vec_id, e.v, c.cell,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |                         ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+              |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+              |tr AS (SELECT vec_id, v, cell FROM assign WHERE vec_id % 20 <> 0),
+              |ep AS (SELECT eval_id, ev, cell FROM (
+              |    SELECT a.vec_id AS eval_id, a.v AS ev, c.cell,
+              |      row_number() OVER (PARTITION BY a.vec_id
+              |                         ORDER BY (${cosSql("a.v", "c.cv")}) DESC, c.cell) AS crn
+              |    FROM (SELECT * FROM e WHERE vec_id % 20 = 0) a CROSS JOIN cent c)
+              |   WHERE crn <= 2),
+              |sc AS (SELECT tr.vec_id, ep.eval_id, (${cosSql("tr.v", "ep.ev")}) AS c
+              |       FROM tr JOIN ep ON tr.cell = ep.cell),
+              |m1 AS (SELECT vec_id, mc, nid FROM (
+              |    SELECT vec_id, c AS mc, eval_id AS nid,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, eval_id) AS rn
+              |    FROM sc) WHERE rn = 1)
+              |SELECT t.vec_id, CAST(m1.nid AS BIGINT) AS nearest_eval_id,
+              |  ROUND(COALESCE(m1.mc, 0.0) + 1e-9, 4) AS max_cosine,
+              |  COALESCE(m1.mc, 0.0) >= 0.4 AS contaminated
+              |FROM tr t LEFT JOIN m1 ON t.vec_id = m1.vec_id
+              |ORDER BY t.vec_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.centroids(emb, "label", 64)
+        Similarity.semanticContaminationBlocked(
+            emb.filter(col("vec_id") % 20 =!= 0),
+            emb.filter(col("vec_id") % 20 === 0), cents, threshold = 0.4,
+            nProbe = 2)
+          .select(col("id").as("vec_id"), col("nearest_eval_id"),
+            R(col("max_cosine")).as("max_cosine"), col("contaminated"))
+          .orderBy("vec_id")
+      }),
+
     // X-gram-curate: the composed one-gram-pass curation surface — span
     // surgery, novelty scoring, and decontamination (all at k=5, test
     // set doc_id % 47 = 0) reading ONE shared gram table

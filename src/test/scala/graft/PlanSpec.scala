@@ -197,7 +197,11 @@ class PlanSpec extends SparkTestBase {
       // type×hour gap-fill grids, NB training's scalar class totals) —
       // bounded sides by construction
       "a_supplier_value_share", "a_missing_hours", "a_gapfill_ffill",
-      "x_nb_quality_classifier", "x_classifier_curation")
+      "x_nb_quality_classifier", "x_classifier_curation",
+      // semantic decontamination: the eval/test side broadcasts by design
+      // (the exact form crosses it against the streamed train corpus; the
+      // blocked form broadcasts only the one-row reference/centroid spine)
+      "x_semantic_contamination", "x_semantic_contamination_blocked")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -2659,6 +2659,56 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy("split")),
 
+    // Deterministic epoch shuffle: the oracle recomputes the ENTIRE
+    // permutation (shard assignment + within-shard position) from the
+    // same md5("epoch|id") key — hash-exact, row for row. One shuffle
+    // keyed on shard + per-shard sort; no global sort at any scale.
+    Q("x_epoch_shuffle",
+      Some("""WITH k AS (
+             |  SELECT doc_id, md5(concat('1', '|', CAST(doc_id AS VARCHAR))) AS sk
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, sk,
+             |    CAST(concat('0x', substr(sk, 1, 6)) AS BIGINT) % 8 AS epoch_shard
+             |  FROM k)
+             |SELECT doc_id, epoch_shard,
+             |  row_number() OVER (PARTITION BY epoch_shard ORDER BY sk, doc_id) AS epoch_pos
+             |FROM s ORDER BY epoch_shard, epoch_pos""".stripMargin),
+      (s, dir) => graft.ext.Sampling
+        .epochShuffle(Tables.documents(s, dir), "doc_id", epoch = 1,
+          shards = 8)
+        .select(col("doc_id"), col("epoch_shard"),
+          col("epoch_pos").cast("long").as("epoch_pos"))
+        .orderBy("epoch_shard", "epoch_pos")),
+
+    // Deterministic mixture interleaving: stride = (src_rank − ½)/q puts
+    // sources into every prefix at ≈q proportion. The oracle computes the
+    // within-source rank with a plain per-source sort; the engine uses
+    // the first-byte-bucketed two-pass rank (256 parallel partial sorts
+    // + a broadcast offset table) — identical output is exactly the
+    // scale claim under test.
+    Q("x_mixture_order",
+      Some("""WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+             |          FROM documents GROUP BY source),
+             |p AS (SELECT source, n / SUM(n) OVER () AS p FROM c),
+             |q AS (SELECT source, POWER(p, 0.5) / SUM(POWER(p, 0.5)) OVER () AS q FROM p),
+             |k AS (SELECT doc_id, source,
+             |        md5(concat('1', '|', CAST(doc_id AS VARCHAR))) AS mk
+             |      FROM documents),
+             |r AS (SELECT doc_id, source,
+             |        row_number() OVER (PARTITION BY source ORDER BY mk, doc_id) AS src_rank
+             |      FROM k)
+             |SELECT r.doc_id, r.source, r.src_rank,
+             |  ROUND((r.src_rank - 0.5) / q.q + 1e-9, 6) AS mix_stride
+             |FROM r JOIN q USING (source)
+             |ORDER BY mix_stride, r.source, r.doc_id""".stripMargin),
+      (s, dir) => graft.ext.Sampling
+        .mixtureOrder(Tables.documents(s, dir), "source", "doc_id",
+          alpha = 0.5, epoch = 1)
+        .select(col("doc_id"), col("source"),
+          col("src_rank").cast("long").as("src_rank"), col("mix_stride"))
+        .orderBy("mix_stride", "source", "doc_id")),
+
     // X-tfidf: per-document top-3 terms by TF-IDF (idf = ln(N/df)).
     Q("x_tfidf",
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

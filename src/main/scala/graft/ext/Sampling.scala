@@ -75,6 +75,87 @@ object Sampling {
     b < cut
   }
 
+  /** Epoch-salted shuffle key: md5("epoch|id") — a fresh deterministic
+    * permutation of the corpus per epoch, a pure function of row
+    * identity (same row, same epoch → same key on any engine or
+    * partitioning; different epoch → an independent order). */
+  def epochKey(id: Column, epoch: Int): Column =
+    md5(concat(lit(epoch.toString), lit("|"), id.cast("string"))
+      .cast("binary"))
+
+  /** Deterministic epoch shuffle — the "reshuffle the corpus every
+    * epoch, reproducibly" training-order operator: each row gets an
+    * [[epochKey]], a shard (hash-uniform over `shards`), and its
+    * position within the shard (key order, id tie-break). Reading
+    * shards in order, each in `epoch_pos` order, replays one global
+    * pseudo-random permutation; bumping `epoch` yields an independent
+    * permutation with zero state.
+    *
+    * Shape at scale: ONE shuffle keyed on the shard and a per-shard
+    * sort — corpus/shards rows per task, no global sort and no
+    * single-node bottleneck (size `shards` so a shard fits a task; a
+    * writer does `repartition(shard) + sortWithinPartitions(key)` with
+    * the same columns). Never `rand()`: resuming a crashed epoch, or
+    * re-materializing shard 7 alone, reproduces identical order. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   shards: Int): DataFrame = {
+    val keyed = df.withColumn("shuffle_key", epochKey(col(idCol), epoch))
+      .withColumn("epoch_shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 6), 16, 10).cast("long"),
+          lit(shards.toLong)))
+    keyed.withColumn("epoch_pos",
+      row_number().over(Window.partitionBy("epoch_shard")
+        .orderBy(col("shuffle_key"), col(idCol))))
+  }
+
+  /** Deterministic read-time mixture interleaving — the "train on
+    * sources at weights q, without materializing a resampled copy"
+    * operator: every row gets a stride key (src_rank − ½) / q_source,
+    * where src_rank is the row's [[epochKey]]-order rank WITHIN its
+    * source and q the [[mixWeights]] temperature quota. Reading rows in
+    * stride order interleaves sources so that every PREFIX of the
+    * stream holds each source in ≈q proportion (a low-discrepancy
+    * schedule — what weighted sampling only achieves in expectation),
+    * deterministically and restartably. Strides are rounded to 6
+    * decimals (engines differ in the last ulp of pow/division; spacing
+    * within a source is 1/q ≫ 1e-6, so rounding never reorders a
+    * source against itself — tie-break across sources on (source, id)).
+    *
+    * Shape at scale: the within-source rank is computed WITHOUT a
+    * per-source global sort — rows bucket by their key's first byte
+    * (order-preserving prefix ranges), rank locally per (source,
+    * bucket), and add per-bucket offsets from a (sources × 256)-row
+    * cumulative count table joined back broadcast — so the biggest
+    * source costs 256 parallel partial sorts instead of one giant one.
+    * Output adds (src_rank, mix_stride); consumers order by
+    * (mix_stride, source, id). */
+  def mixtureOrder(df: DataFrame, sourceCol: String, idCol: String,
+                   alpha: Double, epoch: Int): DataFrame = {
+    val q = mixWeights(df, Seq(sourceCol), alpha)
+      .select(col(sourceCol), col("q"))
+    val keyed = df
+      .withColumn("_mk", epochKey(col(idCol), epoch))
+      .withColumn("_mb", conv(substring(col("_mk"), 1, 2), 16, 10)
+        .cast("long"))
+    val offsets = keyed.groupBy(col(sourceCol), col("_mb"))
+      .agg(count(lit(1)).as("_bn"))
+      .withColumn("_off",
+        coalesce(sum("_bn").over(Window.partitionBy(sourceCol)
+          .orderBy("_mb").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col(sourceCol), col("_mb"), col("_off"))
+    keyed
+      .withColumn("_lr", row_number().over(
+        Window.partitionBy(col(sourceCol), col("_mb"))
+          .orderBy(col("_mk"), col(idCol))))
+      .join(broadcast(offsets), Seq(sourceCol, "_mb"))
+      .withColumn("src_rank", col("_off") + col("_lr"))
+      .join(broadcast(q), Seq(sourceCol))
+      .withColumn("mix_stride",
+        round((col("src_rank") - lit(0.5)) / col("q") + lit(1e-9), 6))
+      .drop("_mk", "_mb", "_lr", "_off", "q")
+  }
+
   /** Temperature-scaled mixing weights per group (the multinomial
     * source/language re-balancing used when assembling a training mix):
     * with p_g the group's share of the corpus, q_g ∝ p_g^alpha

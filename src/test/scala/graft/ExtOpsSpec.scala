@@ -169,6 +169,58 @@ class ExtOpsSpec extends SparkTestBase {
     assert(math.abs(nat("big") - 0.9) < 1e-12 && math.abs(nat("small") - 0.1) < 1e-12)
   }
 
+  test("epochShuffle: valid permutation per epoch, independent across epochs") {
+    val df = spark.range(1000).toDF("id")
+    val e1 = Sampling.epochShuffle(df, "id", epoch = 1, shards = 8)
+    // shards partition the corpus; positions are contiguous 1..n per shard
+    val perShard = e1.groupBy("epoch_shard")
+      .agg(count(lit(1)).as("n"), min("epoch_pos").as("lo"),
+        max("epoch_pos").as("hi"))
+      .collect()
+    assert(perShard.length === 8)
+    perShard.foreach { r =>
+      assert(r.getAs[Int]("lo") === 1 &&
+        r.getAs[Int]("hi").toLong === r.getAs[Long]("n"))
+    }
+    assert(e1.count() === 1000)
+    // deterministic: recomputing gives the identical assignment
+    val again = Sampling.epochShuffle(df, "id", epoch = 1, shards = 8)
+      .select("id", "epoch_shard", "epoch_pos").orderBy("id")
+    assert(again.collect().toSeq ===
+      e1.select("id", "epoch_shard", "epoch_pos").orderBy("id")
+        .collect().toSeq)
+    // a different epoch is a genuinely different permutation
+    val e2 = Sampling.epochShuffle(df, "id", epoch = 2, shards = 8)
+    val moved = e1.select(col("id"), col("epoch_shard").as("s1"))
+      .join(e2.select(col("id"), col("epoch_shard").as("s2")), "id")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(moved > 500, s"epoch 2 must reshuffle most rows, moved only $moved")
+  }
+
+  test("mixtureOrder: bucketed two-pass rank == plain window rank; prefixes hold q proportions") {
+    val df = ((1 to 600).map(i => (i.toLong, "big")) ++
+      (601 to 800).map(i => (i.toLong, "small"))).toDF("id", "src")
+    val out = Sampling.mixtureOrder(df, "src", "id", alpha = 1.0, epoch = 3)
+    // the scalable rank must equal the plain per-source window rank
+    val plain = df
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("src")
+        .orderBy(Sampling.epochKey(col("id"), 3), col("id"))))
+    val mismatches = out.select(col("id"), col("src_rank"))
+      .join(plain.select(col("id"), col("r")), "id")
+      .filter(col("src_rank") =!= col("r")).count()
+    assert(mismatches === 0, "bucketed rank diverged from the window rank")
+    // low-discrepancy: every prefix of the stride order holds each source
+    // within 1 of its q share (alpha=1 → q = natural proportions .75/.25)
+    val ordered = out.orderBy("mix_stride", "src", "id")
+      .select("src").collect().map(_.getString(0))
+    Seq(40, 100, 400, 800).foreach { l =>
+      val nBig = ordered.take(l).count(_ == "big")
+      assert(math.abs(nBig - 0.75 * l) <= 1,
+        s"prefix $l holds $nBig big vs expected ${0.75 * l}")
+    }
+  }
+
   test("mixAllocation: largest-remainder quotas sum exactly to the budget") {
     // alpha=1 keeps natural proportions: p = .5/.3/.2 of budget 7 →
     // raw 3.5/2.1/1.4, base 3/2/1, leftover 1 goes to the largest

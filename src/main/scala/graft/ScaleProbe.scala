@@ -150,8 +150,12 @@ object ScaleProbe {
     // again: 10 tokens per such doc. Bucketing the index on h is the
     // production layout; the bucketed probe must match the plain one
     // while reading the index in place.
-    val hist = df.filter(pmod(col("doc_id"), lit(2)) === 0)
-    val todays = df.filter(pmod(col("doc_id"), lit(2)) === 1)
+    // `ScaleProbe spans N m`: 1/m of docs form today's batch, the rest
+    // are history (m=2 default — the symmetric case; m=10 probes the
+    // steady-state index ≫ batch regime the bloom front targets)
+    val m = if (args.length > 2) args(2).toLong else 2L
+    val hist = df.filter(pmod(col("doc_id"), lit(m)) =!= 1L)
+    val todays = df.filter(pmod(col("doc_id"), lit(m)) === 1L)
     graft.ext.Dedup.batchGramHashes(hist, "text", "doc_id", 5)
       .write.mode("overwrite").parquet("/tmp/graft_scale_gramidx")
     val idx = spark.read.parquet("/tmp/graft_scale_gramidx")
@@ -160,12 +164,15 @@ object ScaleProbe {
     graft.warehouse.Warehouse.writeBucketed(idx, "scale_gram_idx", "h",
       spark.sparkContext.defaultParallelism,
       path = Some("/tmp/graft_scale_gramidx_bucketed"))
-    val expIncr = ((nDocs + 4) / 10) * 10
+    // expected: 10 boilerplate tokens cut per batch doc carrying the
+    // planted block (counted from the construction, exact for any m)
+    val expIncr = todays.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .count() * 10
     def timeIncr(label: String)(f: => Long): Unit = {
       System.gc()
       val t0 = System.nanoTime()
       val r = f
-      println(f"[scale] spans incr-$label docs=${nDocs / 2} " +
+      println(f"[scale] spans incr-$label docs=${nDocs / m} " +
         f"tokens_removed=$r (expected $expIncr) " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }

@@ -1809,6 +1809,22 @@ object SparkEntry {
           .orderBy("event_id")
       }),
 
+    // ORC file round-trip: the columnar sibling of the parquet scans —
+    // write a projection to ORC (Spark-native, no extra dependency),
+    // read it back, and hash-match the parquet-derived oracle. Pins that
+    // the engine's source surface is format-plural: a warehouse whose
+    // neighbors emit ORC plugs in with a one-word reader change.
+    Q("s_orc_roundtrip",
+      Some("""SELECT event_id, user_id, event_type, value
+             | FROM events ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val path = "/tmp/graft_orc_roundtrip"
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "event_type", "value")
+          .write.mode("overwrite").orc(path)
+        s.read.orc(path).orderBy("event_id")
+      }),
+
     // X-minhash-accuracy: sketch estimate vs ground truth — the fraction of
     // matching MinHash components against exact Jaccard for every verified
     // near-dup pair (the query that tells you whether 16 permutations is

@@ -732,46 +732,17 @@ object Dedup {
     cutSpans(batch, textCol, idCol, mergeMarks(marks, k))
   }
 
-  /** One-binary Bloom front for the gram index — built ONCE per index
-    * generation (re-build after appending a batch's [[batchGramHashes]]
-    * delta, not per probing batch) with the same distributed
-    * `BloomFilterAggregate` as [[graft.operators.BloomPrune]]: partial
-    * sketches OR-merge, one ≤ numBits/8-byte binary ever reaches the
-    * driver, the index rows never do. Size `expectedItems` to the
-    * index's distinct gram count. */
-  def gramIndexBloom(index: DataFrame, expectedItems: Long,
-                     numBits: Long): Array[Byte] =
-    graft.operators.BloomPrune.keyBloom(index, col("h"), expectedItems,
-      numBits)
-
-  /** Bloom-fronted variant of [[incrementalDuplicatedSpans]] — the
-    * other production lookup shape next to
-    * [[incrementalDuplicatedSpansBucketed]], for when the batch is
-    * overwhelmingly NOVEL text (the steady state of a curated corpus:
-    * most k-grams have never been seen). The history probe is
-    * prefiltered map-side with `might_contain(bloom, h)` BEFORE any
-    * shuffle, so only the tiny might-match fraction of the batch's
-    * grams joins the index at all; a left-semi join then removes the
-    * Bloom's false positives (no false negatives — result ≡ the
-    * unbucketed form, spec-pinned). The in-batch duplicate criterion is
-    * unchanged (it never touches the index). Combine with the bucketed
-    * index layout for the full treatment: the prefiltered probe shuffles
-    * a sliver of the batch, and the index never moves. */
-  def incrementalDuplicatedSpansBloomFronted(
-      batch: DataFrame, textCol: String, idCol: String,
-      index: DataFrame, bloom: Array[Byte], k: Int): DataFrame = {
-    // three consumers (dup-set aggregation, batch-dup mark join, history
-    // probe) — persist the gram table like every batch span API
-    val grams = tokenGramHashes(batch, textCol, idCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val batchMarks = grams.join(dupHashes(grams), "h").select("id", "pos")
-    val histMarks = grams
-      .filter(graft.operators.BloomPrune.mightContain(bloom, col("h")))
-      .join(index.select("h"), Seq("h"), "left_semi")
-      .select("id", "pos")
-    cutSpans(batch, textCol, idCol,
-      mergeMarks(batchMarks.union(histMarks), k))
-  }
+  // NOTE — a Bloom-fronted history probe for this index was built,
+  // measured, and REJECTED in round 10 (SCALE.md "Bloom front:
+  // measured and rejected"): the in-batch duplicate criterion forces
+  // the batch grams through an h-keyed exchange regardless, so the
+  // only cost a bloom could save is moving the index — which the
+  // bucketed layout already eliminates outright — while a gram-index-
+  // sized bloom (millions of entries) costs seconds per stage as a
+  // plan-embedded literal. Spark's own runtime-filter caps (8 MB /
+  // 4 M items) encode the same economics. Blooms stay where they
+  // measurably win: the fact-to-dim prefilter ahead of a shuffle join
+  // ([[graft.operators.BloomPrune]], `j_bloom_prefilter_join`).
 
   /** Benchmark decontamination: flag training documents sharing any
     * distinct word n-gram with a held-out test set. Returns one row per

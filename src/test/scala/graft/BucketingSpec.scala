@@ -112,43 +112,6 @@ class BucketingSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("bloom-fronted gram index: novel grams never reach the history join") {
-    import graft.ext.Dedup
-    val docs = Tables.documents(spark, dir)
-    val hist = docs.filter(col("doc_id") < 250)
-    val batch = docs.filter(col("doc_id") >= 250)
-      .unionByName(docs.filter(col("doc_id") < 5)
-        .withColumn("doc_id", col("doc_id") + 1000000L))
-    val index = Dedup.batchGramHashes(hist, "text", "doc_id", 5)
-
-    // well-sized bloom: result must be IDENTICAL to the unfronted form
-    val bloom = Dedup.gramIndexBloom(index, expectedItems = 200000L,
-      numBits = 1 << 21)
-    val fronted = Dedup.incrementalDuplicatedSpansBloomFronted(
-      batch, "text", "doc_id", index, bloom, 5)
-    val plain = Dedup.incrementalDuplicatedSpans(batch, "text", "doc_id",
-      index, 5)
-    assert(fronted.orderBy("id").collect().toSeq
-      === plain.orderBy("id").collect().toSeq)
-    // the spiked history copies are fully covered by index grams
-    val spiked = fronted.filter(col("id") >= 1000000L)
-      .select(col("n_tokens") === col("n_removed")).collect()
-    assert(spiked.nonEmpty && spiked.forall(_.getBoolean(0)))
-    // the probe is prefiltered BEFORE the history join: the codegen
-    // might_contain predicate must appear in the physical plan
-    val p = fronted.queryExecution.executedPlan.toString
-    assert(p.contains("might_contain"),
-      s"bloom prefilter missing from the probe plan:\n$p")
-
-    // pathological bloom (64 bits for ~200k grams → FP rate ≈ 1): the
-    // semi join removes every false positive — same result, by exactness
-    val tiny = Dedup.gramIndexBloom(index, expectedItems = 8L, numBits = 64L)
-    val saturated = Dedup.incrementalDuplicatedSpansBloomFronted(
-      batch, "text", "doc_id", index, tiny, 5)
-    assert(saturated.orderBy("id").collect().toSeq
-      === plain.orderBy("id").collect().toSeq)
-  }
-
   test("mismatched bucket counts shuffle at most one side") {
     Warehouse.writeBucketed(Tables.orders(spark, dir), "b_orders8",
       "o_orderkey", 8)

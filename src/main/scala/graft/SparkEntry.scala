@@ -1818,7 +1818,10 @@ object SparkEntry {
       Some("""SELECT event_id, user_id, event_type, value
              | FROM events ORDER BY event_id""".stripMargin),
       (s, dir) => {
-        val path = "/tmp/graft_orc_roundtrip"
+        // per-JVM path: two harnesses (e.g. a test suite and a Verify
+        // run) evaluating this query concurrently must not race on the
+        // same staging directory
+        val path = s"/tmp/graft_orc_roundtrip_${ProcessHandle.current().pid()}"
         Tables.events(s, dir)
           .select("event_id", "user_id", "event_type", "value")
           .write.mode("overwrite").orc(path)
@@ -3478,6 +3481,40 @@ object SparkEntry {
         graft.ext.Graph.componentsWithSize(pairs, "id_a", "id_b")
           .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
           .orderBy("doc_id")
+      }),
+
+    // X-cluster-incremental: fold HALF the near-dup edges into the CC
+    // assignment built from the other half — the stored (id, cluster_id)
+    // star compression plus the batch edges must relabel to EXACTLY the
+    // full-graph recompute (the oracle runs one recursive CTE over ALL
+    // edges; the engine touches only affected components). Pins
+    // cluster-merging, extension, and min-id-change batches on real data.
+    Q("x_cc_incremental",
+      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
+              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |       FROM pre a JOIN pre b
+              |         ON a.source = b.source AND a.doc_id < b.doc_id
+              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
+              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
+              |          UNION ALL SELECT id_b, id_a FROM pj),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+              |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+              |ORDER BY id""".stripMargin),
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text",
+            "doc_id", "source", 3, 0.02)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val hist = pairs.filter((col("id_a") + col("id_b")) % 2 === 0)
+        val batch = pairs.filter((col("id_a") + col("id_b")) % 2 =!= 0)
+        val assignments = graft.ext.Graph
+          .connectedComponents(hist, "id_a", "id_b")
+        graft.ext.Graph
+          .incrementalConnectedComponents(assignments, batch, "id_a", "id_b")
+          .orderBy("id")
       }),
 
     // A-extension: boolean aggregates + conditional count (bool_and /

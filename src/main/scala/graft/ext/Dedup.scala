@@ -733,7 +733,7 @@ object Dedup {
   }
 
   // NOTE — a Bloom-fronted history probe for this index was built,
-  // measured, and REJECTED in round 10 (SCALE.md "Bloom front:
+  // measured, and REJECTED (SCALE.md "Bloom front for the gram index:
   // measured and rejected"): the in-batch duplicate criterion forces
   // the batch grams through an h-keyed exchange regardless, so the
   // only cost a bloom could save is moving the index — which the

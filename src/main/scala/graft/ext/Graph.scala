@@ -176,6 +176,51 @@ object Graph {
 
   /** Components plus per-cluster sizes — the direct input to "keep one doc
     * per cluster" retention policies. */
+  /** Incremental connected components — the cluster-layer twin of the
+    * incremental dedup family: fold a batch of NEW near-dup edges into
+    * a stored (id, cluster_id) assignment without re-running CC over
+    * the full historical edge set. The stored assignment IS a
+    * spanning-star compression of history (every member connects to
+    * its min-id root, reproducing exactly the historical
+    * connectivity), so CC over {star edges of AFFECTED components}
+    * ∪ {the new edges} yields the same min-id labels a full recompute
+    * would — and only components actually touched by a new edge move;
+    * every other assignment row passes through untouched (spec-pinned
+    * equivalence, including cluster-merging and new-min-id batches).
+    *
+    * Shape at scale: "affected" is two semi-joins — new-edge endpoints
+    * → their roots (keyed on id), then roots → members (keyed on
+    * cluster_id; store the assignment bucketed on cluster_id and this
+    * member pull reads in place). A daily near-dup batch touches a
+    * vanishing fraction of a multi-billion-doc cluster table, so the
+    * CC loop runs over (touched members + batch endpoints) — days of
+    * growth, not history. New nodes introduced by the batch need no
+    * special casing: they enter through the edge list like any node. */
+  def incrementalConnectedComponents(assignments: DataFrame,
+                                     newEdges: DataFrame, srcCol: String,
+                                     dstCol: String, maxIter: Int = 20,
+                                     smallGraphNodes: Long = 1L << 20): DataFrame = {
+    val e = newEdges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val ends = e.select(col("a").as("id"))
+      .union(e.select(col("b").as("id"))).distinct()
+    val touchedRoots = assignments.join(ends, Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    // the touched-root set is batch-endpoint-bounded — broadcast both
+    // the member pull and the pass-through anti join
+    val affected = assignments
+      .join(broadcast(touchedRoots), Seq("cluster_id"), "left_semi")
+    val sub = affected
+      .select(col("id").as("a"), col("cluster_id").as("b"))
+      .union(e)
+    val relabeled = connectedComponents(sub, "a", "b", maxIter,
+      smallGraphNodes)
+    assignments
+      .join(broadcast(touchedRoots), Seq("cluster_id"), "left_anti")
+      .select("id", "cluster_id")
+      .union(relabeled.select("id", "cluster_id"))
+  }
+
   def componentsWithSize(edges: DataFrame, srcCol: String, dstCol: String,
                          maxIter: Int = 20,
                          smallGraphNodes: Long = 1L << 20): DataFrame = {

@@ -33,4 +33,39 @@ class GraphChainSpec extends SparkTestBase {
     assert(fast === dist)
     assert(fast.values.toSet === Set(1L, 100L, 200L, 300L))
   }
+
+  test("incremental CC: star compression + batch edges == full recompute") {
+    def cc(edges: Seq[(Long, Long)]) =
+      Graph.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+    // history: {1,2,3}, {10,11}, {20,21} — three components
+    val hist = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val assignments = cc(hist)
+    // batch exercises every shape at once:
+    //  (3,10)  merges {1,2,3} with {10,11}
+    //  (21,22) extends {20,21} with a new node
+    //  (30,31) creates a brand-new component
+    //  (0,20)  new node with a SMALLER id than the old root → relabel
+    val batch = Seq((3L, 10L), (21L, 22L), (30L, 31L), (0L, 20L))
+    val incr = Graph.incrementalConnectedComponents(assignments,
+        batch.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    val full = cc(hist ++ batch).as[(Long, Long)].collect().toMap
+    assert(incr === full)
+    assert(incr(11L) === 1L)  // merged cluster takes the global min id
+    assert(incr(22L) === 0L)  // new smaller id relabels the whole cluster
+    assert(incr(31L) === 30L) // brand-new component labels itself
+
+    // a batch touching NOTHING passes every assignment through unchanged
+    val untouched = Graph.incrementalConnectedComponents(assignments,
+        Seq((100L, 101L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(untouched === cc(hist).as[(Long, Long)].collect().toMap
+      ++ Map(100L -> 100L, 101L -> 100L))
+
+    // an empty batch is the identity
+    val idty = Graph.incrementalConnectedComponents(assignments,
+        Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(idty === cc(hist).as[(Long, Long)].collect().toMap)
+  }
 }

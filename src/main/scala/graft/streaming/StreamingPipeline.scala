@@ -367,6 +367,35 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuous cluster maintenance — the cluster-layer member of the
+    * incremental-ingest family: each micro-batch of near-dup EDGES
+    * (from the minhash/simhash/semantic detectors) folds into a
+    * persistent (id, cluster_id) assignment via
+    * [[graft.ext.Graph.incrementalConnectedComponents]], so "which docs
+    * are the same" stays current without ever re-running CC over the
+    * full historical edge set — only components a new edge touches
+    * relabel. State is nodes-sized (two longs per doc ever seen in an
+    * edge); the edges themselves are never stored. Exactly-once via the
+    * same marker+swap as [[mergeGoldBatch]]. */
+  def ccIngest(edgeStream: DataFrame, srcCol: String, dstCol: String,
+               storePath: String, ckpt: String): StreamingQuery =
+    edgeStream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ccIngestBatch(batch, id, srcCol, dstCol, storePath)
+      }
+      .start()
+
+  /** The per-batch body of [[ccIngest]]. */
+  def ccIngestBatch(batch: DataFrame, id: Long, srcCol: String,
+                    dstCol: String, storePath: String): Unit =
+    mergeSwapState(batch.sparkSession, storePath, id) {
+      case Some(existing) => graft.ext.Graph
+        .incrementalConnectedComponents(existing, batch, srcCol, dstCol)
+      case None => graft.ext.Graph
+        .connectedComponents(batch, srcCol, dstCol)
+    }
+
   /** Percentile read over a [[quantileState]] store: one row per group
     * with the requested quantiles as array<double> — a distributed
     * scalar read of the groups-sized state, no driver collect and no

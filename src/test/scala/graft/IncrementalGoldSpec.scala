@@ -323,6 +323,42 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(q2("c") === Seq(5.0, 5.0, 5.0))
   }
 
+  test("ccIngest maintains the cluster assignment across batches, exactly-once") {
+    val store = Files.createTempDirectory("graft-cc").toString + "/s"
+    def edges(rows: Seq[(Long, Long)]) = rows.toDF("a", "b")
+    // batch 0: {1,2,3} and {10,11}; batch 1 merges them via (3,10) and
+    // adds a fresh {20,21}
+    StreamingPipeline.ccIngestBatch(
+      edges(Seq((1L, 2L), (2L, 3L), (10L, 11L))), 0L, "a", "b", store)
+    StreamingPipeline.ccIngestBatch(
+      edges(Seq((3L, 10L), (20L, 21L))), 1L, "a", "b", store)
+
+    def assignment: Map[Long, Long] =
+      spark.read.parquet(s"$store/data")
+        .as[(Long, Long)].collect().toMap
+    val a = assignment
+    // merged component takes the global min label; full-CC parity
+    assert(a === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 20L, 21L -> 20L))
+
+    // replaying batch 1 must be a marker no-op
+    StreamingPipeline.ccIngestBatch(
+      edges(Seq((3L, 10L), (20L, 21L))), 1L, "a", "b", store)
+    assert(assignment === a)
+
+    // crash mid-swap: restore the backup before merging, losing nothing
+    val dataDir = new java.io.File(s"$store/data")
+    val backup = new java.io.File(s"$store/_prestate")
+    assert(dataDir.renameTo(backup), "test setup: simulate mid-swap crash")
+    StreamingPipeline.ccIngestBatch(
+      edges(Seq((21L, 22L))), 2L, "a", "b", store)
+    val a2 = assignment
+    assert(a2.view.filterKeys(_ <= 11L).toMap ===
+      a.view.filterKeys(_ <= 11L).toMap,
+      "pre-crash assignments must survive the restore")
+    assert(a2(22L) === 20L)
+  }
+
   test("stream-static dim join enriches every micro-batch via broadcast") {
     val inDir = Files.createTempDirectory("graft-ss-in").toString
     writeBatch(inDir, "b1.json", Seq(

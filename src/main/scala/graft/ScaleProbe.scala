@@ -134,6 +134,8 @@ object ScaleProbe {
       println(f"[scale] spans run$i docs=$nDocs spans=$n " +
         f"(expected $expected, off_shape=$bad) sec=$sec%.2f " +
         f"docs_per_sec=${nDocs / sec}%.0f")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     System.gc()
     val t0 = System.nanoTime()
@@ -175,6 +177,8 @@ object ScaleProbe {
       println(f"[scale] spans incr-$label docs=${nDocs / m} " +
         f"tokens_removed=$r (expected $expIncr) " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     timeIncr("plain") {
       graft.ext.Dedup.incrementalDuplicatedSpans(todays, "text", "doc_id",
@@ -225,6 +229,11 @@ object ScaleProbe {
       println(f"[scale] perdoc trim run$i docs=${trim.getLong(0)} " +
         f"tokens_removed=${trim.getLong(1)} (expected ${nPlanted * 10}) " +
         f"sec=$sec%.2f docs_per_sec=${nDocs / sec}%.0f")
+      // the operator persists its gram table for the duration of the
+      // action; sweep it so the next timed run starts cold (the same
+      // between-queries discipline Bench/Verify apply)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     val expNovel = nPlanted * 54 + (nDocs - nPlanted) * 66
     (1 to 3).foreach { i =>
@@ -238,6 +247,8 @@ object ScaleProbe {
         f"n_novel=${nov.getLong(1)} (expected $expNovel) " +
         f"min_novelty=${nov.getDouble(2)}%.4f (expected ${54.0 / 66}%.4f) " +
         f"sec=$sec%.2f docs_per_sec=${nDocs / sec}%.0f")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     spark.stop()
   }

@@ -767,12 +767,17 @@ object Dedup {
                                              docFlags: DataFrame): DataFrame = {
     val dg = grams.select("id", "h").distinct().join(docFlags, "id")
     val testGrams = dg.filter(col("is_test")).select("h").distinct()
+    // one LEFT broadcast join keeps every train gram map-side (hit or
+    // not), so a single hash aggregation yields BOTH the per-doc total
+    // and the shared count — no corpus-wide window shuffle ahead of the
+    // test filter, preserving the operator family's documented "train
+    // grams never shuffle before the broadcast probe" shape
     dg.filter(!col("is_test"))
-      .withColumn("n_grams",
-        count(lit(1)).over(Window.partitionBy("id")))
-      .join(broadcast(testGrams), "h")
-      .groupBy("id", "n_grams")
-      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(testGrams.withColumn("_hit", lit(true))), Seq("h"),
+        "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
       .withColumn("contamination",
         col("n_shared").cast("double") / col("n_grams"))
       .select("id", "n_grams", "n_shared", "contamination")

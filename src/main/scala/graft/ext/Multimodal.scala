@@ -141,7 +141,12 @@ object Multimodal {
       it.map { r =>
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
-          catch { case _: java.io.IOException => null }
+          // NonFatal, not just IOException: the JDK's image plugins throw
+          // unchecked exceptions on malformed input (CMMException on broken
+          // ICC profiles, IllegalArgumentException / IndexOutOfBounds on
+          // truncated JPEG/PNG streams) — at corpus scale some assets ARE
+          // fuzzed garbage, and one of them must not kill a 10^6-row task
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           ImageFeatures(r.media_id, r.modality, 0, 0, 0,
             Array.fill(featureDim)(0.0f))
@@ -257,11 +262,11 @@ object Multimodal {
             math.round(f.getSampleRate), ch, frames.toLong,
             math.round(frames * 1000.0 / f.getSampleRate), feats)
         } catch {
-          // unsupported container, truncated stream, or a transcode the
-          // JDK cannot provide — all mean "not decodable here"
-          case _: javax.sound.sampled.UnsupportedAudioFileException => bad(r)
-          case _: java.io.IOException => bad(r)
-          case _: IllegalArgumentException => bad(r)
+          // unsupported container, truncated stream, a transcode the JDK
+          // cannot provide, or any other unchecked codec failure — all
+          // mean "not decodable here", and none may kill the task (same
+          // NonFatal discipline as decodeImage)
+          case scala.util.control.NonFatal(_) => bad(r)
         }
       }
     }

@@ -100,8 +100,14 @@ case class QuantileSketchAgg(child: Expression, relativeError: Double,
     a
   }
 
-  override def eval(buf: QuantileSketchBuffer): Any =
-    if (buf.qs.count == 0) null else QuantileSketchCodec.write(buf.compacted)
+  // compact BEFORE the emptiness test: `count` only reflects inserts once
+  // the GK head buffer flushes, and Complete-mode / window evaluation
+  // calls eval() straight after update() with no serialize() in between —
+  // testing the un-flushed count would discard sub-head-size groups
+  override def eval(buf: QuantileSketchBuffer): Any = {
+    val qs = buf.compacted
+    if (qs.count == 0) null else QuantileSketchCodec.write(qs)
+  }
 
   override def serialize(buf: QuantileSketchBuffer): Array[Byte] =
     QuantileSketchCodec.write(buf.compacted)
@@ -161,8 +167,11 @@ case class QuantileSketchMergeAgg(child: Expression,
     a
   }
 
-  override def eval(buf: QuantileSketchBuffer): Any =
-    if (buf.qs.count == 0) null else QuantileSketchCodec.write(buf.compacted)
+  // same compact-first discipline as [[QuantileSketchAgg.eval]]
+  override def eval(buf: QuantileSketchBuffer): Any = {
+    val qs = buf.compacted
+    if (qs.count == 0) null else QuantileSketchCodec.write(qs)
+  }
 
   override def serialize(buf: QuantileSketchBuffer): Array[Byte] =
     QuantileSketchCodec.write(buf.compacted)

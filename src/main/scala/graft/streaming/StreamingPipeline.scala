@@ -293,8 +293,12 @@ object StreamingPipeline {
                         confidence: Double, seed: Int): Unit = {
     val kcols = keys.map(col)
     mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      // pin the sketch's key domain to STRINGS: the built-in aggregate
+      // hashes longs and strings differently, and the [[cmsEstimates]]
+      // probe always hashes string bytes — a sketch built over a raw
+      // BIGINT column would answer every probe with ~0, silently
       val partial = batch.groupBy(kcols: _*)
-        .agg(expr(s"count_min_sketch($valueCol, ${eps}d, ${confidence}d, $seed)")
+        .agg(expr(s"count_min_sketch(CAST($valueCol AS STRING), ${eps}d, ${confidence}d, $seed)")
           .as("sk"))
       existingOpt match {
         case Some(existing) =>
@@ -569,8 +573,13 @@ object StreamingPipeline {
                         storePath: String, lo: Double, hi: Double,
                         buckets: Int): Unit =
     mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      // a group with NO rows this batch (or an empty batch) scores as
+      // PSI(reference vs uniform) — absence is a volume signal, not a
+      // distribution shift, and appending it would fire psi_drift on two
+      // quiet windows; producer_down already owns the no-data alert
       val scored = graft.monitoring.Drift
         .streamingPsi(batch, reference, groupCols, valueCol, lo, hi, buckets)
+        .filter(col("n_cur") > 0)
         .select(lit(id).as("batch_id") +: (groupCols.map(col) ++
           Seq(col("n_ref"), col("n_cur"), col("psi"))): _*)
       existingOpt match {
@@ -605,7 +614,13 @@ object StreamingPipeline {
                                  refCentroid: DataFrame, vecCol: String,
                                  storePath: String): Unit =
     mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      // an empty (or all-null-vector) batch has no centroid — its global
+      // aggregate still emits one row (cv = [], n NULL) whose cosine
+      // degenerates to 0.0, and appending that would fire the critical
+      // embedding_drift rule on two quiet batches; skip it (volume
+      // problems are producer_down's alert, not drift's)
       val scored = graft.monitoring.Drift.referenceCentroid(batch, vecCol)
+        .filter(col("n").isNotNull && col("n") > 0)
         .select(col("cv").as("bv"), col("n"))
         .crossJoin(broadcast(refCentroid.select(col("cv").as("rv"))))
         .select(lit(id).as("batch_id"), col("n"),

@@ -181,6 +181,14 @@ class IngestStreamingSpec extends SparkTestBase {
     run()
     assert(spark.read.parquet(s"$store/data").count() === 3)
 
+    // an EMPTY batch has no distribution: it must append NO score row
+    // (n_cur=0 scores as PSI(ref vs uniform) and would falsely breach —
+    // absence is producer_down's signal, not drift's)
+    StreamingPipeline.driftMonitorBatch(
+      Seq.empty[Double].toDF("v"), 99L, ref, Seq.empty, "v", store,
+      0.0, 100.0, 10)
+    assert(spark.read.parquet(s"$store/data").count() === 3)
+
     // the newest window's breach state reaches the scrape surface
     val states = Alerts.currentStates(StreamingPipeline.driftSeriesView(
       spark.read.parquet(s"$store/data")), Alerts.driftRules, 1L)
@@ -232,6 +240,12 @@ class IngestStreamingSpec extends SparkTestBase {
 
     // replay: the series must not grow
     run()
+    assert(spark.read.parquet(s"$store/data").count() === 3)
+
+    // an EMPTY batch has no centroid: it must append NO score row (the
+    // degenerate cosine 0.0 would read as a critical direction change)
+    StreamingPipeline.embeddingDriftMonitorBatch(
+      Seq.empty[Array[Double]].toDF("v"), 99L, ref, "v", store)
     assert(spark.read.parquet(s"$store/data").count() === 3)
   }
 

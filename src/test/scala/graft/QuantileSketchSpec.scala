@@ -64,6 +64,22 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(m, "merging only NULL sketches must yield NULL")
   }
 
+  test("window evaluation (update→eval with no serialize) keeps sub-head-size groups") {
+    // WindowExec's AggregateProcessor calls eval() straight after
+    // update() — the GK head buffer is un-flushed at that point, so an
+    // eval that tested the raw count would return NULL for every group
+    // smaller than the 50k head (i.e. almost all of them)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    val out = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+      .withColumn("q",
+        quantileSketchQuery(quantileSketch(col("v"), 0.01).over(w),
+          Seq(0.0, 1.0)))
+      .select("k", "q").distinct()
+      .as[(String, Seq[Double])].collect().toMap
+    assert(out("a") === Seq(1.0, 2.0), s"window eval lost group a: $out")
+    assert(out("b") === Seq(5.0, 5.0))
+  }
+
   test("self-reported bound: ≤ ε·n when freshly built, NULL on empty, grows under merge") {
     val df = spark.range(10000).select(col("id").cast("double").as("v"))
     val eps = 0.01

@@ -2370,6 +2370,54 @@ object SparkEntry {
         R(array_min(col("embedding")).cast("double")).as("vmin"))
         .orderBy("vec_id")),
 
+    // X-whiten: ZCA embedding whitening — the decorrelation step ahead
+    // of cosine dedup/retrieval. The eigendecomposition's output can't
+    // be recomputed by a SQL oracle, so the check pins the DEFINING
+    // invariants instead, exactly (not approximately): whitening a
+    // corpus against its own (1/n) moments makes every whitened
+    // dimension mean 0 and variance 1 and every off-diagonal covariance
+    // 0, up to float→double noise and the 1e-9 eigenvalue
+    // regularization. Per-dim booleans at 1e-4; oracle emits literal
+    // TRUEs over range(dim). The corpus-side job is one dim²-bounded
+    // aggregation + a narrow projection — nothing quadratic in rows.
+    Q("x_whiten_invariants",
+      Some("""SELECT CAST(range AS BIGINT) AS dim, TRUE AS mean_ok, TRUE AS var_ok,
+             | TRUE AS offdiag_ok
+             |FROM range(64) ORDER BY dim""".stripMargin),
+      (s, dir) => {
+        val wh = graft.ext.Whiten
+          .whitened(Tables.embeddings(s, dir), "embedding", "wv")
+        // neighbor off-diagonal: cov(k, (k+1) mod 64) — one
+        // representative zero per dim keeps the check dim-sized
+        wh.select(col("wv"), posexplode(col("wv")).as(Seq("dim", "x")))
+          .select(col("dim").cast("long").as("dim"), col("x"),
+            element_at(col("wv"),
+              (((col("dim") + 1) % 64) + 1).cast("int")).as("xn"))
+          .groupBy("dim")
+          .agg(avg(col("x")).as("m"), avg(col("x") * col("x")).as("v"),
+            avg(col("x") * col("xn")).as("od"))
+          .select(col("dim"),
+            (abs(col("m")) < 1e-4).as("mean_ok"),
+            (abs(col("v") - 1.0) < 1e-4).as("var_ok"),
+            (abs(col("od")) < 1e-4).as("offdiag_ok"))
+          .orderBy("dim")
+      }),
+
+    // X-mahalanobis: covariance-aware embedding outlier scores. The
+    // trace identity E[(x−μ)ᵀΣ⁻¹(x−μ)] = dim holds EXACTLY when scoring
+    // the same corpus the moments came from — a closed-form oracle for
+    // the whole whiten→normSq pipeline; plus every score nonnegative
+    // and the count intact.
+    Q("x_mahalanobis_trace",
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             | TRUE AS trace_ok, TRUE AS all_nonneg
+             |FROM embeddings""".stripMargin),
+      (s, dir) => graft.ext.Whiten
+        .mahalanobisSq(Tables.embeddings(s, dir), "embedding", "m2")
+        .agg(count(lit(1)).as("n_vecs"),
+          (abs(avg(col("m2")) - 64.0) < 1e-3).as("trace_ok"),
+          (min(col("m2")) >= 0.0).as("all_nonneg"))),
+
     // X-quantize: symmetric int8 scalar quantization of embeddings — the
     // storage/bandwidth path for ANN at scale (oracle checks scale +
     // quantized-array aggregates).

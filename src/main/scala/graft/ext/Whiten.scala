@@ -29,18 +29,25 @@ object Whiten {
     * the convention under which whitening with the SAME corpus gives
     * sample covariance exactly I and mean Mahalanobis² exactly dim
     * (the trace identity the oracle pins). */
-  def moments(df: DataFrame, vecCol: String): (Long, Array[Double], DenseMatrix[Double]) = {
+  /** The moment CELLS of a vector column as a (k, s) frame — one
+    * exploded stream [x_0..x_{d-1}, all d² outer products, 1.0] where k
+    * identifies the cell; the group-by reduces map-side to d²+d+1
+    * partial sums per partition before the single shuffle. Cells are
+    * purely ADDITIVE, which is what makes the whitening fit mergeable
+    * state: cells(A ∪ B) = cells(A) + cells(B) cell-wise (see
+    * [[graft.streaming.StreamingPipeline.embeddingMomentsBatch]]). */
+  def momentCells(df: DataFrame, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    // one exploded stream: [x_0..x_{d-1}, all d² outer products, 1.0] —
-    // k identifies the cell, the group-by reduces map-side to d²+d+1
-    // partial sums per partition
-    val ex = df.select(v.as("v"))
+    df.select(v.as("v"))
       .select(posexplode(concat(
         col("v"),
         flatten(transform(col("v"), xi => transform(col("v"), xj => xi * xj))),
         array(lit(1.0)))).as(Seq("k", "x")))
-    val sums = ex.groupBy("k").agg(sum("x").as("s"))
-      .orderBy("k").collect().map(_.getDouble(1))
+      .groupBy("k").agg(sum("x").as("s"))
+  }
+
+  /** Decode a collected cell vector (ordered by k) into (n, mean, cov). */
+  def decodeCells(sums: Array[Double]): (Long, Array[Double], DenseMatrix[Double]) = {
     val dim = ((math.sqrt(4.0 * sums.length - 3) - 1) / 2).round.toInt
     require(dim * dim + dim + 1 == sums.length,
       s"inconsistent moment vector: ${sums.length} cells")
@@ -51,6 +58,10 @@ object Whiten {
     }
     (n, mean, cov)
   }
+
+  def moments(df: DataFrame, vecCol: String): (Long, Array[Double], DenseMatrix[Double]) =
+    decodeCells(momentCells(df, vecCol)
+      .orderBy("k").collect().map(_.getDouble(1)))
 
   /** The ZCA whitening matrix W = U diag(1/√(λ+eps)) Uᵀ: symmetric, and
     * of all whitening transforms the one closest to the identity —

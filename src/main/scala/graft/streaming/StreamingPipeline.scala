@@ -371,6 +371,42 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuous whitening-fit maintenance: the embedding moment cells
+    * (n, Σx per dim, Σ xᵢxⱼ — see [[graft.ext.Whiten.momentCells]]) are
+    * purely ADDITIVE, so each micro-batch's partial folds into the
+    * stored cells with one cell-wise sum and the state always equals
+    * the full-corpus recompute exactly (algebraic, like the gold
+    * moments). State is d²+d+1 doubles TOTAL; read the whitener or
+    * Mahalanobis fit at any time via [[embeddingMomentsView]] without
+    * rescanning a single embedding. Exactly-once via marker+swap. */
+  def embeddingMoments(stream: DataFrame, vecCol: String, storePath: String,
+                       ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        embeddingMomentsBatch(batch, id, vecCol, storePath)
+      }
+      .start()
+
+  /** The per-batch body of [[embeddingMoments]]. */
+  def embeddingMomentsBatch(batch: DataFrame, id: Long, vecCol: String,
+                            storePath: String): Unit =
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val partial = graft.ext.Whiten.momentCells(batch, vecCol)
+      existingOpt match {
+        case Some(existing) =>
+          existing.unionByName(partial)
+            .groupBy("k").agg(sum("s").as("s"))
+        case None => partial
+      }
+    }
+
+  /** Decode an [[embeddingMoments]] store into (n, mean, covariance) —
+    * a d²-cell driver read, never an embedding rescan. */
+  def embeddingMomentsView(stored: DataFrame): (Long, Array[Double], breeze.linalg.DenseMatrix[Double]) =
+    graft.ext.Whiten.decodeCells(
+      stored.orderBy("k").collect().map(_.getDouble(1)))
+
   /** Continuous cluster maintenance — the cluster-layer member of the
     * incremental-ingest family: each micro-batch of near-dup EDGES
     * (from the minhash/simhash/semantic detectors) folds into a

@@ -323,6 +323,30 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(q2("c") === Seq(5.0, 5.0, 5.0))
   }
 
+  test("embeddingMoments: additive cells across batches equal the full-corpus fit") {
+    val store = Files.createTempDirectory("graft-emom").toString + "/s"
+    val all = (0 until 100).map(i =>
+      Array((i % 10).toDouble, (i % 10) + (if ((i / 10) % 2 == 0) 0.2 else -0.2)))
+    val (b0, b1) = all.splitAt(60)
+    StreamingPipeline.embeddingMomentsBatch(b0.toDF("v"), 0L, "v", store)
+    StreamingPipeline.embeddingMomentsBatch(b1.toDF("v"), 1L, "v", store)
+
+    def fit = StreamingPipeline.embeddingMomentsView(
+      spark.read.parquet(s"$store/data"))
+    val (n, mean, cov) = fit
+    val (nF, meanF, covF) = graft.ext.Whiten.moments(all.toDF("v"), "v")
+    assert(n === nF && n === 100L)
+    mean.zip(meanF).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(cov(i, j) - covF(i, j)) < 1e-9,
+        s"cov($i,$j) diverged: ${cov(i, j)} vs ${covF(i, j)}")
+
+    // replaying batch 1 must be a marker no-op (exact cell equality)
+    StreamingPipeline.embeddingMomentsBatch(b1.toDF("v"), 1L, "v", store)
+    val (n2, mean2, _) = fit
+    assert(n2 === 100L && mean2.toSeq === mean.toSeq)
+  }
+
   test("ccIngest maintains the cluster assignment across batches, exactly-once") {
     val store = Files.createTempDirectory("graft-cc").toString + "/s"
     def edges(rows: Seq[(Long, Long)]) = rows.toDF("a", "b")

@@ -20,6 +20,7 @@ object ScaleProbe {
     if (args.headOption.contains("ann")) { annProbe(args); return }
     if (args.headOption.contains("spans")) { spansProbe(args); return }
     if (args.headOption.contains("perdoc")) { perdocProbe(args); return }
+    if (args.headOption.contains("whiten")) { whitenProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -250,6 +251,50 @@ object ScaleProbe {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    spark.stop()
+  }
+
+  /** Whitening fit at scale: N deterministic 64-dim vectors with a
+    * planted anisotropic covariance. Times the ONE dim²-bounded moment
+    * aggregation (the whole corpus-side cost of the ZCA fit) and then
+    * verifies the trace identity E[m²] = dim on a projected sample —
+    * exact for any N, so correctness rides along with the timing.
+    * `ScaleProbe whiten [nVecs]`. */
+  private def whitenProbe(args: Array[String]): Unit = {
+    val n = if (args.length > 1) args(1).toLong else 100000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dim = 64
+    // anisotropic: dim j's scale grows with j, plus a shared component
+    // so off-diagonals are nonzero and the fit has real work to do
+    val comps = (0 until dim).map { j =>
+      (pmod(hash(col("id"), lit(j)), lit(2001)).cast("double") / 1000.0 - 1.0) *
+        lit(1.0 + j / 8.0) +
+        (pmod(hash(col("id")), lit(2001)).cast("double") / 1000.0 - 1.0)
+    }
+    spark.range(n).select(col("id"), array(comps: _*).as("v"))
+      .repartition(cpus * 2)
+      .write.mode("overwrite").parquet("/tmp/graft_scale_whiten")
+    val df = spark.read.parquet("/tmp/graft_scale_whiten")
+    var fit: (Long, Array[Double], breeze.linalg.DenseMatrix[Double]) = null
+    (1 to 3).foreach { i =>
+      System.gc()
+      val t0 = System.nanoTime()
+      fit = graft.ext.Whiten.moments(df, "v")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] whiten-fit run$i vecs=$n dim=$dim cells=${dim * dim + dim + 1} " +
+        f"sec=$sec%.2f vecs_per_sec=${n / sec}%.0f")
+    }
+    val w = graft.ext.Whiten.zcaMatrix(fit._3, 1e-9)
+    System.gc()
+    val t0 = System.nanoTime()
+    val m2 = graft.ext.Whiten.project(df, "v", "wh", fit._2, w)
+      .select(graft.functions.VectorFunctions.normSq(col("wh")).as("m2"))
+      .agg(avg("m2"), count(lit(1))).head()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] whiten-project vecs=${m2.getLong(1)} " +
+      f"avg_m2=${m2.getDouble(0)}%.4f (expected $dim.0000) sec=$sec%.2f")
     spark.stop()
   }
 

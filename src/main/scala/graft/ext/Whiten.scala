@@ -29,22 +29,19 @@ object Whiten {
     * the convention under which whitening with the SAME corpus gives
     * sample covariance exactly I and mean Mahalanobis² exactly dim
     * (the trace identity the oracle pins). */
-  /** The moment CELLS of a vector column as a (k, s) frame — one
-    * exploded stream [x_0..x_{d-1}, all d² outer products, 1.0] where k
-    * identifies the cell; the group-by reduces map-side to d²+d+1
-    * partial sums per partition before the single shuffle. Cells are
-    * purely ADDITIVE, which is what makes the whitening fit mergeable
-    * state: cells(A ∪ B) = cells(A) + cells(B) cell-wise (see
+  /** The moment CELLS of a vector column as a (k, s) frame —
+    * [Σx_0..Σx_{d-1}, all d² Σ xᵢxⱼ row-major, n], computed by the
+    * fused [[graft.functions.VectorMoments]] aggregate: each partition
+    * reduces to ONE flat d²+d+1 buffer (the treeAggregate-a-Gram-matrix
+    * pattern), so the shuffle carries one ~33 KB blob per partition at
+    * d = 64 — dim²-bounded regardless of corpus size. Cells are purely
+    * ADDITIVE, which is what makes the whitening fit mergeable state:
+    * cells(A ∪ B) = cells(A) + cells(B) cell-wise (see
     * [[graft.streaming.StreamingPipeline.embeddingMomentsBatch]]). */
-  def momentCells(df: DataFrame, vecCol: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    df.select(v.as("v"))
-      .select(posexplode(concat(
-        col("v"),
-        flatten(transform(col("v"), xi => transform(col("v"), xj => xi * xj))),
-        array(lit(1.0)))).as(Seq("k", "x")))
-      .groupBy("k").agg(sum("x").as("s"))
-  }
+  def momentCells(df: DataFrame, vecCol: String): DataFrame =
+    df.agg(graft.functions.VectorMomentFunctions
+        .vectorMoments(col(vecCol)).as("c"))
+      .select(posexplode(col("c")).as(Seq("k", "s")))
 
   /** Decode a collected cell vector (ordered by k) into (n, mean, cov). */
   def decodeCells(sums: Array[Double]): (Long, Array[Double], DenseMatrix[Double]) = {

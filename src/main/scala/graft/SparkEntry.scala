@@ -2370,6 +2370,62 @@ object SparkEntry {
         R(array_min(col("embedding")).cast("double")).as("vmin"))
         .orderBy("vec_id")),
 
+    // X-profile-similarity: time-series similarity search (the EDBT'19
+    // streaming-similarity shape) — each user's 24-hour activity profile
+    // (hourly mean value, missing hours 0) is a vector; top-3 most
+    // similar other users by cosine. The corpus reduction happens in the
+    // AGGREGATION (events → one 24-dim row per user); the all-pairs
+    // scoring runs over the users-sized profile table only — at larger
+    // user counts the SRP-LSH path replaces it. Ordering is pinned by
+    // ROUND(cos, 6) + id tie-break on both engines.
+    Q("x_profile_similarity",
+      Some("""WITH hours AS (SELECT unnest(range(24)) AS h),
+             |grid AS (SELECT u.user_id, hours.h
+             |         FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN hours),
+             |pr AS (SELECT user_id, CAST(hour(ts) AS INT) AS h, AVG(value) AS m
+             |       FROM events GROUP BY 1, 2),
+             |prof AS (SELECT g.user_id, list(COALESCE(pr.m, 0.0) ORDER BY g.h) AS p
+             |         FROM grid g LEFT JOIN pr ON g.user_id = pr.user_id AND g.h = pr.h
+             |         GROUP BY g.user_id),
+             |pairs AS (SELECT a.user_id, b.user_id AS other_id,
+             |            list_dot_product(a.p, b.p)
+             |              / NULLIF(sqrt(list_dot_product(a.p, a.p))
+             |                * sqrt(list_dot_product(b.p, b.p)), 0) AS c
+             |          FROM prof a JOIN prof b ON a.user_id <> b.user_id),
+             |rk AS (SELECT user_id, other_id, c,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY ROUND(c + 1e-9, 6) DESC, other_id) AS rnk
+             |       FROM pairs)
+             |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, other_id,
+             |  ROUND(c + 1e-9, 4) AS cosine
+             |FROM rk WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val prof = ev
+          .groupBy(col("user_id"), hour(col("ts")).as("h"))
+          .agg(avg("value").as("m"))
+          .groupBy("user_id")
+          .agg(map_from_entries(collect_list(struct(col("h"), col("m"))))
+            .as("mm"))
+          .select(col("user_id"),
+            transform(sequence(lit(0), lit(23)),
+              h => coalesce(element_at(col("mm"), h), lit(0.0))).as("p"))
+        val a = prof.select(col("user_id"), col("p").as("pa"))
+        val b = prof.select(col("user_id").as("other_id"), col("p").as("pb"))
+        val dotAB = Similarity.dot(col("pa"), col("pb"))
+        val c = dotAB / (sqrt(Similarity.dot(col("pa"), col("pa")))
+          * sqrt(Similarity.dot(col("pb"), col("pb"))))
+        val w = Window.partitionBy("user_id")
+          .orderBy(round(col("c") + 1e-9, 6).desc, col("other_id").asc)
+        a.join(broadcast(b), col("user_id") =!= col("other_id"))
+          .withColumn("c", c)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("user_id"), col("rnk").cast("long").as("rnk"),
+            col("other_id"), R(col("c")).as("cosine"))
+          .orderBy("user_id", "rnk")
+      }),
+
     // X-whiten: ZCA embedding whitening — the decorrelation step ahead
     // of cosine dedup/retrieval. The eigendecomposition's output can't
     // be recomputed by a SQL oracle, so the check pins the DEFINING

@@ -201,7 +201,10 @@ class PlanSpec extends SparkTestBase {
       // semantic decontamination: the eval/test side broadcasts by design
       // (the exact form crosses it against the streamed train corpus; the
       // blocked form broadcasts only the one-row reference/centroid spine)
-      "x_semantic_contamination", "x_semantic_contamination_blocked")
+      "x_semantic_contamination", "x_semantic_contamination_blocked",
+      // profile similarity scores the users-sized PROFILE table all-pairs
+      // (the corpus reduction already happened in the aggregation)
+      "x_profile_similarity")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

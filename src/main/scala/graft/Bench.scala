@@ -49,14 +49,10 @@ object Bench {
           }
         }
       }
-      // operators may persist intermediates; drop them so later queries
-      // aren't taxed by accumulated cache + GC pressure
-      spark.catalog.clearCache()
-      // clearCache only drops CATALOG cache — RDD-level persistence
-      // (localCheckpoint generations from iterative operators) survives it
-      // and lingers until a driver GC. Sweep it explicitly: between bench
-      // queries nothing may legitimately hold cross-query RDD state.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // operators may persist intermediates; drop them (catalog cache AND
+      // the RDD-level persistence that survives clearCache) so later
+      // queries aren't taxed by accumulated cache + GC pressure
+      GraftSession.sweepCaches(spark)
       // ContextCleaner frees broadcasts/shuffles only after a DRIVER gc
       // detects them unreachable; across 70+ queries the accumulation
       // degrades late queries 10-40x (measured). Force a periodic gc so
@@ -78,8 +74,7 @@ object Bench {
     val reprobed = results.map { case (name, t) =>
       if (t < 0.75) name -> t
       else {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        GraftSession.sweepCaches(spark)
         System.gc()
         val fn = SparkEntry.queries(name)
         var reFailed = false
@@ -96,8 +91,7 @@ object Bench {
         val rt = if (reFailed) Double.MaxValue else rtRaw
         if (rt < t / 1.5)
           System.err.println(f"[bench] $name: sweep $t%.2fs -> clean $rt%.2fs (contaminated cell)")
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        GraftSession.sweepCaches(spark)
         name -> math.min(t, rt)
       }
     }
@@ -108,8 +102,7 @@ object Bench {
     // broadcasts/shuffles that drag this reading 2-3x run-to-run.
     // Best-of-3 with a GC between runs tightens the 55k-190k rows/s
     // spread observed on back-to-back invocations.
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    GraftSession.sweepCaches(spark)
     System.gc()
     val chainRows = graft.model.Tables.events(spark, sfDir).count()
     val chainSec = (1 to 3).map { _ =>
@@ -128,8 +121,7 @@ object Bench {
     // in r3 this dragged the measurement from a clean-run 12-38k ev/s
     // down to 3.4k. Sweep caches, force a GC, and give the cleaner a
     // moment to drain before starting the clock.
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    GraftSession.sweepCaches(spark)
     System.gc()
     Thread.sleep(2000)
     System.gc()

@@ -50,4 +50,13 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The between-queries cache discipline shared by Verify, Bench, and the
+    * scale probes: drop the catalog cache AND the RDD-level persistence
+    * that survives it (localCheckpoint generations, operator persists), so
+    * one query's cached blocks never tax the next one's timing or memory. */
+  def sweepCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
 }

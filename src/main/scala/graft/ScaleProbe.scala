@@ -135,8 +135,7 @@ object ScaleProbe {
       println(f"[scale] spans run$i docs=$nDocs spans=$n " +
         f"(expected $expected, off_shape=$bad) sec=$sec%.2f " +
         f"docs_per_sec=${nDocs / sec}%.0f")
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      GraftSession.sweepCaches(spark)
     }
     System.gc()
     val t0 = System.nanoTime()
@@ -178,8 +177,7 @@ object ScaleProbe {
       println(f"[scale] spans incr-$label docs=${nDocs / m} " +
         f"tokens_removed=$r (expected $expIncr) " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      GraftSession.sweepCaches(spark)
     }
     timeIncr("plain") {
       graft.ext.Dedup.incrementalDuplicatedSpans(todays, "text", "doc_id",
@@ -233,8 +231,7 @@ object ScaleProbe {
       // the operator persists its gram table for the duration of the
       // action; sweep it so the next timed run starts cold (the same
       // between-queries discipline Bench/Verify apply)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      GraftSession.sweepCaches(spark)
     }
     val expNovel = nPlanted * 54 + (nDocs - nPlanted) * 66
     (1 to 3).foreach { i =>
@@ -248,8 +245,7 @@ object ScaleProbe {
         f"n_novel=${nov.getLong(1)} (expected $expNovel) " +
         f"min_novelty=${nov.getDouble(2)}%.4f (expected ${54.0 / 66}%.4f) " +
         f"sec=$sec%.2f docs_per_sec=${nDocs / sec}%.0f")
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      GraftSession.sweepCaches(spark)
     }
     spark.stop()
   }

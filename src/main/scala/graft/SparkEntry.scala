@@ -2388,9 +2388,9 @@ object SparkEntry {
              |         FROM grid g LEFT JOIN pr ON g.user_id = pr.user_id AND g.h = pr.h
              |         GROUP BY g.user_id),
              |pairs AS (SELECT a.user_id, b.user_id AS other_id,
-             |            list_dot_product(a.p, b.p)
+             |            COALESCE(list_dot_product(a.p, b.p)
              |              / NULLIF(sqrt(list_dot_product(a.p, a.p))
-             |                * sqrt(list_dot_product(b.p, b.p)), 0) AS c
+             |                * sqrt(list_dot_product(b.p, b.p)), 0), 0.0) AS c
              |          FROM prof a JOIN prof b ON a.user_id <> b.user_id),
              |rk AS (SELECT user_id, other_id, c,
              |         row_number() OVER (PARTITION BY user_id
@@ -2401,7 +2401,10 @@ object SparkEntry {
              |FROM rk WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin),
       (s, dir) => {
         val ev = Tables.events(s, dir)
-        val prof = ev
+        // NULL ts would become a NULL map key (throws under ANSI);
+        // dropping the row matches the oracle, whose hour-grid join
+        // never matches a NULL-hour group
+        val prof = ev.filter(col("ts").isNotNull)
           .groupBy(col("user_id"), hour(col("ts")).as("h"))
           .agg(avg("value").as("m"))
           .groupBy("user_id")
@@ -2413,8 +2416,11 @@ object SparkEntry {
         val a = prof.select(col("user_id"), col("p").as("pa"))
         val b = prof.select(col("user_id").as("other_id"), col("p").as("pb"))
         val dotAB = Similarity.dot(col("pa"), col("pb"))
-        val c = dotAB / (sqrt(Similarity.dot(col("pa"), col("pa")))
-          * sqrt(Similarity.dot(col("pb"), col("pb"))))
+        // zero-norm guard BEFORE the division: ANSI mode makes x/0.0
+        // throw, and the oracle's NULLIF+COALESCE yields 0.0 there
+        val denom = sqrt(Similarity.dot(col("pa"), col("pa"))) *
+          sqrt(Similarity.dot(col("pb"), col("pb")))
+        val c = when(denom === 0.0, lit(0.0)).otherwise(dotAB / denom)
         val w = Window.partitionBy("user_id")
           .orderBy(round(col("c") + 1e-9, 6).desc, col("other_id").asc)
         a.join(broadcast(b), col("user_id") =!= col("other_id"))

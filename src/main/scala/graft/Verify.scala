@@ -23,11 +23,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache()
-      // clearCache misses RDD-level persistence (localCheckpoint
-      // generations); sweep it so iterative operators can't leak blocks
-      // into later queries
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      GraftSession.sweepCaches(spark)
       // periodic driver gc so ContextCleaner frees broadcasts/shuffles —
       // without it late queries degrade 10-40x across a 70-query run
       sinceGc += 1

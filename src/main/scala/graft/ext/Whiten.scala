@@ -24,11 +24,6 @@ import graft.functions.VectorFunctions
   */
 object Whiten {
 
-  /** Corpus moments of a vector column in ONE pass: (n, mean,
-    * covariance). Covariance is the biased (1/n) sample covariance —
-    * the convention under which whitening with the SAME corpus gives
-    * sample covariance exactly I and mean Mahalanobis² exactly dim
-    * (the trace identity the oracle pins). */
   /** The moment CELLS of a vector column as a (k, s) frame —
     * [Σx_0..Σx_{d-1}, all d² Σ xᵢxⱼ row-major, n], computed by the
     * fused [[graft.functions.VectorMoments]] aggregate: each partition
@@ -56,6 +51,11 @@ object Whiten {
     (n, mean, cov)
   }
 
+  /** Corpus moments of a vector column in ONE pass: (n, mean,
+    * covariance). Covariance is the biased (1/n) sample covariance —
+    * the convention under which whitening with the SAME corpus gives
+    * sample covariance exactly I and mean Mahalanobis² exactly dim
+    * (the trace identity the oracle pins). */
   def moments(df: DataFrame, vecCol: String): (Long, Array[Double], DenseMatrix[Double]) =
     decodeCells(momentCells(df, vecCol)
       .orderBy("k").collect().map(_.getDouble(1)))
@@ -105,8 +105,12 @@ object Whiten {
                     eps: Double = 1e-9): DataFrame = {
     val (_, mean, cov) = moments(df, vecCol)
     val w = zcaMatrix(cov, eps)
-    project(df, vecCol, "_wh", mean, w)
-      .withColumn(outCol, VectorFunctions.normSq(col("_wh")))
-      .drop("_wh")
+    // fresh scratch name: silently replacing (then dropping) a caller's
+    // own "_wh" column would lose their data
+    val tmp = Iterator.from(0).map(i => s"_wh$i")
+      .find(n => !df.columns.contains(n)).get
+    project(df, vecCol, tmp, mean, w)
+      .withColumn(outCol, VectorFunctions.normSq(col(tmp)))
+      .drop(tmp)
   }
 }

@@ -395,7 +395,19 @@ object StreamingPipeline {
       val partial = graft.ext.Whiten.momentCells(batch, vecCol)
       existingOpt match {
         case Some(existing) =>
-          existing.unionByName(partial)
+          // cell-count equality IS the dimension check: summing a
+          // d'=32 batch into a d=64 layout would land its count cell
+          // inside the outer-product block and silently corrupt every
+          // fit read from the store — the same invariant VectorMoments
+          // enforces within a batch, enforced here across batches
+          // (both frames are d²+d+1 rows, so the counts are free)
+          val nE = existing.count()
+          val nP = partial.count()
+          require(nP == 0 || nE == nP,
+            s"embedding dimension changed across batches: state has $nE " +
+              s"moment cells, batch produced $nP")
+          if (nP == 0) existing
+          else existing.unionByName(partial)
             .groupBy("k").agg(sum("s").as("s"))
         case None => partial
       }

@@ -345,6 +345,16 @@ class IncrementalGoldSpec extends SparkTestBase {
     StreamingPipeline.embeddingMomentsBatch(b1.toDF("v"), 1L, "v", store)
     val (n2, mean2, _) = fit
     assert(n2 === 100L && mean2.toSeq === mean.toSeq)
+
+    // a batch with a DIFFERENT embedding dimension must fail loudly —
+    // cell-wise summing a 3-dim batch into the 2-dim layout would corrupt
+    // every fit silently
+    val ex = intercept[IllegalArgumentException] {
+      StreamingPipeline.embeddingMomentsBatch(
+        Seq(Array(1.0, 2.0, 3.0)).toDF("v"), 2L, "v", store)
+    }
+    assert(ex.getMessage.contains("dimension changed"))
+    assert(fit._1 === 100L, "failed batch must not touch the state")
   }
 
   test("ccIngest maintains the cluster assignment across batches, exactly-once") {

@@ -5206,6 +5206,38 @@ object SparkEntry {
         s.sql("""SELECT vec_id,
                 | ROUND(graft_dot(embedding, embedding) + 1e-9, 4) AS sq_norm
                 | FROM embeddings ORDER BY vec_id""".stripMargin)
+      }),
+
+    // The mergeable quantile family exposed as SQL functions: per-day
+    // partial sketches built, union-merged, and queried entirely in SQL
+    // (the spark.sql.extensions path), then rank-bound-checked against
+    // exact counts like x_quantile_sketch (5ε·n + 2 merged-fold
+    // allowance, see that query's rationale).
+    Q("sql_graft_quantile",
+      Some("""SELECT event_type, COUNT(value) AS n_vals, TRUE AS p50_rank_ok
+             | FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, dir) => {
+        GraftExtensions.register(s)
+        val ev = Tables.events(s, dir)
+        ev.createOrReplaceTempView("ev_qsk")
+        val eps = 0.001
+        val est = s.sql(
+          """SELECT event_type,
+            | element_at(graft_quantile_query(graft_quantile_merge(sk), 0.5d), 1) AS qm
+            |FROM (SELECT to_date(ts) AS d, event_type,
+            |        graft_quantile_sketch(value, 0.001d) AS sk
+            |      FROM ev_qsk GROUP BY 1, 2)
+            |GROUP BY event_type""".stripMargin)
+        ev.select("event_type", "value").join(broadcast(est), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(col("value")).as("n_vals"),
+            sum(when(col("value") <= col("qm"), 1L).otherwise(0L)).as("le"),
+            sum(when(col("value") < col("qm"), 1L).otherwise(0L)).as("lt"))
+          .select(col("event_type"), col("n_vals"),
+            (col("le") >= col("n_vals") * 0.5 - col("n_vals") * eps * 5 - 3 &&
+              col("lt") + 1 <= col("n_vals") * 0.5 + col("n_vals") * eps * 5 + 3)
+              .as("p50_rank_ok"))
+          .orderBy("event_type")
       }))
 
   // ---- driver contract ----------------------------------------------------

@@ -101,6 +101,27 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(empty, "bound of an empty sketch must be NULL")
   }
 
+  test("SQL surface: the quantile family and graft_vector_moments are callable from spark.sql") {
+    GraftExtensions.register(spark)
+    spark.range(1, 101).select(col("id").cast("double").as("v"))
+      .createOrReplaceTempView("qsk_vals")
+    // build per-parity partials in SQL, merge them in SQL, query in SQL
+    val q = spark.sql(
+      """SELECT graft_quantile_query(graft_quantile_merge(sk), array(0.0d, 0.5d, 1.0d)) AS qs,
+        |       graft_quantile_bound(graft_quantile_merge(sk)) AS b
+        |FROM (SELECT CAST(v AS INT) % 2 AS p, graft_quantile_sketch(v, 0.001d) AS sk
+        |      FROM qsk_vals GROUP BY 1)""".stripMargin)
+      .as[(Seq[Double], Double)].collect().head
+    assert(q._1.head === 1.0 && q._1.last === 100.0)
+    assert(math.abs(q._1(1) - 50.0) <= 1.0)
+    assert(q._2 >= 0.0)
+    // moment cells: n lands in the last slot, Σv in the first
+    val m = spark.sql(
+      "SELECT graft_vector_moments(array(v)) AS c FROM qsk_vals")
+      .as[Seq[Double]].collect().head
+    assert(m.length === 3 && m(2) === 100.0 && m(0) === 5050.0)
+  }
+
   test("rank error stays within ε·n once compression fires (50k rows, ε=0.01)") {
     val n = 50000
     // deterministic non-uniform values with a known rank function:

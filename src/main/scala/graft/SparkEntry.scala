@@ -2413,13 +2413,17 @@ object SparkEntry {
           .select(col("user_id"),
             transform(sequence(lit(0), lit(23)),
               h => coalesce(element_at(col("mm"), h), lit(0.0))).as("p"))
-        val a = prof.select(col("user_id"), col("p").as("pa"))
-        val b = prof.select(col("user_id").as("other_id"), col("p").as("pb"))
+        // norms PRE-computed once per profile, not once per pair: the
+        // pair loop is |users|² cosines and would otherwise redo each
+        // side's norm |users| times
+        val a = prof.select(col("user_id"), col("p").as("pa"),
+          sqrt(Similarity.dot(col("p"), col("p"))).as("na"))
+        val b = prof.select(col("user_id").as("other_id"), col("p").as("pb"),
+          sqrt(Similarity.dot(col("p"), col("p"))).as("nb"))
         val dotAB = Similarity.dot(col("pa"), col("pb"))
         // zero-norm guard BEFORE the division: ANSI mode makes x/0.0
         // throw, and the oracle's NULLIF+COALESCE yields 0.0 there
-        val denom = sqrt(Similarity.dot(col("pa"), col("pa"))) *
-          sqrt(Similarity.dot(col("pb"), col("pb")))
+        val denom = col("na") * col("nb")
         val c = when(denom === 0.0, lit(0.0)).otherwise(dotAB / denom)
         val w = Window.partitionBy("user_id")
           .orderBy(round(col("c") + 1e-9, 6).desc, col("other_id").asc)

@@ -145,11 +145,12 @@ object ScaleProbe {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[scale] spans removal docs=$nDocs tokens_removed=$removed " +
       f"(expected ${expected * 10}) sec=$sec%.2f")
-    // Incremental-vs-index probe: even docs are history (their distinct
-    // grams form the index), odd docs are today's batch. Odd docs with
-    // doc_id % 5 == 0 (i.e. ≡ 5 mod 10) carry the planted block, whose
-    // grams all sit in the index — so expected removal is closed-form
-    // again: 10 tokens per such doc. Bucketing the index on h is the
+    // Incremental-vs-index probe: docs with id % m == 1 are today's
+    // batch, all others are history (their distinct grams form the
+    // index). Batch docs with doc_id % 5 == 0 carry the planted block,
+    // whose grams all sit in the index — so expected removal is
+    // closed-form again: 10 tokens per such doc, counted exactly below
+    // for whatever m is in force. Bucketing the index on h is the
     // production layout; the bucketed probe must match the plain one
     // while reading the index in place.
     // `ScaleProbe spans N m`: 1/m of docs form today's batch, the rest

@@ -27,6 +27,12 @@ object SparkEntry {
 
   // ---- shared helpers -----------------------------------------------------
 
+  /** Per-JVM invocation counter for s_orc_roundtrip's staging dir: two
+    * concurrent evaluations of the query inside one JVM must not race on
+    * an overwrite-while-read of a shared path. */
+  private[graft] val orcStagingCounter =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Round doubles to 4 decimals for cross-engine comparison. The +1e-9
     * epsilon (applied identically in the oracle SQL) shifts values off
     * exact .00005 halfway points, where Spark (HALF_UP on the shortest
@@ -1818,10 +1824,25 @@ object SparkEntry {
       Some("""SELECT event_id, user_id, event_type, value
              | FROM events ORDER BY event_id""".stripMargin),
       (s, dir) => {
-        // per-JVM path: two harnesses (e.g. a test suite and a Verify
-        // run) evaluating this query concurrently must not race on the
-        // same staging directory
-        val path = s"/tmp/graft_orc_roundtrip_${ProcessHandle.current().pid()}"
+        // per-invocation path: the pid guards against cross-process races
+        // (a test suite vs a Verify run), the counter against two
+        // evaluations inside the same JVM overwriting a staging dir the
+        // other is mid-read on. Stale dirs whose owning process is DEAD
+        // are swept (live pids may still be mid-read — leave theirs) so
+        // /tmp doesn't accumulate one dir per past run.
+        val inv = SparkEntry.orcStagingCounter.incrementAndGet()
+        val stale = Option(new java.io.File("/tmp")
+          .listFiles((_, n) => n.startsWith("graft_orc_roundtrip_")))
+          .getOrElse(Array.empty)
+        stale.foreach { d =>
+          val pid = d.getName.stripPrefix("graft_orc_roundtrip_")
+            .takeWhile(_.isDigit)
+          val dead = pid.nonEmpty &&
+            ProcessHandle.of(pid.toLong).map[Boolean](!_.isAlive).orElse(true)
+          if (dead) org.apache.commons.io.FileUtils.deleteQuietly(d)
+        }
+        val path =
+          s"/tmp/graft_orc_roundtrip_${ProcessHandle.current().pid()}_$inv"
         Tables.events(s, dir)
           .select("event_id", "user_id", "event_type", "value")
           .write.mode("overwrite").orc(path)
@@ -2701,6 +2722,147 @@ object SparkEntry {
           .select(col("query_id"), col("corpus_id"),
             R(col("score_pq")).as("score_pq"), col("rank"))
           .orderBy("query_id", "rank")
+      }),
+
+    // X-pq-refined: Lloyd refinement of the residual codebook at FIXED
+    // code budget — the standard PQ training step. One k-means round per
+    // subspace over the corpus residual slices (seeded by the sampled
+    // codebook) provably lowers quantization error; the query reports
+    // recall@5 vs exact brute force AND mean quantization error for both
+    // codebooks, so the fixed-budget gain is a read-off. Both engines
+    // mirror the refinement round-for-round (same 6-decimal mean
+    // rounding), so codes, scores, and the rank cut are hash-exact.
+    Q("x_pq_refined_recall",
+      Some {
+        // per-codebook scoring arm over the shared residual/probe CTEs:
+        // X = arm suffix, subcb = that arm's per-subspace codebook CTE
+        def pqArm(x: String, name: String) =
+          s"""codes_$x AS (SELECT vec_id, j, code FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+             |    FROM sc_$x) WHERE rn = 1),
+             |qerr_$x AS (SELECT AVG(sq) AS aq FROM (
+             |    SELECT vec_id, SUM(md2) AS sq FROM (
+             |      SELECT vec_id, j, MIN(d2) AS md2 FROM sc_$x GROUP BY vec_id, j)
+             |    GROUP BY vec_id)),
+             |tms_$x AS (SELECT co.vec_id, co.j,
+             |    list_dot_product(cs.cvj, cs.cvj) + 2 * list_dot_product(cs.cvj, sc.scv)
+             |      + list_dot_product(sc.scv, sc.scv) AS term
+             |  FROM codes_$x co JOIN cvsub cs ON cs.vec_id = co.vec_id AND cs.j = co.j
+             |    JOIN sub_$x sc ON sc.j = co.j AND sc.code = co.code),
+             |rnorms_$x AS (SELECT vec_id, sqrt(GREATEST(((t0 + t1) + t2) + t3, 0.0)) AS rnorm
+             |  FROM (SELECT vec_id,
+             |      MAX(CASE WHEN j = 0 THEN term END) AS t0, MAX(CASE WHEN j = 1 THEN term END) AS t1,
+             |      MAX(CASE WHEN j = 2 THEN term END) AS t2, MAX(CASE WHEN j = 3 THEN term END) AS t3
+             |    FROM tms_$x GROUP BY vec_id)),
+             |parts_$x AS (SELECT cd.qid, cd.cid, co.j,
+             |    list_dot_product(q.v[(co.j*16+1):(co.j*16+16)], sc.scv) AS qrdot
+             |  FROM cand cd JOIN codes_$x co ON co.vec_id = cd.cid
+             |    JOIN sub_$x sc ON sc.j = co.j AND sc.code = co.code
+             |    JOIN q ON q.vec_id = cd.qid),
+             |wide_$x AS (SELECT qid, cid,
+             |    MAX(CASE WHEN j = 0 THEN qrdot END) AS q0, MAX(CASE WHEN j = 1 THEN qrdot END) AS q1,
+             |    MAX(CASE WHEN j = 2 THEN qrdot END) AS q2, MAX(CASE WHEN j = 3 THEN qrdot END) AS q3
+             |  FROM parts_$x GROUP BY qid, cid),
+             |top_$x AS (SELECT qid, cid FROM (
+             |  SELECT w.qid, w.cid,
+             |    row_number() OVER (PARTITION BY w.qid ORDER BY
+             |      CASE WHEN q.qn = 0 OR r.rnorm <= 0 THEN 0.0
+             |           ELSE (c.qcdot + (((q0 + q1) + q2) + q3)) / (q.qn * r.rnorm) END DESC,
+             |      w.cid) AS rn
+             |  FROM wide_$x w JOIN q ON q.vec_id = w.qid
+             |    JOIN rnorms_$x r ON r.vec_id = w.cid
+             |    JOIN (SELECT DISTINCT qid, cid, qcdot FROM cand) c
+             |      ON c.qid = w.qid AND c.cid = w.cid) WHERE rn <= 5),
+             |arm_$x AS (SELECT '$name' AS codebook,
+             |    CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             |    CAST(COUNT(*) AS BIGINT) AS total
+             |  FROM exact ex LEFT JOIN top_$x t ON ex.qid = t.qid AND ex.cid = t.cid)""".stripMargin
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+           |dims AS (SELECT label, i, AVG(v[i]) AS m FROM e, range(1, 65) r(i) GROUP BY label, i),
+           |cent AS MATERIALIZED (SELECT label AS cell, list(ROUND(m, 6) ORDER BY i) AS cv
+           |                      FROM dims GROUP BY label),
+           |asg AS MATERIALIZED (SELECT vec_id, v, cell, cv FROM (
+           |    SELECT e.vec_id, e.v, c.cell, c.cv,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |                         ORDER BY (${cosSql("e.v", "c.cv")}) DESC, c.cell) AS rn
+           |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+           |rcomp AS (SELECT vec_id, i, v[i] - cv[i] AS rc FROM asg, range(1, 65) r(i)),
+           |rlist AS MATERIALIZED (SELECT vec_id, list(rc ORDER BY i) AS rv FROM rcomp GROUP BY vec_id),
+           |subv AS MATERIALIZED (SELECT vec_id, j, rv[(j*16+1):(j*16+16)] AS sv
+           |                      FROM rlist CROSS JOIN range(0, 4) r(j)),
+           |cbseed AS (SELECT vec_id AS code, rv AS ev FROM rlist WHERE vec_id < 64),
+           |sub_s AS MATERIALIZED (SELECT code, j, ev[(j*16+1):(j*16+16)] AS scv
+           |                       FROM cbseed CROSS JOIN range(0, 4) r(j)),
+           |sc_s AS MATERIALIZED (SELECT s.vec_id, s.j, c.code,
+           |    list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.scv)
+           |      + list_dot_product(c.scv, c.scv) AS d2
+           |  FROM subv s JOIN sub_s c ON s.j = c.j),
+           |asg_l AS (SELECT vec_id, j, code FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, code) AS rn
+           |    FROM sc_s) WHERE rn = 1),
+           |mdim AS (SELECT a.j, a.code, i, ROUND(AVG(s.sv[i]), 6) AS mc
+           |  FROM asg_l a JOIN subv s ON s.vec_id = a.vec_id AND s.j = a.j, range(1, 17) r2(i)
+           |  GROUP BY a.j, a.code, i),
+           |ml AS (SELECT j, code, list(mc ORDER BY i) AS scv FROM mdim GROUP BY j, code),
+           |sub_r AS MATERIALIZED (SELECT s0.j, s0.code, COALESCE(m.scv, s0.scv) AS scv
+           |  FROM sub_s s0 LEFT JOIN ml m ON m.j = s0.j AND m.code = s0.code),
+           |sc_r AS MATERIALIZED (SELECT s.vec_id, s.j, c.code,
+           |    list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.scv)
+           |      + list_dot_product(c.scv, c.scv) AS d2
+           |  FROM subv s JOIN sub_r c ON s.j = c.j),
+           |q AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS qn
+           |                   FROM e WHERE vec_id < 5),
+           |probes AS MATERIALIZED (SELECT qid, cell, qcdot FROM (
+           |    SELECT q.vec_id AS qid, c.cell, list_dot_product(q.v, c.cv) AS qcdot,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |                         ORDER BY (${cosSql("q.v", "c.cv")}) DESC, c.cell) AS crn
+           |    FROM q CROSS JOIN cent c) WHERE crn <= 2),
+           |cand AS MATERIALIZED (SELECT p.qid, a.vec_id AS cid, p.qcdot
+           |         FROM asg a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid),
+           |cvsub AS MATERIALIZED (SELECT vec_id, j, cv[(j*16+1):(j*16+16)] AS cvj
+           |                       FROM asg CROSS JOIN range(0, 4) r(j)),
+           |exact AS MATERIALIZED (SELECT qid, cid FROM (
+           |    SELECT q.vec_id AS qid, t.vec_id AS cid,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |                         ORDER BY (${cosSql("t.v", "q.v")}) DESC, t.vec_id) AS rn
+           |    FROM q JOIN e t ON t.vec_id <> q.vec_id) WHERE rn <= 5),
+           |${pqArm("s", "sampled")},
+           |${pqArm("r", "refined")}
+           |SELECT codebook, hits, total,
+           |  ROUND(hits * 1.0 / total + 1e-9, 4) AS recall,
+           |  ROUND(aq + 1e-9, 4) AS avg_qerr
+           |FROM (SELECT a.*, e.aq FROM arm_s a CROSS JOIN qerr_s e
+           |      UNION ALL
+           |      SELECT a.*, e.aq FROM arm_r a CROSS JOIN qerr_r e)
+           |ORDER BY codebook""".stripMargin
+      },
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.centroids(emb, "label", 64)
+        val seedCb = Similarity.pqResidualCodebook(emb, cents, entries = 64)
+        val refCb = Similarity.lloydRefineResidualCodebook(emb, cents,
+          seedCb, m = 4, dim = 64, iters = 1)
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+          .select(col("query_id"), col("corpus_id"))
+        def arm(name: String, cb: DataFrame) = {
+          val idx = Similarity.pqIndexResidual(emb, cents, cb, m = 4, dim = 64)
+          val topk = Similarity.ivfPqTopKResidual(idx, queries, cents, cb,
+              k = 5, m = 4, dim = 64, nProbe = 2)
+            .select(col("query_id"), col("corpus_id"), lit(1L).as("h"))
+          val rec = exact.join(topk, Seq("query_id", "corpus_id"), "left")
+            .agg(sum(coalesce(col("h"), lit(0L))).as("hits"),
+              count(lit(1)).as("total"))
+          val qe = Similarity.pqQuantizationError(emb, cents, cb,
+              m = 4, dim = 64)
+            .agg(avg("qerr").as("aq"))
+          rec.crossJoin(qe).select(lit(name).as("codebook"),
+            col("hits"), col("total"),
+            R(col("hits") * lit(1.0) / col("total")).as("recall"),
+            R(col("aq")).as("avg_qerr"))
+        }
+        arm("sampled", seedCb).unionByName(arm("refined", refCb))
+          .orderBy("codebook")
       }),
 
     // P-extension: string-function surface (regex strip, pad, reverse,

@@ -483,13 +483,98 @@ object Similarity {
     * the `entries` lowest-id vectors, coded by their own id (codes must
     * fit an int). Returns (code, ev). Sampling by id is deterministic and
     * engine-reproducible; production recall improves by Lloyd-refining
-    * these entries offline — the index/query protocol is unchanged. */
+    * these entries — [[lloydRefineResidualCodebook]] does exactly that at
+    * the same code budget, and the index/query protocol is unchanged. */
   def pqResidualCodebook(vectors: DataFrame, cents: DataFrame, entries: Int,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame =
     withResiduals(vectors, cents, idCol, vecCol)
       .orderBy("id").limit(entries)
       .select(col("id").cast("int").as("code"), col("rv").as("ev"))
+
+  /** Lloyd refinement of a residual PQ codebook at FIXED code budget —
+    * standard PQ training (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search"): independent k-means per SUBSPACE over the
+    * corpus residual slices, seeded by `seed`'s slices. The refined
+    * per-subspace centroids are reassembled into full-dim (code, ev) rows
+    * — the [[pqResidualCodebook]] schema — so [[pqIndexResidual]] /
+    * [[ivfPqTopKResidual]] consume it unchanged. A code that loses every
+    * member in some subspace keeps its seed slice there, so the codebook
+    * never shrinks and code ids stay stable across refinement.
+    *
+    * Each round is one broadcast-scored assignment over the |V|·m
+    * residual slices plus one hash aggregation — linear in the corpus, no
+    * pairwise work; the codebook itself stays tiny (entries × dim).
+    * Assignment minimizes squared Euclidean distance and the update step
+    * takes member means, so total quantization error is non-increasing
+    * per round (up to the per-round `roundTo` rounding, which both
+    * engines apply identically for reproducibility). */
+  def lloydRefineResidualCodebook(vectors: DataFrame, cents: DataFrame,
+                                  seed: DataFrame, m: Int, dim: Int,
+                                  iters: Int = 1,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding",
+                                  roundTo: Int = 6): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val sliced = withResiduals(vectors, cents, idCol, vecCol)
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("id"), col("j"),
+        slice(col("rv"), col("j") * sub + 1, lit(sub)).as("sv"))
+    val seedSlices = codebookSlices(seed, m, sub)
+    var cbs = seedSlices
+    for (_ <- 0 until iters) {
+      val scored = sliced.join(broadcast(cbs), Seq("j"))
+        .withColumn("d2", dot(col("sv"), col("sv"))
+          - lit(2.0) * dot(col("sv"), col("scv"))
+          + dot(col("scv"), col("scv")))
+      // deterministic struct-min argmin (d2, code) — same discipline as
+      // the index encode; no arrays ride in the aggregation buffer
+      val best = scored.groupBy("id", "j")
+        .agg(min(struct(col("d2"), col("code"))).as("b"))
+        .select(col("id"), col("j"), col("b.code").as("code"))
+      val means = best.join(sliced, Seq("id", "j"))
+        .select(col("j"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "comp")))
+        .groupBy("j", "code", "pos")
+        .agg(avg(col("comp")).as("mc"))
+        .groupBy("j", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            round(col("mc"), roundTo).as("mc")))),
+          x => x.getField("mc")).as("scv"))
+      cbs = seedSlices
+        .select(col("j"), col("code"), col("scv").as("seed_scv"))
+        .join(means, Seq("j", "code"), "left")
+        .select(col("j"), col("code"),
+          coalesce(col("scv"), col("seed_scv")).as("scv"))
+    }
+    cbs.groupBy("code")
+      .agg(flatten(transform(array_sort(collect_list(struct(col("j"),
+          col("scv")))), x => x.getField("scv"))).as("ev"))
+  }
+
+  /** Per-vector residual quantization error against a codebook: the sum
+    * over subspaces of the squared distance to the nearest codebook
+    * slice — the quantity Lloyd refinement provably lowers at fixed code
+    * budget. Returns (id, qerr). */
+  def pqQuantizationError(vectors: DataFrame, cents: DataFrame,
+                          codebook: DataFrame, m: Int, dim: Int,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val cbs = codebookSlices(codebook, m, sub)
+    withResiduals(vectors, cents, idCol, vecCol)
+      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("id"), col("j"),
+        slice(col("rv"), col("j") * sub + 1, lit(sub)).as("sv"))
+      .join(broadcast(cbs), Seq("j"))
+      .withColumn("d2", dot(col("sv"), col("sv"))
+        - lit(2.0) * dot(col("sv"), col("scv"))
+        + dot(col("scv"), col("scv")))
+      .groupBy("id", "j").agg(min(col("d2")).as("md2"))
+      .groupBy("id").agg(sum("md2").as("qerr"))
+  }
 
   /** Residual IVF-PQ encode — the FAISS IVF-PQ index shape: each vector
     * stores its coarse cell, the per-subspace codes of its RESIDUAL

@@ -32,6 +32,11 @@ import graft.ingest.JsonIngest
   */
 object StreamingPipeline {
 
+  /** The hash domain [[cmsFrequency]] sketches are built over, versioned
+    * into every store as the `cms_key_domain` column so a merge can't
+    * silently mix registers built under a different key encoding. */
+  val CmsKeyDomain = "string"
+
   /** Every state/index path operation below goes through the Hadoop
     * FileSystem API resolved from the path's own URI — so the exactly-once
     * protocols (marker-last, clear-own-delta-before-read, staged
@@ -296,16 +301,38 @@ object StreamingPipeline {
       // pin the sketch's key domain to STRINGS: the built-in aggregate
       // hashes longs and strings differently, and the [[cmsEstimates]]
       // probe always hashes string bytes — a sketch built over a raw
-      // BIGINT column would answer every probe with ~0, silently
+      // BIGINT column would answer every probe with ~0, silently.
+      // The domain is VERSIONED into the store (`cms_key_domain`):
+      // merging string-keyed partials into a store built before this
+      // pin would mix hash domains — the old counts would stay in the
+      // registers but become unreachable by the string probe, silently
+      // undercounting. A store without the marker (or with a different
+      // domain) fails loudly: rebuild it from the source stream.
       val partial = batch.groupBy(kcols: _*)
         .agg(expr(s"count_min_sketch(CAST($valueCol AS STRING), ${eps}d, ${confidence}d, $seed)")
           .as("sk"))
+        .withColumn("cms_key_domain", lit(CmsKeyDomain))
       existingOpt match {
         case Some(existing) =>
-          existing.select(kcols :+ col("sk"): _*)
+          if (!existing.columns.contains("cms_key_domain"))
+            throw new IllegalStateException(
+              s"cmsFrequency store at $storePath predates the string-key-" +
+                "domain pin (no cms_key_domain column): its registers were " +
+                "built under a different hash domain and would silently " +
+                "undercount every probe after a merge. Rebuild the store.")
+          // value check is one limit(1) read of a groups-sized store
+          val dom = existing.select("cms_key_domain").limit(1).collect()
+          if (dom.nonEmpty && dom(0).getString(0) != CmsKeyDomain)
+            throw new IllegalStateException(
+              s"cmsFrequency store at $storePath was built under key " +
+                s"domain '${dom(0).getString(0)}', this build probes " +
+                s"'$CmsKeyDomain' — merged estimates would silently " +
+                "undercount. Rebuild the store.")
+          existing.select(kcols ++ Seq(col("sk"), col("cms_key_domain")): _*)
             .unionByName(partial)
             .groupBy(kcols: _*)
-            .agg(graft.functions.CmsFunctions.cmsMerge(col("sk")).as("sk"))
+            .agg(graft.functions.CmsFunctions.cmsMerge(col("sk")).as("sk"),
+              first(col("cms_key_domain")).as("cms_key_domain"))
         case None => partial
       }
     }
@@ -320,7 +347,7 @@ object StreamingPipeline {
     val spark = stored.sparkSession
     import spark.implicits._
     val rows = stored.select(
-        concat_ws(" ", keys.map(col): _*).as("g"), col("sk"))
+        concat_ws("\u0000", keys.map(col): _*).as("g"), col("sk"))
       .as[(String, Array[Byte])].collect()
     rows.flatMap { case (g, bytes) =>
       val sk = org.apache.spark.util.sketch.CountMinSketch
@@ -392,7 +419,17 @@ object StreamingPipeline {
   def embeddingMomentsBatch(batch: DataFrame, id: Long, vecCol: String,
                             storePath: String): Unit =
     mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
-      val partial = graft.ext.Whiten.momentCells(batch, vecCol)
+      val spark = batch.sparkSession
+      import spark.implicits._
+      // the partial is d²+d+1 cells TOTAL — collect it ONCE and rebuild
+      // a local frame for the merge/write, so each micro-batch's
+      // embeddings are aggregated exactly once (a lazy `partial` would
+      // re-trigger the full aggregation when the merged result is
+      // written, scanning the batch twice per micro-batch)
+      val cells = graft.ext.Whiten.momentCells(batch, vecCol)
+        .select(col("k").cast("int"), col("s").cast("double"))
+        .as[(Int, Double)].collect()
+      val partial = cells.toSeq.toDF("k", "s")
       existingOpt match {
         case Some(existing) =>
           // cell-count equality IS the dimension check: summing a
@@ -402,11 +439,10 @@ object StreamingPipeline {
           // enforces within a batch, enforced here across batches
           // (both frames are d²+d+1 rows, so the counts are free)
           val nE = existing.count()
-          val nP = partial.count()
-          require(nP == 0 || nE == nP,
+          require(cells.isEmpty || nE == cells.length,
             s"embedding dimension changed across batches: state has $nE " +
-              s"moment cells, batch produced $nP")
-          if (nP == 0) existing
+              s"moment cells, batch produced ${cells.length}")
+          if (cells.isEmpty) existing
           else existing.unionByName(partial)
             .groupBy("k").agg(sum("s").as("s"))
         case None => partial

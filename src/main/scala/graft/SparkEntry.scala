@@ -1835,10 +1835,13 @@ object SparkEntry {
           .listFiles((_, n) => n.startsWith("graft_orc_roundtrip_")))
           .getOrElse(Array.empty)
         stale.foreach { d =>
-          val pid = d.getName.stripPrefix("graft_orc_roundtrip_")
-            .takeWhile(_.isDigit)
-          val dead = pid.nonEmpty &&
-            ProcessHandle.of(pid.toLong).map[Boolean](!_.isAlive).orElse(true)
+          // /tmp is world-writable: a foreign dir whose digits overflow
+          // Long must be skipped, not crash the sweep
+          val pid = scala.util.Try(d.getName
+            .stripPrefix("graft_orc_roundtrip_")
+            .takeWhile(_.isDigit).toLong).toOption
+          val dead = pid.exists(p =>
+            ProcessHandle.of(p).map[Boolean](!_.isAlive).orElse(true))
           if (dead) org.apache.commons.io.FileUtils.deleteQuietly(d)
         }
         val path =

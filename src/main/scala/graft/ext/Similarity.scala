@@ -499,8 +499,10 @@ object Similarity {
     * per-subspace centroids are reassembled into full-dim (code, ev) rows
     * — the [[pqResidualCodebook]] schema — so [[pqIndexResidual]] /
     * [[ivfPqTopKResidual]] consume it unchanged. A code that loses every
-    * member in some subspace keeps its seed slice there, so the codebook
-    * never shrinks and code ids stay stable across refinement.
+    * member in some subspace keeps its latest centroid there (the
+    * previous round's slice — round 0's being the seed), so the codebook
+    * never shrinks, code ids stay stable, and earlier refinement is
+    * never discarded by a transiently empty cluster.
     *
     * Each round is one broadcast-scored assignment over the |V|·m
     * residual slices plus one hash aggregation — linear in the corpus, no
@@ -542,11 +544,14 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"),
             round(col("mc"), roundTo).as("mc")))),
           x => x.getField("mc")).as("scv"))
-      cbs = seedSlices
-        .select(col("j"), col("code"), col("scv").as("seed_scv"))
+      // empty-cluster fallback keeps the PREVIOUS round's centroid (cbs),
+      // not the round-0 seed slice: a code that goes empty in round k
+      // must retain its latest refinement, not revert and discard it
+      cbs = cbs
+        .select(col("j"), col("code"), col("scv").as("prev_scv"))
         .join(means, Seq("j", "code"), "left")
         .select(col("j"), col("code"),
-          coalesce(col("scv"), col("seed_scv")).as("scv"))
+          coalesce(col("scv"), col("prev_scv")).as("scv"))
     }
     cbs.groupBy("code")
       .agg(flatten(transform(array_sort(collect_list(struct(col("j"),

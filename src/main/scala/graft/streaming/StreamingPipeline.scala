@@ -313,13 +313,14 @@ object StreamingPipeline {
           .as("sk"))
         .withColumn("cms_key_domain", lit(CmsKeyDomain))
       existingOpt match {
-        case Some(existing) =>
-          if (!existing.columns.contains("cms_key_domain"))
-            throw new IllegalStateException(
-              s"cmsFrequency store at $storePath predates the string-key-" +
-                "domain pin (no cms_key_domain column): its registers were " +
-                "built under a different hash domain and would silently " +
-                "undercount every probe after a merge. Rebuild the store.")
+        case Some(existing0) =>
+          // one-time migration: a marker-less store predates the column
+          // but NOT the string pin (the CAST-to-STRING build predates the
+          // marker), so its registers are string-domain and mergeable —
+          // stamp it rather than forcing a rebuild of compatible state.
+          val existing =
+            if (existing0.columns.contains("cms_key_domain")) existing0
+            else existing0.withColumn("cms_key_domain", lit(CmsKeyDomain))
           // value check is one limit(1) read of a groups-sized store
           val dom = existing.select("cms_key_domain").limit(1).collect()
           if (dom.nonEmpty && dom(0).getString(0) != CmsKeyDomain)
@@ -339,21 +340,34 @@ object StreamingPipeline {
   }
 
   /** Frequency estimates from a [[cmsFrequency]] store: one row per
-    * (group, item) probe with the register-read estimate. The store is
+    * (key-tuple, item) probe with the register-read estimate, shaped
+    * (keys..., item, est_n) — the key columns keep their store names and
+    * types, so multi-key stores need no label parsing. The store is
     * groups-sized and the probe list is small, so the sketches collect
     * to the driver like any aggregate result — the events never move. */
   def cmsEstimates(stored: DataFrame, keys: Seq[String],
                    items: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = stored.sparkSession
-    import spark.implicits._
-    val rows = stored.select(
-        concat_ws("\u0000", keys.map(col): _*).as("g"), col("sk"))
-      .as[(String, Array[Byte])].collect()
-    rows.flatMap { case (g, bytes) =>
+    // the key columns ride through VERBATIM (original names and types):
+    // any joined-label encoding needs a separator guaranteed absent from
+    // the data, which no separator is -- returning the columns themselves
+    // sidesteps the contract question entirely and keeps multi-key
+    // consumers joinable against the source frame.
+    val keyFields = stored.select(keys.map(col): _*).schema.fields
+    val rows = stored.select(keys.map(col) :+ col("sk"): _*).collect()
+    val out = rows.flatMap { r =>
       val sk = org.apache.spark.util.sketch.CountMinSketch
-        .readFrom(new java.io.ByteArrayInputStream(bytes))
-      items.map(i => (g, i, sk.estimateCount(i)))
-    }.toSeq.toDF("group", "item", "est_n")
+        .readFrom(new java.io.ByteArrayInputStream(
+          r.getAs[Array[Byte]]("sk")))
+      items.map(i =>
+        Row.fromSeq(keys.indices.map(r.get) ++ Seq(i, sk.estimateCount(i))))
+    }
+    val schema = StructType(keyFields ++ Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("est_n", LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
   }
 
   /** Continuous distribution maintenance — the quantile member of the

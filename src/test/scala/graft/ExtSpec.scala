@@ -458,6 +458,32 @@ class ExtSpec extends SparkTestBase {
     assert(pq === exact)
   }
 
+  test("lloydRefineResidualCodebook: qerr non-increasing across iters, codebook never shrinks") {
+    // deterministic pseudo-random corpus (no rand(): engine-reproducible)
+    val df = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        (((i * 31 + d * 17 + 7) % 19) - 9).toFloat / 9f), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(df, "label", 4)
+    val seed = Similarity.pqResidualCodebook(df, cents, entries = 4)
+    def qerr(cb: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqQuantizationError(df, cents, cb, m = 2, dim = 4)
+        .agg(avg("qerr")).as[Double].head()
+    // the empty-cluster fallback keeps the PREVIOUS round's centroid:
+    // with a seed-revert fallback a transiently empty code would discard
+    // refinement and qerr could climb between rounds. roundTo=6 rounding
+    // can perturb each step by O(1e-6); allow that slack only.
+    val errs = qerr(seed) +: (1 to 3).map { it =>
+      val cb = Similarity.lloydRefineResidualCodebook(df, cents, seed,
+        m = 2, dim = 4, iters = it)
+      assert(cb.count() === 4, s"codebook must keep all 4 codes at iters=$it")
+      qerr(cb)
+    }
+    errs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-5, s"qerr must be non-increasing: $errs")
+    }
+  }
+
   test("PQ shortlist + exact rerank returns exact cosine order over the shortlist") {
     val df = Seq(
       (1L, Array(1.0f, 0.25f), 0), (2L, Array(0.75f, 0.5f), 0),

@@ -281,6 +281,51 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(est2(("c", "x")) === 3L)
   }
 
+  test("cmsEstimates returns composite key COLUMNS (no joined label) for multi-key stores") {
+    val store = Files.createTempDirectory("graft-cms-mk").toString + "/s"
+    // composite keys whose string forms would collide under any naive
+    // separator-joined label ("a b","c" vs "a","b c") stay distinct
+    StreamingPipeline.cmsFrequencyBatch(
+      (Seq.fill(4)(("a b", "c")) ++ Seq.fill(9)(("a", "b c")))
+        .toDF("k1", "k2").withColumn("item", lit("x")),
+      0L, Seq("k1", "k2"), "item", store, 1e-4, 0.99, 42)
+    val est = StreamingPipeline.cmsEstimates(
+      spark.read.parquet(s"$store/data"), Seq("k1", "k2"), Seq("x"))
+    assert(est.columns.toSeq === Seq("k1", "k2", "item", "est_n"),
+      "key columns must ride through verbatim")
+    val m = est.as[(String, String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._4).toMap
+    assert(m(("a b", "c")) === 4L)
+    assert(m(("a", "b c")) === 9L)
+  }
+
+  test("cmsFrequency stamps (not rejects) a marker-less store: pre-marker registers are string-domain") {
+    val store = Files.createTempDirectory("graft-cms-mig").toString + "/s"
+    def batchDf(rows: Seq[(String, String)]) = rows.toDF("k", "item")
+    StreamingPipeline.cmsFrequencyBatch(
+      batchDf(Seq.fill(6)("a" -> "x")), 0L, Seq("k"), "item", store,
+      1e-4, 0.99, 42)
+    // simulate a store written before the cms_key_domain column existed:
+    // the registers WERE built under the string pin (the CAST predates
+    // the marker), so a merge must succeed and stamp the domain
+    val data = s"$store/data"
+    val legacy = spark.read.parquet(data).drop("cms_key_domain")
+    val tmp = Files.createTempDirectory("graft-cms-legacy").toString
+    legacy.write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(data))
+    spark.read.parquet(tmp).write.parquet(data)
+    StreamingPipeline.cmsFrequencyBatch(
+      batchDf(Seq.fill(4)("a" -> "x")), 1L, Seq("k"), "item", store,
+      1e-4, 0.99, 42)
+    val est = StreamingPipeline.cmsEstimates(
+        spark.read.parquet(data), Seq("k"), Seq("x"))
+      .as[(String, String, Long)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(est("a") === 10L, "legacy registers must merge, not be rebuilt")
+    assert(spark.read.parquet(data).columns.contains("cms_key_domain"),
+      "merge must stamp the domain marker onto the migrated store")
+  }
+
   test("quantileState maintains mergeable GK distribution state across batches, exactly-once") {
     val store = Files.createTempDirectory("graft-qsk").toString + "/s"
     def batchDf(rows: Seq[(String, Double)]) = rows.toDF("k", "v")

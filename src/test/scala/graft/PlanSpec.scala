@@ -194,10 +194,12 @@ class PlanSpec extends SparkTestBase {
       "x_pq_codes", "x_minhash_est_vs_exact", "j_range_join_bands",
       "w_asof_prior_signup", "x_srp_lsh_neardups",
       // single-row aggregate / tiny-spine broadcasts (share-of-total,
-      // type×hour gap-fill grids, NB training's scalar class totals) —
-      // bounded sides by construction
+      // type×hour gap-fill grids, NB training's scalar class totals,
+      // the PQ recall arms' one-row hits/total × one-row avg_qerr
+      // crossJoin) — bounded sides by construction
       "a_supplier_value_share", "a_missing_hours", "a_gapfill_ffill",
       "x_nb_quality_classifier", "x_classifier_curation",
+      "x_pq_refined_recall",
       // semantic decontamination: the eval/test side broadcasts by design
       // (the exact form crosses it against the streamed train corpus; the
       // blocked form broadcasts only the one-row reference/centroid spine)

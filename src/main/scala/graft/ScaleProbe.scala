@@ -21,6 +21,8 @@ object ScaleProbe {
     if (args.headOption.contains("spans")) { spansProbe(args); return }
     if (args.headOption.contains("perdoc")) { perdocProbe(args); return }
     if (args.headOption.contains("whiten")) { whitenProbe(args); return }
+    if (args.headOption.contains("profiles")) { profilesProbe(args); return }
+    if (args.headOption.contains("cc")) { ccProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -383,6 +385,111 @@ object ScaleProbe {
       f"index_bytes=${dirBytes(idxDir)} raw_bytes=${dirBytes(rawDir)} " +
       f"ratio=${dirBytes(rawDir).toDouble / dirBytes(idxDir)}%.1f")
     exact.unpersist()
+    spark.stop()
+  }
+
+  /** Profile-similarity scale sweep: `ScaleProbe profiles [nUsers]` —
+    * deterministic 24-dim activity profiles with every user ≡ 1 (mod 100)
+    * a lightly perturbed copy of its predecessor (planted high-cosine
+    * neighbor, so top-1 hits are verifiable). Times the SRP-LSH path
+    * (srpTopK — the x_profile_similarity_srp shape) at the given user
+    * count, and the exact all-pairs twin only while it is feasible
+    * (≤ 20k users): the probe's point is the crossover — all-pairs grows
+    * users², SRP stays ~linear. */
+  private def profilesProbe(args: Array[String]): Unit = {
+    val nUsers = if (args.length > 1) args(1).toLong else 15000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = when(pmod(col("user_id"), lit(100)) === 1,
+      col("user_id") - 1).otherwise(col("user_id"))
+    // components in [0,1); the planted copy perturbs only dimension 23
+    val comp = (h: Int) => (pmod(hash(base * lit(131) + lit(h)),
+      lit(1000)).cast("double") + lit(1000.0)) / 2000.0
+    val prof = spark.range(nUsers).select(col("id").as("user_id"))
+      .withColumn("p", array(((0 until 23).map(comp) :+
+        (comp(23) + pmod(col("user_id"), lit(100)).cast("double") / 100.0)): _*))
+      .repartition(cpus * 2)
+    prof.write.mode("overwrite").parquet("/tmp/graft_scale_profiles")
+    val df = spark.read.parquet("/tmp/graft_scale_profiles")
+    (1 to 3).foreach { i =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows = graft.ext.Similarity.srpTopK(df, k = 3, idCol = "user_id",
+        vecCol = "p", dim = 24).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] profiles srp run$i users=$nUsers topk_rows=$rows " +
+        f"sec=$sec%.2f users_per_sec=${nUsers / sec}%.0f")
+    }
+    if (nUsers <= 20000L) {
+      val a = df.select(col("user_id"), col("p").as("pa"),
+        sqrt(graft.ext.Similarity.dot(col("p"), col("p"))).as("na"))
+      val b = df.select(col("user_id").as("other_id"), col("p").as("pb"),
+        sqrt(graft.ext.Similarity.dot(col("p"), col("p"))).as("nb"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("c").desc, col("other_id").asc)
+      System.gc()
+      val t0 = System.nanoTime()
+      val rows = a.join(broadcast(b), col("user_id") =!= col("other_id"))
+        .withColumn("c", graft.ext.Similarity.dot(col("pa"), col("pb"))
+          / (col("na") * col("nb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] profiles exact users=$nUsers topk_rows=$rows " +
+        f"sec=$sec%.2f users_per_sec=${nUsers / sec}%.0f")
+    } else
+      println(s"[scale] profiles exact skipped at $nUsers users (users^2 pairs)")
+    spark.stop()
+  }
+
+  /** Incremental-CC scale sweep: `ScaleProbe cc [histNodes] [batchEdges]`
+    * — history of 5-node chain clusters (assignments known closed-form),
+    * plus a batch of `batchEdges` cluster-bridging edges (touched
+    * fraction ≈ 10·batchEdges/histNodes). Times
+    * incrementalConnectedComponents (affected-components-only) against
+    * the full recompute over history ∪ batch: the incremental fold's
+    * cost should track the touched set, not the history. */
+  private def ccProbe(args: Array[String]): Unit = {
+    val histNodes = if (args.length > 1) args(1).toLong else 10000000L
+    val batchEdges = if (args.length > 2) args(2).toLong else 1000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nClusters = histNodes / 5
+    // history: clusters {5c..5c+4} chained; assignment label = min id = 5c
+    val histEdges = spark.range(histNodes)
+      .filter(pmod(col("id"), lit(5)) =!= 4)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+      .repartition(cpus * 2)
+    val assignments = spark.range(histNodes)
+      .select(col("id"), (col("id") - pmod(col("id"), lit(5))).as("cluster_id"))
+      .repartition(cpus * 2)
+    histEdges.write.mode("overwrite").parquet("/tmp/graft_scale_cc_edges")
+    assignments.write.mode("overwrite").parquet("/tmp/graft_scale_cc_asg")
+    val he = spark.read.parquet("/tmp/graft_scale_cc_edges")
+    val asg = spark.read.parquet("/tmp/graft_scale_cc_asg")
+    // batch: bridge cluster 2k and 2k+1 via edge (10k+4, 10k+5) — merges
+    // pairs of clusters; expected merged count is exactly batchEdges
+    val batch = spark.range(batchEdges)
+      .select((col("id") * 10 + 4).as("src"), (col("id") * 10 + 5).as("dst"))
+    System.gc()
+    val ti = System.nanoTime()
+    val incr = graft.ext.Graph.incrementalConnectedComponents(
+      asg, batch, "src", "dst")
+    val nIncr = incr.count()
+    val incrSec = (System.nanoTime() - ti) / 1e9
+    val merged = histNodes / 5 - incr.select("cluster_id").distinct().count()
+    System.gc()
+    val tf = System.nanoTime()
+    val full = graft.ext.Graph.connectedComponents(
+      he.union(batch), "src", "dst")
+    val nFull = full.count()
+    val fullSec = (System.nanoTime() - tf) / 1e9
+    println(f"[scale] cc nodes=$histNodes clusters=$nClusters " +
+      f"batch_edges=$batchEdges merged=$merged " +
+      f"incr_rows=$nIncr incr_sec=$incrSec%.2f " +
+      f"full_rows=$nFull full_sec=$fullSec%.2f speedup=${fullSec / incrSec}%.1fx")
     spark.stop()
   }
 }

@@ -132,6 +132,59 @@ object SparkEntry {
        | ELSE list_dot_product($a, $b)
        |      / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END""".stripMargin
 
+  /** CTE chain producing `prof`(user_id, p): each user's 24-dim hourly
+    * activity profile (mean value per hour-of-day, missing hours 0) —
+    * shared by the exact, SRP, and recall profile-similarity oracles. */
+  private val profileCtes =
+    """hours AS (SELECT unnest(range(24)) AS h),
+      |grid AS (SELECT u.user_id, hours.h
+      |         FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN hours),
+      |upr AS (SELECT user_id, CAST(hour(ts) AS INT) AS h, AVG(value) AS m
+      |       FROM events GROUP BY 1, 2),
+      |prof AS MATERIALIZED (SELECT g.user_id, list(COALESCE(upr.m, 0.0) ORDER BY g.h) AS p
+      |         FROM grid g LEFT JOIN upr ON g.user_id = upr.user_id AND g.h = upr.h
+      |         GROUP BY g.user_id)""".stripMargin
+
+  /** 24-dim hourly activity profile per user — the Spark twin of
+    * [[profileCtes]]: one hash aggregation over events, then a map-based
+    * gap-fill to a fixed-width array. NULL ts rows are dropped (a NULL
+    * map key throws under ANSI; the oracle's hour-grid join never
+    * matches a NULL-hour group either). */
+  private def userProfiles(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"), hour(col("ts")).as("h"))
+      .agg(avg("value").as("m"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("h"), col("m"))))
+        .as("mm"))
+      .select(col("user_id"),
+        transform(sequence(lit(0), lit(23)),
+          h => coalesce(element_at(col("mm"), h), lit(0.0))).as("p"))
+
+  /** Exact all-pairs top-3 profile neighbors: (user_id, rnk, other_id, c).
+    * Norms are PRE-computed once per profile, not once per pair — the
+    * pair loop is |users|² cosines and would otherwise redo each side's
+    * norm |users| times. Ground truth for the SRP recall diagnostic;
+    * quadratic BY DESIGN (the production path is srpTopK). */
+  private def profileExactTop3(prof: DataFrame): DataFrame = {
+    val a = prof.select(col("user_id"), col("p").as("pa"),
+      sqrt(Similarity.dot(col("p"), col("p"))).as("na"))
+    val b = prof.select(col("user_id").as("other_id"), col("p").as("pb"),
+      sqrt(Similarity.dot(col("p"), col("p"))).as("nb"))
+    val dotAB = Similarity.dot(col("pa"), col("pb"))
+    // zero-norm guard BEFORE the division: ANSI mode makes x/0.0 throw,
+    // and the oracle's NULLIF+COALESCE yields 0.0 there
+    val denom = col("na") * col("nb")
+    val c = when(denom === 0.0, lit(0.0)).otherwise(dotAB / denom)
+    val w = Window.partitionBy("user_id")
+      .orderBy(round(col("c") + 1e-9, 6).desc, col("other_id").asc)
+    a.join(broadcast(b), col("user_id") =!= col("other_id"))
+      .withColumn("c", c)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+  }
+
   private def listFilterSql(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
@@ -2400,17 +2453,11 @@ object SparkEntry {
     // similar other users by cosine. The corpus reduction happens in the
     // AGGREGATION (events → one 24-dim row per user); the all-pairs
     // scoring runs over the users-sized profile table only — at larger
-    // user counts the SRP-LSH path replaces it. Ordering is pinned by
-    // ROUND(cos, 6) + id tie-break on both engines.
+    // user counts x_profile_similarity_srp (below) IS the replacement:
+    // same profiles, SRP-LSH banded candidates instead of users² pairs.
+    // Ordering is pinned by ROUND(cos, 6) + id tie-break on both engines.
     Q("x_profile_similarity",
-      Some("""WITH hours AS (SELECT unnest(range(24)) AS h),
-             |grid AS (SELECT u.user_id, hours.h
-             |         FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN hours),
-             |pr AS (SELECT user_id, CAST(hour(ts) AS INT) AS h, AVG(value) AS m
-             |       FROM events GROUP BY 1, 2),
-             |prof AS (SELECT g.user_id, list(COALESCE(pr.m, 0.0) ORDER BY g.h) AS p
-             |         FROM grid g LEFT JOIN pr ON g.user_id = pr.user_id AND g.h = pr.h
-             |         GROUP BY g.user_id),
+      Some(s"""WITH $profileCtes,
              |pairs AS (SELECT a.user_id, b.user_id AS other_id,
              |            COALESCE(list_dot_product(a.p, b.p)
              |              / NULLIF(sqrt(list_dot_product(a.p, a.p))
@@ -2423,41 +2470,118 @@ object SparkEntry {
              |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, other_id,
              |  ROUND(c + 1e-9, 4) AS cosine
              |FROM rk WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin),
-      (s, dir) => {
-        val ev = Tables.events(s, dir)
-        // NULL ts would become a NULL map key (throws under ANSI);
-        // dropping the row matches the oracle, whose hour-grid join
-        // never matches a NULL-hour group
-        val prof = ev.filter(col("ts").isNotNull)
-          .groupBy(col("user_id"), hour(col("ts")).as("h"))
-          .agg(avg("value").as("m"))
-          .groupBy("user_id")
-          .agg(map_from_entries(collect_list(struct(col("h"), col("m"))))
-            .as("mm"))
-          .select(col("user_id"),
-            transform(sequence(lit(0), lit(23)),
-              h => coalesce(element_at(col("mm"), h), lit(0.0))).as("p"))
-        // norms PRE-computed once per profile, not once per pair: the
-        // pair loop is |users|² cosines and would otherwise redo each
-        // side's norm |users| times
-        val a = prof.select(col("user_id"), col("p").as("pa"),
-          sqrt(Similarity.dot(col("p"), col("p"))).as("na"))
-        val b = prof.select(col("user_id").as("other_id"), col("p").as("pb"),
-          sqrt(Similarity.dot(col("p"), col("p"))).as("nb"))
-        val dotAB = Similarity.dot(col("pa"), col("pb"))
-        // zero-norm guard BEFORE the division: ANSI mode makes x/0.0
-        // throw, and the oracle's NULLIF+COALESCE yields 0.0 there
-        val denom = col("na") * col("nb")
-        val c = when(denom === 0.0, lit(0.0)).otherwise(dotAB / denom)
-        val w = Window.partitionBy("user_id")
-          .orderBy(round(col("c") + 1e-9, 6).desc, col("other_id").asc)
-        a.join(broadcast(b), col("user_id") =!= col("other_id"))
-          .withColumn("c", c)
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
+      (s, dir) =>
+        profileExactTop3(userProfiles(s, dir))
           .select(col("user_id"), col("rnk").cast("long").as("rnk"),
             col("other_id"), R(col("c")).as("cosine"))
-          .orderBy("user_id", "rnk")
+          .orderBy("user_id", "rnk")),
+
+    // X-profile-similarity-srp: the SCALE path for the query above — the
+    // same 24-dim profiles fed through SRP-LSH banding (srpTopK): banded
+    // signature join generates candidates linear in |users|, exact cosine
+    // scores candidates only, rank cut per user. At 100× users this is
+    // the shape that survives (the all-pairs twin is 10⁴× pairs). The
+    // hyperplanes are deterministic (seeded ±1) and embedded in BOTH
+    // engines, so the candidate sets — and therefore results — are
+    // hash-exact, not just statistically close.
+    Q("x_profile_similarity_srp",
+      Some {
+        val planes = Similarity.srpPlanes(16, 24)
+        val sigSql = planes.map { p =>
+          val arr = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"CASE WHEN list_dot_product(p, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+        }.mkString("concat(", ",\n ", ")")
+        s"""WITH $profileCtes,
+           |sig AS MATERIALIZED (SELECT user_id, p, $sigSql AS sg FROM prof),
+           |bands AS MATERIALIZED (SELECT user_id, b, substr(sg, b*4 + 1, 4) AS chunk
+           |          FROM sig CROSS JOIN range(0, 4) r(b)),
+           |cand AS (SELECT DISTINCT a.user_id AS ua, b2.user_id AS ub
+           |         FROM bands a JOIN bands b2
+           |           ON a.b = b2.b AND a.chunk = b2.chunk AND a.user_id < b2.user_id),
+           |sym AS (SELECT ua AS user_id, ub AS other_id FROM cand
+           |        UNION ALL SELECT ub, ua FROM cand),
+           |scd AS (SELECT y.user_id, y.other_id,
+           |          COALESCE(list_dot_product(pa.p, pb.p)
+           |            / NULLIF(sqrt(list_dot_product(pa.p, pa.p))
+           |              * sqrt(list_dot_product(pb.p, pb.p)), 0), 0.0) AS c
+           |        FROM sym y JOIN prof pa ON pa.user_id = y.user_id
+           |                   JOIN prof pb ON pb.user_id = y.other_id),
+           |rk AS (SELECT user_id, other_id, c,
+           |         row_number() OVER (PARTITION BY user_id
+           |           ORDER BY ROUND(c + 1e-9, 6) DESC, other_id) AS rnk
+           |       FROM scd)
+           |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, other_id,
+           |  ROUND(c + 1e-9, 4) AS cosine
+           |FROM rk WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin
+      },
+      (s, dir) =>
+        Similarity.srpTopK(userProfiles(s, dir), k = 3,
+            idCol = "user_id", vecCol = "p", dim = 24)
+          .select(col("id").as("user_id"), col("rank").cast("long").as("rnk"),
+            col("other_id"), R(col("cosine")).as("cosine"))
+          .orderBy("user_id", "rnk")),
+
+    // X-profile-similarity-srp-recall: the diagnostic that licenses the
+    // swap — recall of the SRP path's top-3 against the exact all-pairs
+    // top-3 (exact-twin/blocked-twin discipline, same as the semantic
+    // decontamination pair). One row: hits, total, recall. The exact arm
+    // is users² BY DESIGN (it is the ground truth being measured, run at
+    // calibration time on a sample, never on the full corpus).
+    Q("x_profile_similarity_srp_recall",
+      Some {
+        val planes = Similarity.srpPlanes(16, 24)
+        val sigSql = planes.map { p =>
+          val arr = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+          s"CASE WHEN list_dot_product(p, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+        }.mkString("concat(", ",\n ", ")")
+        s"""WITH $profileCtes,
+           |pairs AS (SELECT a.user_id, b.user_id AS other_id,
+           |            COALESCE(list_dot_product(a.p, b.p)
+           |              / NULLIF(sqrt(list_dot_product(a.p, a.p))
+           |                * sqrt(list_dot_product(b.p, b.p)), 0), 0.0) AS c
+           |          FROM prof a JOIN prof b ON a.user_id <> b.user_id),
+           |exrk AS (SELECT user_id, other_id,
+           |           row_number() OVER (PARTITION BY user_id
+           |             ORDER BY ROUND(c + 1e-9, 6) DESC, other_id) AS rnk
+           |         FROM pairs),
+           |ex AS (SELECT user_id, other_id FROM exrk WHERE rnk <= 3),
+           |sig AS MATERIALIZED (SELECT user_id, p, $sigSql AS sg FROM prof),
+           |bands AS MATERIALIZED (SELECT user_id, b, substr(sg, b*4 + 1, 4) AS chunk
+           |          FROM sig CROSS JOIN range(0, 4) r(b)),
+           |cand AS (SELECT DISTINCT a.user_id AS ua, b2.user_id AS ub
+           |         FROM bands a JOIN bands b2
+           |           ON a.b = b2.b AND a.chunk = b2.chunk AND a.user_id < b2.user_id),
+           |sym AS (SELECT ua AS user_id, ub AS other_id FROM cand
+           |        UNION ALL SELECT ub, ua FROM cand),
+           |scd AS (SELECT y.user_id, y.other_id,
+           |          COALESCE(list_dot_product(pa.p, pb.p)
+           |            / NULLIF(sqrt(list_dot_product(pa.p, pa.p))
+           |              * sqrt(list_dot_product(pb.p, pb.p)), 0), 0.0) AS c
+           |        FROM sym y JOIN prof pa ON pa.user_id = y.user_id
+           |                   JOIN prof pb ON pb.user_id = y.other_id),
+           |srprk AS (SELECT user_id, other_id,
+           |            row_number() OVER (PARTITION BY user_id
+           |              ORDER BY ROUND(c + 1e-9, 6) DESC, other_id) AS rnk
+           |          FROM scd),
+           |srp AS (SELECT user_id, other_id FROM srprk WHERE rnk <= 3)
+           |SELECT CAST(SUM(CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  CAST(COUNT(*) AS BIGINT) AS total,
+           |  ROUND(SUM(CASE WHEN s.user_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+           |        / COUNT(*) + 1e-9, 4) AS recall
+           |FROM ex LEFT JOIN srp s
+           |  ON ex.user_id = s.user_id AND ex.other_id = s.other_id""".stripMargin
+      },
+      (s, dir) => {
+        val prof = userProfiles(s, dir)
+        val exact = profileExactTop3(prof).select(col("user_id"), col("other_id"))
+        val srp = Similarity.srpTopK(prof, k = 3,
+            idCol = "user_id", vecCol = "p", dim = 24)
+          .select(col("id").as("user_id"), col("other_id"), lit(1L).as("h"))
+        exact.join(srp, Seq("user_id", "other_id"), "left")
+          .agg(sum(coalesce(col("h"), lit(0L))).as("hits"),
+            count(lit(1)).as("total"))
+          .select(col("hits"), col("total"),
+            R(col("hits") * lit(1.0) / col("total")).as("recall"))
       }),
 
     // X-whiten: ZCA embedding whitening — the decorrelation step ahead

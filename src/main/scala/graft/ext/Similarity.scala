@@ -190,10 +190,26 @@ object Similarity {
   def srpNearDups(vectors: DataFrame, threshold: Double,
                   numPlanes: Int = 16, rowsPerBand: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  seed: Long = 42L): DataFrame = {
+                  seed: Long = 42L, dim: Int = -1): DataFrame =
+    srpScoredCandidates(vectors, numPlanes, rowsPerBand, idCol, vecCol,
+        seed, dim)
+      .filter(col("cosine") >= threshold)
+
+  /** SRP-LSH banded candidate pairs scored with EXACT cosine:
+    * (id_a, id_b, cosine) with id_a < id_b, one row per pair sharing any
+    * band. The shared core of [[srpNearDups]] (threshold filter) and
+    * [[srpTopK]] (per-id rank cut). Pass `dim` when the vector width is
+    * statically known — it skips a `first()` probe of the input, which
+    * matters when `vectors` is itself a derived (aggregated) frame. */
+  private def srpScoredCandidates(vectors: DataFrame, numPlanes: Int,
+                                  rowsPerBand: Int, idCol: String,
+                                  vecCol: String, seed: Long,
+                                  dim: Int = -1): DataFrame = {
     val par = vectors.sparkSession.sparkContext.defaultParallelism
-    val dim = vectors.select(size(col(vecCol))).first().getInt(0)
-    val planes = srpPlanes(numPlanes, dim, seed)
+    val d =
+      if (dim > 0) dim
+      else vectors.select(size(col(vecCol))).first().getInt(0)
+    val planes = srpPlanes(numPlanes, d, seed)
     val base = Par.fanOut(vectors, par)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
@@ -214,8 +230,35 @@ object Similarity {
       .join(base.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("id_b"))
       .withColumn("cosine", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
-      .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Approximate per-vector top-k neighbors via SRP-LSH banding — the
+    * SCALE replacement for any all-pairs "top-k most similar" query
+    * (e.g. user-profile similarity): candidate generation is linear in
+    * |V| (banded signature join), scoring touches candidate pairs only,
+    * and the rank cut runs per source id. Returns
+    * (id, rank, other_id, cosine), rank 1..k among SRP candidates —
+    * vectors whose true neighbors share no band get fewer than k rows
+    * (the recall trade; tune numPlanes/rowsPerBand). Ordering is pinned
+    * by ROUND(cosine, 6) desc + other_id asc so results are
+    * engine-reproducible. */
+  def srpTopK(vectors: DataFrame, k: Int,
+              numPlanes: Int = 16, rowsPerBand: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              seed: Long = 42L, dim: Int = -1): DataFrame = {
+    val sc = srpScoredCandidates(vectors, numPlanes, rowsPerBand, idCol,
+      vecCol, seed, dim)
+    // candidates are undirected (id_a < id_b); the per-id view needs both
+    // directions — a union of two projections, not a second LSH pass
+    val sym = sc.select(col("id_a").as("id"), col("id_b").as("other_id"), col("cosine"))
+      .unionByName(
+        sc.select(col("id_b").as("id"), col("id_a").as("other_id"), col("cosine")))
+    val w = Window.partitionBy("id")
+      .orderBy(round(col("cosine") + lit(1e-9), 6).desc, col("other_id").asc)
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank"), col("other_id"), col("cosine"))
   }
 
   /** Mean vector per group — cheap centroids for IVF (e.g. per label or

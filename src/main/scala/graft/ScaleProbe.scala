@@ -453,6 +453,12 @@ object ScaleProbe {
   private def ccProbe(args: Array[String]): Unit = {
     val histNodes = if (args.length > 1) args(1).toLong else 10000000L
     val batchEdges = if (args.length > 2) args(2).toLong else 1000L
+    // the planted bridges reference nodes (10k+4, 10k+5): if they exceed
+    // histNodes they touch nodes absent from history and the closed-form
+    // `merged == batchEdges` expectation goes silently wrong — fail loudly
+    require(batchEdges * 10 + 5 <= histNodes,
+      s"cc probe needs batchEdges*10+5 <= histNodes " +
+        s"(got batchEdges=$batchEdges, histNodes=$histNodes)")
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -32,6 +32,8 @@ import graft.ingest.JsonIngest
   */
 object StreamingPipeline {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The hash domain [[cmsFrequency]] sketches are built over, versioned
     * into every store as the `cms_key_domain` column so a merge can't
     * silently mix registers built under a different key encoding. */
@@ -283,19 +285,21 @@ object StreamingPipeline {
     * [[mergeGoldBatch]]. */
   def cmsFrequency(stream: DataFrame, keys: Seq[String], valueCol: String,
                    storePath: String, ckpt: String, eps: Double = 1e-4,
-                   confidence: Double = 0.99, seed: Int = 42): StreamingQuery =
+                   confidence: Double = 0.99, seed: Int = 42,
+                   migrateMarkerlessAsString: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         cmsFrequencyBatch(batch, id, keys, valueCol, storePath, eps,
-          confidence, seed)
+          confidence, seed, migrateMarkerlessAsString)
       }
       .start()
 
   /** The per-batch body of [[cmsFrequency]]. */
   def cmsFrequencyBatch(batch: DataFrame, id: Long, keys: Seq[String],
                         valueCol: String, storePath: String, eps: Double,
-                        confidence: Double, seed: Int): Unit = {
+                        confidence: Double, seed: Int,
+                        migrateMarkerlessAsString: Boolean = false): Unit = {
     val kcols = keys.map(col)
     mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
       // pin the sketch's key domain to STRINGS: the built-in aggregate
@@ -303,24 +307,53 @@ object StreamingPipeline {
       // probe always hashes string bytes — a sketch built over a raw
       // BIGINT column would answer every probe with ~0, silently.
       // The domain is VERSIONED into the store (`cms_key_domain`):
-      // merging string-keyed partials into a store built before this
-      // pin would mix hash domains — the old counts would stay in the
-      // registers but become unreachable by the string probe, silently
-      // undercounting. A store without the marker (or with a different
-      // domain) fails loudly: rebuild it from the source stream.
+      // merging string-keyed partials into a store built under a
+      // different hash domain would leave the old counts in the
+      // registers but unreachable by the string probe — a silent
+      // undercount. A store WITH the marker but a different domain
+      // always fails loudly. A store WITHOUT the marker predates the
+      // column; its registers were sketched over valueCol's NATIVE
+      // type (the CAST-to-STRING pin and the marker arrived in
+      // separate later builds), so its domain is only knowable from
+      // the column type: if valueCol is a string column the native
+      // domain IS string-bytes and the store is stamped in place
+      // (logged); for any other type the domain is ambiguous and the
+      // merge fails loudly unless the caller passes
+      // migrateMarkerlessAsString=true to assert the store is known
+      // to have been built over string-typed items.
       val partial = batch.groupBy(kcols: _*)
         .agg(expr(s"count_min_sketch(CAST($valueCol AS STRING), ${eps}d, ${confidence}d, $seed)")
           .as("sk"))
         .withColumn("cms_key_domain", lit(CmsKeyDomain))
       existingOpt match {
         case Some(existing0) =>
-          // one-time migration: a marker-less store predates the column
-          // but NOT the string pin (the CAST-to-STRING build predates the
-          // marker), so its registers are string-domain and mergeable —
-          // stamp it rather than forcing a rebuild of compatible state.
+          // one-time migration of a marker-less (pre-marker) store: its
+          // registers hold valueCol's NATIVE-type hashes, so stamping it
+          // string-domain is sound only when that native type is string —
+          // verified from the batch schema, or asserted by the caller.
           val existing =
             if (existing0.columns.contains("cms_key_domain")) existing0
-            else existing0.withColumn("cms_key_domain", lit(CmsKeyDomain))
+            else {
+              val valueIsString =
+                batch.schema(valueCol).dataType ==
+                  org.apache.spark.sql.types.StringType
+              if (!valueIsString && !migrateMarkerlessAsString)
+                throw new IllegalStateException(
+                  s"cmsFrequency store at $storePath has no cms_key_domain " +
+                    s"marker and '$valueCol' is not a string column: the " +
+                    "pre-marker registers were sketched over the column's " +
+                    "native type, so merging string-domain partials would " +
+                    "make the old counts unreachable by string probes — a " +
+                    "silent undercount. Rebuild the store, or pass " +
+                    "migrateMarkerlessAsString=true if it is known to have " +
+                    "been built over string-typed items.")
+              log.warn(
+                s"cmsFrequency: stamping marker-less store at $storePath " +
+                  s"with cms_key_domain='$CmsKeyDomain' (" +
+                  (if (valueIsString) s"verified: '$valueCol' is string-typed"
+                   else "asserted via migrateMarkerlessAsString") + ")")
+              existing0.withColumn("cms_key_domain", lit(CmsKeyDomain))
+            }
           // value check is one limit(1) read of a groups-sized store
           val dom = existing.select("cms_key_domain").limit(1).collect()
           if (dom.nonEmpty && dom(0).getString(0) != CmsKeyDomain)

@@ -299,15 +299,16 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(m(("a", "b c")) === 9L)
   }
 
-  test("cmsFrequency stamps (not rejects) a marker-less store: pre-marker registers are string-domain") {
+  test("cmsFrequency stamps a marker-less store when valueCol is string-typed (native domain == string)") {
     val store = Files.createTempDirectory("graft-cms-mig").toString + "/s"
     def batchDf(rows: Seq[(String, String)]) = rows.toDF("k", "item")
     StreamingPipeline.cmsFrequencyBatch(
       batchDf(Seq.fill(6)("a" -> "x")), 0L, Seq("k"), "item", store,
       1e-4, 0.99, 42)
     // simulate a store written before the cms_key_domain column existed:
-    // the registers WERE built under the string pin (the CAST predates
-    // the marker), so a merge must succeed and stamp the domain
+    // pre-marker registers hold the NATIVE-type hashes, and here the
+    // item column is a string — native == string-bytes, so the merge
+    // must succeed and stamp the domain (verified from the batch schema)
     val data = s"$store/data"
     val legacy = spark.read.parquet(data).drop("cms_key_domain")
     val tmp = Files.createTempDirectory("graft-cms-legacy").toString
@@ -324,6 +325,40 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(est("a") === 10L, "legacy registers must merge, not be rebuilt")
     assert(spark.read.parquet(data).columns.contains("cms_key_domain"),
       "merge must stamp the domain marker onto the migrated store")
+  }
+
+  test("cmsFrequency rejects a marker-less store over a non-string column unless explicitly opted in") {
+    val store = Files.createTempDirectory("graft-cms-mign").toString + "/s"
+    def batchDf(rows: Seq[(String, Long)]) = rows.toDF("k", "item")
+    StreamingPipeline.cmsFrequencyBatch(
+      batchDf(Seq.fill(6)("a" -> 7L)), 0L, Seq("k"), "item", store,
+      1e-4, 0.99, 42)
+    val data = s"$store/data"
+    val legacy = spark.read.parquet(data).drop("cms_key_domain")
+    val tmp = Files.createTempDirectory("graft-cms-legacyn").toString
+    legacy.write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(data))
+    spark.read.parquet(tmp).write.parquet(data)
+    // a pre-marker store over a BIGINT item column may hold long-domain
+    // hashes — auto-stamping it string would silently orphan its counts,
+    // so without the opt-in the merge must fail loudly
+    val ex = intercept[IllegalStateException] {
+      StreamingPipeline.cmsFrequencyBatch(
+        batchDf(Seq.fill(4)("a" -> 7L)), 1L, Seq("k"), "item", store,
+        1e-4, 0.99, 42)
+    }
+    assert(ex.getMessage.contains("migrateMarkerlessAsString"))
+    // with the opt-in the caller asserts the legacy store's items were
+    // string-typed at build time; the stamp-and-merge then proceeds
+    StreamingPipeline.cmsFrequencyBatch(
+      batchDf(Seq.fill(4)("a" -> 7L)), 1L, Seq("k"), "item", store,
+      1e-4, 0.99, 42, migrateMarkerlessAsString = true)
+    val est = StreamingPipeline.cmsEstimates(
+        spark.read.parquet(data), Seq("k"), Seq("7"))
+      .as[(String, String, Long)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(est("a") === 10L)
+    assert(spark.read.parquet(data).columns.contains("cms_key_domain"))
   }
 
   test("quantileState maintains mergeable GK distribution state across batches, exactly-once") {

@@ -215,17 +215,28 @@ object Similarity {
       .withColumn("nrm", l2Norm(col("vec")))
       .withColumn("sig", srpSignature(col("vec"), planes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = base.select(col("id"),
+    // sig rides along (16 chars — negligible shuffle weight) so the
+    // self-join can emit each pair from its FIRST shared band only: the
+    // standard LSH dedup trick, replacing a dropDuplicates exchange over
+    // the candidate set with a constant-width filter in the join stage
+    val banded = base.select(col("id"), col("sig"),
       posexplode(array((0 until numPlanes / rowsPerBand).map(b =>
         substring(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*))
         .as(Seq("band", "chunk")))
     val a = banded.as("a")
     val b = banded.as("b")
+    // true iff some band EARLIER than the joined one also matches — then
+    // this (pair, band) row is a duplicate emission and is dropped
+    val earlierBandMatches = (0 until numPlanes / rowsPerBand).map(j =>
+      lit(j) < col("a.band") &&
+        substring(col("a.sig"), j * rowsPerBand + 1, rowsPerBand) ===
+          substring(col("b.sig"), j * rowsPerBand + 1, rowsPerBand))
+      .reduce(_ || _)
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
+      .filter(!earlierBandMatches)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     pairs
       .join(base.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), Seq("id_b"))
@@ -250,10 +261,16 @@ object Similarity {
     val sc = srpScoredCandidates(vectors, numPlanes, rowsPerBand, idCol,
       vecCol, seed, dim)
     // candidates are undirected (id_a < id_b); the per-id view needs both
-    // directions — a union of two projections, not a second LSH pass
-    val sym = sc.select(col("id_a").as("id"), col("id_b").as("other_id"), col("cosine"))
-      .unionByName(
-        sc.select(col("id_b").as("id"), col("id_a").as("other_id"), col("cosine")))
+    // directions. Explode each scored row into its two directions in ONE
+    // pass — a union of two projections of `sc` would compute the whole
+    // banding+scoring pipeline twice (the plan is duplicated, not reused)
+    val sym = sc
+      .select(explode(array(
+        struct(col("id_a").as("id"), col("id_b").as("other_id"), col("cosine")),
+        struct(col("id_b").as("id"), col("id_a").as("other_id"), col("cosine"))))
+        .as("s"))
+      .select(col("s.id").as("id"), col("s.other_id").as("other_id"),
+        col("s.cosine").as("cosine"))
     val w = Window.partitionBy("id")
       .orderBy(round(col("cosine") + lit(1e-9), 6).desc, col("other_id").asc)
     sym.withColumn("rank", row_number().over(w))

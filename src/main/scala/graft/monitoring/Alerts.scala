@@ -149,21 +149,71 @@ object Alerts {
     rules.map(r => (r.alert, r.severity, active.getOrElse(r.alert, "resolved")))
   }
 
+  /** Latency SLO rules over the listener's end-to-end readings — the
+    * engine-side form of the reference's ONE real latency SLO
+    * (HighEndToEndLatency: p95 end-to-end > 60 s,
+    * monitoring/prometheus/alert_rules.yml:37-46). `high_e2e_latency`
+    * fires when the batch's WORST-case event age (oldest event at batch
+    * completion) stays above 60 s for two consecutive batches — one
+    * slow batch is a blip, two means the pipeline is behind.
+    * `slow_batch` warns when processing a batch takes longer than the
+    * reference's 30 s trigger cadence (spark_streaming.py:54) twice in
+    * a row: each batch then starts further behind than the last. */
+  val latencyRules: Seq[Rule] = Seq(
+    Rule("high_e2e_latency", "critical", "event_age_max_ms", ">", 60000.0, 2),
+    Rule("slow_batch", "warning", "batch_duration_ms", ">", 30000.0, 2))
+
   /** Streaming-side hookup: evaluate rules over a
     * StreamingPipeline.MetricsListener batch history (batch_id as the
     * window axis — cadence 1). Metrics exposed: input_rows,
-    * rows_per_second, batch_duration_ms. */
+    * rows_per_second, batch_duration_ms, event_age_avg_ms,
+    * event_age_max_ms. Batches without event-time info (-1 sentinel)
+    * contribute no age rows — a sentinel treated as a value would read
+    * as instant delivery and mask an SLO breach streak. */
   def evaluateProgress(spark: SparkSession,
-                       history: Seq[(Long, Long, Double, Long)],
+                       history: Seq[graft.streaming.StreamingPipeline.BatchProgress],
                        rules: Seq[Rule]): DataFrame = {
     import spark.implicits._
     val metrics = history
-      .toDF("batch_id", "input_rows", "rows_per_second", "batch_duration_ms")
+      .map(b => (b.batchId, b.inputRows, b.rowsPerSecond, b.batchDurationMs,
+        b.eventAgeAvgMs, b.eventAgeMaxMs))
+      .toDF("batch_id", "input_rows", "rows_per_second", "batch_duration_ms",
+        "event_age_avg_ms", "event_age_max_ms")
       .select(to_timestamp(col("batch_id")).as("window_start"), expr(
-        """stack(3,
+        """stack(5,
           |  'input_rows',        cast(input_rows as double),
           |  'rows_per_second',   rows_per_second,
-          |  'batch_duration_ms', cast(batch_duration_ms as double)) AS (metric, value)""".stripMargin))
+          |  'batch_duration_ms', cast(batch_duration_ms as double),
+          |  'event_age_avg_ms',  cast(event_age_avg_ms as double),
+          |  'event_age_max_ms',  cast(event_age_max_ms as double)) AS (metric, value)""".stripMargin))
+      .filter(!(col("metric").startsWith("event_age_") && col("value") < 0))
     evaluate(metrics, rules, windowSeconds = 1L)
+  }
+
+  /** Exact latency percentiles over a listener history — the numbers the
+    * reference's SLO dashboard wants (p50/p95 batch duration, p50/p95
+    * end-to-end event age). Driver-side nearest-rank on a batches-sized
+    * list: one row per micro-batch, never per event, so this stays a
+    * microsecond computation at any data scale. Age keys are present
+    * only when at least one batch carried event-time info. */
+  def latencyPercentiles(
+      history: Seq[graft.streaming.StreamingPipeline.BatchProgress]): Map[String, Double] = {
+    def pct(xs: Seq[Long], q: Double): Double = {
+      val s = xs.sorted
+      s(math.min(s.size - 1, math.ceil(q * s.size).toInt - 1).max(0)).toDouble
+    }
+    if (history.isEmpty) return Map.empty
+    val dur = history.map(_.batchDurationMs)
+    val ages = history.map(_.eventAgeMaxMs).filter(_ >= 0)
+    val agesAvg = history.map(_.eventAgeAvgMs).filter(_ >= 0)
+    Map(
+      "batch_duration_ms_p50" -> pct(dur, 0.50),
+      "batch_duration_ms_p95" -> pct(dur, 0.95)) ++
+      (if (ages.isEmpty) Map.empty[String, Double]
+       else Map(
+         "event_age_max_ms_p50" -> pct(ages, 0.50),
+         "event_age_max_ms_p95" -> pct(ages, 0.95),
+         "event_age_avg_ms_p50" -> pct(agesAvg, 0.50),
+         "event_age_avg_ms_p95" -> pct(agesAvg, 0.95)))
   }
 }

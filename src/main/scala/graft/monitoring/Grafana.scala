@@ -47,7 +47,16 @@ object Grafana {
         Seq("sum(graft_alert_active)"), 0, 12, w = 6, h = 4),
       panel(7, "timeseries", "Drift scores (PSI / centroid cosine)",
         Seq("""graft_drift_score{kind="psi"}""",
-          """graft_drift_score{kind="centroid_cosine"}"""), 6, 12, w = 18, h = 4))
+          """graft_drift_score{kind="centroid_cosine"}"""), 6, 12, w = 18, h = 4),
+      // the reference's one real latency SLO: end-to-end p95 < 60 s
+      // (alert_rules.yml:37-46) — plot both percentile families the
+      // exposition side publishes so a breach shows WHERE the time goes
+      // (queue age vs processing time)
+      panel(8, "timeseries", "End-to-end latency percentiles (ms, SLO p95 < 60000)",
+        Seq("""graft_event_age_ms{quantile="p95"}""",
+          """graft_event_age_ms{quantile="p50"}""",
+          """graft_batch_duration_ms{quantile="p95"}""",
+          """graft_batch_duration_ms{quantile="p50"}"""), 0, 16, w = 24, h = 6))
     val rulePanels = rules.zipWithIndex.map { case (r, i) =>
       // rule names are user input inside a quoted PromQL matcher: escape
       // with the SAME helper the Prometheus exposition side uses, so a
@@ -55,7 +64,7 @@ object Grafana {
       // exported label value byte-for-byte
       panel(100 + i, "stat", s"alert: ${r.alert} (${r.severity})",
         Seq(s"""graft_alert_active{alertname="${Prometheus.esc(r.alert)}"}"""),
-        (i % 4) * 6, 16 + (i / 4) * 4, w = 6, h = 4)
+        (i % 4) * 6, 22 + (i / 4) * 4, w = 6, h = 4)
     }
     val dash = ("title" -> title) ~
       ("uid" -> "graft-pipeline-health") ~

@@ -28,10 +28,13 @@ object Prometheus {
     else if (d == Double.NegativeInfinity) "-Inf"
     else if (d == d.toLong.toDouble) d.toLong.toString else d.toString
 
-  /** Render a StreamingPipeline.MetricsListener batch history
-    * ((batch_id, input_rows, rows_per_second, batch_duration_ms) rows) as
-    * counters for lifetime totals plus gauges for the latest batch. */
-  def renderProgress(history: Seq[(Long, Long, Double, Long)],
+  /** Render a StreamingPipeline.MetricsListener batch history as counters
+    * for lifetime totals, gauges for the latest batch, and latency
+    * percentile gauges (p50/p95 batch duration; p50/p95 end-to-end event
+    * age when the query carries event-time info) — the series the
+    * reference's <60 s p95 SLO panel scrapes
+    * (monitoring/prometheus/alert_rules.yml:37-46). */
+  def renderProgress(history: Seq[graft.streaming.StreamingPipeline.BatchProgress],
                      job: String = "graft"): String = {
     val l = s"""{job="${esc(job)}"}"""
     val sb = new StringBuilder
@@ -40,20 +43,35 @@ object Prometheus {
     sb ++= s"graft_batches_total$l ${history.size}\n"
     sb ++= "# HELP graft_input_rows_total Input rows across all micro-batches.\n"
     sb ++= "# TYPE graft_input_rows_total counter\n"
-    sb ++= s"graft_input_rows_total$l ${history.map(_._2).sum}\n"
-    history.lastOption.foreach { case (id, rows, rps, durMs) =>
+    sb ++= s"graft_input_rows_total$l ${history.map(_.inputRows).sum}\n"
+    history.lastOption.foreach { b =>
       sb ++= "# HELP graft_last_batch_id Most recent micro-batch id.\n"
       sb ++= "# TYPE graft_last_batch_id gauge\n"
-      sb ++= s"graft_last_batch_id$l $id\n"
+      sb ++= s"graft_last_batch_id$l ${b.batchId}\n"
       sb ++= "# HELP graft_last_batch_input_rows Input rows of the most recent micro-batch.\n"
       sb ++= "# TYPE graft_last_batch_input_rows gauge\n"
-      sb ++= s"graft_last_batch_input_rows$l $rows\n"
+      sb ++= s"graft_last_batch_input_rows$l ${b.inputRows}\n"
       sb ++= "# HELP graft_last_batch_rows_per_second Processing rate of the most recent micro-batch.\n"
       sb ++= "# TYPE graft_last_batch_rows_per_second gauge\n"
-      sb ++= s"graft_last_batch_rows_per_second$l ${fmt(rps)}\n"
+      sb ++= s"graft_last_batch_rows_per_second$l ${fmt(b.rowsPerSecond)}\n"
       sb ++= "# HELP graft_last_batch_duration_ms Duration of the most recent micro-batch.\n"
       sb ++= "# TYPE graft_last_batch_duration_ms gauge\n"
-      sb ++= s"graft_last_batch_duration_ms$l $durMs\n"
+      sb ++= s"graft_last_batch_duration_ms$l ${b.batchDurationMs}\n"
+    }
+    val pcts = Alerts.latencyPercentiles(history)
+    if (pcts.nonEmpty) {
+      sb ++= "# HELP graft_batch_duration_ms Batch-duration percentiles over the history.\n"
+      sb ++= "# TYPE graft_batch_duration_ms gauge\n"
+      Seq("p50", "p95").foreach { q =>
+        sb ++= s"""graft_batch_duration_ms{job="${esc(job)}",quantile="$q"} ${fmt(pcts(s"batch_duration_ms_$q"))}\n"""
+      }
+      if (pcts.contains("event_age_max_ms_p95")) {
+        sb ++= "# HELP graft_event_age_ms End-to-end event age percentiles (worst-case per batch) over the history.\n"
+        sb ++= "# TYPE graft_event_age_ms gauge\n"
+        Seq("p50", "p95").foreach { q =>
+          sb ++= s"""graft_event_age_ms{job="${esc(job)}",quantile="$q"} ${fmt(pcts(s"event_age_max_ms_$q"))}\n"""
+        }
+      }
     }
     sb.result()
   }
@@ -92,7 +110,7 @@ object Prometheus {
 
   /** One scrape body: listener history + current alert states + the
     * latest drift scores. */
-  def scrape(history: Seq[(Long, Long, Double, Long)],
+  def scrape(history: Seq[graft.streaming.StreamingPipeline.BatchProgress],
              states: Seq[(String, String, String)],
              job: String = "graft",
              drift: Seq[(String, String, Double)] = Nil): String =

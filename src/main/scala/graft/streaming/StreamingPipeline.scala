@@ -1789,25 +1789,64 @@ object StreamingPipeline {
     events.withWatermark(timeCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** One micro-batch's progress snapshot, the unit of the listener
+    * history. `eventAgeAvgMs`/`eventAgeMaxMs` are END-TO-END latency
+    * readings — wall-clock at batch completion minus the batch's
+    * average/oldest event time — available only for event-time queries
+    * (a watermark makes Spark report the batch's eventTime stats);
+    * batches without event-time info carry the -1 sentinel, which every
+    * downstream consumer ([[graft.monitoring.Alerts.evaluateProgress]],
+    * [[graft.monitoring.Alerts.latencyPercentiles]]) filters out rather
+    * than treating as a zero-latency reading. */
+  final case class BatchProgress(batchId: Long, inputRows: Long,
+                                 rowsPerSecond: Double, batchDurationMs: Long,
+                                 eventAgeAvgMs: Long = -1L,
+                                 eventAgeMaxMs: Long = -1L)
+
   /** T9: progress metrics via the idiomatic StreamingQueryListener instead
-    * of the reference's polling loop (spark_streaming.py:167-184). */
+    * of the reference's polling loop (spark_streaming.py:167-184). The
+    * history additionally carries the end-to-end event-age readings that
+    * feed the reference's one latency SLO (<60 s p95 end-to-end,
+    * monitoring/prometheus/alert_rules.yml:37-46) via
+    * [[graft.monitoring.Alerts.latencyPercentiles]] and
+    * [[graft.monitoring.Alerts.latencyRules]]. */
   final class MetricsListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
     @volatile var lastRowsPerSecond: Double = 0.0
     @volatile var lastNumInputRows: Long = 0L
     @volatile var batches: Long = 0L
-    // per-batch history feeding graft.monitoring.Alerts.evaluateProgress:
-    // (batch_id, input_rows, rows_per_second, batch_duration_ms)
-    private val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
-    def history: Seq[(Long, Long, Double, Long)] = hist.synchronized(hist.toSeq)
+    // per-batch history feeding graft.monitoring.Alerts.evaluateProgress
+    private val hist = scala.collection.mutable.ArrayBuffer.empty[BatchProgress]
+    def history: Seq[BatchProgress] = hist.synchronized(hist.toSeq)
     override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
       lastNumInputRows = e.progress.numInputRows
       lastRowsPerSecond = e.progress.processedRowsPerSecond
       batches += 1
       val rps = e.progress.processedRowsPerSecond
+      // end-to-end age = batch-END wall clock minus event time. progress
+      // .timestamp is the trigger START (ISO-8601), so completion is
+      // start + duration; eventTime has "avg"/"min" ISO stamps only for
+      // event-time (watermarked) queries with input this batch. "min"
+      // (oldest event) gives the batch's WORST-case age — the
+      // conservative reading an SLO alert should fire on.
+      val (ageAvg, ageMax) = try {
+        val et = e.progress.eventTime
+        if (et == null || !et.containsKey("avg")) (-1L, -1L)
+        else {
+          val endMs = java.time.Instant.parse(e.progress.timestamp)
+            .toEpochMilli + e.progress.batchDuration
+          val avgMs = java.time.Instant.parse(et.get("avg")).toEpochMilli
+          val minMs =
+            if (et.containsKey("min"))
+              java.time.Instant.parse(et.get("min")).toEpochMilli
+            else avgMs
+          (math.max(0L, endMs - avgMs), math.max(0L, endMs - minMs))
+        }
+      } catch { case _: Exception => (-1L, -1L) }
       hist.synchronized {
-        hist += ((e.progress.batchId, e.progress.numInputRows,
-          if (rps.isNaN) 0.0 else rps, e.progress.batchDuration))
+        hist += BatchProgress(e.progress.batchId, e.progress.numInputRows,
+          if (rps.isNaN) 0.0 else rps, e.progress.batchDuration,
+          ageAvg, ageMax)
       }
     }
     override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()

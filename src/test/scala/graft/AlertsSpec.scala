@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.monitoring.Alerts
 import graft.monitoring.Alerts.Rule
+import graft.streaming.StreamingPipeline.BatchProgress
 
 /** Alert-threshold evaluation semantics (reference:
   * monitoring/prometheus/alert_rules.yml pending→firing lifecycle). */
@@ -80,11 +81,54 @@ class AlertsSpec extends SparkTestBase {
   }
 
   test("listener history evaluates through evaluateProgress") {
-    // (batch_id, input_rows, rows_per_second, batch_duration_ms)
-    val hist = Seq((0L, 100L, 50.0, 200L), (1L, 0L, 0.0, 150L), (2L, 0L, 0.0, 90L))
+    val hist = Seq(BatchProgress(0L, 100L, 50.0, 200L),
+      BatchProgress(1L, 0L, 0.0, 150L), BatchProgress(2L, 0L, 0.0, 90L))
     val out = Alerts.evaluateProgress(spark, hist,
       Seq(Rule("stream_stalled", "critical", "input_rows", "<=", 0.0, 2))).collect()
     assert(out.map(_.getAs[String]("state")).toSeq === Seq("pending", "firing"))
+  }
+
+  test("latency SLO lifecycle: sustained >60s event age goes pending then firing; sentinel batches don't mask it") {
+    // the reference's one real latency SLO (<60 s p95 end-to-end,
+    // alert_rules.yml:37-46) on a slow-batch series: ages climb over
+    // 60 s at batch 2 and stay there. Batch 4 has NO event-time info
+    // (-1 sentinel): it must contribute no age row — treated as a
+    // value it would read as instant delivery and break the streak.
+    val hist = Seq(
+      BatchProgress(0L, 100L, 50.0, 5000L, 20000L, 30000L),
+      BatchProgress(1L, 100L, 50.0, 8000L, 40000L, 55000L),
+      BatchProgress(2L, 100L, 10.0, 31000L, 52000L, 70000L), // breach 1
+      BatchProgress(3L, 100L, 8.0, 35000L, 61000L, 90000L),  // breach 2
+      BatchProgress(4L, 0L, 0.0, 100L),                      // no event-time
+      BatchProgress(5L, 100L, 7.0, 36000L, 70000L, 95000L))
+    val out = Alerts.evaluateProgress(spark, hist, Alerts.latencyRules)
+      .collect()
+    val e2e = out.filter(_.getAs[String]("alert") == "high_e2e_latency")
+      .map(r => r.getAs[Long]("streak") -> r.getAs[String]("state"))
+    // batches 2,3 are consecutive on the batch axis -> pending, firing;
+    // batch 5 restarts the streak (batch 4 broke consecutiveness on the
+    // batch-id axis) -> pending again
+    assert(e2e.toSeq === Seq(1L -> "pending", 2L -> "firing", 1L -> "pending"))
+    // slow_batch (>30s duration) breaches at 2,3 and again at 5
+    val slow = out.filter(_.getAs[String]("alert") == "slow_batch")
+      .map(_.getAs[String]("state"))
+    assert(slow.toSeq === Seq("pending", "firing", "pending"))
+  }
+
+  test("latencyPercentiles: exact nearest-rank over the history, age keys only when event-time info exists") {
+    val hist = (1 to 20).map(i =>
+      BatchProgress(i.toLong, 10L, 1.0, i * 100L, i * 1000L, i * 2000L))
+    val p = Alerts.latencyPercentiles(hist)
+    assert(p("batch_duration_ms_p50") === 1000.0) // 10th of 20
+    assert(p("batch_duration_ms_p95") === 1900.0) // 19th of 20
+    assert(p("event_age_max_ms_p95") === 38000.0)
+    assert(p("event_age_avg_ms_p50") === 10000.0)
+    // sentinel-only history: duration percentiles, no age keys
+    val noAge = Alerts.latencyPercentiles(
+      Seq(BatchProgress(0L, 1L, 1.0, 500L), BatchProgress(1L, 1L, 1.0, 700L)))
+    assert(noAge("batch_duration_ms_p95") === 700.0)
+    assert(!noAge.contains("event_age_max_ms_p95"))
+    assert(Alerts.latencyPercentiles(Nil).isEmpty)
   }
 
   test("PSI: identical halves score ~0, a shifted half scores high") {
@@ -280,7 +324,8 @@ class AlertsSpec extends SparkTestBase {
 
   test("Prometheus progress render: lifetime counters plus last-batch gauges") {
     import graft.monitoring.Prometheus
-    val hist = Seq((0L, 100L, 50.0, 2000L), (1L, 40L, 80.5, 500L))
+    val hist = Seq(BatchProgress(0L, 100L, 50.0, 2000L, 10000L, 20000L),
+      BatchProgress(1L, 40L, 80.5, 500L, 30000L, 70000L))
     val text = Prometheus.renderProgress(hist)
     assert(text.contains("# TYPE graft_batches_total counter"))
     assert(text.contains("""graft_batches_total{job="graft"} 2"""))
@@ -290,10 +335,17 @@ class AlertsSpec extends SparkTestBase {
     assert(text.contains("""graft_last_batch_input_rows{job="graft"} 40"""))
     assert(text.contains("""graft_last_batch_rows_per_second{job="graft"} 80.5"""))
     assert(text.contains("""graft_last_batch_duration_ms{job="graft"} 500"""))
+    // latency percentile gauges (p95 of 2 samples = the larger)
+    assert(text.contains("""graft_batch_duration_ms{job="graft",quantile="p95"} 2000"""))
+    assert(text.contains("""graft_event_age_ms{job="graft",quantile="p95"} 70000"""))
     // empty history: counters at zero, no last-batch gauges
     val empty = Prometheus.renderProgress(Nil)
     assert(empty.contains("""graft_batches_total{job="graft"} 0"""))
     assert(!empty.contains("graft_last_batch_id"))
+    // ageless history: no event-age gauge (absence, not a zero reading)
+    val ageless = Prometheus.renderProgress(Seq(BatchProgress(0L, 1L, 1.0, 100L)))
+    assert(!ageless.contains("graft_event_age_ms"))
+    assert(ageless.contains("""graft_batch_duration_ms{job="graft",quantile="p50"} 100"""))
   }
 
   test("Prometheus renders NaN/Inf rates in valid 0.0.4 spelling") {
@@ -302,10 +354,10 @@ class AlertsSpec extends SparkTestBase {
     // batch and NaN before the first progress — both must render in the
     // text format's spelling, never Java's "Infinity"
     val inf = Prometheus.renderProgress(
-      Seq((0L, 10L, Double.PositiveInfinity, 0L)))
+      Seq(BatchProgress(0L, 10L, Double.PositiveInfinity, 0L)))
     assert(inf.contains("""graft_last_batch_rows_per_second{job="graft"} +Inf"""))
     assert(!inf.contains("Infinity"))
-    val nan = Prometheus.renderProgress(Seq((0L, 10L, Double.NaN, 0L)))
+    val nan = Prometheus.renderProgress(Seq(BatchProgress(0L, 10L, Double.NaN, 0L)))
     assert(nan.contains("""graft_last_batch_rows_per_second{job="graft"} NaN"""))
   }
 
@@ -363,9 +415,11 @@ class AlertsSpec extends SparkTestBase {
     val json = Grafana.dashboardJson(rules)
     val parsed = JsonMethods.parse(json).asInstanceOf[JObject]
     val panels = (parsed \ "panels").asInstanceOf[JArray].arr
-    assert(panels.size === 7 + rules.size) // base board (incl. drift) + one per rule
+    assert(panels.size === 8 + rules.size) // base board (incl. drift + latency) + one per rule
     // every panel expr queries a metric name the engine actually exposes
-    val exposed = Prometheus.scrape(Seq((1L, 10L, 5.0, 100L)),
+    // (history carries event-time ages so the latency panel's
+    // graft_event_age_ms series is present in the scrape)
+    val exposed = Prometheus.scrape(Seq(BatchProgress(1L, 10L, 5.0, 100L, 5000L, 9000L)),
       Seq(("hot_high", "warning", "firing")))
     val metricNames = "graft_[a-z_]+".r.findAllIn(exposed).toSet
     val exprs = for {

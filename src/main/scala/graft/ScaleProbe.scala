@@ -412,15 +412,34 @@ object ScaleProbe {
       .repartition(cpus * 2)
     prof.write.mode("overwrite").parquet("/tmp/graft_scale_profiles")
     val df = spark.read.parquet("/tmp/graft_scale_profiles")
+    // the srpTopK sizing rule: rowsPerBand ≈ log2(n) keeps per-bucket
+    // occupancy O(1) so candidates ≈ bands·n (see srpTopK scaladoc);
+    // 4 bands throughout, planted near-identical pairs keep recall ~1
+    val rpb = math.max(4,
+      math.ceil(math.log(nUsers.toDouble) / math.log(2)).toInt)
+    val nPlanes = 4 * rpb
     (1 to 3).foreach { i =>
       System.gc()
       val t0 = System.nanoTime()
-      val rows = graft.ext.Similarity.srpTopK(df, k = 3, idCol = "user_id",
+      val rows = graft.ext.Similarity.srpTopK(df, k = 3,
+        numPlanes = nPlanes, rowsPerBand = rpb, idCol = "user_id",
         vecCol = "p", dim = 24).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] profiles srp run$i users=$nUsers topk_rows=$rows " +
-        f"sec=$sec%.2f users_per_sec=${nUsers / sec}%.0f")
+      println(f"[scale] profiles srp run$i users=$nUsers planes=$nPlanes " +
+        f"rpb=$rpb topk_rows=$rows sec=$sec%.2f " +
+        f"users_per_sec=${nUsers / sec}%.0f")
     }
+    // planted-neighbor recall: every user ≡ 1 (mod 100) must rank its
+    // near-identical predecessor first — the regime LSH must not miss
+    val planted = graft.ext.Similarity.srpTopK(df, k = 1,
+        numPlanes = nPlanes, rowsPerBand = rpb, idCol = "user_id",
+        vecCol = "p", dim = 24)
+      .filter(pmod(col("id"), lit(100)) === 1 && col("rank") === 1 &&
+        col("other_id") === col("id") - 1)
+      .count()
+    println(f"[scale] profiles planted_recall=" +
+      f"${planted.toDouble / (nUsers / 100)}%.3f " +
+      f"(${planted}/${nUsers / 100} planted neighbors at rank 1)")
     if (nUsers <= 20000L) {
       val a = df.select(col("user_id"), col("p").as("pa"),
         sqrt(graft.ext.Similarity.dot(col("p"), col("p"))).as("na"))

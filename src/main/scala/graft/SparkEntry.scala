@@ -1440,15 +1440,22 @@ object SparkEntry {
     // X-sim-lsh: signed-random-projection LSH — the linear-time candidate
     // path for cosine near-dups. The hyperplane matrix is deterministic
     // (seeded) and embedded in BOTH the Spark operator and this SQL.
+    // Signature bits are computed over per-vector MEAN-CENTERED
+    // components (list_avg subtraction — the Spark side's
+    // Similarity.centerVec twin): a one-orthant corpus otherwise gives
+    // near-constant sign bits and the banded join degenerates to
+    // all-pairs. Scoring stays exact cosine over the RAW vectors.
     Q("x_srp_lsh_neardups",
       Some {
         val planes = Similarity.srpPlanes(16, 64)
         val sigSql = planes.map { p =>
           val arr = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
-          s"CASE WHEN list_dot_product(v, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+          s"CASE WHEN list_dot_product(cv, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
         }.mkString("concat(", ",\n ", ")")
         s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-           |sig AS MATERIALIZED (SELECT vec_id, v, $sigSql AS s FROM e),
+           |ctr AS (SELECT vec_id, v,
+           |          list_transform(v, x -> x - list_avg(v)) AS cv FROM e),
+           |sig AS MATERIALIZED (SELECT vec_id, v, $sigSql AS s FROM ctr),
            |bands AS MATERIALIZED (SELECT vec_id, b, substr(s, b*4 + 1, 4) AS chunk
            |          FROM sig CROSS JOIN range(0, 4) r(b)),
            |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -2482,19 +2489,27 @@ object SparkEntry {
     // scores candidates only, rank cut per user. At 100× users this is
     // the shape that survives (the all-pairs twin is 10⁴× pairs). The
     // hyperplanes are deterministic (seeded ±1) and embedded in BOTH
-    // engines, so the candidate sets — and therefore results — are
-    // hash-exact, not just statistically close.
+    // engines, and signatures are computed over per-vector MEAN-CENTERED
+    // profiles in both (activity profiles are non-negative; uncentered
+    // sign bits would be near-constant — see Similarity.centerVec), so
+    // the candidate sets — and therefore results — are hash-exact, not
+    // just statistically close.
     Q("x_profile_similarity_srp",
       Some {
-        val planes = Similarity.srpPlanes(16, 24)
+        // 16 bands × 4 bits: at this corpus size recall is the binding
+        // constraint, not bucket occupancy — at production scale the
+        // caller raises rowsPerBand with log2(n) instead (see srpTopK)
+        val planes = Similarity.srpPlanes(64, 24)
         val sigSql = planes.map { p =>
           val arr = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
-          s"CASE WHEN list_dot_product(p, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+          s"CASE WHEN list_dot_product(cp, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
         }.mkString("concat(", ",\n ", ")")
         s"""WITH $profileCtes,
-           |sig AS MATERIALIZED (SELECT user_id, p, $sigSql AS sg FROM prof),
+           |ctr AS (SELECT user_id, p,
+           |          list_transform(p, x -> x - list_avg(p)) AS cp FROM prof),
+           |sig AS MATERIALIZED (SELECT user_id, p, $sigSql AS sg FROM ctr),
            |bands AS MATERIALIZED (SELECT user_id, b, substr(sg, b*4 + 1, 4) AS chunk
-           |          FROM sig CROSS JOIN range(0, 4) r(b)),
+           |          FROM sig CROSS JOIN range(0, 16) r(b)),
            |cand AS (SELECT DISTINCT a.user_id AS ua, b2.user_id AS ub
            |         FROM bands a JOIN bands b2
            |           ON a.b = b2.b AND a.chunk = b2.chunk AND a.user_id < b2.user_id),
@@ -2515,7 +2530,7 @@ object SparkEntry {
            |FROM rk WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin
       },
       (s, dir) =>
-        Similarity.srpTopK(userProfiles(s, dir), k = 3,
+        Similarity.srpTopK(userProfiles(s, dir), k = 3, numPlanes = 64,
             idCol = "user_id", vecCol = "p", dim = 24)
           .select(col("id").as("user_id"), col("rank").cast("long").as("rnk"),
             col("other_id"), R(col("cosine")).as("cosine"))
@@ -2529,10 +2544,10 @@ object SparkEntry {
     // calibration time on a sample, never on the full corpus).
     Q("x_profile_similarity_srp_recall",
       Some {
-        val planes = Similarity.srpPlanes(16, 24)
+        val planes = Similarity.srpPlanes(64, 24)
         val sigSql = planes.map { p =>
           val arr = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
-          s"CASE WHEN list_dot_product(p, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
+          s"CASE WHEN list_dot_product(cp, $arr::DOUBLE[]) >= 0 THEN '1' ELSE '0' END"
         }.mkString("concat(", ",\n ", ")")
         s"""WITH $profileCtes,
            |pairs AS (SELECT a.user_id, b.user_id AS other_id,
@@ -2545,9 +2560,11 @@ object SparkEntry {
            |             ORDER BY ROUND(c + 1e-9, 6) DESC, other_id) AS rnk
            |         FROM pairs),
            |ex AS (SELECT user_id, other_id FROM exrk WHERE rnk <= 3),
-           |sig AS MATERIALIZED (SELECT user_id, p, $sigSql AS sg FROM prof),
+           |ctr AS (SELECT user_id, p,
+           |          list_transform(p, x -> x - list_avg(p)) AS cp FROM prof),
+           |sig AS MATERIALIZED (SELECT user_id, p, $sigSql AS sg FROM ctr),
            |bands AS MATERIALIZED (SELECT user_id, b, substr(sg, b*4 + 1, 4) AS chunk
-           |          FROM sig CROSS JOIN range(0, 4) r(b)),
+           |          FROM sig CROSS JOIN range(0, 16) r(b)),
            |cand AS (SELECT DISTINCT a.user_id AS ua, b2.user_id AS ub
            |         FROM bands a JOIN bands b2
            |           ON a.b = b2.b AND a.chunk = b2.chunk AND a.user_id < b2.user_id),
@@ -2574,7 +2591,7 @@ object SparkEntry {
       (s, dir) => {
         val prof = userProfiles(s, dir)
         val exact = profileExactTop3(prof).select(col("user_id"), col("other_id"))
-        val srp = Similarity.srpTopK(prof, k = 3,
+        val srp = Similarity.srpTopK(prof, k = 3, numPlanes = 64,
             idCol = "user_id", vecCol = "p", dim = 24)
           .select(col("id").as("user_id"), col("other_id"), lit(1L).as("h"))
         exact.join(srp, Seq("user_id", "other_id"), "left")

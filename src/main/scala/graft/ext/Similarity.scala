@@ -181,6 +181,31 @@ object Similarity {
     concat(planes.toIndexedSeq.map(p =>
       when(dot(vec, typedlit(p.toSeq)) >= 0.0, lit("1")).otherwise(lit("0"))): _*)
 
+  /** Per-vector mean-centering for SIGNATURE computation only. Sign bits
+    * discriminate only when the data straddles the hyperplanes: a
+    * non-negative corpus (activity profiles, counts, TF vectors) lives in
+    * one orthant, where ±1 hyperplanes with any entry imbalance give the
+    * SAME bit to almost every vector — bands then collide en masse and
+    * candidate generation degenerates toward all-pairs (measured: the
+    * 15k-user profiles probe went super-linear before this fix).
+    * Subtracting each vector's own component mean re-centers every row at
+    * zero deterministically and per-row (no corpus statistics, so both
+    * engines compute it bit-identically); exact scoring still uses the RAW
+    * vectors. Sign-LSH then approximates the centered angle — the
+    * Pearson-correlation geometry — which preserves near-identical pairs
+    * (near-identical raw ⇒ near-identical centered) and is recall-oracled
+    * (`x_profile_similarity_srp_recall`). Pass the mean as its own column
+    * (via [[vecMean]]) so it is computed once per row, not once per
+    * element inside the transform lambda. */
+  def centerVec(vec: Column, mean: Column): Column =
+    transform(vec, x => x.cast("double") - mean)
+
+  /** Arithmetic mean of a vector's components — the in-order left-fold
+    * sum divided by length, matching DuckDB's `list_avg` bit-for-bit so
+    * centered signatures agree across engines. */
+  def vecMean(vec: Column): Column =
+    aggregate(vec, lit(0.0), (a, b) => a + b.cast("double")) / size(vec)
+
   /** The scale path for cosine near-duplicate pairs: SRP-LSH banding.
     * Vectors sharing ANY band of their sign signature become candidates
     * (shuffle of (id, band, chunk) tuples only), then exact cosine
@@ -213,7 +238,14 @@ object Similarity {
     val base = Par.fanOut(vectors, par)
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("nrm", l2Norm(col("vec")))
-      .withColumn("sig", srpSignature(col("vec"), planes))
+      // signatures over per-vector CENTERED components (see [[centerVec]]:
+      // one-orthant corpora otherwise give near-constant sign bits and
+      // candidate generation degenerates toward all-pairs); scoring below
+      // stays exact cosine over the raw vectors
+      .withColumn("vmean", vecMean(col("vec")))
+      .withColumn("sig",
+        srpSignature(centerVec(col("vec"), col("vmean")), planes))
+      .drop("vmean")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // sig rides along (16 chars — negligible shuffle weight) so the
     // self-join can emit each pair from its FIRST shared band only: the
@@ -246,14 +278,22 @@ object Similarity {
 
   /** Approximate per-vector top-k neighbors via SRP-LSH banding — the
     * SCALE replacement for any all-pairs "top-k most similar" query
-    * (e.g. user-profile similarity): candidate generation is linear in
-    * |V| (banded signature join), scoring touches candidate pairs only,
-    * and the rank cut runs per source id. Returns
-    * (id, rank, other_id, cosine), rank 1..k among SRP candidates —
-    * vectors whose true neighbors share no band get fewer than k rows
-    * (the recall trade; tune numPlanes/rowsPerBand). Ordering is pinned
+    * (e.g. user-profile similarity): candidate generation is one banded
+    * signature join, scoring touches candidate pairs only, and the rank
+    * cut runs per source id. Returns (id, rank, other_id, cosine), rank
+    * 1..k among SRP candidates — vectors whose true neighbors share no
+    * band get fewer than k rows (the recall trade). Ordering is pinned
     * by ROUND(cosine, 6) desc + other_id asc so results are
-    * engine-reproducible. */
+    * engine-reproducible.
+    *
+    * SIZING RULE (what makes this linear): each band has 2^rowsPerBand
+    * buckets and the bucket self-join costs Σ bucket², so candidates ≈
+    * bands · n²/2^rowsPerBand. Linearity in n requires 2^rowsPerBand ≳ n
+    * — set rowsPerBand ≈ log₂(n) (and numPlanes = bands·rowsPerBand) so
+    * per-bucket occupancy stays O(1) and candidates ≈ bands·n. At small
+    * n the binding constraint is recall instead: more, shorter bands
+    * (e.g. 8×4 at a few hundred vectors). `ScaleProbe profiles` measures
+    * the crossover vs the exact all-pairs arm under this rule. */
   def srpTopK(vectors: DataFrame, k: Int,
               numPlanes: Int = 16, rowsPerBand: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",

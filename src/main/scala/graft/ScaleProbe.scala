@@ -429,6 +429,27 @@ object ScaleProbe {
         f"rpb=$rpb topk_rows=$rows sec=$sec%.2f " +
         f"users_per_sec=${nUsers / sec}%.0f")
     }
+    // bucket diagnostics: the sizing rule's claim is candidates ≈ bands·n;
+    // Σ m·(m-1)/2 over buckets is the EXACT banded-join pair count, so a
+    // blowup here (vs ~bands·n) is the super-linear smoking gun
+    locally {
+      val planes = graft.ext.Similarity.srpPlanes(nPlanes, 24)
+      val sigDf = df
+        .withColumn("vmean", graft.ext.Similarity.vecMean(col("p")))
+        .withColumn("sig", graft.ext.Similarity.srpSignature(
+          graft.ext.Similarity.centerVec(col("p"), col("vmean")), planes))
+      val occ = sigDf.select(posexplode(array(
+          (0 until nPlanes / rpb).map(b =>
+            substring(col("sig"), b * rpb + 1, rpb)): _*))
+          .as(Seq("band", "chunk")))
+        .groupBy("band", "chunk").count()
+      val st = occ.agg(
+        sum(col("count") * (col("count") - 1)).as("pairs2"),
+        max("count").as("maxb"), count(lit(1)).as("buckets")).first()
+      println(s"[scale] profiles diag candidate_pairs=${st.getLong(0) / 2} " +
+        s"max_bucket=${st.getLong(1)} nonempty_buckets=${st.getLong(2)} " +
+        s"bands_x_n=${(nPlanes / rpb) * nUsers}")
+    }
     // planted-neighbor recall: every user ≡ 1 (mod 100) must rank its
     // near-identical predecessor first — the regime LSH must not miss
     val planted = graft.ext.Similarity.srpTopK(df, k = 1,

@@ -168,12 +168,25 @@ object Similarity {
       .withColumn("contaminated", col("max_cosine") >= threshold)
   }
 
-  /** Deterministic signed-random-projection hyperplanes (±1 components,
-    * fixed seed) — shared by the Spark operator and any external oracle so
-    * LSH bucketing is engine-reproducible. */
+  /** Deterministic signed-random-projection hyperplanes (GAUSSIAN
+    * components, fixed seed) — shared by the Spark operator and any
+    * external oracle so LSH bucketing is engine-reproducible (embed the
+    * same literals; Double.toString is shortest-round-trip so the values
+    * parse back bit-identical).
+    *
+    * Gaussian, NOT Rademacher (±1): with ±1 entries there are only 2^dim
+    * possible planes, and at low dim (e.g. 24-component activity
+    * profiles) independently drawn planes are often near-collinear, so
+    * signature bits are strongly CORRELATED — an r-bit band then matches
+    * with probability far above the (1-θ/π)^r independence model and the
+    * banded join blows up (measured on the 50k-user profiles probe:
+    * 26.5M candidate pairs vs the ~bands·n=200k the sizing rule
+    * predicts, with a 3314-member hot bucket). Gaussian entries make
+    * each plane a uniformly random direction, giving independent bits
+    * given the pair angle, which restores candidates ≈ bands·n. */
   def srpPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
-    Array.fill(numPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
   }
 
   /** SRP-LSH signature: bit j = sign(v . plane_j), as a bit string. */

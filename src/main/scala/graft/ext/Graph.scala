@@ -256,10 +256,21 @@ object Graph {
     * aggregates over tables the round already materializes, joined back
     * by broadcast, instead of a per-round sink-filtered join; lineage is
     * truncated per round (localCheckpoint) like the CC loop, keeping
-    * plan depth constant. */
+    * plan depth constant.
+    *
+    * Small-graph fast path: below `smallGraphNodes` nodes (and an
+    * absolute 4M-edge cap) the rounded transition table ships to the
+    * driver once and the fixed `iters` rounds run as array arithmetic —
+    * the same adaptivity gate as [[connectedComponents]]: a 5-round
+    * distributed loop on a few-hundred-node graph is pure scheduling
+    * overhead. The driver replays the IDENTICAL rounding sequence
+    * (per-round HALF_UP rounds of contribution, dangling mass, and
+    * rank), so the trajectory matches the distributed loop and the
+    * unrolled DuckDB oracle (spec-pinned equal). */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
                roundTo: Int = 10,
-               redistributeDangling: Boolean = false): DataFrame = {
+               redistributeDangling: Boolean = false,
+               smallGraphNodes: Long = 1L << 20): DataFrame = {
     val ew = edges.select(col("src"), col("dst"),
       col("w").cast("double").as("w"))
     val outw = ew.groupBy("src").agg(sum("w").as("ow"))
@@ -271,6 +282,13 @@ object Graph {
       .union(ew.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
+    if (n <= smallGraphNodes &&
+        trans.count() <= math.min(8L * smallGraphNodes, 4000000L)) {
+      val out = pageRankDriver(trans, nodes, n, iters, damping, roundTo,
+        redistributeDangling)
+      trans.unpersist(); nodes.unpersist()
+      return out
+    }
     var ranks = nodes.select(col("node"),
       round(lit(1.0 / n), roundTo).as("r"))
     for (_ <- 0 until iters) {
@@ -308,5 +326,49 @@ object Graph {
     }
     trans.unpersist(); nodes.unpersist()
     ranks
+  }
+
+  /** Driver arm of [[pageRank]]'s small-graph gate: one collect of the
+    * already-rounded transition table, then `iters` rounds of array
+    * arithmetic replaying the distributed loop's exact rounding sequence
+    * (HALF_UP at `roundTo`, the semantics of Spark's `round`). Node
+    * values keep their original column type — result rows are rebuilt
+    * under the incoming schema. */
+  private def pageRankDriver(trans: DataFrame, nodes: DataFrame, n: Double,
+                             iters: Int, damping: Double, roundTo: Int,
+                             redistributeDangling: Boolean): DataFrame = {
+    val spark = trans.sparkSession
+    def rd(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
+    val nodeRows = nodes.collect()
+    val idx = new java.util.HashMap[Any, Int](nodeRows.length * 2)
+    nodeRows.zipWithIndex.foreach { case (r, i) => idx.put(r.get(0), i) }
+    val edges = trans.collect().map { r =>
+      (idx.get(r.get(0)), idx.get(r.get(1)), r.getDouble(2))
+    }
+    var r = Array.fill(nodeRows.length)(rd(1.0 / n))
+    for (_ <- 0 until iters) {
+      val c = new Array[Double](nodeRows.length)
+      edges.foreach { case (s, d, p) => c(d) += r(s) * p }
+      r = if (!redistributeDangling)
+        Array.tabulate(nodeRows.length)(i =>
+          rd((1 - damping) / n + damping * c(i)))
+      else {
+        val m = rd(r.sum - c.sum)
+        Array.tabulate(nodeRows.length)(i =>
+          rd((1 - damping) / n + damping * (c(i) + m / n)))
+      }
+    }
+    System.err.println(
+      s"[graft.pagerank] nodes=${nodeRows.length} edges=${edges.length} driver arm")
+    val out = nodeRows.zip(r).map { case (row, rank) =>
+      org.apache.spark.sql.Row(row.get(0), rank)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      org.apache.spark.sql.types.StructType(nodes.schema.fields :+
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.DoubleType)))
   }
 }

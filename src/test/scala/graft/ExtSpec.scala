@@ -339,6 +339,25 @@ class ExtSpec extends SparkTestBase {
     assert(leaky.values.sum < 1.0)
   }
 
+  test("pageRank driver fast path reproduces the distributed loop exactly") {
+    // weighted digraph with sinks, merges, and uneven out-degrees;
+    // smallGraphNodes = 0 forces the distributed loop for the reference
+    // trajectory — the driver arm must replay the identical rounding
+    // sequence in both dangling modes
+    val edges = (1 to 60)
+      .map(i => ((i % 17).toLong, ((i * 7) % 23).toLong, 1.0 + i % 3))
+      .toDF("src", "dst", "w")
+    for (dang <- Seq(true, false)) {
+      val fast = Graph.pageRank(edges, iters = 5,
+          redistributeDangling = dang)
+        .orderBy("node").collect().toSeq
+      val dist = Graph.pageRank(edges, iters = 5,
+          redistributeDangling = dang, smallGraphNodes = 0L)
+        .orderBy("node").collect().toSeq
+      assert(fast === dist, s"driver vs distributed diverged (dangling=$dang)")
+    }
+  }
+
   test("NB log-odds classifier separates classes learned from a labeled seed") {
     val docs = Seq(
       (1L, "clean prose reads well tonight", 1),

@@ -310,7 +310,17 @@ object Similarity {
   def srpTopK(vectors: DataFrame, k: Int,
               numPlanes: Int = 16, rowsPerBand: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              seed: Long = 42L, dim: Int = -1): DataFrame = {
+              seed: Long = 42L, dim: Int = -1): DataFrame =
+    srpTopKImpl(vectors, k, numPlanes, rowsPerBand, idCol, vecCol, seed,
+      dim, forceWindowRank = false)
+
+  /** [[srpTopK]] body; `forceWindowRank` exists so the spec can pin the
+    * aggregate rank cut against the window formulation on identical
+    * input (identical id type and therefore identical tie-break order). */
+  private[graft] def srpTopKImpl(vectors: DataFrame, k: Int,
+              numPlanes: Int, rowsPerBand: Int,
+              idCol: String, vecCol: String,
+              seed: Long, dim: Int, forceWindowRank: Boolean): DataFrame = {
     val sc = srpScoredCandidates(vectors, numPlanes, rowsPerBand, idCol,
       vecCol, seed, dim)
     // candidates are undirected (id_a < id_b); the per-id view needs both
@@ -324,11 +334,39 @@ object Similarity {
         .as("s"))
       .select(col("s.id").as("id"), col("s.other_id").as("other_id"),
         col("s.cosine").as("cosine"))
-    val w = Window.partitionBy("id")
-      .orderBy(round(col("cosine") + lit(1e-9), 6).desc, col("other_id").asc)
-    sym.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("id"), col("rank"), col("other_id"), col("cosine"))
+    val ord = round(col("cosine") + lit(1e-9), 6)
+    val idType = vectors.schema(idCol).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralId && !forceWindowRank) {
+      // rank cut via the bounded top-k aggregate, NOT a rank window: a
+      // window cannot partial-aggregate, so all 2×candidates rows cross
+      // the exchange and sort per partition; the aggregate's heap merges
+      // map-side (≤ k rows per id per map partition on the wire, no
+      // sort). Keep-set and order are bit-identical to the window form —
+      // same (rounded-cosine desc, other_id asc) total order, and
+      // other_id is unique within each id group by construction.
+      sym.groupBy("id")
+        .agg(graft.functions.TopKPairsFunctions.topKPairsDesc(
+          ord, col("other_id"), col("cosine"), k).as("tk"))
+        .select(col("id"), posexplode(col("tk")).as(Seq("pos", "s")))
+        .select(col("id"), (col("pos") + 1).as("rank"),
+          col("s.payload").cast(idType).as("other_id"),
+          col("s.carry").as("cosine"))
+    } else {
+      // non-integral ids: the aggregate's heap keys payloads as longs,
+      // so fall back to the window formulation (same result, full-width
+      // shuffle — acceptable only off the scale path)
+      val w = Window.partitionBy("id").orderBy(ord.desc, col("other_id").asc)
+      sym.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("id"), col("rank"), col("other_id"), col("cosine"))
+    }
   }
 
   /** Mean vector per group — cheap centroids for IVF (e.g. per label or

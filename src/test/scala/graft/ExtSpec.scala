@@ -276,6 +276,25 @@ class ExtSpec extends SparkTestBase {
     assert(pairs.forall { case (a, b) => (a < 10) == (b < 10) })
   }
 
+  test("srpTopK aggregate rank cut matches the window formulation exactly") {
+    // 200 vectors in 4 loose directions so most ids have >k candidates
+    // with close — and often EXACTLY tie-rounded — cosines (i%7 repeats
+    // vectors): the regime where the bounded heap's (score desc,
+    // payload asc) tie-break must reproduce the window's total order.
+    val df = (1 to 200).map { i =>
+      val d = i % 4
+      (i.toLong, Array.tabulate(8)(j =>
+        (if (j % 4 == d) 10.0f else 1.0f) + (i % 7) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val agg = Similarity.srpTopK(df, k = 3, numPlanes = 32, rowsPerBand = 8)
+      .collect().map(_.toSeq).toSet
+    val win = Similarity.srpTopKImpl(df, k = 3, numPlanes = 32,
+        rowsPerBand = 8, idCol = "vec_id", vecCol = "embedding", seed = 42L,
+        dim = -1, forceWindowRank = true)
+      .collect().map(_.toSeq).toSet
+    assert(agg.nonEmpty && agg === win)
+  }
+
   test("IVF with per-label centroids returns neighbors from the probed cell") {
     val cluster1 = (1 to 5).map(i => (i.toLong, Array(1.0f + i * 0.01f, 0.0f), 1))
     val cluster2 = (6 to 10).map(i => (i.toLong, Array(0.0f, 1.0f + i * 0.01f), 2))

@@ -59,11 +59,48 @@ object Similarity {
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine",
         cosineWithNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    rankCutTopK(scored, "query_id", "corpus_id", "cosine", k)
+  }
+
+  /** Per-group top-k rank cut — the shared tail of every ANN query
+    * operator: keep the k best `scoreCol` rows per `groupCol`, ties
+    * toward the smallest `payloadCol`, rank 1..k, returned as
+    * (group, payload, score, rank). For integral payloads this is the
+    * bounded [[graft.functions.TopKPairsDesc]] aggregate: a k-entry
+    * heap per group that partial-merges MAP-SIDE, so at most k rows
+    * per (group, map partition) cross the exchange and nothing sorts.
+    * A rank WINDOW cannot partial-aggregate — it shuffles and sorts
+    * EVERY scored candidate row (|corpus|×|queries| of them in the
+    * brute-force operator), which is the difference between "top-k"
+    * and "materialize the cross product" at 100 TB. Non-integral
+    * payloads fall back to the window form (the heap keys payloads as
+    * longs); same keep-set and order either way. */
+  private def rankCutTopK(scored: DataFrame, groupCol: String,
+                          payloadCol: String, scoreCol: String,
+                          k: Int): DataFrame = {
+    val pType = scored.schema(payloadCol).dataType
+    val integral = pType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integral) {
+      scored.groupBy(groupCol)
+        .agg(graft.functions.TopKPairsFunctions.topKPairsDesc(
+          col(scoreCol), col(payloadCol), col(scoreCol), k).as("_tk"))
+        .select(col(groupCol), posexplode(col("_tk")).as(Seq("_pos", "_s")))
+        .select(col(groupCol),
+          col("_s.payload").cast(pType).as(payloadCol),
+          col("_s.carry").as(scoreCol), (col("_pos") + 1).as("rank"))
+    } else {
+      val w = Window.partitionBy(groupCol)
+        .orderBy(col(scoreCol).desc, col(payloadCol).asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col(groupCol), col(payloadCol), col(scoreCol), col("rank"))
+    }
   }
 
   /** Near-duplicate vector pairs: all (a,b) with cosine >= threshold and
@@ -386,17 +423,51 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), round(col("m"), roundTo).as("m")))),
         s => s.getField("m")).as("centroid"))
 
-  /** The `n` nearest centroid cells for every vector in `df` (broadcast
-    * scored join against the tiny centroid table; deterministic tie-break
-    * on cell id). Shared by IVF assignment, probing, and Lloyd. */
+  /** The `n` nearest centroid cells for every vector in `df`
+    * (deterministic tie-break: cosine desc, then cell id asc). Shared
+    * by IVF assignment, probing, and Lloyd.
+    *
+    * ZERO-shuffle formulation: the centroid table is tiny (cells ×
+    * dim), so it collapses to ONE array row that broadcasts onto `df`,
+    * and each vector picks its n best cells inside a per-row
+    * `array_sort` — the scored candidates never leave the row. The
+    * previous crossJoin + rank-window form shuffled |df| × |cells|
+    * scored rows through the window exchange; at assignment time
+    * (every corpus vector × every cell) that was the single widest
+    * shuffle in the IVF build. Centroid norms are precomputed once in
+    * the collapsed array and the vector norm once per row, so each
+    * (row, cell) costs exactly one dot product. `outId` is unused but
+    * kept so call sites document which id the output is keyed by. */
   private def nearestCells(df: DataFrame, cents: DataFrame, outId: String,
                            vec: String, n: Int): DataFrame = {
-    val scored = df.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col(vec), col("centroid")))
-    val w = Window.partitionBy(outId).orderBy(col("csim").desc, col("cell").asc)
-    scored.withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= n)
-      .drop("csim", "crank", "centroid")
+    val centsArr = cents.agg(collect_list(
+      struct(col("cell"), col("centroid"),
+        l2Norm(col("centroid")).as("cnrm"))).as("_cents"))
+    // the n-cut is posexplode + a `_pos < n` FILTER (not `slice`) on
+    // purpose: a probe plan whose only predicates are join conditions
+    // never triggers dynamic partition pruning on a stored index —
+    // PartitionPruning requires a selective Filter node on the
+    // filtering side, which the rank filter of the old window form
+    // provided and this filter preserves (ExtSpec pins the DPP
+    // subquery). Cost is generating |cells| rows per vector before
+    // the cut — row-local, nothing shuffles either way.
+    df.crossJoin(broadcast(centsArr))
+      .withColumn("_vnrm", l2Norm(col(vec)))
+      .withColumn("_sc", array_sort(
+        transform(col("_cents"), c =>
+          struct(cosineWithNorms(col(vec), c.getField("centroid"),
+              col("_vnrm"), c.getField("cnrm")).as("csim"),
+            c.getField("cell").as("cell"))),
+        (a, b) =>
+          when(a.getField("csim") > b.getField("csim"), -1)
+            .when(a.getField("csim") < b.getField("csim"), 1)
+            .when(a.getField("cell") < b.getField("cell"), -1)
+            .when(a.getField("cell") > b.getField("cell"), 1)
+            .otherwise(0)))
+      .select(col("*"), posexplode(col("_sc")).as(Seq("_pos", "_c")))
+      .filter(col("_pos") < n)
+      .withColumn("cell", col("_c").getField("cell"))
+      .drop("_cents", "_vnrm", "_sc", "_pos", "_c")
   }
 
   /** Lloyd refinement of IVF centroids: `iters` rounds of
@@ -468,15 +539,15 @@ object Similarity {
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec")),
       cents, "query_id", "qvec", nProbe)
       .withColumn("qnorm", l2Norm(col("qvec")))
-    val scored = assigned.join(probed, Seq("cell"))
+    // probe side is |queries| x nProbe rows — always broadcastable by
+    // design; the hint is explicit because the probe plan's explode
+    // leaves its size estimate unknown (auto-broadcast would skip it,
+    // degrading to a sort-merge join and losing DPP on a stored index)
+    val scored = assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine",
         cosineWithNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    rankCutTopK(scored, "query_id", "corpus_id", "cosine", k)
   }
 
   /** Assign every vector to its nearest centroid cell — the STORABLE form
@@ -514,15 +585,13 @@ object Similarity {
     val scored = index
       .select(col("id").as("corpus_id"), col("cell"), col("v").as("cvec"),
         col("nrm").as("cnorm"))
-      .join(probed, Seq("cell"))
+      // explicit broadcast: |queries| x nProbe rows, and DPP on the
+      // stored index's cell partitions reuses the broadcast for free
+      .join(broadcast(probed), Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine",
         cosineWithNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    rankCutTopK(scored, "query_id", "corpus_id", "cosine", k)
   }
 
   /** Persist a stored index ([[assignCells]] or [[pqIndex]]) hive-
@@ -606,10 +675,7 @@ object Similarity {
     val scored = cand.withColumn("score_pq",
       when(col("qnorm") === 0.0 || rn2 <= 0.0, lit(0.0))
         .otherwise(ip / (col("qnorm") * sqrt(rn2))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score_pq").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankCutTopK(scored, "query_id", "id", "score_pq", k)
       .select(col("query_id"), col("id").as("corpus_id"),
         col("score_pq"), col("rank"))
   }
@@ -836,10 +902,7 @@ object Similarity {
     val scored = cand.withColumn("score_pq",
       when(col("qnorm") === 0.0 || col("rnorm") <= 0.0, lit(0.0))
         .otherwise(ip / (col("qnorm") * col("rnorm"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score_pq").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankCutTopK(scored, "query_id", "id", "score_pq", k)
       .select(col("query_id"), col("id").as("corpus_id"),
         col("score_pq"), col("rank"))
   }
@@ -873,11 +936,7 @@ object Similarity {
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine",
         cosineWithNorms(col("cvec"), col("qvec"), col("cnorm"), col("qnorm")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+    rankCutTopK(scored, "query_id", "corpus_id", "cosine", k)
   }
 
   /** Incremental SemDeDup — the embedding twin of

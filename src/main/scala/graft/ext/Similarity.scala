@@ -18,7 +18,9 @@ import graft.functions.VectorFunctions
   *    join, so the quadratic stage does exactly one dot product per pair.
   *  - `bruteForceTopK` broadcasts the (small) query set against the corpus
   *    — a map-side cross product scored inside codegen, then a per-query
-  *    top-k window. Cost O(|corpus| x |queries| x dim), embarrassingly
+  *    bounded top-k AGGREGATE (at most k rows per query per map partition
+  *    cross the exchange; a rank window would shuffle and sort every
+  *    scored pair). Cost O(|corpus| x |queries| x dim), embarrassingly
   *    parallel, no corpus shuffle. Right answer for <= thousands of queries.
   *  - `ivfTopK` is the scale path: corpus is pre-assigned to centroid
   *    cells (one pass), queries probe only their nearest `nProbe` cells —

@@ -125,11 +125,26 @@ object Curate {
     val deduped = Dedup.incrementalExactDedup(
         kept.observe(obsKept, nExpr), "text", "doc_id", index)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    // per-source cap via the bounded top-k aggregate + broadcast semi
+    // join, NOT a rank window: PARTITION BY source has #sources groups,
+    // so the window form funnels the whole deduped corpus into #sources
+    // sort tasks (the skew cliff at scale). The aggregate keeps the
+    // perSourceCap smallest (md5, doc_id) keys per source map-side —
+    // ≤ cap ids per (source, partition) cross the exchange — and the
+    // surviving id set (≤ sources × cap rows) broadcasts back, so the
+    // corpus itself never shuffles. Keep-set identical to the window:
+    // same (md5 asc, doc_id asc) total order. The observation rides the
+    // semi join's PROBE side (streams every deduped row exactly once in
+    // the main stage — metrics under a broadcast subquery would never
+    // reach the Observation listener).
+    val capIds = deduped
+      .groupBy("source")
+      .agg(graft.functions.TopKSelectFunctions.topKSelect(
+        md5(col("doc_id").cast("string")), col("doc_id"), Nil,
+        perSourceCap, scoreDesc = false).as("_tk"))
+      .select(explode(col("_tk.payload")).as("doc_id"))
     val capped = deduped.observe(obsDedup, nExpr)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= perSourceCap).drop("_rn")
+      .join(broadcast(capIds), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCapped = capped.count() // the single action; fills every cache
     // capped is materialized, so the upstream caches can go now
@@ -207,11 +222,18 @@ object Curate {
         exact.observe(obsExact, nExpr), bSigs, "doc_id",
         sigIndex, estThreshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    // same aggregate-cap shape as [[incrementTail]]: ≤ cap ids per
+    // (source, partition) shuffle, survivors broadcast back, corpus
+    // never re-partitions by the #sources-cardinality key; observation
+    // on the probe side for the same listener reason
+    val capIds = nearDeduped
+      .groupBy("source")
+      .agg(graft.functions.TopKSelectFunctions.topKSelect(
+        md5(col("doc_id").cast("string")), col("doc_id"), Nil,
+        perSourceCap, scoreDesc = false).as("_tk"))
+      .select(explode(col("_tk.payload")).as("doc_id"))
     val capped = nearDeduped.observe(obsNear, nExpr)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= perSourceCap).drop("_rn")
+      .join(broadcast(capIds), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCapped = capped.count() // the single action; fills every cache
     kept.unpersist(); exact.unpersist(); nearDeduped.unpersist()

@@ -264,13 +264,20 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.count().toDouble // parquet metadata-only count
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-      .orderBy(col("tfidf").desc, col("term").asc)
+    // per-doc rank cut via the bounded top-k aggregate (string payload
+    // variant): at most k (term, tf) entries per doc per map partition
+    // cross the exchange — a rank window would shuffle and sort every
+    // (doc, term, tfidf) triple in the corpus. Same (tfidf desc, term
+    // asc) total order; terms are unique within a doc by construction.
     tf.join(df, "term")
       .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
-      .withColumn("term_rank", row_number().over(w))
-      .filter(col("term_rank") <= k)
-      .select(col("id"), col("term"), col("tf"), col("tfidf"), col("term_rank"))
+      .groupBy("id")
+      .agg(graft.functions.TopKSelectFunctions.topKSelect(
+        col("tfidf"), col("term"), Seq(col("tf")), k).as("_tk"))
+      .select(col("id"), posexplode(col("_tk")).as(Seq("_pos", "_s")))
+      .select(col("id"), col("_s.payload").as("term"), col("_s.c0").as("tf"),
+        col("_s.score").as("tfidf"),
+        (col("_pos") + 1).as("term_rank"))
   }
 
   /** BM25 relevance of every document for a fixed term set — the

@@ -242,4 +242,46 @@ class ExtOpsSpec extends SparkTestBase {
     assert(a.values.sum === 1000L)
     assert(a("rare") > 30L)
   }
+
+  test("topKSelect matches the rank-window cut on tie-heavy string payloads") {
+    import org.apache.spark.sql.expressions.Window
+    // 400 rows over 8 groups; scores collide heavily ((i % 5) only) so
+    // the string tie-break decides most of the keep-set — and 16 input
+    // partitions force partial buffers through serialize/merge
+    val df = (1 to 400).map { i =>
+      (i % 8, f"t${i % 40}%03d", (i % 5).toDouble, i.toLong)
+    }.toDF("g", "term", "score", "v").repartition(16)
+      .groupBy("g", "term").agg(max("score").as("score"), max("v").as("v"))
+      .persist()
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("term").asc)
+    val win = df.withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+      .select("g", "term", "score", "v", "r")
+      .collect().map(_.toSeq).toSet
+    val agg = df.groupBy("g")
+      .agg(graft.functions.TopKSelectFunctions.topKSelect(
+        col("score"), col("term"), Seq(col("v")), 3).as("tk"))
+      .select(col("g"), posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("g"), col("s.payload").as("term"), col("s.score"),
+        col("s.c0").as("v"), (col("p") + 1).as("r"))
+      .collect().map(_.toSeq).toSet
+    df.unpersist()
+    assert(agg.nonEmpty && agg === win)
+  }
+
+  test("topKSelect ascending keeps the smallest scores (per-source cap shape)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 300).map(i => (s"src${i % 3}", i.toLong))
+      .toDF("source", "doc_id").repartition(8)
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val win = df.withColumn("r", row_number().over(w)).filter(col("r") <= 15)
+      .select("source", "doc_id").collect().map(_.toSeq).toSet
+    val agg = df.groupBy("source")
+      .agg(graft.functions.TopKSelectFunctions.topKSelect(
+        md5(col("doc_id").cast("string")), col("doc_id"), Nil, 15,
+        scoreDesc = false).as("tk"))
+      .select(col("source"), explode(col("tk.payload")).as("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(agg.size === 45 && agg === win)
+  }
 }

@@ -82,8 +82,19 @@ object Curate {
 
   private def nExpr = count(lit(1)).as("n")
 
-  private def metric(o: Observation): Long =
-    o.get("n").asInstanceOf[Long]
+  /** Read an observe-metric count, falling back to counting the stage
+    * frame when the runtime plan dropped the CollectMetrics node: AQE's
+    * empty-relation propagation replaces a join with a runtime-empty
+    * side by an empty relation, discarding the other side's whole
+    * subtree — including any observe node riding it (the
+    * ObservationManager then resolves the observation with an EMPTY row
+    * rather than leaving it pending). That happens exactly on the
+    * degenerate day where a stage kills the entire batch (e.g. the model
+    * gate keeps nothing), so the fallback counts run against tiny or
+    * already-persisted frames; the normal path still pays zero extra
+    * jobs. */
+  private def metric(o: Observation, fallback: => Long): Long =
+    o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(fallback)
 
   /** The daily-increment form of [[run]]: quality gate → within-batch +
     * against-index exact dedup → per-source cap. History is the
@@ -147,13 +158,16 @@ object Curate {
       .join(broadcast(capIds), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCapped = capped.count() // the single action; fills every cache
+    // stats BEFORE unpersist: the metric fallbacks (empty-batch
+    // degenerate path only) count the still-cached stage frames
+    val stats = Seq(
+      "input" -> metric(obsIn, batch.count()),
+      gateStat -> metric(obsKept, kept.count()),
+      "after_dedup" -> metric(obsDedup, deduped.count()),
+      "after_cap" -> nCapped)
     // capped is materialized, so the upstream caches can go now
     kept.unpersist(); deduped.unpersist()
-    IncResult(capped, Dedup.survivorFingerprints(capped, "text"), Seq(
-      "input" -> metric(obsIn),
-      gateStat -> metric(obsKept),
-      "after_dedup" -> metric(obsDedup),
-      "after_cap" -> nCapped))
+    IncResult(capped, Dedup.survivorFingerprints(capped, "text"), stats)
   }
 
   /** [[incremental]] with a MODEL gate: the trained NB log-odds
@@ -236,18 +250,21 @@ object Curate {
       .join(broadcast(capIds), Seq("doc_id"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCapped = capped.count() // the single action; fills every cache
+    // stats BEFORE unpersist, for the same degenerate-path fallback
+    // reason as [[incrementTail]]
+    val stats = Seq(
+      "a_input" -> metric(obsIn, batch.count()),
+      "b_quality" -> metric(obsKept, kept.count()),
+      "c_exact_dedup" -> metric(obsExact, exact.count()),
+      "d_neardup_dedup" -> metric(obsNear, nearDeduped.count()),
+      "e_cap" -> nCapped)
     kept.unpersist(); exact.unpersist(); nearDeduped.unpersist()
     val sigDelta = bSigs
       .join(capped.select(col("doc_id").as("id")), Seq("id"), "left_semi")
     IncFullResult(capped,
       Dedup.survivorFingerprints(capped, "text"),
       sigDelta,
-      Seq(
-        "a_input" -> metric(obsIn),
-        "b_quality" -> metric(obsKept),
-        "c_exact_dedup" -> metric(obsExact),
-        "d_neardup_dedup" -> metric(obsNear),
-        "e_cap" -> nCapped),
+      stats,
       cached = Seq(capped, bSigs))
   }
 

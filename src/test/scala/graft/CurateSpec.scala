@@ -69,6 +69,35 @@ class CurateSpec extends SparkTestBase {
     r.release()
   }
 
+  test("modelGated stats survive a batch the gate kills entirely") {
+    // When the gate keeps ZERO rows, AQE's empty-relation propagation
+    // replaces the downstream joins with empty relations and discards
+    // the observe nodes riding their probe sides — the ObservationManager
+    // then resolves those observations with an EMPTY row. The stats must
+    // still be exact (metric falls back to counting the stage frames).
+    import spark.implicits._
+    val seed = Seq(
+      (1L, "clean prose reads well tonight", 1),
+      (3L, "spam junk noise garbage spam", 0))
+      .toDF("doc_id", "text", "label")
+    val wts = TextAnalysis.nbTrainWeights(seed, "text", $"label" === 1,
+      numBuckets = 64)
+    val index = seed
+      .select(TextAnalysis.fingerprint($"text").as("fingerprint")).distinct()
+    val batch = Seq(
+      (10L, "junk noise spam garbage", "A"),
+      (11L, "garbage spam junk noise junk", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = Curate.modelGated(batch, index, wts, numBuckets = 64)
+    val s = r.stats.toMap
+    assert(s("input") === 2)
+    assert(s("model_gate_kept") === 0)
+    assert(s("after_dedup") === 0)
+    assert(s("after_cap") === 0)
+    assert(r.survivors.isEmpty)
+    r.release()
+  }
+
   test("incremental curation: monotone stages, exact index delta, cap binds") {
     import graft.ext.Dedup
     val docs = model.Tables.documents(spark, "/root/testdata/sf0.001")

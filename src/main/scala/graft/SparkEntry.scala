@@ -1968,6 +1968,91 @@ object SparkEntry {
           .orderBy("id_a", "id_b")
       }),
 
+    // X-source-overlap: cross-source corpus-overlap matrix — estimated
+    // shingle-set Jaccard for every source PAIR from per-source MinHash
+    // signatures (min is union-mergeable, so a source's whole-corpus
+    // signature is one hash aggregation; pairwise cost is sources², not
+    // docs²) — the planning signal for cross-source dedup. exact_jaccard
+    // is the ground-truth twin computed by both engines; at corpus scale
+    // only the estimate runs (the exact arm is the diagnostic).
+    Q("x_source_overlap",
+      Some(s"""WITH pre AS MATERIALIZED ($preShinglesSql),
+              |tok AS (SELECT source, unnest(sh) AS s FROM pre),
+              |ss AS MATERIALIZED (SELECT DISTINCT source, s FROM tok),
+              |uv AS (SELECT source,
+              |         CAST(concat('0x', substr(md5(s), 1, 10)) AS BIGINT) AS u,
+              |         CAST(concat('0x', substr(md5(s), 11, 10)) AS BIGINT) AS v
+              |       FROM ss),
+              |mh AS (SELECT source, p, MIN(u + p * v) AS m
+              |       FROM uv CROSS JOIN range(0, 16) r(p) GROUP BY source, p),
+              |sigl AS (SELECT source, list(m ORDER BY p) AS sig FROM mh GROUP BY source),
+              |sz AS (SELECT source, COUNT(*) AS n FROM ss GROUP BY source),
+              |inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS ni
+              |          FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+              |          GROUP BY 1, 2)
+              |SELECT a.source AS source_a, b.source AS source_b,
+              |  ROUND(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 + 1e-9, 4) AS est_jaccard,
+              |  ROUND(COALESCE(i.ni::DOUBLE / (za.n + zb.n - i.ni), 0.0) + 1e-9, 4) AS exact_jaccard
+              |FROM sigl a JOIN sigl b ON a.source < b.source
+              |LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+              |JOIN sz za ON za.source = a.source
+              |JOIN sz zb ON zb.source = b.source
+              |ORDER BY source_a, source_b""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val est = Dedup.sourceOverlapMatrix(docs, "text", "source")
+        // exact ground-truth arm (diagnostic; shingle self-join)
+        val ss = docs
+          .select(col("source"),
+            explode(array_distinct(TextAnalysis.shingles(col("text"), 3)))
+              .as("s"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
+        val inter = ss.select(col("source").as("sa"), col("s"))
+          .join(ss.select(col("source").as("sb"), col("s")), Seq("s"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("ni"))
+        est
+          .join(inter, col("source_a") === col("sa") &&
+            col("source_b") === col("sb"), "left")
+          .join(broadcast(sz.select(col("source").as("source_a"),
+            col("n").as("na"))), Seq("source_a"))
+          .join(broadcast(sz.select(col("source").as("source_b"),
+            col("n").as("nb"))), Seq("source_b"))
+          .select(col("source_a"), col("source_b"),
+            R(col("est_jaccard")).as("est_jaccard"),
+            R(coalesce(col("ni").cast("double") /
+              (col("na") + col("nb") - col("ni")), lit(0.0)))
+              .as("exact_jaccard"))
+          .orderBy("source_a", "source_b")
+      }),
+
+    // X-jl-project: Johnson–Lindenstrauss random projection of the
+    // 64-dim embeddings to 16 components via the deterministic seeded
+    // Gaussian plane family (the SRP planes), scaled 1/sqrt(16) — the
+    // dimensionality-reduction front for ANN/semantic-dedup at scale
+    // (downstream shuffles move 16/64 of the bytes). Both engines embed
+    // the identical plane literals; components hash-exact at 4 decimals.
+    Q("x_jl_project",
+      Some {
+        val planes = Similarity.srpPlanes(16, 64)
+        val comps = planes.zipWithIndex.map { case (p, j) =>
+          val arr = p.map(_.toString).mkString("[", ",", "]")
+          f"ROUND(list_dot_product(v, $arr::DOUBLE[]) / 4.0 + 1e-9, 4) AS p$j%02d"
+        }.mkString(",\n ")
+        s"""SELECT vec_id, $comps
+           |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+           |ORDER BY vec_id""".stripMargin
+      },
+      (s, dir) => {
+        val comps = Similarity.jlProjectCols(col("embedding"), 16, 64)
+        Tables.embeddings(s, dir)
+          .select(col("vec_id") +: comps.zipWithIndex.map { case (c, j) =>
+            R(c).as(f"p$j%02d") }: _*)
+          .orderBy("vec_id")
+      }),
+
     // ---- dashboard-family aggregations (A6) + producer/serialization ----
 
     // A6: pivot table — avg value per sensor pivoted by type.

@@ -256,6 +256,49 @@ object Dedup {
     size(filter(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       z => z === 1)).cast("double") / numPerms
 
+  /** Per-SOURCE MinHash signature table (source, sig): permutation
+    * minima over the UNION of every document's shingles in the source —
+    * min is set-union-mergeable, so the whole-corpus signature of a
+    * source is one hash aggregation keyed by source (map-side combine
+    * reduces each partition to ≤ sources × numPerms longs before the
+    * exchange; the shingle text itself never shuffles). The source-level
+    * signature estimates the Jaccard of entire CORPORA — which sources
+    * are near-copies or heavy subsets of each other — without any
+    * doc-vs-doc comparison, the planning signal for cross-source dedup
+    * at 100 TB (pairwise cost is sources², not docs²). */
+  def sourceSignatures(docs: DataFrame, textCol: String, sourceCol: String,
+                       shingleN: Int = 3, numPerms: Int = 16): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val (u, v) = uvHalves(col("s"))
+    val mins = (0 until numPerms).map(p =>
+      min(col("u") + lit(p.toLong) * col("v")).as(s"m$p"))
+    Par.fanOut(docs, par)
+      .select(col(sourceCol).as("source"),
+        explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
+          .as("s"))
+      .select(col("source"), u.as("u"), v.as("v"))
+      .groupBy("source")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("source"),
+        array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"))
+  }
+
+  /** Cross-source corpus-overlap matrix: estimated shingle-set Jaccard
+    * for every source pair (source_a < source_b), from
+    * [[sourceSignatures]]. The pairwise stage is sources² signature
+    * comparisons — broadcast-joined, a handful of rows at any corpus
+    * scale. */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String,
+                          sourceCol: String, shingleN: Int = 3,
+                          numPerms: Int = 16): DataFrame = {
+    val sigs = sourceSignatures(docs, textCol, sourceCol, shingleN, numPerms)
+    val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numPerms).as("est_jaccard"))
+  }
+
   /** Incremental NEAR-dup dedup — the near-dup twin of
     * [[incrementalExactDedup]]: drop batch docs whose estimated Jaccard
     * against ANY history doc reaches `estThreshold`, where history is the

@@ -737,6 +737,49 @@ class ExtSpec extends SparkTestBase {
     assert(out(1L)._1 > 0)
   }
 
+  test("jlProject: pairwise squared distances within the JL envelope") {
+    // real 64-dim embeddings -> 16 components: per-pair squared-distance
+    // ratio proj/orig has mean 1 and sd ~ sqrt(2/16) = 0.35; with the
+    // deterministic seed the measured envelope is stable, so pin a band
+    // that any correct 1/sqrt(k)-scaled Gaussian projection satisfies.
+    val emb = model.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 40)
+      .select(col("vec_id"),
+        Similarity.jlProject(col("embedding"), 16, 64).as("proj"),
+        col("embedding"))
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"),
+      col("proj").as("pa"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"),
+      col("proj").as("pb"))
+    def sq(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      Similarity.dot(x, x) - Similarity.dot(x, y) * 2.0 + Similarity.dot(y, y)
+    val ratios = a.join(b, col("ia") < col("ib"))
+      .select((sq(col("pa"), col("pb")) / sq(col("va"), col("vb"))).as("r"))
+      .as[Double].collect()
+    assert(ratios.length === 40 * 39 / 2)
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean distortion $mean")
+    val inBand = ratios.count(r => r > 0.3 && r < 2.0).toDouble / ratios.length
+    assert(inBand > 0.95, s"only $inBand of pairs inside [0.3, 2.0]")
+  }
+
+  test("sourceOverlapMatrix: identical sources 1.0, disjoint sources ~0") {
+    val base = (1 to 30).map(i =>
+      s"alpha bravo charlie delta echo foxtrot golf hotel token$i india")
+    val other = (1 to 30).map(i =>
+      s"zulu yankee xray whiskey victor uniform tango sierra item$i romeo")
+    val docs = (base.zipWithIndex.map { case (t, i) => (i.toLong, "A", t) } ++
+      base.zipWithIndex.map { case (t, i) => (100L + i, "B", t) } ++
+      other.zipWithIndex.map { case (t, i) => (200L + i, "C", t) })
+      .toDF("doc_id", "source", "text")
+    val m = Dedup.sourceOverlapMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(m(("A", "B")) === 1.0)   // identical shingle sets: sigs equal
+    assert(m(("A", "C")) < 0.2)     // disjoint vocabularies
+    assert(m(("B", "C")) < 0.2)
+  }
+
   test("winnowing guarantee: a long shared substring shares a fingerprint") {
     val shared = "zqxwvutsrqponml" // 15 chars >= k + w - 1 = 11
     val df = Seq(

@@ -98,6 +98,34 @@ object SparkEntry {
     s"""SELECT doc_id, source, $shinglesSql AS sh
        | FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)""".stripMargin
 
+  /** CTE chain for the BPE oracle: w0 = the corpus word-frequency table
+    * with per-character symbol lists, then per round r: pair counts
+    * (parallel unnest of the two symbol slices), the argmax merge
+    * (freq desc, l, r — the engine's total order), and the greedy
+    * left-to-right rewrite as a list_reduce string fold with chr(31) as
+    * the element separator (appending the right symbol WITHOUT the
+    * separator fuses it onto the trailing left symbol — identical to
+    * graft.ext.Bpe.applyMergeOnce). */
+  private def bpeCtes(rounds: Int): String = {
+    val words =
+      s"""wt AS (SELECT unnest(toks) AS word FROM (SELECT $toksSql AS toks FROM documents)),
+         |w0 AS (SELECT word, COUNT(*) AS freq,
+         |        list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+         |        FROM wt GROUP BY word)""".stripMargin
+    val rs = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT l, r, SUM(freq) AS c FROM (
+         |      SELECT freq, unnest(syms[1:len(syms)-1]) AS l,
+         |             unnest(syms[2:len(syms)]) AS r
+         |      FROM w${r - 1} WHERE len(syms) > 1) GROUP BY l, r),
+         |m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
+         |w$r AS (SELECT word, freq, string_split(list_reduce(syms,
+         |        (x, y) -> CASE WHEN (x = m.l OR ends_with(x, chr(31) || m.l)) AND y = m.r
+         |                  THEN x || y ELSE x || chr(31) || y END), chr(31)) AS syms
+         |        FROM w${r - 1} CROSS JOIN m$r m)""".stripMargin
+    }
+    (words +: rs).mkString(",\n")
+  }
+
   private def jaccardSql(a: String, b: String): String =
     s"""CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0
        | ELSE len(list_intersect($a, $b))::DOUBLE
@@ -2051,6 +2079,48 @@ object SparkEntry {
           .select(col("vec_id") +: comps.zipWithIndex.map { case (c, j) =>
             R(c).as(f"p$j%02d") }: _*)
           .orderBy("vec_id")
+      }),
+
+    // X-bpe: BPE tokenizer induction learned in-engine — 8 merge rounds
+    // over the corpus word-frequency table (the corpus text is read
+    // once; every round is vocab-sized). The oracle unrolls the
+    // identical rounds: same greedy left-to-right rewrite (a string fold
+    // with a U+001F element separator), same (freq desc, l, r)
+    // tie-break, so the merge table is hash-exact across engines.
+    Q("x_bpe_merges",
+      Some {
+        val sel = (1 to 8).map(r =>
+          s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, CAST(c AS BIGINT) AS pair_freq FROM m$r")
+          .mkString("\n UNION ALL ")
+        s"""WITH ${bpeCtes(8)}
+           |$sel ORDER BY merge_rank""".stripMargin
+      },
+      (s, dir) => {
+        val model = graft.ext.Bpe.learn(Tables.documents(s, dir), "text", 8)
+        // merges is already a numMerges-bounded LOCAL frame; release the
+        // final vocab checkpoint (unused here) before returning
+        model.release()
+        model.merges.orderBy("merge_rank")
+      }),
+
+    // X-bpe-encode: the corpus vocabulary encoded with the learned merge
+    // table — per word, its subword segmentation after the 8 merges
+    // (replayed as literal folds; the driver-side learn arm's merge list
+    // is spec-pinned identical to the distributed arm's).
+    Q("x_bpe_encode",
+      Some(s"""WITH ${bpeCtes(8)}
+              |SELECT word, array_to_string(syms, ' ') AS encoded,
+              |       CAST(len(syms) AS INT) AS n_sym,
+              |       CAST(freq AS BIGINT) AS freq
+              |FROM w8 ORDER BY word""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (merges, _) = graft.ext.Bpe.learnLocal(docs, "text", 8)
+        graft.ext.Bpe.encodedVocab(docs, "text",
+            merges.map { case (_, l, r, _) => (l, r) })
+          .select(col("word"), concat_ws(" ", col("syms")).as("encoded"),
+            size(col("syms")).cast("int").as("n_sym"), col("freq"))
+          .orderBy("word")
       }),
 
     // ---- dashboard-family aggregations (A6) + producer/serialization ----

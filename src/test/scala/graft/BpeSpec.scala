@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Bpe
+
+/** BPE tokenizer induction: the two learn arms agree merge-for-merge,
+  * the greedy rewrite is correct on crafted corpora, and the encode
+  * replay reconstructs every word exactly. */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("learn: classic abab corpus merges in frequency order with tie-break") {
+    // "abab" x3, "abc" x2: pairs ab=8 (2 per abab + 1 per abc), ba=3, bc=2
+    val docs = corpus((1L, "abab abab abab abc abc"))
+    val m = Bpe.learn(docs, "text", 2)
+    // round 1: ab wins (freq 8); round 2 pairs over {ab,ab}/{ab,c}:
+    // abab=3, abc=2 -> (ab,ab) wins
+    assert(m.mergeList === Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)))
+    val vocab = m.vocab.select("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(vocab("abab") === Seq("abab"))
+    assert(vocab("abc") === Seq("ab", "c"))
+    m.release()
+  }
+
+  test("greedy left-to-right: overlapping pair aaa merges leftmost first") {
+    val docs = corpus((1L, "aaa aaa"))
+    val m = Bpe.learn(docs, "text", 1)
+    // pairs in "aaa": (a,a) twice per word -> freq 4; greedy rewrite
+    // fuses positions 1-2 then cannot reuse the middle 'a': aa|a
+    assert(m.mergeList === Seq((1, "a", "a", 4L)))
+    val syms = m.vocab.select("syms").as[Seq[String]].collect().head
+    assert(syms === Seq("aa", "a"))
+    m.release()
+  }
+
+  test("learn and learnLocal agree merge-for-merge on a mixed corpus") {
+    val docs = corpus(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest"))
+    val dist = Bpe.learn(docs, "text", 6)
+    val (local, localVocab) = Bpe.learnLocal(docs, "text", 6)
+    assert(dist.mergeList === local)
+    val distVocab = dist.vocab.select("word", "freq", "syms")
+      .as[(String, Long, Seq[String])].collect()
+      .map { case (w, f, s) => w -> ((f, s)) }.toMap
+    assert(distVocab === localVocab)
+    dist.release()
+  }
+
+  test("merge table runs dry on a single-char vocabulary") {
+    val docs = corpus((1L, "a b a b c"))
+    val m = Bpe.learn(docs, "text", 5)
+    assert(m.mergeList.isEmpty)
+    assert(m.merges.count() === 0L)
+    m.release()
+  }
+
+  test("encode replay: subwords concatenate back to each original word") {
+    val docs = corpus(
+      (1L, "hugging hugging hugging bugging bugging mugging"),
+      (2L, "jogging jogging bogging"))
+    val (merges, _) = Bpe.learnLocal(docs, "text", 5)
+    val enc = Bpe.encodedVocab(docs, "text",
+      merges.map { case (_, l, r, _) => (l, r) })
+    val bad = enc.filter(concat_ws("", col("syms")) =!= col("word")).count()
+    assert(bad === 0L)
+    // at least one multi-char subword must have formed from 5 merges
+    // over a -gging-heavy corpus
+    val maxLen = enc.select(max(array_max(transform(col("syms"), length(_)))))
+      .as[Int].collect().head
+    assert(maxLen > 1)
+  }
+
+  test("per-document encode emits ordered subwords under the learned table") {
+    val docs = corpus((1L, "abab abc"))
+    val (merges, _) = Bpe.learnLocal(docs, "text", 1) // just (a,b)
+    val out = Bpe.encode(docs, "text", "doc_id",
+        merges.map { case (_, l, r, _) => (l, r) })
+      .groupBy("id").agg(collect_list("subword").as("sw"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq("ab", "ab", "ab", "c"))
+  }
+
+  test("a token containing the U+001F fold separator fails loudly") {
+    val docs = corpus((1L, "ok ok bad\u001Ftoken"))
+    val ex = intercept[Exception] { Bpe.learn(docs, "text", 1) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("separator")))
+    val ex2 = intercept[Exception] { Bpe.learnLocal(docs, "text", 1) }
+    assert(msgs(ex2).exists(_.contains("separator")))
+  }
+}

@@ -2123,6 +2123,34 @@ object SparkEntry {
           .orderBy("word")
       }),
 
+    // X-bpe-tokens: the positional per-document subword stream — the
+    // deterministic token sequence a packing stage consumes, keyed by
+    // (doc, word_pos, sym_pos) so no ordering survives-the-shuffle
+    // assumption is needed. 2% doc sample keeps the dump bounded.
+    Q("x_bpe_tokens",
+      Some(s"""WITH ${bpeCtes(8)},
+              |tok AS (SELECT doc_id, $toksSql AS toks FROM documents
+              |        WHERE doc_id % 50 = 0),
+              |words AS (SELECT doc_id,
+              |          unnest(range(1, len(toks)+1)) AS word_pos,
+              |          unnest(toks) AS word FROM tok),
+              |enc AS (SELECT doc_id, word_pos,
+              |        unnest(range(1, len(syms)+1)) AS sym_pos,
+              |        unnest(syms) AS subword
+              |        FROM words JOIN w8 USING (word))
+              |SELECT doc_id, CAST(word_pos AS INT) AS word_pos,
+              |       CAST(sym_pos AS INT) AS sym_pos, subword
+              |FROM enc ORDER BY doc_id, word_pos, sym_pos""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (merges, _) = graft.ext.Bpe.learnLocal(docs, "text", 8)
+        graft.ext.Bpe.encode(docs.filter(col("doc_id") % 50 === 0),
+            "text", "doc_id", merges.map { case (_, l, r, _) => (l, r) })
+          .select(col("id").as("doc_id"), col("word_pos"), col("sym_pos"),
+            col("subword"))
+          .orderBy("doc_id", "word_pos", "sym_pos")
+      }),
+
     // ---- dashboard-family aggregations (A6) + producer/serialization ----
 
     // A6: pivot table — avg value per sensor pivoted by type.

@@ -213,11 +213,16 @@ object Bpe {
         applyMerges(col("word"), merges).as("syms"))
 
   /** Encode a corpus document-by-document with a learned merge table:
-    * one (id, subword) row per emitted subword, in order. */
+    * one (id, word_pos, sym_pos, subword) row per emitted subword,
+    * positions 1-based — the deterministic token stream a downstream
+    * packing/shuffling stage keys on (no reliance on row order, which a
+    * shuffle would destroy). */
   def encode(docs: DataFrame, textCol: String, idCol: String,
              merges: Seq[(String, String)]): DataFrame =
     docs.select(col(idCol).as("id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .withColumn("subword", explode(applyMerges(col("word"), merges)))
-      .select(col("id"), col("subword"))
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wp", "word")))
+      .select(col("id"), (col("wp") + 1).as("word_pos"),
+        posexplode(applyMerges(col("word"), merges)).as(Seq("sp", "subword")))
+      .select(col("id"), col("word_pos").cast("int"),
+        (col("sp") + 1).cast("int").as("sym_pos"), col("subword"))
 }

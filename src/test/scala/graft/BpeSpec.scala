@@ -79,9 +79,10 @@ class BpeSpec extends SparkTestBase {
     val (merges, _) = Bpe.learnLocal(docs, "text", 1) // just (a,b)
     val out = Bpe.encode(docs, "text", "doc_id",
         merges.map { case (_, l, r, _) => (l, r) })
-      .groupBy("id").agg(collect_list("subword").as("sw"))
-      .as[(Long, Seq[String])].collect().toMap
-    assert(out(1L) === Seq("ab", "ab", "ab", "c"))
+      .select("id", "word_pos", "sym_pos", "subword")
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._2, r._3))
+    assert(out.toSeq === Seq(
+      (1L, 1, 1, "ab"), (1L, 1, 2, "ab"), (1L, 2, 1, "ab"), (1L, 2, 2, "c")))
   }
 
   test("a token containing the U+001F fold separator fails loudly") {

@@ -23,6 +23,7 @@ object ScaleProbe {
     if (args.headOption.contains("whiten")) { whitenProbe(args); return }
     if (args.headOption.contains("profiles")) { profilesProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }
+    if (args.headOption.contains("bpe")) { bpeProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -536,6 +537,47 @@ object ScaleProbe {
       f"batch_edges=$batchEdges merged=$merged " +
       f"incr_rows=$nIncr incr_sec=$incrSec%.2f " +
       f"full_rows=$nFull full_sec=$fullSec%.2f speedup=${fullSec / incrSec}%.1fx")
+    spark.stop()
+  }
+
+  /** BPE induction scale sweep: `ScaleProbe bpe [nDocsSmall] [nDocsLarge]`
+    * — deterministic corpora of 40-word docs drawn hash-deterministically
+    * from a FIXED 500-word vocabulary, at two corpus sizes. Times the
+    * corpus pass (wordCounts) and the full 8-merge learn separately:
+    * Bpe's scale claim is that only the first pass is corpus-sized while
+    * every merge round is vocab-sized, so loop_sec (= learn - wordCounts)
+    * must stay ~flat across the 10× corpus growth while wc_sec scales
+    * with it. */
+  private def bpeProbe(args: Array[String]): Unit = {
+    val nSmall = if (args.length > 1) args(1).toLong else 100000L
+    val nLarge = if (args.length > 2) args(2).toLong else 1000000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq(nSmall, nLarge).foreach { n =>
+      val words = (0 until 40).map(i =>
+        concat(lit("w"), pmod(hash(col("id") * 53 + lit(i)), lit(500))))
+      spark.range(n)
+        .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+        .repartition(cpus * 2)
+        .write.mode("overwrite").parquet("/tmp/graft_scale_bpe")
+      val df = spark.read.parquet("/tmp/graft_scale_bpe")
+      System.gc()
+      var t0 = System.nanoTime()
+      val wc = ext.Bpe.wordCounts(df, "text").localCheckpoint(true)
+      val vocab = wc.count()
+      val wcSec = (System.nanoTime() - t0) / 1e9
+      ext.Graph.freeCheckpoint(wc)
+      t0 = System.nanoTime()
+      val model = ext.Bpe.learn(df, "text", 8)
+      val nMerges = model.mergeList.size
+      val learnSec = (System.nanoTime() - t0) / 1e9
+      model.release()
+      println(f"[scale] bpe docs=$n vocab=$vocab merges=$nMerges " +
+        f"wc_sec=$wcSec%.2f learn_sec=$learnSec%.2f " +
+        f"loop_sec=${learnSec - wcSec}%.2f " +
+        f"docs_per_sec=${n / learnSec}%.0f")
+    }
     spark.stop()
   }
 }

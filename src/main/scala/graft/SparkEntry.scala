@@ -10,7 +10,7 @@ import graft.gold.Gold
 import graft.quality.Quality
 import graft.warehouse.{Layout, Warehouse}
 import graft.ext.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
-import graft.operators.{AsOf, BloomPrune, Sessionize}
+import graft.operators.{AsOf, BloomPrune, RangeJoin, Sessionize}
 import graft.monitoring.Alerts
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -2428,6 +2428,78 @@ object SparkEntry {
         AsOf.asofJoin(left, right, "user_id", "ts", "ts", Seq("rate"))
           .select(col("event_id"), col("rate_asof"))
           .orderBy("event_id")
+      }),
+
+    // Range join (point-in-interval): shipments landing inside sampled
+    // order "fulfilment windows" [orderdate, orderdate + (key%7)+1 days).
+    // The bucketized operator turns the no-equi-key range predicate into
+    // an equi-join on day buckets (PlanSpec pins no BNLJ/cartesian); the
+    // oracle runs the plain range join — same pairs, different plan.
+    Q("j_range_point_in_interval",
+      Some("""WITH iv AS (SELECT o_orderkey,
+             |              datediff('day', DATE '1970-01-01', o_orderdate) AS s,
+             |              datediff('day', DATE '1970-01-01', o_orderdate)
+             |                + (o_orderkey % 7) + 1 AS e
+             |            FROM orders WHERE o_orderkey % 101 = 0)
+             |SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_ship,
+             |       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+             |FROM iv JOIN lineitem
+             |  ON datediff('day', DATE '1970-01-01', l_shipdate) >= s
+             | AND datediff('day', DATE '1970-01-01', l_shipdate) < e
+             |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
+      (s, dir) => {
+        val days = (c: Column) => datediff(c, lit("1970-01-01")).cast("long")
+        val iv = Tables.orders(s, dir).filter(col("o_orderkey") % 101 === 0)
+          .select(col("o_orderkey"), days(col("o_orderdate")).as("s"),
+            (days(col("o_orderdate")) + col("o_orderkey") % 7 + 1).as("e"))
+        val pts = Tables.lineitem(s, dir)
+          .select(col("l_quantity"), days(col("l_shipdate")).as("d"))
+        // width 8 > max interval length 7: each interval copies to <= 2
+        // buckets
+        RangeJoin.pointInInterval(pts, iv, "d", "s", "e", bucketWidth = 8)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_ship"),
+            sum("l_quantity").cast("long").as("sum_qty"))
+          .orderBy("o_orderkey")
+      }),
+
+    // Range join (interval overlap): two independently sampled order
+    // window sets, one row per overlapping pair — emitted exactly once
+    // even when a pair shares several buckets (the max(start) bucket owns
+    // the pair). Overlap length cross-checks pair identity exactly.
+    Q("j_range_interval_overlap",
+      Some("""WITH l AS (SELECT o_orderkey AS l_key,
+             |             datediff('day', DATE '1970-01-01', o_orderdate) AS ls,
+             |             datediff('day', DATE '1970-01-01', o_orderdate)
+             |               + (o_orderkey % 7) + 1 AS le
+             |           FROM orders WHERE o_orderkey % 101 = 0),
+             |r AS (SELECT o_orderkey AS r_key,
+             |        datediff('day', DATE '1970-01-01', o_orderdate) AS rs,
+             |        datediff('day', DATE '1970-01-01', o_orderdate)
+             |          + (o_orderkey % 11) + 2 AS re
+             |      FROM orders WHERE o_orderkey % 103 = 0)
+             |SELECT l_key, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+             |       CAST(SUM(LEAST(le, re) - GREATEST(ls, rs)) AS BIGINT)
+             |         AS overlap_days
+             |FROM l JOIN r ON ls < re AND rs < le
+             |GROUP BY l_key ORDER BY l_key""".stripMargin),
+      (s, dir) => {
+        val days = (c: Column) => datediff(c, lit("1970-01-01")).cast("long")
+        val l = Tables.orders(s, dir).filter(col("o_orderkey") % 101 === 0)
+          .select(col("o_orderkey").as("l_key"),
+            days(col("o_orderdate")).as("ls"),
+            (days(col("o_orderdate")) + col("o_orderkey") % 7 + 1).as("le"))
+        val r = Tables.orders(s, dir).filter(col("o_orderkey") % 103 === 0)
+          .select(col("o_orderkey").as("r_key"),
+            days(col("o_orderdate")).as("rs"),
+            (days(col("o_orderdate")) + col("o_orderkey") % 11 + 2).as("re"))
+        RangeJoin.intervalOverlapJoin(l, r, "ls", "le", "rs", "re",
+            bucketWidth = 16)
+          .groupBy("l_key")
+          .agg(count(lit(1)).as("n_overlap"),
+            sum(least(col("le"), col("re")) - greatest(col("ls"), col("rs")))
+              .cast("long").as("overlap_days"))
+          .orderBy("l_key")
       }),
 
     // W-extension: lag/lead/rank/dense_rank/ntile — the full ranking-window

@@ -181,6 +181,19 @@ class PlanSpec extends SparkTestBase {
       s"corpus gram stream should never shuffle to the join:\n$p")
   }
 
+  test("bucketized range joins plan as equi-joins, never nested-loop") {
+    // the whole point of RangeJoin: a range-only predicate would be
+    // BNLJ (|P|·|I| probes); bucketization must surface an equi-key the
+    // planner hash/sort-merge joins on
+    for (q <- Seq("j_range_point_in_interval", "j_range_interval_overlap")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q fell back to nested-loop:\n$p")
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$q has no equi-join:\n$p")
+    }
+  }
+
   test("whole registry: no cartesian products; nested-loop joins only where documented") {
     // BroadcastNestedLoopJoin is legitimate ONLY for the documented
     // broadcast-scored similarity queries (tiny query/centroid side against
@@ -200,6 +213,9 @@ class PlanSpec extends SparkTestBase {
       "a_supplier_value_share", "a_missing_hours", "a_gapfill_ffill",
       "x_nb_quality_classifier", "x_classifier_curation",
       "x_pq_refined_recall",
+      // one signature row per SOURCE (a handful): the pairwise overlap
+      // matrix is sources², broadcast by construction
+      "x_source_overlap",
       // semantic decontamination: the eval/test side broadcasts by design
       // (the exact form crosses it against the streamed train corpus; the
       // blocked form broadcasts only the one-row reference/centroid spine)

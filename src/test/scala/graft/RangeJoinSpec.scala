@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.RangeJoin
+
+/** Bucketized range joins must emit exactly the pairs the naive
+  * range-predicate join emits — same rows, no duplicates from
+  * multi-bucket replication, half-open boundary semantics — across
+  * bucket widths, including widths far smaller than the intervals. */
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // axis values include negatives (floor-division bucket arithmetic) and
+  // exact bucket-boundary hits
+  private def intervals: DataFrame = Seq(
+    (1L, 0L, 10L),    // spans buckets
+    (2L, 5L, 6L),     // single point-wide
+    (3L, -12L, -2L),  // negative axis
+    (4L, 7L, 7L),     // empty: matches nothing
+    (5L, 9L, 3L),     // inverted: matches nothing
+    (6L, -3L, 4L),    // crosses zero
+    (7L, 0L, 100L)    // covers many buckets at small widths
+  ).toDF("iv_id", "s", "e")
+
+  private def points: DataFrame =
+    Seq(-12L, -5L, -3L, -1L, 0L, 3L, 5L, 6L, 7L, 9L, 10L, 42L, 99L, 100L)
+      .toDF("t").withColumn("pt_id", col("t"))
+
+  private def naivePoint: Set[(Long, Long)] =
+    points.join(intervals, col("t") >= col("s") && col("t") < col("e"))
+      .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+
+  test("pointInInterval equals the naive range join at several widths") {
+    val expected = naivePoint
+    assert(expected.contains((0L, 1L)) && !expected.contains((10L, 1L)),
+      "fixture must exercise half-open bounds")
+    for (w <- Seq(1L, 3L, 8L, 64L)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", w)
+        .select("pt_id", "iv_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"duplicate pairs at width $w")
+      assert(got.toSet === expected, s"pair set mismatch at width $w")
+    }
+  }
+
+  test("intervalOverlapJoin equals the naive overlap join, each pair once") {
+    val right = Seq(
+      (10L, -4L, 1L),
+      (11L, 5L, 15L),   // shares many buckets with iv 1 and 7 at w=1
+      (12L, 10L, 11L),  // touches iv 1 at its end: NOT an overlap
+      (13L, -20L, 200L) // covers everything
+    ).toDF("r_id", "rs", "re")
+    // exact nonempty-intersection predicate: max(starts) < min(ends).
+    // (The weaker `s < re && rs < e` admits EMPTY intervals as
+    // "overlapping" — [7,7) intersects nothing.)
+    val expected = intervals.join(right,
+        greatest(col("s"), col("rs")) < least(col("e"), col("re")))
+      .select("iv_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(!expected.contains((1L, 12L)), "touching intervals must not match")
+    assert(expected.contains((1L, 11L)) && expected.contains((7L, 13L)))
+    for (w <- Seq(1L, 3L, 16L, 256L)) {
+      val got = RangeJoin.intervalOverlapJoin(intervals, right,
+          "s", "e", "rs", "re", w)
+        .select("iv_id", "r_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"duplicate pairs at width $w")
+      assert(got.toSet === expected, s"pair set mismatch at width $w")
+    }
+  }
+
+  test("invalid arguments fail loudly") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, intervals, "t", "s", "s", 5L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapJoin(intervals, intervals, "s", "e", "s", "e", 5L)
+    }
+  }
+}

@@ -562,21 +562,25 @@ object ScaleProbe {
         .repartition(cpus * 2)
         .write.mode("overwrite").parquet("/tmp/graft_scale_bpe")
       val df = spark.read.parquet("/tmp/graft_scale_bpe")
+      // the two stages are timed DIRECTLY through the learn seam (no
+      // subtraction attribution — a shared-JVM GC pause in one arm would
+      // silently misattribute); gc before each arm per the repo's
+      // long-single-JVM discipline
       System.gc()
       var t0 = System.nanoTime()
       val wc = ext.Bpe.wordCounts(df, "text").localCheckpoint(true)
       val vocab = wc.count()
       val wcSec = (System.nanoTime() - t0) / 1e9
-      ext.Graph.freeCheckpoint(wc)
+      System.gc()
       t0 = System.nanoTime()
-      val model = ext.Bpe.learn(df, "text", 8)
+      val model = ext.Bpe.learnFromWordCounts(wc, 8)
       val nMerges = model.mergeList.size
-      val learnSec = (System.nanoTime() - t0) / 1e9
+      val loopSec = (System.nanoTime() - t0) / 1e9
       model.release()
+      ext.Graph.freeCheckpoint(wc)
       println(f"[scale] bpe docs=$n vocab=$vocab merges=$nMerges " +
-        f"wc_sec=$wcSec%.2f learn_sec=$learnSec%.2f " +
-        f"loop_sec=${learnSec - wcSec}%.2f " +
-        f"docs_per_sec=${n / learnSec}%.0f")
+        f"wc_sec=$wcSec%.2f loop_sec=$loopSec%.2f " +
+        f"docs_per_sec=${n / (wcSec + loopSec)}%.0f")
     }
     spark.stop()
   }

@@ -98,14 +98,21 @@ object Bpe {
     * merge. Returns the merge table (merge_rank, lhs, rhs, merged,
     * pair_freq; fewer rows than numMerges if the corpus runs dry) and
     * the final encoded vocabulary (word, freq, syms). */
-  def learn(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+  def learn(docs: DataFrame, textCol: String, numMerges: Int): BpeModel =
+    learnFromWordCounts(wordCounts(docs, textCol), numMerges)
+
+  /** The merge loop alone, over an already-computed (word, freq) table —
+    * everything below here is vocabulary-sized, independent of the
+    * corpus bytes behind `wc` (ScaleProbe bpe measures the two stages
+    * through this seam). */
+  def learnFromWordCounts(wc: DataFrame, numMerges: Int): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    val spark = docs.sparkSession
+    val spark = wc.sparkSession
     // localCheckpoint per generation, NOT persist: an iterative plan
     // otherwise nests one fold expression per round and the optimizer
     // re-analyzes the whole history each action (the CC-loop rationale,
     // Graph.connectedComponents).
-    var cur = wordCounts(docs, textCol)
+    var cur = wc
       .withColumn("syms", charSyms(col("word")))
       .localCheckpoint(true)
     val merges = Vector.newBuilder[(Int, String, String, Long)]

@@ -24,6 +24,7 @@ object ScaleProbe {
     if (args.headOption.contains("profiles")) { profilesProbe(args); return }
     if (args.headOption.contains("cc")) { ccProbe(args); return }
     if (args.headOption.contains("bpe")) { bpeProbe(args); return }
+    if (args.headOption.contains("rangejoin")) { rangeJoinProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -582,6 +583,56 @@ object ScaleProbe {
         f"wc_sec=$wcSec%.2f loop_sec=$loopSec%.2f " +
         f"docs_per_sec=${n / (wcSec + loopSec)}%.0f")
     }
+    spark.stop()
+  }
+
+  /** Range-join scale sweep: `ScaleProbe rangejoin [nPoints] [nIntervals]`
+    * — hash-spread points over an axis of span nPoints (density 1/unit)
+    * joined to intervals of length 1..20 (expected matches ≈
+    * 10.5·nIntervals, an exact cross-check between arms). Times the
+    * bucketized equi-join (`RangeJoin.pointInInterval`, width 16) and —
+    * only while |P|·|I| ≤ 2.5e9 probes stays feasible — the naive
+    * BroadcastNestedLoopJoin arm the range-only predicate plans to.
+    * The probe's point: the naive arm grows |P|·|I| while the
+    * bucketized arm grows |P| + buckets(|I|). */
+  private def rangeJoinProbe(args: Array[String]): Unit = {
+    val nPoints = if (args.length > 1) args(1).toLong else 1000000L
+    val nIv = if (args.length > 2) args(2).toLong else 100000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val span = nPoints
+    val pts = spark.range(nPoints)
+      .select(pmod(col("id") * 2654435761L, lit(span)).as("t"))
+      .repartition(cpus * 2).persist()
+    val iv = spark.range(nIv)
+      .select(col("id").as("iv_id"),
+        pmod(col("id") * 2246822519L, lit(span)).as("s"))
+      .withColumn("e", col("s") + pmod(col("iv_id"), lit(20)) + 1)
+      .repartition(cpus * 2).persist()
+    val expected = 10.5 * nIv
+    (1 to 3).foreach { i =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = operators.RangeJoin
+        .pointInInterval(pts, iv, "t", "s", "e", bucketWidth = 16).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] rangejoin bucketized run$i points=$nPoints " +
+        f"intervals=$nIv pairs=$n (expected~${expected}%.0f) sec=$sec%.2f " +
+        f"pairs_per_sec=${n / sec}%.0f")
+    }
+    if (nPoints * nIv <= 2500000000L) {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = pts.join(iv, col("t") >= col("s") && col("t") < col("e")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] rangejoin naive-bnlj points=$nPoints intervals=$nIv " +
+        f"pairs=$n sec=$sec%.2f")
+    } else {
+      println(s"[scale] rangejoin naive-bnlj skipped " +
+        s"(${nPoints}x$nIv probes infeasible)")
+    }
+    pts.unpersist(); iv.unpersist()
     spark.stop()
   }
 }

@@ -3357,6 +3357,54 @@ object SparkEntry {
           max(col("doc_id")).as("max_id"))
         .orderBy("split")),
 
+    // X-cluster-split: leakage-guarded train/valid/test split — the
+    // split key is the near-dup CLUSTER id, not the doc id, so a
+    // document and its near-copies land in the SAME split by
+    // construction (a doc-keyed split leaks paraphrases of training
+    // docs into test). Composition: near-dup pairs → connected
+    // components → singleton fallback to own id → md5 split on the
+    // cluster id. The oracle recomputes the identical clusters
+    // (recursive CTE) and the identical md5 buckets.
+    Q("x_cluster_split",
+      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
+              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |       FROM pre a JOIN pre b
+              |         ON a.source = b.source AND a.doc_id < b.doc_id
+              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
+              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
+              |          UNION ALL SELECT id_b, id_a FROM pj),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |d AS (SELECT doc_id, COALESCE(comp.cluster_id, doc_id) AS cluster_id
+              |      FROM documents LEFT JOIN comp ON comp.id = documents.doc_id),
+              |b AS (SELECT doc_id, cluster_id,
+              |       CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+              |      FROM d)
+              |SELECT CASE WHEN bucket < 80 THEN 'train'
+              |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+              | COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters
+              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          "source", 3, 0.02)
+        val comp = graft.ext.Graph.connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        docs.select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .withColumn("split", graft.ext.Sampling.deterministicSplit(
+            col("cluster_id"), Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"))
+          .orderBy("split")
+      }),
+
     // Deterministic epoch shuffle: the oracle recomputes the ENTIRE
     // permutation (shard assignment + within-shard position) from the
     // same md5("epoch|id") key — hash-exact, row for row. One shuffle

@@ -94,6 +94,28 @@ class ExtOpsSpec extends SparkTestBase {
     assert(out.head.getAs[Long]("n_shared") === 1L)
   }
 
+  test("cluster-keyed split: near-dup cluster members never straddle splits") {
+    // crafted clusters: {1,2,3} chained near-dups, {10,11}, singletons 20/21
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val comp = graft.ext.Graph.connectedComponents(edges, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    val split = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split", Sampling.deterministicSplit(col("cluster_id"),
+        Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+    // the leakage guarantee: each cluster maps to exactly ONE split
+    val straddling = split.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling === 0L)
+    // members of the same cluster share the split label of the cluster id
+    val bySplit = split.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(bySplit(1L) === bySplit(2L) && bySplit(2L) === bySplit(3L))
+    assert(bySplit(10L) === bySplit(11L))
+  }
+
   test("esKey is deterministic and weight-monotone for a fixed id") {
     val df = Seq((7L, 1.0), (7L, 10.0)).toDF("id", "w")
       .withColumn("k", Sampling.esKey(col("id"), col("w")))

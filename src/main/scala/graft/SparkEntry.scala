@@ -2151,6 +2151,43 @@ object SparkEntry {
           .orderBy("doc_id", "word_pos", "sym_pos")
       }),
 
+    // X-bpe-pack: tokenizer-aware sequence packing — the pipeline a
+    // pretraining data stage actually runs: learn the merge table on the
+    // corpus, encode every doc with it, then contiguous-fill per-source
+    // bins of 128 SUBWORDS (not whitespace tokens — bin budgets are
+    // model-context budgets, so they must count the model's units).
+    // Composes Bpe.learnLocal + encode with the x_pack_chunks window.
+    Q("x_bpe_pack",
+      Some(s"""WITH ${bpeCtes(8)},
+              |tok AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+              |words AS (SELECT doc_id, source, unnest(toks) AS word FROM tok),
+              |pd AS (SELECT doc_id, source, SUM(len(syms)) AS n_sub
+              |       FROM words JOIN w8 USING (word) GROUP BY doc_id, source),
+              |o AS (SELECT source, n_sub,
+              |        SUM(n_sub) OVER (PARTITION BY source ORDER BY doc_id
+              |                         ROWS UNBOUNDED PRECEDING) AS cum
+              |      FROM pd)
+              |SELECT source, CAST((cum - 1) // 128 AS BIGINT) AS bin,
+              |       COUNT(*) AS n_docs, CAST(SUM(n_sub) AS BIGINT) AS n_subwords
+              |FROM o GROUP BY source, bin ORDER BY source, bin""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (merges, _) = graft.ext.Bpe.learnLocal(docs, "text", 8)
+        val perDoc = graft.ext.Bpe.encode(docs, "text", "doc_id",
+            merges.map { case (_, l, r, _) => (l, r) })
+          .groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_sub"))
+          .join(broadcast(docs.select(col("doc_id"), col("source"))),
+            Seq("doc_id"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perDoc.withColumn("cum", sum(col("n_sub")).over(w))
+          .withColumn("bin", floor((col("cum") - 1) / 128))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_sub")).cast("long").as("n_subwords"))
+          .orderBy("source", "bin")
+      }),
+
     // ---- dashboard-family aggregations (A6) + producer/serialization ----
 
     // A6: pivot table — avg value per sensor pivoted by type.

@@ -629,6 +629,46 @@ object SparkEntry {
           col("is_weekend"))
         .orderBy("time_key")),
 
+    // W-diff: row-level reconciliation of a table vs its snapshot — the
+    // backfill/CDC validation primitive. The snapshot is synthesized
+    // deterministically from customer: keys ≡3 (mod 17) dropped (→
+    // 'added'), segment rewritten for ≡5 (mod 13) (→ 'changed'), ghost
+    // keys +1e8 for ≡11 (mod 23) (→ 'removed'). One key-shuffle
+    // full-outer join; identical rows never leave the join.
+    Q("w_table_diff",
+      Some("""WITH cur AS (SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+             |snap AS (
+             |  SELECT c_custkey, c_name,
+             |    CASE WHEN c_custkey % 13 = 5 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment,
+             |    c_acctbal
+             |  FROM customer WHERE c_custkey % 17 <> 3
+             |  UNION ALL
+             |  SELECT c_custkey + 100000000, c_name, c_mktsegment, c_acctbal
+             |  FROM customer WHERE c_custkey % 23 = 11),
+             |j AS (SELECT COALESCE(cur.c_custkey, snap.c_custkey) AS c_custkey,
+             |        CASE WHEN snap.c_custkey IS NULL THEN 'added'
+             |             WHEN cur.c_custkey IS NULL THEN 'removed'
+             |             WHEN NOT (cur.c_name IS NOT DISTINCT FROM snap.c_name)
+             |               OR NOT (cur.c_mktsegment IS NOT DISTINCT FROM snap.c_mktsegment)
+             |               OR NOT (cur.c_acctbal IS NOT DISTINCT FROM snap.c_acctbal)
+             |             THEN 'changed' END AS change_type
+             |      FROM cur FULL OUTER JOIN snap ON cur.c_custkey = snap.c_custkey)
+             |SELECT c_custkey, change_type FROM j
+             |WHERE change_type IS NOT NULL ORDER BY c_custkey""".stripMargin),
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        val snapshot = cust.filter(col("c_custkey") % 17 =!= 3)
+          .withColumn("c_mktsegment",
+            when(col("c_custkey") % 13 === 5, lit("CHANGED"))
+              .otherwise(col("c_mktsegment")))
+          .unionByName(cust.filter(col("c_custkey") % 23 === 11)
+            .withColumn("c_custkey", col("c_custkey") + 100000000L))
+        Warehouse.tableDiff(cust, snapshot, "c_custkey",
+            Seq("c_name", "c_mktsegment", "c_acctbal"))
+          .orderBy("c_custkey")
+      }),
+
     // J1/L2: idempotent dimension upsert via full-outer join.
     Q("j1_dim_upsert",
       Some(s"""WITH dim AS (

@@ -246,4 +246,28 @@ class WarehouseSpec extends SparkTestBase {
     assert(afterDf.select("v").as[Int].collect().toSet === beforeRows)
     assert(afterDf.select("part").distinct().count() === 2) // layout preserved
   }
+
+  test("tableDiff: added/removed/changed with null-safe compares, identical rows dropped") {
+    val cur = Seq(
+      (1L, Option("a"), Option(10)),  // identical → dropped
+      (2L, Option("b"), Option(20)),  // value change
+      (3L, None: Option[String], Option(30)), // null → value on name
+      (4L, Option("d"), None: Option[Int]),   // value → null on score
+      (5L, Option("e"), Option(50))   // added (not in snapshot)
+    ).toDF("k", "name", "score")
+    val snap = Seq(
+      (1L, Option("a"), Option(10)),
+      (2L, Option("B"), Option(20)),
+      (3L, Option("c"), Option(30)),
+      (4L, Option("d"), Option(40)),
+      (6L, Option("f"), Option(60))   // removed (not in current)
+    ).toDF("k", "name", "score")
+    val out = Warehouse.tableDiff(cur, snap, "k", Seq("name", "score"))
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(2L -> "changed", 3L -> "changed", 4L -> "changed",
+      5L -> "added", 6L -> "removed"))
+    intercept[IllegalArgumentException] {
+      Warehouse.tableDiff(cur, snap, "k", Seq.empty)
+    }
+  }
 }

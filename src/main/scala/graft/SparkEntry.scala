@@ -1089,6 +1089,41 @@ object SparkEntry {
     // the reference's Bronze-staleness probe (the DAG fails above 30 min
     // of S3 last-modified age). as-of is a parameter, never now():
     // freshness checks must themselves be reproducible.
+    // Q-profile: per-column table profile in one aggregation job —
+    // rows/nulls/exact distinct + typed min/max bounds per column, the
+    // first-look and drift-baseline primitive. The oracle recomputes
+    // each column's row from independent aggregates.
+    Q("q_profile_customer",
+      Some {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             | COUNT(*) - COUNT($c) AS n_nulls,
+             | COUNT(DISTINCT $c) AS n_distinct,
+             | ROUND(MIN($c)::DOUBLE + 1e-9, 4) AS min_num,
+             | ROUND(MAX($c)::DOUBLE + 1e-9, 4) AS max_num,
+             | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+             | FROM customer""".stripMargin
+        def str(c: String) =
+          s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+             | COUNT(*) - COUNT($c) AS n_nulls,
+             | COUNT(DISTINCT $c) AS n_distinct,
+             | CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             | MIN($c) AS min_str, MAX($c) AS max_str
+             | FROM customer""".stripMargin
+        (Seq("c_custkey", "c_nationkey", "c_acctbal").map(num) ++
+          Seq("c_name", "c_mktsegment").map(str))
+          .mkString("", "\n UNION ALL\n", "\n ORDER BY col_name")
+      },
+      (s, dir) => {
+        Quality.profile(Tables.customer(s, dir),
+            Seq("c_custkey", "c_nationkey", "c_acctbal"),
+            Seq("c_name", "c_mktsegment"))
+          .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), R(col("min_num")).as("min_num"),
+            R(col("max_num")).as("max_num"), col("min_str"), col("max_str"))
+          .orderBy("col_name")
+      }),
+
     Q("q_freshness",
       Some("""SELECT event_type,
              | strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS latest,

@@ -178,4 +178,48 @@ object Quality {
                             observed: DataFrame): Seq[(String, String, String, String)] =
     schemaDiff(expected, observed)
       .filterNot(d => d._2 == "ok" || d._2 == "added")
+
+  /** Per-column table profile in ONE aggregation job: for every listed
+    * column — (column, n_rows, n_nulls, n_distinct, min_num, max_num,
+    * min_str, max_str), numeric bounds for `numericCols` (null for
+    * strings) and vice versa. The first-look / drift-baseline primitive
+    * of a profiling layer.
+    *
+    * Cost: one scan + one aggregation; the multi-column exact
+    * countDistinct plans as ONE shuffle with an Expand (rows ×
+    * #distinct-aggs) — fine for profile-sized column lists. For very
+    * wide tables or when exactness is not needed, swap countDistinct
+    * for approx_count_distinct (one pass, no Expand); the sketch
+    * family (HLL) covers the mergeable/incremental variant. The
+    * single wide aggregate row (a few values per column) then pivots
+    * to long form driver-side — profile output is column-count-sized
+    * by construction. */
+  def profile(df: DataFrame, numericCols: Seq[String],
+              stringCols: Seq[String]): DataFrame = {
+    require((numericCols ++ stringCols).nonEmpty, "no columns to profile")
+    require(numericCols.intersect(stringCols).isEmpty,
+      "a column cannot be both numeric and string")
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +:
+        ((numericCols ++ stringCols).map(c => count(col(c)).as(s"${c}__c")) ++
+          (numericCols ++ stringCols).map(c =>
+            countDistinct(col(c)).as(s"${c}__d")) ++
+          numericCols.flatMap(c => Seq(
+            min(col(c)).cast("double").as(s"${c}__mn"),
+            max(col(c)).cast("double").as(s"${c}__mx"))) ++
+          stringCols.flatMap(c => Seq(
+            min(col(c)).as(s"${c}__smn"), max(col(c)).as(s"${c}__smx"))))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val entries = (numericCols.map(_ -> true) ++ stringCols.map(_ -> false))
+      .map { case (c, isNum) =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          (col("__n") - col(s"${c}__c")).as("n_nulls"),
+          col(s"${c}__d").as("n_distinct"),
+          (if (isNum) col(s"${c}__mn") else lit(null).cast("double")).as("min_num"),
+          (if (isNum) col(s"${c}__mx") else lit(null).cast("double")).as("max_num"),
+          (if (isNum) lit(null).cast("string") else col(s"${c}__smn")).as("min_str"),
+          (if (isNum) lit(null).cast("string") else col(s"${c}__smx")).as("max_str"))
+      }
+    wide.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
 }

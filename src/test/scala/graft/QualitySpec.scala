@@ -147,4 +147,30 @@ class QualitySpec extends SparkTestBase {
     assert(failed3("ge_in_set_is_anomaly") === 1L)
     assert(failed3("ge_exists_sensor_id") === 0L)
   }
+
+  test("profile: per-column rows/nulls/distinct and typed bounds in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1), Option("a")),
+      (Option(2), Option("a")),
+      (Option(2), None),
+      (None: Option[Int], Option("z"))
+    ).toDF("num", "s")
+    val p = graft.quality.Quality.profile(df, Seq("num"), Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = p("num")
+    assert(n.getLong(1) === 4L && n.getLong(2) === 1L && n.getLong(3) === 2L)
+    assert(n.getDouble(4) === 1.0 && n.getDouble(5) === 2.0)
+    assert(n.isNullAt(6) && n.isNullAt(7))
+    val sRow = p("s")
+    assert(sRow.getLong(2) === 1L && sRow.getLong(3) === 2L)
+    assert(sRow.isNullAt(4) && sRow.getString(6) === "a" &&
+      sRow.getString(7) === "z")
+    intercept[IllegalArgumentException] {
+      graft.quality.Quality.profile(df, Seq.empty, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.quality.Quality.profile(df, Seq("num"), Seq("num"))
+    }
+  }
 }

@@ -67,6 +67,31 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("pointInInterval composes with a stream (stream-static enrichment)") {
+    // the operator is stateless (narrow bucket projection + equi-join
+    // against the static side), so it must run unchanged inside a
+    // streaming plan — the maintenance-window / campaign-period
+    // enrichment shape at ingest time
+    val inDir = java.nio.file.Files.createTempDirectory("graft-rj-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rj-ck").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "b0.json"),
+      Seq(-12L, 0L, 3L, 9L, 10L, 42L, 100L)
+        .map(t => s"""{"t":$t}""").mkString("", "\n", "\n"))
+    val src = spark.readStream.schema("t LONG").json(inDir)
+    val enriched = RangeJoin.pointInInterval(src, intervals, "t", "s", "e", 8L)
+    val q = enriched.writeStream.format("memory")
+      .queryName("rj_stream").option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("rj_stream").select("t", "iv_id")
+      .as[(Long, Long)].collect().toSet
+    val expected = points.filter(col("t").isin(-12L, 0L, 3L, 9L, 10L, 42L, 100L))
+      .join(intervals, col("t") >= col("s") && col("t") < col("e"))
+      .select("t", "iv_id").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.contains((42L, 7L)))
+  }
+
   test("invalid arguments fail loudly") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 0L)

@@ -1424,6 +1424,24 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), R(col("jaccard")).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // X-jaccard-prefix: EXACT Jaccard pairs via prefix filtering
+    // (AllPairs/PPJoin) — the self-join consumes only rarest-first
+    // shingle prefixes of length |d|−⌈τ|d|⌉+1, yet the result is
+    // pinned identical to the plain all-pairs oracle (the prefix-share
+    // lemma guarantees no candidate is lost; verification is exact).
+    Q("x_jaccard_pairs_prefix",
+      Some(s"""WITH pre AS MATERIALIZED ($preShinglesSql),
+              |pj AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |         (${jaccardSql("a.sh", "b.sh")}) AS j
+              |       FROM pre a JOIN pre b ON a.source = b.source AND a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, ROUND(j + 1e-9, 4) AS jaccard
+              |FROM pj WHERE j >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin),
+      (s, dir) => Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "text",
+          "doc_id", "source", 3, 0.5)
+        .select(col("id_a"), col("id_b"), R(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
     // X-dedup-minhash: MinHash(16 perms) + LSH(4 bands) candidate pairs,
     // verified with exact Jaccard >= 0.3.
     Q("x_minhash_lsh_neardups",

@@ -26,6 +26,37 @@ class ExtSpec extends SparkTestBase {
     assert(out(4L).getAs[Double]("pr") > 0.5)
   }
 
+  test("prefix-filtered jaccard pairs equal the inverted-index join at every threshold") {
+    // 20-word docs make τ=0.3 hit the float-overshoot case
+    // (0.3·20 = 6.000000000000001): an unguarded ceil shrinks the
+    // prefix and drops pairs
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 16).map(i => s"w$i") ++ (1 to 4).map(i => s"x$i")).mkString(" ")
+    val far = (21 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "s1"), (2L, base, "s1"),   // identical pair
+      (3L, near, "s1"),                     // high-overlap with 1,2
+      (4L, far, "s1"),                      // overlaps nothing
+      (5L, base, "s2")                      // other block: never pairs with s1
+    ).toDF("doc_id", "text", "source")
+    for (t <- Seq(0.1, 0.3, 0.5, 1.0)) {
+      val expected = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      val got = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", "source", 3, t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(got === expected, s"threshold $t")
+    }
+    // the crafted corpus must actually exercise a sub-1.0 pair and a
+    // threshold cut
+    val at03 = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", "source", 3, 0.3)
+    assert(at03.count() === 3L) // (1,2) at 1.0; (1,3) and (2,3) at ~0.64
+    val at10 = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", "source", 3, 1.0)
+    assert(at10.select("id_a", "id_b").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L)))
+  }
+
   test("language ID votes stopwords with fixed precedence") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is happy"),

@@ -25,6 +25,7 @@ object ScaleProbe {
     if (args.headOption.contains("cc")) { ccProbe(args); return }
     if (args.headOption.contains("bpe")) { bpeProbe(args); return }
     if (args.headOption.contains("rangejoin")) { rangeJoinProbe(args); return }
+    if (args.headOption.contains("jaccard")) { jaccardProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -538,6 +539,77 @@ object ScaleProbe {
       f"batch_edges=$batchEdges merged=$merged " +
       f"incr_rows=$nIncr incr_sec=$incrSec%.2f " +
       f"full_rows=$nFull full_sec=$fullSec%.2f speedup=${fullSec / incrSec}%.1fx")
+    spark.stop()
+  }
+
+  /** Exact-Jaccard-join arms head to head:
+    * `ScaleProbe jaccard [nDocs] [tau]` — 80-word docs over a TINY
+    * 50-word vocabulary (shingles repeat heavily, the co-occurrence
+    * regime where an inverted index's self-join blows up), 1% planted
+    * near-copies sharing their predecessor's first 76 words (shingle
+    * jaccard ≈ 0.88, above the default τ=0.8). Prints, for the
+    * inverted-index arm and the prefix-filtered arm: warm time, result
+    * pairs (MUST be equal — both are exact), and the exact candidate
+    * volume Σ m·(m−1)/2 over the (block, shingle) buckets each arm
+    * joins on — the number the prefix lemma shrinks. */
+  private def jaccardProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 20000L
+    val tau = if (args.length > 2) args(2).toDouble else 0.8
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = when(pmod(col("doc_id"), lit(100)) === 1,
+      col("doc_id") - 1).otherwise(col("doc_id"))
+    // Zipf-ish draw (min of two independent uniforms over 50): low
+    // indices frequent, high indices rare — real corpora are Zipfian,
+    // and the rarest-first prefix order only has bite when rare tokens
+    // exist. A uniform vocab flattens df and the measured candidate cut
+    // collapses to the (1−τ)² volume fraction.
+    val words = (i: Int, seed: org.apache.spark.sql.Column) =>
+      concat(lit("w"), least(pmod(hash(seed * 97 + lit(i)), lit(50)),
+        pmod(hash(seed * 131 + lit(i + 7)), lit(50))))
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("text", concat_ws(" ",
+        ((0 until 76).map(i => words(i, base)) ++
+          (76 until 80).map(i => words(i, col("doc_id")))): _*))
+      .withColumn("blk", lit("all"))
+      .repartition(cpus * 2)
+    docs.write.mode("overwrite").parquet("/tmp/graft_scale_jacc")
+    val df = spark.read.parquet("/tmp/graft_scale_jacc")
+    def arm(name: String,
+            run: () => Long): Unit = (1 to 2).foreach { i =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val pairs = run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] jaccard $name run$i docs=$nDocs tau=$tau " +
+        f"pairs=$pairs sec=$sec%.2f")
+    }
+    arm("inverted", () => graft.ext.Dedup
+      .ngramJaccardPairs(df, "text", "doc_id", "blk", 3, tau).count())
+    arm("prefix", () => graft.ext.Dedup
+      .jaccardPairsPrefix(df, "text", "doc_id", "blk", 3, tau).count())
+    // candidate-volume diagnostic: exact pair count each arm's
+    // self-join materializes (full index vs rarest-first prefixes)
+    val sh = df.select(col("doc_id"),
+      array_distinct(graft.ext.TextAnalysis.shingles(col("text"), 3)).as("sh"))
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    def bucketPairs(idx: org.apache.spark.sql.DataFrame): Long =
+      idx.groupBy("s").count()
+        .agg(sum(col("count") * (col("count") - 1)))
+        .first().getLong(0) / 2
+    val full = bucketPairs(ex)
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val rkW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    val pref = ex.join(dfreq, Seq("s"))
+      .withColumn("rk", row_number().over(rkW))
+      .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n") - lit(1e-9)) + 1)
+      .select("doc_id", "s")
+    val prefC = bucketPairs(pref)
+    println(f"[scale] jaccard diag full_candidates=$full " +
+      f"prefix_candidates=$prefC reduction=${full.toDouble / prefC}%.1fx")
     spark.stop()
   }
 

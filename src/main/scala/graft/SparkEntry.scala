@@ -4941,6 +4941,153 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // X-lm-kn: interpolated Kneser–Ney scoring (the CCNet-style filter
+    // done right): train the smoothed bigram model on the EVEN half,
+    // score EVERY document — including ones whose bigrams never appear
+    // in training, which the MLE scorer above silently drops. Both
+    // engines build the identical model (counting + fixed-order float
+    // arithmetic); discount 0.75, add-one <unk> continuation mass.
+    Q("x_kn_perplexity",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |tb AS (SELECT unnest(${gramsSql(2)}) AS bg FROM t WHERE doc_id % 2 = 0),
+              |c2 AS (SELECT string_split(bg, ' ')[1] AS w1,
+              |              string_split(bg, ' ')[2] AS w2, COUNT(*) AS c2
+              |       FROM tb GROUP BY 1, 2),
+              |hist AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fwd FROM c2 GROUP BY 1),
+              |cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c2 GROUP BY 1),
+              |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS tt,
+              |               (SELECT COUNT(DISTINCT w)
+              |                FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)) AS vv),
+              |db AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+              |              string_split(bg, ' ')[2] AS w2
+              |       FROM (SELECT doc_id, unnest(${gramsSql(2)}) AS bg FROM t)),
+              |sc AS (SELECT db.doc_id,
+              |         CASE WHEN h.c1 IS NOT NULL THEN
+              |           GREATEST(COALESCE(b.c2, 0) - 0.75, 0.0) / h.c1
+              |           + (0.75 * h.n1p_fwd / h.c1)
+              |             * ((COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0))
+              |         ELSE (COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0)
+              |         END AS p
+              |       FROM db LEFT JOIN c2 b ON db.w1 = b.w1 AND db.w2 = b.w2
+              |         LEFT JOIN hist h ON db.w1 = h.w1
+              |         LEFT JOIN cont ct ON db.w2 = ct.w2
+              |         CROSS JOIN tot)
+              |SELECT doc_id, COUNT(*) AS n_bigrams,
+              |       ROUND(AVG(-log2(p)) + 1e-9, 4) AS avg_nll
+              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.ext.Lm.knBigramTrain(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        graft.ext.Lm.knScore(docs, "doc_id", "text", model)
+          .select(col("id").as("doc_id"), col("n_bigrams"),
+            R(col("avg_nll")).as("avg_nll"))
+          .orderBy("doc_id")
+      }),
+
+    // X-dsir: Data Selection via Importance Resampling (Xie et al. 2023)
+    // — fit hashed-ngram multinomials to the 'en' target slice and the
+    // full raw corpus, weight every document by its target/raw
+    // log-likelihood ratio, select 100 by Gumbel-perturbed top-k
+    // (sampling without replacement ∝ importance weight). The Gumbel
+    // uniform is md5-derived, so both engines select the identical set;
+    // the cut ranks on the 6-decimal-rounded key (id tie-break) so a
+    // last-ulp summation difference can never flip the boundary.
+    Q("x_dsir_select",
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+              |f AS (SELECT doc_id, lang,
+              |        CAST(concat('0x', substr(md5(g), 1, 10)) AS BIGINT) % 64 AS bucket
+              |      FROM (SELECT doc_id, lang,
+              |              unnest(list_concat(toks, ${gramsSql(2)})) AS g FROM t)),
+              |tc AS (SELECT bucket, COUNT(*) AS c FROM f WHERE lang = 'en' GROUP BY 1),
+              |rc AS (SELECT bucket, COUNT(*) AS c FROM f GROUP BY 1),
+              |tt AS (SELECT SUM(c) AS tot FROM tc),
+              |rt AS (SELECT SUM(c) AS tot FROM rc),
+              |w AS (SELECT b.bucket,
+              |        LN((COALESCE(tc.c, 0) + 1.0) / (tt.tot + 64.0))
+              |        - LN((COALESCE(rc.c, 0) + 1.0) / (rt.tot + 64.0)) AS lw
+              |      FROM (SELECT unnest(range(0, 64)) AS bucket) b
+              |        LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt, rt),
+              |sc AS (SELECT f.doc_id, COUNT(*) AS n_feats, SUM(w.lw) AS logw
+              |       FROM f JOIN w USING (bucket) GROUP BY 1),
+              |g AS (SELECT doc_id, n_feats, logw, logw + (-LN(-LN(
+              |        (CAST(concat('0x', substr(md5('41:' || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+              |         + 0.5) / 1099511627776.0))) AS key
+              |      FROM sc),
+              |r AS (SELECT *, row_number() OVER (
+              |        ORDER BY ROUND(key + 1e-9, 6) DESC, doc_id) AS rn FROM g)
+              |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+              |       ROUND(logw + 1e-9, 4) AS logw_r
+              |FROM r WHERE rn <= 100 ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = graft.ext.Sampling.dsirWeights(
+          docs, docs.filter(col("lang") === "en"), "text", 64)
+        graft.ext.Sampling.dsirScore(docs, "doc_id", "text", w, 64, seed = 41)
+          .orderBy(round(col("key") + lit(1e-9), 6).desc, col("id").asc)
+          .limit(100)
+          .select(col("id").as("doc_id"), col("n_feats"),
+            R(col("logw")).as("logw_r"))
+          .orderBy("doc_id")
+      }),
+
+    // X-rrf: reciprocal-rank fusion hybrid retrieval — fuse the BM25
+    // lexical top-50 with the embedding-cosine top-50 (query = vector 0,
+    // vec_id aligns with doc_id) without score calibration. Both lists
+    // rank on the 4-decimal-rounded score with id tie-break, so the cut
+    // and the ranks are engine-stable; rrf = Σ 1/(60 + rank).
+    Q("x_rrf_hybrid",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |lens AS (SELECT doc_id, len(toks) AS dl FROM t),
+              |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM lens),
+              |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+              |       FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              |       WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+              |idf AS (SELECT term, LN((s.n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+              |        FROM (SELECT term, COUNT(DISTINCT doc_id) AS df
+              |              FROM tf GROUP BY 1), stats s),
+              |bs AS (SELECT tf.doc_id,
+              |         SUM(idf.idf * (tf.tf * 2.2)
+              |             / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / s.avgdl))) AS bm25
+              |       FROM tf JOIN idf USING (term) JOIN lens USING (doc_id),
+              |            stats s GROUP BY 1),
+              |ball AS (SELECT l.doc_id AS id, ROUND(COALESCE(bs.bm25, 0.0) + 1e-9, 4) AS score
+              |         FROM lens l LEFT JOIN bs ON l.doc_id = bs.doc_id),
+              |brk AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank_bm25
+              |        FROM ball QUALIFY rank_bm25 <= 50),
+              |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |cs AS (SELECT vec_id AS id,
+              |         ROUND((${cosSql("v", "qv")}) + 1e-9, 4) AS score
+              |       FROM e, q WHERE vec_id > 0),
+              |crk AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank_cos
+              |        FROM cs QUALIFY rank_cos <= 50)
+              |SELECT COALESCE(b.id, c.id) AS doc_id,
+              |       CAST(b.rank_bm25 AS INT) AS rank_bm25,
+              |       CAST(c.rank_cos AS INT) AS rank_cos,
+              |       ROUND(COALESCE(1.0 / (60 + b.rank_bm25), 0.0)
+              |             + COALESCE(1.0 / (60 + c.rank_cos), 0.0) + 1e-9, 4) AS rrf_r
+              |FROM brk b FULL OUTER JOIN crk c ON b.id = c.id
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val lex = TextAnalysis.bm25(docs, "text", "doc_id",
+            Seq("hash", "join", "filter"))
+          .select(col("id"), R(col("bm25")).as("score"))
+          .orderBy(col("score").desc, col("id").asc).limit(50)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val sem = emb.filter(col("vec_id") > 0).crossJoin(broadcast(qv))
+          .select(col("vec_id").as("id"),
+            R(Similarity.cosine(col("embedding"), col("qv"))).as("score"))
+          .orderBy(col("score").desc, col("id").asc).limit(50)
+        Similarity.rrfFuse(Seq("bm25" -> lex, "cos" -> sem))
+          .select(col("id").as("doc_id"), col("rank_bm25"), col("rank_cos"),
+            R(col("rrf")).as("rrf_r"))
+          .orderBy("doc_id")
+      }),
+
     // X-knn: k-nearest-neighbor label vote over embeddings — top-10 cosine
     // neighbors among the corpus half, majority label with deterministic
     // tie-break, compared against the query's true label.

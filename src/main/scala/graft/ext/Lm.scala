@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Smoothed n-gram language-model scoring for corpus quality filtering.
+  *
+  * The CCNet-style model-based filter (train a small LM on a trusted
+  * corpus, score every candidate document, gate on perplexity) needs a
+  * SMOOTHED model: the unsmoothed MLE bigram score (`x_doc_perplexity`)
+  * assigns probability zero to any bigram absent from training, so
+  * out-of-domain documents — exactly the ones the filter exists to
+  * catch — score as missing rows instead of as high-perplexity rows.
+  * This module implements interpolated Kneser–Ney (the KenLM default;
+  * Chen & Goodman 1998), the standard remedy.
+  *
+  * Reference behavior: the reference pipeline gates documents on simple
+  * quality scores (src/processors/transformations.py quality flags);
+  * this extends that gate with the model-based scorer LLM-scale
+  * pipelines use alongside it.
+  *
+  * Model (bigram, absolute discount D):
+  *   p(w2 | w1) = max(c(w1 w2) − D, 0) / c(w1 ·)
+  *              + [D · N1+(w1 ·) / c(w1 ·)] · pc(w2)        c(w1 ·) > 0
+  *   p(w2 | w1) = pc(w2)                                    unseen history
+  *   pc(w2)     = (N1+(· w2) + 1) / (T + V + 1)
+  * where c(w1 ·) = Σ_w c(w1 w) (history mass), N1+(w1 ·) = distinct
+  * continuations of w1, N1+(· w2) = distinct histories preceding w2,
+  * T = distinct bigram types, V = distinct training unigrams. The +1 in
+  * pc is add-one smoothing over an implicit <unk> continuation type, so
+  * every token — including ones never seen in training — gets strictly
+  * positive mass and every document gets a finite score.
+  *
+  * Scale shape (100 TB corpus, training slice of any size):
+  *  - training = two hash aggregations over exploded bigrams (map-side
+  *    combined; the shuffle carries (bigram, count) pairs, bounded by
+  *    bigram TYPES, not tokens);
+  *  - the history and continuation tables are vocabulary-bounded and the
+  *    totals frame is one row (explicit broadcast);
+  *  - scoring shuffles only (doc bigram, key) pairs for the model join
+  *    and one per-doc aggregation — texts never shuffle. The bigram-type
+  *    join is a plain hash join (vocabulary² upper bound rules out a
+  *    blind broadcast; AQE may still choose one when the model is small).
+  */
+object Lm {
+
+  /** Interpolated-KN bigram model tables from a training corpus:
+    * (bigrams(w1, w2, c2), hist(w1, c1, n1p_fwd), cont(w2, n1p_bwd),
+    * totals(tt = bigram types, vv = unigram vocab) — one row). */
+  case class KnModel(bigrams: DataFrame, hist: DataFrame, cont: DataFrame,
+                     totals: DataFrame)
+
+  /** Count the model tables. One pass over the training text: explode to
+    * bigrams, then every table below is an aggregate of the (w1, w2, c2)
+    * type table — vocabulary-sized, never corpus-sized. */
+  def knBigramTrain(train: DataFrame, textCol: String): KnModel = {
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    val toks = Par.fanOut(train, par)
+      .select(TextAnalysis.tokens(col(textCol)).as("toks"))
+    val bigrams = toks
+      .select(explode(TextAnalysis.shinglesFromTokens(col("toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c2"))
+    val hist = bigrams.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1p_fwd"))
+    val cont = bigrams.groupBy("w2")
+      .agg(count(lit(1)).as("n1p_bwd"))
+    val vocab = toks.select(explode(col("toks")).as("w"))
+      .agg(countDistinct("w").as("vv"))
+    val totals = bigrams.agg(count(lit(1)).as("tt"))
+      .crossJoin(vocab)
+    KnModel(bigrams, hist, cont, totals)
+  }
+
+  /** Score every document under the model: (id, n_bigrams, avg_nll)
+    * with avg_nll = mean −log2 p_KN over the document's bigrams.
+    * Documents with fewer than 2 tokens have no bigrams and are
+    * excluded (no event to score). UNLIKE the MLE scorer, every
+    * document with at least one bigram gets a finite score — unseen
+    * histories and unseen continuations fall through to the smoothed
+    * continuation distribution instead of vanishing. */
+  def knScore(docs: DataFrame, idCol: String, textCol: String,
+              model: KnModel, discount: Double = 0.75): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val db = Par.fanOut(docs, par)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.shinglesFromTokens(
+          TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
+      .select(col("id"), split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val d = lit(discount)
+    val pc = (coalesce(col("n1p_bwd"), lit(0L)) + lit(1.0)) /
+      (col("tt") + col("vv") + lit(1.0))
+    val pSeen = greatest(coalesce(col("c2"), lit(0L)).cast("double") - d,
+      lit(0.0)) / col("c1") +
+      (d * col("n1p_fwd") / col("c1")) * pc
+    val p = when(col("c1").isNotNull, pSeen).otherwise(pc)
+    db.join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.hist, Seq("w1"), "left")
+      .join(model.cont, Seq("w2"), "left")
+      .crossJoin(broadcast(model.totals))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(-log(2.0, p)).as("avg_nll"))
+  }
+}

@@ -205,4 +205,87 @@ object Sampling {
         col("_base") + when(col("_rk") <= col("_left"), 1L).otherwise(0L))
       .select(gcols :+ col("n_rows") :+ col("q") :+ col("alloc"): _*)
   }
+
+  // --------------------------------------------------------------------
+  // DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+  // Select raw-corpus documents that LOOK LIKE a small trusted target
+  // set: fit a hashed bag-of-ngrams multinomial to each corpus, weight
+  // every raw document by its target/raw log-likelihood ratio, then
+  // resample with Gumbel-perturbed top-k (importance resampling without
+  // replacement). Every step is deterministic: the feature hash and the
+  // Gumbel uniform both derive from md5, so the same documents win on
+  // any engine, run, or partitioning — the [[esKey]] design applied to
+  // likelihood-ratio selection.
+
+  /** Hashed n-gram features of a document: unigrams plus bigrams folded
+    * into `numBuckets` via the engine-portable md5 bucket (the paper's
+    * hashed n-gram feature space). Narrow per-row projection. */
+  def dsirFeatures(text: Column, numBuckets: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val grams = concat(toks, TextAnalysis.shinglesFromTokens(toks, 2))
+    transform(grams, g => TextAnalysis.tokenBucket(g, numBuckets))
+  }
+
+  /** Per-bucket log importance ratio log p_target(b) − log p_raw(b),
+    * each a Laplace-smoothed multinomial over the hashed feature space:
+    * p(b) = (c(b) + α) / (C + α·B). Returns (bucket, lw) covering ALL
+    * B buckets (unseen buckets carry the smoothed floor), so the score
+    * join never drops a feature.
+    *
+    * Shape at scale: one explode + hash aggregation per corpus, both
+    * map-side combined and bounded by B buckets out; the result is a
+    * B-row table — broadcast material by construction. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                  numBuckets: Int, alpha: Double = 1.0): DataFrame = {
+    val spark = raw.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    def bucketCounts(df: DataFrame): DataFrame =
+      Par.fanOut(df, par)
+        .select(explode(dsirFeatures(col(textCol), numBuckets)).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val all = spark.range(numBuckets).select(col("id").as("bucket"))
+    def smoothed(counts: DataFrame, name: String): DataFrame = {
+      val tot = counts.agg(sum("c").as("tot"))
+      all.join(counts, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          log((coalesce(col("c"), lit(0L)) + lit(alpha)) /
+            (col("tot") + lit(alpha * numBuckets))).as(name))
+    }
+    smoothed(bucketCounts(target), "lt")
+      .join(smoothed(bucketCounts(raw), "lr"), Seq("bucket"))
+      .select(col("bucket"), (col("lt") - col("lr")).as("lw"))
+  }
+
+  /** Gumbel(0,1) noise from row identity: −ln(−ln u) with u the md5
+    * uniform of (seed, id) — the deterministic twin of the Gumbel-top-k
+    * trick (adding Gumbel noise to log-weights and taking the top-k
+    * samples k items WITHOUT replacement ∝ their importance weights). */
+  def gumbelKey(id: Column, seed: Int): Column = {
+    val h = conv(substring(md5(concat(lit(seed.toString), lit(":"),
+      id.cast("string")).cast("binary")), 1, 10), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(1099511627776.0) // 2^40, u in (0,1)
+    -log(-log(u))
+  }
+
+  /** Score every raw document under a [[dsirWeights]] table and rank by
+    * Gumbel-perturbed log-weight. Returns (id, n_feats, logw, key);
+    * `SELECT ... ORDER BY key DESC LIMIT k` — a TakeOrdered, no global
+    * sort — is the DSIR-selected subset. Documents with no features
+    * (under 1 token) are excluded: they carry no evidence either way.
+    *
+    * Shape at scale: explode → broadcast join on the B-row weight
+    * table → one per-doc aggregation; texts never shuffle. */
+  def dsirScore(raw: DataFrame, idCol: String, textCol: String,
+                weights: DataFrame, numBuckets: Int,
+                seed: Int = 41): DataFrame = {
+    val par = raw.sparkSession.sparkContext.defaultParallelism
+    Par.fanOut(raw, par)
+      .select(col(idCol).as("id"),
+        explode(dsirFeatures(col(textCol), numBuckets)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"), sum("lw").as("logw"))
+      .withColumn("key", col("logw") + gumbelKey(col("id"), seed))
+  }
 }

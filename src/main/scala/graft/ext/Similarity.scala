@@ -999,4 +999,38 @@ object Similarity {
       .select(col("id").as(idCol)).distinct()
     batch.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009): combine
+    * ranked lists from heterogeneous scorers — here typically a lexical
+    * ranking (BM25) and an embedding ranking (cosine) — without score
+    * calibration: rrf(d) = Σ_lists 1/(k + rank_list(d)). The industry
+    * "hybrid search" default; k=60 per the paper.
+    *
+    * Input: (name, df(id, score)) per list, higher score = better;
+    * ranks are dense per list with id as the deterministic tie-break. A
+    * document missing from a list contributes nothing for it (the
+    * paper's convention). Returns (id, rrf, rank_<name>... ) for every
+    * id in any list.
+    *
+    * Shape at scale: ranking a full corpus would be a global sort, so
+    * rank within each list's TOP-N cut only — candidate generation
+    * (bruteForceTopK / ivfTopK / a BM25 TakeOrdered head) happens
+    * before fusion, which then runs on lists-sized frames: a
+    * window-rank per list plus one outer join keyed by id. */
+  def rrfFuse(lists: Seq[(String, DataFrame)], k: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val ranked = lists.map { case (name, df) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("id").asc)
+      df.select(col("id"), col("score"))
+        .withColumn(s"rank_$name", row_number().over(w))
+        .drop("score")
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val rrf = lists.map { case (name, _) =>
+      when(col(s"rank_$name").isNotNull,
+        lit(1.0) / (lit(k) + col(s"rank_$name"))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    joined.withColumn("rrf", rrf)
+  }
 }

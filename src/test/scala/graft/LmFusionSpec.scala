@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Lm, Sampling, Similarity}
+
+/** Kneser–Ney scoring, DSIR importance resampling, and RRF hybrid
+  * fusion — the model-based curation operators. */
+class LmFusionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("KN: every doc with a bigram gets a finite score, OOD scores worse") {
+    val train = Seq(
+      (0L, "the cat sat on the mat"),
+      (2L, "the cat ate the fish"),
+      (4L, "the dog sat on the rug")
+    ).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "the cat sat on the mat"),  // in-domain
+      (11L, "zx qv bn zx qv"),          // fully out-of-domain
+      (12L, "the cat"),                 // one seen bigram
+      (13L, "single")                   // no bigram: excluded
+    ).toDF("doc_id", "text")
+    val m = Lm.knBigramTrain(train, "text")
+    val out = Lm.knScore(score, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set(10L, 11L, 12L))
+    assert(out.values.forall(v => !v.isNaN && !v.isInfinite),
+      s"all scores finite: $out")
+    // the MLE scorer would have NO row for 11; KN scores it, and worse
+    // than the in-domain doc
+    assert(out(11L) > out(10L),
+      s"OOD doc must score higher nll: ${out(11L)} vs ${out(10L)}")
+  }
+
+  test("KN: seen-history probabilities sum to at most 1 over seen + unseen w2") {
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    val m = Lm.knBigramTrain(train, "text")
+    // score p(w2 | 'a') for both seen continuations and one unseen token:
+    // interpolated KN with add-one <unk> continuation mass must keep the
+    // total within the simplex (strictly below 1: the unseen-token tail
+    // holds the rest)
+    val probe = Seq((1L, "a b"), (2L, "a c"), (3L, "a zz"))
+      .toDF("doc_id", "text")
+    val p = Lm.knScore(probe, "doc_id", "text", m)
+      .select(pow(lit(2.0), -col("avg_nll")).as("p"))
+      .as[Double].collect()
+    assert(p.forall(v => v > 0 && v < 1))
+    assert(p.sum <= 1.0 + 1e-9, s"Σp over continuations = ${p.sum}")
+  }
+
+  test("DSIR: selection prefers target-like documents, deterministically") {
+    val tgt = (0L until 30L).map(i => (i, "alpha beta gamma delta"))
+    val mix = (100L until 130L).map(i => (i, "alpha beta gamma delta")) ++
+      (200L until 260L).map(i => (i, "zork quux blarg frotz"))
+    val raw = mix.toDF("doc_id", "text")
+    val target = tgt.toDF("doc_id", "text")
+    val w = Sampling.dsirWeights(raw, target, "text", numBuckets = 32)
+    assert(w.count() === 32, "weight table covers every bucket")
+    val sel = Sampling.dsirScore(raw, "doc_id", "text", w, 32)
+      .orderBy(col("key").desc, col("id").asc).limit(30)
+      .select("id").as[Long].collect().toSet
+    // all 30 target-like raw docs outrank every off-target doc: the
+    // log-ratio gap dwarfs the Gumbel noise
+    assert(sel === (100L until 130L).toSet, s"selected $sel")
+    val sel2 = Sampling.dsirScore(raw, "doc_id", "text", w, 32)
+      .orderBy(col("key").desc, col("id").asc).limit(30)
+      .select("id").as[Long].collect().toSet
+    assert(sel2 === sel, "md5-derived Gumbel keys are run-stable")
+  }
+
+  test("RRF: both-list docs outrank single-list docs at equal ranks") {
+    val a = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "score")
+    val b = Seq((1L, 0.9), (4L, 0.8), (2L, 0.7)).toDF("id", "score")
+    val out = Similarity.rrfFuse(Seq("a" -> a, "b" -> b))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Any]("rank_a"), r.getAs[Any]("rank_b"),
+          r.getAs[Double]("rrf"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L), "full outer over both lists")
+    assert(out(1L)._1 === 1 && out(1L)._2 === 1)
+    assert(out(3L)._2 === null, "missing list rank stays null")
+    // doc 1 (rank 1 + rank 1) beats everything; doc 2 (2,3) beats
+    // single-list docs 3 (3,-) and 4 (-,2)
+    assert(out(1L)._3 > out(2L)._3)
+    assert(out(2L)._3 > out(3L)._3 && out(2L)._3 > out(4L)._3)
+    // a missing list contributes exactly 0: doc 3 = 1/(60+3)
+    assert(math.abs(out(3L)._3 - 1.0 / 63) < 1e-12)
+  }
+}

@@ -5088,6 +5088,78 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // X-fair-gate: per-source quantile normalization of the quality score
+    // (FineWeb-style per-dump thresholds): an absolute cut lets a clean
+    // source swamp the mix and starves a noisy one; ranking WITHIN each
+    // source and keeping each one's top half is source-fair by
+    // construction. Rank on the ROUNDED score with doc_id tie-break so
+    // both engines order identically. Scale: one shuffle keyed by
+    // source; for skewed sources the per-group GK sketch
+    // (QuantileSketchAgg) yields the threshold without a full sort.
+    Q("x_source_fair_gate",
+      Some(s"""WITH t AS (SELECT doc_id, source,
+              |            ROUND(($qualityScoreSql) + 1e-9, 4) AS q_r
+              |          FROM (SELECT doc_id, source, text, $toksSql AS toks
+              |                FROM documents)),
+              |r AS (SELECT doc_id, source, q_r,
+              |        percent_rank() OVER (PARTITION BY source
+              |                             ORDER BY q_r, doc_id) AS pr
+              |      FROM t)
+              |SELECT doc_id, source, q_r, ROUND(pr + 1e-9, 4) AS pctile,
+              |       pr >= 0.5 AS kept
+              |FROM r ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("q_r").asc, col("doc_id").asc)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            R(TextAnalysis.qualityScore(col("text"))).as("q_r"))
+          .withColumn("pr", percent_rank().over(w))
+          .select(col("doc_id"), col("source"), col("q_r"),
+            R(col("pr")).as("pctile"), (col("pr") >= 0.5).as("kept"))
+          .orderBy("doc_id")
+      }),
+
+    // X-hardneg: hard-negative mining for retrieval/classifier training —
+    // for each query vector, the top-5 most-similar corpus vectors with a
+    // DIFFERENT label (the near-misses contrastive training needs).
+    // Brute-force arm; at corpus scale candidate generation runs through
+    // the IVF/PQ index first and the label filter applies to the
+    // shortlist (ivfPqRerankTopK), identical downstream shape.
+    Q("x_hard_negatives",
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+              |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 20),
+              |c AS (SELECT vec_id AS corpus_id, label AS clabel, v AS cv FROM e WHERE vec_id >= 20),
+              |sc AS (SELECT query_id, qlabel, corpus_id, clabel,
+              |         (${cosSql("cv", "qv")}) AS cosine
+              |       FROM c CROSS JOIN q WHERE clabel <> qlabel),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              |                                   ORDER BY cosine DESC, corpus_id) AS rn FROM sc)
+              |SELECT query_id, CAST(rn AS INT) AS rn, corpus_id,
+              |       CAST(clabel AS INT) AS neg_label,
+              |       ROUND(cosine + 1e-9, 4) AS cosine_r
+              |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("embedding").as("qv"))
+        val c = emb.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("corpus_id"), col("label").as("clabel"),
+            col("embedding").as("cv"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("corpus_id").asc)
+        c.crossJoin(broadcast(q))
+          .filter(col("clabel") =!= col("qlabel"))
+          .withColumn("cosine", Similarity.cosine(col("cv"), col("qv")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("query_id"), col("rn").cast("int").as("rn"),
+            col("corpus_id"), col("clabel").cast("int").as("neg_label"),
+            R(col("cosine")).as("cosine_r"))
+          .orderBy("query_id", "rn")
+      }),
+
     // X-knn: k-nearest-neighbor label vote over embeddings — top-10 cosine
     // neighbors among the corpus half, majority label with deterministic
     // tie-break, compared against the query's true label.

@@ -4985,6 +4985,64 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // X-lm-kn3: trigram interpolated KN — the full recursion
+    // trigram → continuation-bigram → smoothed unigram. The bigram
+    // level uses CONTINUATION counts (distinct left-contexts), the
+    // defining Kneser–Ney move; unseen (w1,w2) histories back off a
+    // level instead of dropping out. Same even-half training split.
+    Q("x_kn3_perplexity",
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |tg AS (SELECT unnest(${gramsSql(3)}) AS g FROM t WHERE doc_id % 2 = 0),
+              |tri AS (SELECT string_split(g, ' ')[1] AS w1,
+              |               string_split(g, ' ')[2] AS w2,
+              |               string_split(g, ' ')[3] AS w3, COUNT(*) AS c3
+              |        FROM tg GROUP BY 1, 2, 3),
+              |h3 AS (SELECT w1, w2, SUM(c3) AS c12, COUNT(*) AS fwd3 FROM tri GROUP BY 1, 2),
+              |m2 AS (SELECT w2, w3, COUNT(DISTINCT w1) AS n1p FROM tri GROUP BY 1, 2),
+              |h2 AS (SELECT w2, SUM(n1p) AS tot2, COUNT(*) AS fwd2 FROM m2 GROUP BY 1),
+              |cont AS (SELECT w3, COUNT(*) AS n1p_bwd FROM m2 GROUP BY 1),
+              |tot AS (SELECT (SELECT COUNT(*) FROM m2) AS tt,
+              |               (SELECT COUNT(DISTINCT w)
+              |                FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)) AS vv),
+              |db AS (SELECT doc_id, string_split(g, ' ')[1] AS w1,
+              |              string_split(g, ' ')[2] AS w2,
+              |              string_split(g, ' ')[3] AS w3
+              |       FROM (SELECT doc_id, unnest(${gramsSql(3)}) AS g FROM t)),
+              |j AS (SELECT db.doc_id, tri.c3, h3.c12, h3.fwd3, m2.n1p,
+              |             h2.tot2, h2.fwd2, ct.n1p_bwd, tot.tt, tot.vv
+              |      FROM db LEFT JOIN tri ON db.w1 = tri.w1 AND db.w2 = tri.w2 AND db.w3 = tri.w3
+              |        LEFT JOIN h3 ON db.w1 = h3.w1 AND db.w2 = h3.w2
+              |        LEFT JOIN m2 ON db.w2 = m2.w2 AND db.w3 = m2.w3
+              |        LEFT JOIN h2 ON db.w2 = h2.w2
+              |        LEFT JOIN cont ct ON db.w3 = ct.w3
+              |        CROSS JOIN tot),
+              |p2t AS (SELECT doc_id, c3, c12, fwd3,
+              |          CASE WHEN tot2 IS NOT NULL THEN
+              |            GREATEST(COALESCE(n1p, 0) - 0.75, 0.0) / tot2
+              |            + (0.75 * fwd2 / tot2)
+              |              * ((COALESCE(n1p_bwd, 0) + 1.0) / (tt + vv + 1.0))
+              |          ELSE (COALESCE(n1p_bwd, 0) + 1.0) / (tt + vv + 1.0)
+              |          END AS p2
+              |        FROM j),
+              |p3t AS (SELECT doc_id,
+              |          CASE WHEN c12 IS NOT NULL THEN
+              |            GREATEST(COALESCE(c3, 0) - 0.75, 0.0) / c12
+              |            + (0.75 * fwd3 / c12) * p2
+              |          ELSE p2 END AS p
+              |        FROM p2t)
+              |SELECT doc_id, COUNT(*) AS n_trigrams,
+              |       ROUND(AVG(-log2(p)) + 1e-9, 4) AS avg_nll
+              |FROM p3t GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.ext.Lm.knTrigramTrain(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        graft.ext.Lm.kn3Score(docs, "doc_id", "text", model)
+          .select(col("id").as("doc_id"), col("n_trigrams"),
+            R(col("avg_nll")).as("avg_nll"))
+          .orderBy("doc_id")
+      }),
+
     // X-dsir: Data Selection via Importance Resampling (Xie et al. 2023)
     // — fit hashed-ngram multinomials to the 'en' target slice and the
     // full raw corpus, weight every document by its target/raw

@@ -104,4 +104,78 @@ object Lm {
       .agg(count(lit(1)).as("n_bigrams"),
         avg(-log(2.0, p)).as("avg_nll"))
   }
+
+  /** Trigram interpolated-KN model. The lower (bigram) order is built
+    * from CONTINUATION counts of the trigram table — the defining KN
+    * move: p_kn2 asks "in how many distinct contexts does this bigram
+    * continue a history", not "how often does it occur" — so a bigram
+    * frequent only inside one fixed phrase stops inflating its backoff
+    * mass. Tables:
+    *   tri(w1,w2,w3,c3); h3(w1,w2, c12=Σc3, fwd3=|{w3}|);
+    *   m2(w2,w3, n1p=|{w1: c(w1 w2 w3)>0}|); h2(w2, tot2=Σn1p, fwd2=|{w3}|);
+    *   cont(w3, n1p_bwd=|{w2: (w2,w3)∈m2}|); totals(tt=|m2|, vv=|vocab|).
+    * All are aggregates of the trigram TYPE table — vocabulary-bounded,
+    * never corpus-bounded. */
+  case class Kn3Model(tri: DataFrame, h3: DataFrame, m2: DataFrame,
+                      h2: DataFrame, cont: DataFrame, totals: DataFrame)
+
+  def knTrigramTrain(train: DataFrame, textCol: String): Kn3Model = {
+    val par = train.sparkSession.sparkContext.defaultParallelism
+    val toks = Par.fanOut(train, par)
+      .select(TextAnalysis.tokens(col(textCol)).as("toks"))
+    val tri = toks
+      .select(explode(TextAnalysis.shinglesFromTokens(col("toks"), 3)).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("c3"))
+      .select(split(col("tg"), " ").getItem(0).as("w1"),
+        split(col("tg"), " ").getItem(1).as("w2"),
+        split(col("tg"), " ").getItem(2).as("w3"), col("c3"))
+    val h3 = tri.groupBy("w1", "w2")
+      .agg(sum("c3").as("c12"), count(lit(1)).as("fwd3"))
+    val m2 = tri.groupBy("w2", "w3")
+      .agg(countDistinct("w1").as("n1p"))
+    val h2 = m2.groupBy("w2")
+      .agg(sum("n1p").as("tot2"), count(lit(1)).as("fwd2"))
+    val cont = m2.groupBy("w3").agg(count(lit(1)).as("n1p_bwd"))
+    val vocab = toks.select(explode(col("toks")).as("w"))
+      .agg(countDistinct("w").as("vv"))
+    val totals = m2.agg(count(lit(1)).as("tt")).crossJoin(vocab)
+    Kn3Model(tri, h3, m2, h2, cont, totals)
+  }
+
+  /** Score documents under the trigram model: (id, n_trigrams, avg_nll),
+    * avg −log2 p(w3 | w1 w2) with the full interpolation chain
+    * trigram → continuation-bigram → smoothed unigram. Unseen (w1,w2)
+    * histories back off to the bigram level; unseen w2 to the unigram
+    * continuation floor — every ≥3-token document scores finite. */
+  def kn3Score(docs: DataFrame, idCol: String, textCol: String,
+               model: Kn3Model, discount: Double = 0.75): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val db = Par.fanOut(docs, par)
+      .select(col(idCol).as("id"),
+        explode(TextAnalysis.shinglesFromTokens(
+          TextAnalysis.tokens(col(textCol)), 3)).as("tg"))
+      .select(col("id"), split(col("tg"), " ").getItem(0).as("w1"),
+        split(col("tg"), " ").getItem(1).as("w2"),
+        split(col("tg"), " ").getItem(2).as("w3"))
+    val d = lit(discount)
+    val pc = (coalesce(col("n1p_bwd"), lit(0L)) + lit(1.0)) /
+      (col("tt") + col("vv") + lit(1.0))
+    val p2Seen = greatest(coalesce(col("n1p"), lit(0L)).cast("double") - d,
+      lit(0.0)) / col("tot2") +
+      (d * col("fwd2") / col("tot2")) * pc
+    val p2 = when(col("tot2").isNotNull, p2Seen).otherwise(pc)
+    val p3Seen = greatest(coalesce(col("c3"), lit(0L)).cast("double") - d,
+      lit(0.0)) / col("c12") +
+      (d * col("fwd3") / col("c12")) * p2
+    val p3 = when(col("c12").isNotNull, p3Seen).otherwise(p2)
+    db.join(model.tri, Seq("w1", "w2", "w3"), "left")
+      .join(model.h3, Seq("w1", "w2"), "left")
+      .join(model.m2, Seq("w2", "w3"), "left")
+      .join(model.h2, Seq("w2"), "left")
+      .join(model.cont, Seq("w3"), "left")
+      .crossJoin(broadcast(model.totals))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        avg(-log(2.0, p3)).as("avg_nll"))
+  }
 }

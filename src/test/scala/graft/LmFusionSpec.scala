@@ -48,6 +48,44 @@ class LmFusionSpec extends SparkTestBase {
     assert(p.sum <= 1.0 + 1e-9, s"Σp over continuations = ${p.sum}")
   }
 
+  test("KN3: backoff chain — unseen trigram history falls to the bigram level") {
+    // 'a b c' is a REPEATED trigram (3×): a singleton would (correctly)
+    // score below its own backoff — absolute discounting strips most of
+    // a count-1 event's mass — so the seen<backoff ordering needs count>1
+    val train = Seq(
+      (0L, "a b c"), (2L, "a b c"), (4L, "a b c"),
+      (6L, "a b d"), (8L, "x b c")
+    ).toDF("doc_id", "text")
+    val m = Lm.knTrigramTrain(train, "text")
+    // 'q b c': history (q,b) unseen → p = p_kn2(c|b); 'q q q': everything
+    // unseen → unigram continuation floor; 'a b c': fully seen
+    val probe = Seq((1L, "a b c"), (2L, "q b c"), (3L, "q q q"))
+      .toDF("doc_id", "text")
+    val out = Lm.kn3Score(probe, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out.values.forall(v => !v.isNaN && !v.isInfinite))
+    // seen < backoff < floor, strictly
+    assert(out(1L) < out(2L) && out(2L) < out(3L), s"$out")
+    // the backoff value IS the bigram continuation level: recompute
+    // p_kn2(c|b) by hand. tri types {(a b c):3,(a b d):1,(x b c):1};
+    // m2: (b,c) n1p=2 (a,x); (b,d) n1p=1. h2(b): tot2=3, fwd2=2. cont:
+    // c:1, d:1. tt=2, vv=5 (a,b,c,d,x).
+    // pc(c) = (1+1)/(2+5+1) = 0.25
+    // p2(c|b) = max(2−.75,0)/3 + (.75·2/3)·0.25 = 0.41666... + 0.125
+    val p2 = 1.25 / 3 + 0.5 * 0.25
+    val expected = -math.log(p2) / math.log(2)
+    assert(math.abs(out(2L) - expected) < 1e-9,
+      s"backoff = bigram level: ${out(2L)} vs $expected")
+    // and the seen trigram interpolates on TOP of that same p2:
+    // h3(a,b): c12=4, fwd3=2 → p3 = (3−.75)/4 + (.75·2/4)·p2
+    val expected3 = -math.log(2.25 / 4 + 0.375 * p2) / math.log(2)
+    assert(math.abs(out(1L) - expected3) < 1e-9,
+      s"seen trigram hand value: ${out(1L)} vs $expected3")
+    // unigram floor: pc(q) = 1/8 per trigram position
+    assert(math.abs(out(3L) - 3.0) < 1e-9, s"floor: ${out(3L)}")
+  }
+
   test("DSIR: selection prefers target-like documents, deterministically") {
     val tgt = (0L until 30L).map(i => (i, "alpha beta gamma delta"))
     val mix = (100L until 130L).map(i => (i, "alpha beta gamma delta")) ++

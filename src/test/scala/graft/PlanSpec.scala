@@ -222,7 +222,15 @@ class PlanSpec extends SparkTestBase {
       "x_semantic_contamination", "x_semantic_contamination_blocked",
       // profile similarity scores the users-sized PROFILE table all-pairs
       // (the corpus reduction already happened in the aggregation)
-      "x_profile_similarity")
+      "x_profile_similarity",
+      // KN scoring crossJoins the ONE-ROW model-totals frame (tt, vv);
+      // DSIR crossJoins its one-row corpus totals inside dsirWeights —
+      // the per-feature weight join itself is an equi-join on bucket
+      "x_kn_perplexity", "x_kn3_perplexity", "x_dsir_select",
+      // broadcast-scored similarity: rrf crosses the ONE-ROW query
+      // vector, hard-negative mining the 20-row query set, against the
+      // corpus — same shape as x_knn_classify
+      "x_rrf_hybrid", "x_hard_negatives")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -531,6 +531,65 @@ object StreamingPipeline {
         .connectedComponents(batch, srcCol, dstCol)
     }
 
+  /** Continuous DSIR weight maintenance — the streaming twin of
+    * [[graft.ext.Sampling.dsirWeights]]: each micro-batch's hashed-ngram
+    * bucket counts (target-predicate rows and all rows) fold ADDITIVELY
+    * into a stored (bucket, ct, cr) table, so the importance-ratio model
+    * tracks the evolving corpus without ever rescanning it. Counting is
+    * algebraic, so the state always equals the full-corpus recompute
+    * exactly; state is ≤numBuckets rows TOTAL. Read the weight table at
+    * any time via [[dsirWeightsView]]. Exactly-once via marker+swap. */
+  def dsirCounts(stream: DataFrame, textCol: String,
+                 targetPred: org.apache.spark.sql.Column, numBuckets: Int,
+                 storePath: String, ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        dsirCountsBatch(batch, id, textCol, targetPred, numBuckets,
+          storePath)
+      }
+      .start()
+
+  /** The per-batch body of [[dsirCounts]]. */
+  def dsirCountsBatch(batch: DataFrame, id: Long, textCol: String,
+                      targetPred: org.apache.spark.sql.Column,
+                      numBuckets: Int, storePath: String): Unit =
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val par = batch.sparkSession.sparkContext.defaultParallelism
+      val partial = graft.ext.Par.fanOut(batch, par)
+        .select(targetPred.cast("long").as("t"),
+          explode(graft.ext.Sampling
+            .dsirFeatures(col(textCol), numBuckets)).as("bucket"))
+        .groupBy("bucket")
+        .agg(sum("t").as("ct"), count(lit(1)).as("cr"))
+      existingOpt match {
+        case Some(existing) =>
+          existing.unionByName(partial).groupBy("bucket")
+            .agg(sum("ct").as("ct"), sum("cr").as("cr"))
+        case None => partial
+      }
+    }
+
+  /** Smoothed log importance-ratio table from a [[dsirCounts]] store:
+    * (bucket, lw) over ALL `numBuckets` buckets — identical to
+    * [[graft.ext.Sampling.dsirWeights]] over the corpus streamed so far
+    * (target = rows matching the predicate, raw = all rows). Feed it to
+    * `Sampling.dsirScore` unchanged. */
+  def dsirWeightsView(stored: DataFrame, numBuckets: Int,
+                      alpha: Double = 1.0): DataFrame = {
+    val spark = stored.sparkSession
+    val all = spark.range(numBuckets).select(col("id").as("bucket"))
+    val tot = stored.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val fln = org.apache.spark.sql.functions.log(_: org.apache.spark.sql.Column)
+    all.join(stored, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (fln((coalesce(col("ct"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("tt"), lit(0L)) + lit(alpha * numBuckets)))
+          - fln((coalesce(col("cr"), lit(0L)) + lit(alpha)) /
+          (coalesce(col("tr"), lit(0L)) + lit(alpha * numBuckets)))).as("lw"))
+  }
+
   /** Percentile read over a [[quantileState]] store: one row per group
     * with the requested quantiles as array<double> — a distributed
     * scalar read of the groups-sized state, no driver collect and no

@@ -106,6 +106,31 @@ class LmFusionSpec extends SparkTestBase {
     assert(sel2 === sel, "md5-derived Gumbel keys are run-stable")
   }
 
+  test("streaming DSIR counts: folded batches ≡ batch recompute; replay no-op") {
+    import graft.streaming.StreamingPipeline
+    val dir = java.nio.file.Files.createTempDirectory("dsirstate").toString
+    val b1 = Seq((0L, "alpha beta gamma", "en"), (1L, "zork quux blarg", "de"))
+      .toDF("doc_id", "text", "lang")
+    val b2 = Seq((2L, "alpha gamma delta", "en"), (3L, "alpha beta zork", "de"))
+      .toDF("doc_id", "text", "lang")
+    val pred = col("lang") === "en"
+    StreamingPipeline.dsirCountsBatch(b1, 0L, "text", pred, 32, dir)
+    StreamingPipeline.dsirCountsBatch(b2, 1L, "text", pred, 32, dir)
+    def view() = StreamingPipeline
+      .dsirWeightsView(spark.read.parquet(s"$dir/data"), 32)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val streamed = view()
+    val full = b1.unionByName(b2)
+    val batch = Sampling.dsirWeights(full, full.filter(pred), "text", 32)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // counting is algebraic: the streamed view equals the full-corpus
+    // recompute EXACTLY (identical long counts → identical IEEE logs)
+    assert(streamed.toSeq === batch.toSeq)
+    // replayed batch is a marker no-op
+    StreamingPipeline.dsirCountsBatch(b2, 1L, "text", pred, 32, dir)
+    assert(view().toSeq === streamed.toSeq)
+  }
+
   test("RRF: both-list docs outrank single-list docs at equal ranks") {
     val a = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "score")
     val b = Seq((1L, 0.9), (4L, 0.8), (2L, 0.7)).toDF("id", "score")

@@ -46,13 +46,20 @@ object Lm {
 
   /** Interpolated-KN bigram model tables from a training corpus:
     * (bigrams(w1, w2, c2), hist(w1, c1, n1p_fwd), cont(w2, n1p_bwd),
-    * totals(tt = bigram types, vv = unigram vocab) — one row). */
+    * totals(tt = bigram types, vv = unigram vocab) — one row).
+    * The TYPE table is persisted (it is vocabulary-bounded — disk-backed
+    * cache, tiny next to the corpus) so the derived tables aggregate it
+    * instead of each re-reading the training text; call [[release]]
+    * when the model is no longer needed. */
   case class KnModel(bigrams: DataFrame, hist: DataFrame, cont: DataFrame,
-                     totals: DataFrame)
+                     totals: DataFrame) {
+    def release(): Unit = { bigrams.unpersist(); () }
+  }
 
-  /** Count the model tables. One pass over the training text: explode to
-    * bigrams, then every table below is an aggregate of the (w1, w2, c2)
-    * type table — vocabulary-sized, never corpus-sized. */
+  /** Count the model tables. TWO passes over the training text (the
+    * bigram pass and the unigram-vocabulary pass); every other table is
+    * an aggregate of the persisted (w1, w2, c2) type table —
+    * vocabulary-sized, never corpus-sized. */
   def knBigramTrain(train: DataFrame, textCol: String): KnModel = {
     val par = train.sparkSession.sparkContext.defaultParallelism
     val toks = Par.fanOut(train, par)
@@ -62,6 +69,7 @@ object Lm {
       .groupBy("bg").agg(count(lit(1)).as("c2"))
       .select(split(col("bg"), " ").getItem(0).as("w1"),
         split(col("bg"), " ").getItem(1).as("w2"), col("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = bigrams.groupBy("w1")
       .agg(sum("c2").as("c1"), count(lit(1)).as("n1p_fwd"))
     val cont = bigrams.groupBy("w2")
@@ -117,22 +125,30 @@ object Lm {
     * All are aggregates of the trigram TYPE table — vocabulary-bounded,
     * never corpus-bounded. */
   case class Kn3Model(tri: DataFrame, h3: DataFrame, m2: DataFrame,
-                      h2: DataFrame, cont: DataFrame, totals: DataFrame)
+                      h2: DataFrame, cont: DataFrame, totals: DataFrame) {
+    def release(): Unit = { tri.unpersist(); m2.unpersist(); () }
+  }
 
   def knTrigramTrain(train: DataFrame, textCol: String): Kn3Model = {
     val par = train.sparkSession.sparkContext.defaultParallelism
     val toks = Par.fanOut(train, par)
       .select(TextAnalysis.tokens(col(textCol)).as("toks"))
+    // persist the TYPE tables (tri, and m2 which h2/cont/totals re-derive)
+    // so the five model aggregates read them from cache instead of each
+    // re-reading + re-exploding the training corpus — at 100 TB that is
+    // the difference between 2 corpus passes and 6
     val tri = toks
       .select(explode(TextAnalysis.shinglesFromTokens(col("toks"), 3)).as("tg"))
       .groupBy("tg").agg(count(lit(1)).as("c3"))
       .select(split(col("tg"), " ").getItem(0).as("w1"),
         split(col("tg"), " ").getItem(1).as("w2"),
         split(col("tg"), " ").getItem(2).as("w3"), col("c3"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h3 = tri.groupBy("w1", "w2")
       .agg(sum("c3").as("c12"), count(lit(1)).as("fwd3"))
     val m2 = tri.groupBy("w2", "w3")
       .agg(countDistinct("w1").as("n1p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h2 = m2.groupBy("w2")
       .agg(sum("n1p").as("tot2"), count(lit(1)).as("fwd2"))
     val cont = m2.groupBy("w3").agg(count(lit(1)).as("n1p_bwd"))

@@ -26,6 +26,7 @@ object ScaleProbe {
     if (args.headOption.contains("bpe")) { bpeProbe(args); return }
     if (args.headOption.contains("rangejoin")) { rangeJoinProbe(args); return }
     if (args.headOption.contains("jaccard")) { jaccardProbe(args); return }
+    if (args.headOption.contains("kn")) { knProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -610,6 +611,52 @@ object ScaleProbe {
     val prefC = bucketPairs(pref)
     println(f"[scale] jaccard diag full_candidates=$full " +
       f"prefix_candidates=$prefC reduction=${full.toDouble / prefC}%.1fx")
+    spark.stop()
+  }
+
+  /** Trigram-KN model+scoring scale sweep:
+    * `ScaleProbe kn [nDocsSmall] [nDocsLarge]` — 40-word docs drawn
+    * hash-deterministically (Zipf-ish min-of-uniforms) from a FIXED
+    * 100-word vocabulary at two corpus sizes. Measures the two scale
+    * claims directly: (a) the model TYPE tables saturate at the
+    * vocabulary's n-gram capacity while the corpus grows (printed
+    * tri_types per size), so model joins stop growing; (b) scoring
+    * throughput (docs/sec, warm best-of-2) RISES with corpus size as
+    * fixed per-stage overheads amortize — the corpus-linear term is the
+    * only one left. */
+  private def knProbe(args: Array[String]): Unit = {
+    val sizes = Seq(
+      if (args.length > 1) args(1).toLong else 100000L,
+      if (args.length > 2) args(2).toLong else 1000000L)
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val words = (i: Int) =>
+      concat(lit("w"), least(pmod(hash(col("doc_id") * 97 + lit(i)), lit(100)),
+        pmod(hash(col("doc_id") * 131 + lit(i + 7)), lit(100))))
+    sizes.foreach { nDocs =>
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("text", concat_ws(" ", (0 until 40).map(words): _*))
+        .repartition(cpus * 2)
+        .write.mode("overwrite").parquet("/tmp/graft_scale_kn")
+      val df = spark.read.parquet("/tmp/graft_scale_kn")
+      val t0 = System.nanoTime()
+      val model = graft.ext.Lm.knTrigramTrain(
+        df.filter(col("doc_id") % 2 === 0), "text")
+      val triTypes = model.tri.count()
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      (1 to 2).foreach { i =>
+        System.gc()
+        val t1 = System.nanoTime()
+        val n = graft.ext.Lm.kn3Score(df, "doc_id", "text", model).count()
+        val sec = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] kn run$i docs=$nDocs tri_types=$triTypes " +
+          f"train_sec=$trainSec%.2f score_sec=$sec%.2f scored=$n " +
+          f"docs_per_sec=${nDocs / sec}%.0f")
+      }
+      model.release()
+      GraftSession.sweepCaches(spark)
+    }
     spark.stop()
   }
 

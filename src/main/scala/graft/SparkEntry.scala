@@ -5178,6 +5178,52 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // A-mad: MAD-based robust outlier scoring (Iglewicz–Hoaglin modified
+    // z-score) — the per-type mean/stddev z-score (w2_w3) breaks down
+    // when outliers inflate the stddev itself; median + median-absolute-
+    // deviation is 50%-breakdown robust. Medians are ROUNDED before the
+    // deviation pass so both engines' interpolation agrees bit-for-bit.
+    // Scale: two aggregations + two broadcast joins of the types-sized
+    // median tables; the top-100 cut is a TakeOrdered, no global sort.
+    Q("a_mad_robust_outliers",
+      Some("""WITH med AS (SELECT event_type,
+             |               ROUND(quantile_cont(value, 0.5) + 1e-9, 4) AS med_r
+             |             FROM events GROUP BY 1),
+             |d AS (SELECT e.event_id, e.event_type, e.value, m.med_r,
+             |        ABS(e.value - m.med_r) AS ad
+             |      FROM events e JOIN med m USING (event_type)),
+             |mad AS (SELECT event_type,
+             |          ROUND(quantile_cont(ad, 0.5) + 1e-9, 4) AS mad_r
+             |        FROM d GROUP BY 1),
+             |z AS (SELECT d.event_id, d.event_type, d.value, d.med_r, mad.mad_r,
+             |        ROUND(CASE WHEN mad.mad_r > 0
+             |          THEN 0.6745 * (d.value - d.med_r) / mad.mad_r
+             |          ELSE 0.0 END + 1e-9, 4) AS z_r
+             |      FROM d JOIN mad USING (event_type)),
+             |r AS (SELECT *, row_number() OVER (ORDER BY ABS(z_r) DESC, event_id) AS rn
+             |      FROM z)
+             |SELECT event_id, event_type, ROUND(value + 1e-9, 4) AS value_r,
+             |       med_r, mad_r, z_r
+             |FROM r WHERE rn <= 100 ORDER BY event_id""".stripMargin),
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+        val med = ev.groupBy("event_type")
+          .agg(R(expr("percentile(value, 0.5d)")).as("med_r"))
+        val dev = ev.join(broadcast(med), "event_type")
+          .withColumn("ad", abs(col("value") - col("med_r")))
+        val mad = dev.groupBy("event_type")
+          .agg(R(expr("percentile(ad, 0.5d)")).as("mad_r"))
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("z_r", R(when(col("mad_r") > 0,
+            lit(0.6745) * (col("value") - col("med_r")) / col("mad_r"))
+            .otherwise(lit(0.0))))
+          .orderBy(abs(col("z_r")).desc, col("event_id").asc).limit(100)
+          .select(col("event_id"), col("event_type"),
+            R(col("value")).as("value_r"), col("med_r"), col("mad_r"),
+            col("z_r"))
+          .orderBy("event_id")
+      }),
+
     // X-hardneg: hard-negative mining for retrieval/classifier training —
     // for each query vector, the top-5 most-similar corpus vectors with a
     // DIFFERENT label (the near-misses contrastive training needs).

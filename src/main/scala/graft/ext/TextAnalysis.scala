@@ -349,6 +349,37 @@ object TextAnalysis {
         coalesce(col("entropy_bits"), lit(0.0)).as("entropy_bits"))
   }
 
+  /** Deflate-compression ratio of the UTF-8 text: compressed bytes /
+    * raw bytes. Boilerplate, templates and stutter compress far below
+    * natural prose — the C4/Gopher-family repetitiveness signal that
+    * sees REDUNDANCY STRUCTURE (long-range repeats) where
+    * [[dupFraction]] sees only fixed-n grams and [[tokenEntropy]] only
+    * unigram concentration. Gate with `ratio < t` for templated text,
+    * `ratio > t'` for high-entropy noise (base64 blobs, minified code).
+    *
+    * A Scala UDF is justified here: no Catalyst built-in exposes a
+    * compressor, and the evaluation is a pure per-row narrow map — no
+    * shuffle at any scale, deterministic (fixed Deflater level, raw
+    * mode, single setInput). Empty/null text → 1.0 (no evidence). */
+  def compressionRatio(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6, true)
+        try {
+          d.setInput(bytes)
+          d.finish()
+          val buf = new Array[Byte](8192)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          total.toDouble / bytes.length
+        } finally d.end()
+      }
+    }
+    f(text)
+  }
+
   /** Hashed-token feature bucket: the low-collision 40-bit md5 prefix
     * (same engine-portable hash as [[charGramHashes]]) folded into
     * `numBuckets` — the "hashing trick" feature space of a linear text

@@ -106,6 +106,34 @@ class LmFusionSpec extends SparkTestBase {
     assert(sel2 === sel, "md5-derived Gumbel keys are run-stable")
   }
 
+  test("compression ratio: repetition compresses, noise doesn't, empty is neutral") {
+    import graft.ext.TextAnalysis
+    // high-entropy text from hash hex (incompressible), heavy stutter
+    // (compresses hard), natural-ish prose in between
+    val noise = (1 to 50).map(i =>
+      java.util.UUID.nameUUIDFromBytes(Array(i.toByte)).toString).mkString(" ")
+    val stutter = "click here to continue " * 50
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "wanders off toward the river where it drinks quietly before dusk"
+    val df = Seq((1L, stutter), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.compressionRatio(col("text")).as("cr"))
+    val out = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < 0.1, s"stutter must compress hard: ${out(1L)}")
+    // the signal separates repetition from everything else; hex noise
+    // still compresses somewhat (16-symbol alphabet), and SHORT prose
+    // carries fixed deflate overhead — so only the stutter side of the
+    // ordering is a stable invariant
+    assert(out(1L) < out(2L) && out(1L) < out(3L), s"ordering: $out")
+    assert(out(3L) > 0.4, s"noise must resist compression: ${out(3L)}")
+    assert(out(4L) === 1.0, "empty text is neutral")
+    // deterministic across evaluations
+    val again = Seq((1L, stutter)).toDF("doc_id", "text")
+      .select(TextAnalysis.compressionRatio(col("text"))).head().getDouble(0)
+    assert(again === out(1L))
+  }
+
   test("streaming DSIR counts: folded batches ≡ batch recompute; replay no-op") {
     import graft.streaming.StreamingPipeline
     val dir = java.nio.file.Files.createTempDirectory("dsirstate").toString

@@ -5146,6 +5146,91 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // X-model-capstone: the MODEL-based curation pipeline end-to-end —
+    // the fully-learned twin of x_llm_pipeline's heuristic gates:
+    // smoothed-LM perplexity gate (keep the sub-median half under the
+    // even-half KN model, self-calibrating at any SF) → exact dedup
+    // keep-first → DSIR importance selection of 50 target-like docs.
+    // Every stage's shape is the individually-audited operator's; every
+    // gate compares ROUNDED values so both engines cut identically.
+    Q("x_model_curation_pipeline",
+      Some(s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+              |tb AS (SELECT unnest(${gramsSql(2)}) AS bg FROM t WHERE doc_id % 2 = 0),
+              |c2 AS (SELECT string_split(bg, ' ')[1] AS w1,
+              |              string_split(bg, ' ')[2] AS w2, COUNT(*) AS c2
+              |       FROM tb GROUP BY 1, 2),
+              |hist AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fwd FROM c2 GROUP BY 1),
+              |cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c2 GROUP BY 1),
+              |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS tt,
+              |               (SELECT COUNT(DISTINCT w)
+              |                FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)) AS vv),
+              |db AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+              |              string_split(bg, ' ')[2] AS w2
+              |       FROM (SELECT doc_id, unnest(${gramsSql(2)}) AS bg FROM t)),
+              |sc AS (SELECT db.doc_id,
+              |         CASE WHEN h.c1 IS NOT NULL THEN
+              |           GREATEST(COALESCE(b.c2, 0) - 0.75, 0.0) / h.c1
+              |           + (0.75 * h.n1p_fwd / h.c1)
+              |             * ((COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0))
+              |         ELSE (COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0)
+              |         END AS p
+              |       FROM db LEFT JOIN c2 b ON db.w1 = b.w1 AND db.w2 = b.w2
+              |         LEFT JOIN hist h ON db.w1 = h.w1
+              |         LEFT JOIN cont ct ON db.w2 = ct.w2
+              |         CROSS JOIN tot),
+              |nll AS (SELECT doc_id, ROUND(AVG(-log2(p)) + 1e-9, 4) AS nll_r
+              |        FROM sc GROUP BY doc_id),
+              |med AS (SELECT ROUND(quantile_cont(nll_r, 0.5) + 1e-9, 4) AS m FROM nll),
+              |gated AS (SELECT t.doc_id, t.lang, t.text, t.toks, nll.nll_r
+              |          FROM t JOIN nll USING (doc_id), med WHERE nll.nll_r <= med.m),
+              |dd AS (SELECT *, row_number() OVER (PARTITION BY md5($normSql)
+              |                                    ORDER BY doc_id) AS rn FROM gated),
+              |surv AS (SELECT doc_id, lang, toks, nll_r FROM dd WHERE rn = 1),
+              |f AS (SELECT doc_id, lang,
+              |        CAST(concat('0x', substr(md5(g), 1, 10)) AS BIGINT) % 64 AS bucket
+              |      FROM (SELECT doc_id, lang,
+              |              unnest(list_concat(toks, ${gramsSql(2)})) AS g FROM surv)),
+              |tc AS (SELECT bucket, COUNT(*) AS c FROM f WHERE lang = 'en' GROUP BY 1),
+              |rc AS (SELECT bucket, COUNT(*) AS c FROM f GROUP BY 1),
+              |tt2 AS (SELECT SUM(c) AS tot FROM tc),
+              |rt2 AS (SELECT SUM(c) AS tot FROM rc),
+              |w AS (SELECT bk.bucket,
+              |        LN((COALESCE(tc.c, 0) + 1.0) / (tt2.tot + 64.0))
+              |        - LN((COALESCE(rc.c, 0) + 1.0) / (rt2.tot + 64.0)) AS lw
+              |      FROM (SELECT unnest(range(0, 64)) AS bucket) bk
+              |        LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tt2, rt2),
+              |ds AS (SELECT f.doc_id, SUM(w.lw) AS logw
+              |       FROM f JOIN w USING (bucket) GROUP BY 1),
+              |g2 AS (SELECT doc_id, logw, logw + (-LN(-LN(
+              |        (CAST(concat('0x', substr(md5('41:' || CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT)
+              |         + 0.5) / 1099511627776.0))) AS key
+              |      FROM ds),
+              |r2 AS (SELECT *, row_number() OVER (
+              |        ORDER BY ROUND(key + 1e-9, 6) DESC, doc_id) AS srn FROM g2)
+              |SELECT r2.doc_id, surv.nll_r, ROUND(r2.logw + 1e-9, 4) AS logw_r
+              |FROM r2 JOIN surv ON r2.doc_id = surv.doc_id
+              |WHERE r2.srn <= 50 ORDER BY r2.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.ext.Lm.knBigramTrain(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        val scored = graft.ext.Lm.knScore(docs, "doc_id", "text", model)
+          .select(col("id").as("doc_id"), R(col("avg_nll")).as("nll_r"))
+        val med = scored.agg(R(expr("percentile(nll_r, 0.5d)")).as("m"))
+        val gated = docs.join(scored, "doc_id")
+          .crossJoin(broadcast(med)).filter(col("nll_r") <= col("m"))
+        val surv = Dedup.exactDedup(gated, "text", "doc_id")
+        val w = graft.ext.Sampling.dsirWeights(
+          surv, surv.filter(col("lang") === "en"), "text", 64)
+        graft.ext.Sampling.dsirScore(surv, "doc_id", "text", w, 64, seed = 41)
+          .orderBy(round(col("key") + lit(1e-9), 6).desc, col("id").asc)
+          .limit(50)
+          .join(surv.select(col("doc_id"), col("nll_r")),
+            col("id") === col("doc_id"))
+          .select(col("doc_id"), col("nll_r"), R(col("logw")).as("logw_r"))
+          .orderBy("doc_id")
+      }),
+
     // X-fair-gate: per-source quantile normalization of the quality score
     // (FineWeb-style per-dump thresholds): an absolute cut lets a clean
     // source swamp the mix and starves a noisy one; ranking WITHIN each

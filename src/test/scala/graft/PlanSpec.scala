@@ -227,6 +227,8 @@ class PlanSpec extends SparkTestBase {
       // DSIR crossJoins its one-row corpus totals inside dsirWeights —
       // the per-feature weight join itself is an equi-join on bucket
       "x_kn_perplexity", "x_kn3_perplexity", "x_dsir_select",
+      "x_model_curation_pipeline", // same one-row totals + one-row median
+      "a_mad_robust_outliers", // types-sized median tables broadcast
       // broadcast-scored similarity: rrf crosses the ONE-ROW query
       // vector, hard-negative mining the 20-row query set, against the
       // corpus — same shape as x_knn_classify

@@ -1256,6 +1256,116 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // X-eval-auc: in-engine model evaluation — held-out ROC AUC of the
+    // NB quality classifier via the Mann–Whitney rank identity:
+    // AUC = (Σ ranks of positives − P(P+1)/2) / (P·N), average ranks
+    // for ties. Ranks are computed over the DISTINCT-rounded-score
+    // table (a groups-sized frame: one running-sum window over distinct
+    // scores, never a corpus sort), so the evaluation is exact, engine-
+    // stable, and O(distinct scores) past the scoring pass itself.
+    Q("x_classifier_auc",
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+              |bk AS (SELECT doc_id, lang,
+              |         CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
+              |       FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
+              |tr AS (SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |       FROM bk WHERE doc_id < 250),
+              |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM tr GROUP BY bucket),
+              |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM tr),
+              |wt AS (SELECT bucket,
+              |         LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
+              |       FROM cnt, tot),
+              |sc AS (SELECT b.doc_id, SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
+              |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket
+              |       WHERE b.doc_id >= 250 GROUP BY b.doc_id),
+              |held AS (SELECT d.doc_id, (d.lang = 'en') AS pos,
+              |           ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) AS s_r
+              |         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              |         WHERE d.doc_id >= 250),
+              |grp AS (SELECT s_r, COUNT(*) AS c FROM held GROUP BY 1),
+              |ark AS (SELECT s_r, SUM(c) OVER (ORDER BY s_r) - (c - 1) / 2.0 AS avg_rank
+              |        FROM grp),
+              |agg AS (SELECT SUM(CASE WHEN pos THEN ar.avg_rank END) AS prs,
+              |               SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS p,
+              |               SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n
+              |        FROM held JOIN ark ar USING (s_r))
+              |SELECT CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+              |       ROUND((prs - p * (p + 1) / 2.0) / (p * n) + 1e-9, 4) AS auc
+              |FROM agg""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val wts = TextAnalysis.nbTrainWeights(docs.filter(col("doc_id") < 250),
+          "text", col("lang") === "en", numBuckets = 1024)
+        val held = TextAnalysis
+          .nbScore(docs.filter(col("doc_id") >= 250), "doc_id", "text", wts,
+            numBuckets = 1024)
+          .join(docs.select(col("doc_id").as("id"),
+            (col("lang") === "en").as("pos")), Seq("id"))
+          .select(col("id"), col("pos"), R(col("nb_score")).as("s_r"))
+        val grp = held.groupBy("s_r").agg(count(lit(1)).as("c"))
+        // running sum over the DISTINCT-score table only (groups-sized)
+        val wRun = Window.orderBy("s_r")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ark = grp.withColumn("avg_rank",
+          sum("c").over(wRun) - (col("c") - 1) / 2.0)
+        held.join(ark, "s_r")
+          .agg(sum(when(col("pos"), col("avg_rank"))).as("prs"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("p"),
+            sum(when(col("pos"), 0L).otherwise(1L)).as("n"))
+          .select(col("p").as("n_pos"), col("n").as("n_neg"),
+            R((col("prs") - col("p") * (col("p") + 1) / 2.0)
+              / (col("p") * col("n"))).as("auc"))
+      }),
+
+    // X-eval-calibration: reliability diagram of the same classifier —
+    // held-out scores cut into deciles (ntile over rounded score with
+    // id tie-break: identical assignment in both engines), per-decile
+    // mean score vs observed positive fraction. A well-calibrated
+    // ranking shows frac_pos rising monotonically with the decile.
+    Q("x_classifier_calibration",
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+              |bk AS (SELECT doc_id, lang,
+              |         CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
+              |       FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
+              |tr AS (SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |       FROM bk WHERE doc_id < 250),
+              |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM tr GROUP BY bucket),
+              |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM tr),
+              |wt AS (SELECT bucket,
+              |         LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
+              |       FROM cnt, tot),
+              |sc AS (SELECT b.doc_id, SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
+              |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket
+              |       WHERE b.doc_id >= 250 GROUP BY b.doc_id),
+              |held AS (SELECT d.doc_id, (d.lang = 'en') AS pos,
+              |           ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) AS s_r
+              |         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+              |         WHERE d.doc_id >= 250),
+              |ntl AS (SELECT pos, s_r,
+              |          CAST(ntile(10) OVER (ORDER BY s_r, doc_id) AS INT) AS decile
+              |        FROM held)
+              |SELECT decile, COUNT(*) AS n,
+              |       ROUND(AVG(s_r) + 1e-9, 4) AS avg_score,
+              |       ROUND(AVG(CASE WHEN pos THEN 1.0 ELSE 0.0 END) + 1e-9, 4) AS frac_pos
+              |FROM ntl GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val wts = TextAnalysis.nbTrainWeights(docs.filter(col("doc_id") < 250),
+          "text", col("lang") === "en", numBuckets = 1024)
+        val held = TextAnalysis
+          .nbScore(docs.filter(col("doc_id") >= 250), "doc_id", "text", wts,
+            numBuckets = 1024)
+          .join(docs.select(col("doc_id").as("id"),
+            (col("lang") === "en").as("pos")), Seq("id"))
+          .select(col("id"), col("pos"), R(col("nb_score")).as("s_r"))
+        val w = Window.orderBy(col("s_r").asc, col("id").asc)
+        held.withColumn("decile", ntile(10).over(w))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), R(avg(col("s_r"))).as("avg_score"),
+            R(avg(when(col("pos"), 1.0).otherwise(0.0))).as("frac_pos"))
+          .orderBy("decile")
+      }),
+
     // Incremental exact dedup: today's batch (doc_id >= 250) deduped
     // within itself and against the historical index (fingerprints of
     // doc_id < 250) — an anti join on the 128-bit fingerprint, never the

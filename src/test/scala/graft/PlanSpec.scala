@@ -229,6 +229,9 @@ class PlanSpec extends SparkTestBase {
       "x_kn_perplexity", "x_kn3_perplexity", "x_dsir_select",
       "x_model_curation_pipeline", // same one-row totals + one-row median
       "a_mad_robust_outliers", // types-sized median tables broadcast
+      // NB training's one-row class-totals crossJoin (same as
+      // x_nb_quality_classifier, already allowed above)
+      "x_classifier_auc", "x_classifier_calibration",
       // broadcast-scored similarity: rrf crosses the ONE-ROW query
       // vector, hard-negative mining the 20-row query set, against the
       // corpus — same shape as x_knn_classify

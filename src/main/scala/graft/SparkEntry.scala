@@ -5341,6 +5341,63 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // X-negsamp: word2vec-style negative-sampling table — 50 vocabulary
+    // tokens drawn WITHOUT replacement ∝ count^0.75 (the subsampling
+    // exponent that keeps rare words reachable), via the deterministic
+    // Efraimidis–Spirakis key (md5 uniform per token). The cut ranks on
+    // the 6-dp-rounded key so the boundary is engine-stable. Shape: one
+    // token count aggregation + a TakeOrdered over the vocab table.
+    Q("x_negative_sampling",
+      Some(s"""WITH t AS (SELECT $toksSql AS toks FROM documents),
+              |c AS (SELECT tok, COUNT(*) AS cnt
+              |      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+              |k AS (SELECT tok, cnt,
+              |        LN((CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) + 0.5)
+              |           / 1099511627776.0) / pow(cnt, 0.75) AS key
+              |      FROM c),
+              |r AS (SELECT *, row_number() OVER (
+              |        ORDER BY ROUND(key + 1e-9, 6) DESC, tok) AS rn FROM k)
+              |SELECT tok, cnt FROM r WHERE rn <= 20 ORDER BY tok""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val c = docs.select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        c.withColumn("key",
+            graft.ext.Sampling.esKey(col("tok"), pow(col("cnt"), 0.75)))
+          .orderBy(round(col("key") + lit(1e-9), 6).desc, col("tok").asc)
+          .limit(20)
+          .select("tok", "cnt")
+          .orderBy("tok")
+      }),
+
+    // X-ladder: nested learning-curve sample ladder — the 1% sample is a
+    // SUBSET of the 5%, the 5% of the 20%, the 20% of the full corpus,
+    // by construction: one md5 bucket per doc, rungs are threshold cuts
+    // of the SAME bucket. No re-sampling coordination, no stored sample
+    // lists — the property scaling-law sweeps need, free at any scale.
+    Q("x_nested_sample_ladder",
+      Some("""WITH b AS (SELECT doc_id,
+             |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bk
+             |  FROM documents),
+             |r AS (SELECT CASE WHEN bk < 1 THEN 1 WHEN bk < 5 THEN 5
+             |                  WHEN bk < 20 THEN 20 ELSE 100 END AS rung
+             |      FROM b),
+             |g AS (SELECT CAST(rung AS INT) AS rung, COUNT(*) AS n_rung FROM r GROUP BY 1)
+             |SELECT rung, n_rung,
+             |       CAST(SUM(n_rung) OVER (ORDER BY rung) AS BIGINT) AS n_cumulative
+             |FROM g ORDER BY rung""".stripMargin),
+      (s, dir) => {
+        val b = Tables.documents(s, dir)
+          .select(graft.ext.Sampling.hashBucket(col("doc_id"), 100).as("bk"))
+        val w = Window.orderBy("rung")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        b.withColumn("rung", when(col("bk") < 1, 1).when(col("bk") < 5, 5)
+            .when(col("bk") < 20, 20).otherwise(100))
+          .groupBy("rung").agg(count(lit(1)).as("n_rung"))
+          .withColumn("n_cumulative", sum("n_rung").over(w))
+          .orderBy("rung")
+      }),
+
     // X-fair-gate: per-source quantile normalization of the quality score
     // (FineWeb-style per-dump thresholds): an absolute cut lets a clean
     // source swamp the mix and starves a noisy one; ranking WITHIN each

@@ -5341,6 +5341,111 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // Q-kanon: k-anonymity audit — for quasi-identifier (lang, source),
+    // how many documents sit in groups smaller than k=5 (re-identifiable
+    // under linkage) and which groups violate. The release gate a
+    // governance pipeline runs before publishing grouped data. Shape:
+    // one hash aggregation on the QI columns, groups-sized output.
+    Q("q_k_anonymity",
+      Some("""WITH g AS (SELECT lang, source, COUNT(*) AS n
+             |          FROM documents GROUP BY 1, 2)
+             |SELECT lang, source, n, n < 5 AS violates
+             |FROM g ORDER BY lang, source""".stripMargin),
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .withColumn("violates", col("n") < 5)
+        .orderBy("lang", "source")),
+
+    // Q-kappa: Cohen's kappa between the HEURISTIC quality gate
+    // (qualityScore ≥ 0.35) and the LEARNED gate (NB log-odds > 0) on
+    // held-out docs — are the two quality filters measuring the same
+    // thing, corrected for chance agreement? κ = (po − pe)/(1 − pe).
+    Q("q_rater_agreement_kappa",
+      Some(s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+              |bk AS (SELECT doc_id, lang,
+              |         CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
+              |       FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
+              |tr AS (SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              |       FROM bk WHERE doc_id < 250),
+              |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM tr GROUP BY bucket),
+              |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM tr),
+              |wt AS (SELECT bucket,
+              |         LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
+              |       FROM cnt, tot),
+              |sc AS (SELECT b.doc_id, SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
+              |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket
+              |       WHERE b.doc_id >= 250 GROUP BY b.doc_id),
+              |r AS (SELECT t.doc_id,
+              |        (($qualityScoreSql) >= 0.35) AS a,
+              |        (ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) > 0) AS b
+              |      FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+              |      WHERE t.doc_id >= 250),
+              |m AS (SELECT COUNT(*) AS n,
+              |        SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS yy,
+              |        SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS yn,
+              |        SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS ny,
+              |        SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS nn2
+              |      FROM r)
+              |SELECT CAST(yy AS BIGINT) AS both_keep, CAST(nn2 AS BIGINT) AS both_drop,
+              |       CAST(yn AS BIGINT) AS only_heuristic, CAST(ny AS BIGINT) AS only_model,
+              |       ROUND(((yy + nn2) * 1.0 / n
+              |          - ((yy + yn) * (yy + ny) + (ny + nn2) * (yn + nn2)) * 1.0 / (n * n))
+              |         / (1.0 - ((yy + yn) * (yy + ny) + (ny + nn2) * (yn + nn2)) * 1.0 / (n * n))
+              |         + 1e-9, 4) AS kappa
+              |FROM m""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val wts = TextAnalysis.nbTrainWeights(docs.filter(col("doc_id") < 250),
+          "text", col("lang") === "en", numBuckets = 1024)
+        val r = TextAnalysis
+          .nbScore(docs.filter(col("doc_id") >= 250), "doc_id", "text", wts,
+            numBuckets = 1024)
+          .join(docs.select(col("doc_id").as("id"), col("text")), Seq("id"))
+          .select((TextAnalysis.qualityScore(col("text")) >= 0.35).as("a"),
+            (R(col("nb_score")) > 0).as("b"))
+        val m = r.agg(count(lit(1)).as("n"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("yy"),
+          sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("yn"),
+          sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("ny"),
+          sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("nn2"))
+        val pe = ((col("yy") + col("yn")) * (col("yy") + col("ny"))
+          + (col("ny") + col("nn2")) * (col("yn") + col("nn2"))) * lit(1.0) /
+          (col("n") * col("n"))
+        m.select(col("yy").as("both_keep"), col("nn2").as("both_drop"),
+          col("yn").as("only_heuristic"), col("ny").as("only_model"),
+          R(((col("yy") + col("nn2")) * lit(1.0) / col("n") - pe)
+            / (lit(1.0) - pe)).as("kappa"))
+      }),
+
+    // Q-dp: differentially-private count release — per-language counts
+    // with seeded Laplace(sensitivity/ε = 1/1) noise via the inverse
+    // CDF over the md5 uniform of the group key. Deterministic (the
+    // privacy accounting of a REAL release would use true randomness;
+    // the engine op is the noise mechanism + plumbing, which a seeded
+    // uniform exercises end-to-end and the oracle can replay).
+    Q("q_dp_release_counts",
+      Some("""WITH g AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+             |u AS (SELECT lang, n,
+             |        (CAST(concat('0x', substr(md5('7:' || lang), 1, 10)) AS BIGINT) + 0.5)
+             |          / 1099511627776.0 AS uu
+             |      FROM g)
+             |SELECT lang, n,
+             |       ROUND(n - CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END
+             |             * LN(1.0 - 2.0 * ABS(uu - 0.5)) + 1e-9, 4) AS n_dp
+             |FROM u ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .groupBy("lang").agg(count(lit(1)).as("n"))
+        val h = conv(substring(md5(concat(lit("7:"), col("lang"))
+          .cast("binary")), 1, 10), 16, 10).cast("double")
+        val u = (h + lit(0.5)) / lit(1099511627776.0)
+        val lap = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+          -log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+        g.select(col("lang"), col("n"),
+          R(col("n") + lap).as("n_dp"))
+          .orderBy("lang")
+      }),
+
     // X-negsamp: word2vec-style negative-sampling table — 50 vocabulary
     // tokens drawn WITHOUT replacement ∝ count^0.75 (the subsampling
     // exponent that keeps rare words reachable), via the deterministic

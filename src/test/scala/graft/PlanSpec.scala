@@ -232,6 +232,7 @@ class PlanSpec extends SparkTestBase {
       // NB training's one-row class-totals crossJoin (same as
       // x_nb_quality_classifier, already allowed above)
       "x_classifier_auc", "x_classifier_calibration",
+      "q_rater_agreement_kappa",
       // broadcast-scored similarity: rrf crosses the ONE-ROW query
       // vector, hard-negative mining the 20-row query set, against the
       // corpus — same shape as x_knn_classify

@@ -590,6 +590,36 @@ object StreamingPipeline {
           (coalesce(col("tr"), lit(0L)) + lit(alpha * numBuckets)))).as("lw"))
   }
 
+  /** Robust-outlier baseline from a [[quantileState]] store: per key,
+    * the median and the IQR-derived robust sigma (IQR/1.349 — the
+    * normal-consistent spread estimate with a 25% breakdown point, where
+    * a mean/stddev baseline is dragged by the outliers it monitors).
+    * This is the STREAMING twin of `a_mad_robust_outliers`: the exact
+    * MAD needs a second pass over deviations (a moving target as the
+    * median updates), so continuous monitoring uses the one-sketch IQR
+    * form — derived entirely from the stored GK registers, no event
+    * rescan. Returns (keys..., med, iqr, sigma_robust); flag a new batch
+    * with [[robustFlag]]. */
+  def robustOutlierView(stored: DataFrame, keys: Seq[String]): DataFrame =
+    quantileStateView(stored, keys, Seq(0.25, 0.5, 0.75))
+      .select(keys.map(col) :+
+        col("quantiles").getItem(1).as("med") :+
+        (col("quantiles").getItem(2) - col("quantiles").getItem(0)).as("iqr"): _*)
+      .withColumn("sigma_robust", col("iqr") / 1.349)
+
+  /** Flag a batch of values against a [[robustOutlierView]] baseline:
+    * broadcast-join the groups-sized baseline, |v − med| / σ_robust > t.
+    * Zero-IQR keys (constant history) flag any deviation. */
+  def robustFlag(batch: DataFrame, baseline: DataFrame, keys: Seq[String],
+                 valueCol: String, threshold: Double = 3.5): DataFrame =
+    batch.join(broadcast(baseline), keys)
+      .withColumn("robust_z",
+        when(col("sigma_robust") > 0,
+          (col(valueCol) - col("med")) / col("sigma_robust"))
+          .otherwise(when(col(valueCol) === col("med"), lit(0.0))
+            .otherwise(lit(Double.PositiveInfinity))))
+      .withColumn("outlier", abs(col("robust_z")) > threshold)
+
   /** Percentile read over a [[quantileState]] store: one row per group
     * with the requested quantiles as array<double> — a distributed
     * scalar read of the groups-sized state, no driver collect and no

@@ -159,6 +159,28 @@ class LmFusionSpec extends SparkTestBase {
     assert(view().toSeq === streamed.toSeq)
   }
 
+  test("streaming robust-outlier baseline: IQR view over folded sketches flags the plant") {
+    import graft.streaming.StreamingPipeline
+    val dir = java.nio.file.Files.createTempDirectory("rzstate").toString
+    // history: type A tight around 10 (1..19 by 0.5 spread), folded in
+    // two batches; uncompressed GK state = exact order statistics
+    val b1 = (0 until 50).map(i => ("A", 9.0 + (i % 11) * 0.2)).toDF("k", "v")
+    val b2 = (0 until 50).map(i => ("A", 9.2 + (i % 11) * 0.2)).toDF("k", "v")
+    StreamingPipeline.quantileStateBatch(b1, 0L, Seq("k"), "v", dir, 0.001)
+    StreamingPipeline.quantileStateBatch(b2, 1L, Seq("k"), "v", dir, 0.001)
+    val baseline = StreamingPipeline
+      .robustOutlierView(spark.read.parquet(s"$dir/data"), Seq("k"))
+    val row = baseline.head()
+    val med = row.getAs[Double]("med")
+    assert(med >= 9.8 && med <= 10.4, s"median of the folded history: $med")
+    assert(row.getAs[Double]("iqr") > 0.0)
+    // a clean point passes, the planted spike flags
+    val batch = Seq(("A", 10.1), ("A", 99.0)).toDF("k", "v")
+    val flags = StreamingPipeline.robustFlag(batch, baseline, Seq("k"), "v")
+      .select("v", "outlier").collect().map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
+    assert(!flags(10.1) && flags(99.0), s"$flags")
+  }
+
   test("RRF: both-list docs outrank single-list docs at equal ranks") {
     val a = Seq((1L, 10.0), (2L, 9.0), (3L, 8.0)).toDF("id", "score")
     val b = Seq((1L, 0.9), (4L, 0.8), (2L, 0.7)).toDF("id", "score")

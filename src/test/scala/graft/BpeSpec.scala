@@ -50,6 +50,30 @@ class BpeSpec extends SparkTestBase {
     dist.release()
   }
 
+  test("learn and learnLocal agree on non-BMP text (surrogate pairs, CJK ties)") {
+    // 😀 (U+1F600) is a surrogate pair: a per-code-UNIT local split would
+    // make it two symbols and diverge from the distributed arm at round
+    // 1. The private-use char  vs 😀 also pins the tie-break
+    // order: UTF-16 code-unit order ranks  AFTER the surrogate
+    // pair, UTF-8/code-point order (the distributed arm's) BEFORE it.
+    val emoji = "😀" // 😀
+    val pua = ""
+    val docs = corpus(
+      (1L, s"${emoji}a ${emoji}a ${pua}a ${pua}a x${emoji} x$pua"))
+    val dist = Bpe.learn(docs, "text", 4)
+    val (local, localVocab) = Bpe.learnLocal(docs, "text", 4)
+    assert(dist.mergeList === local,
+      s"arms diverged: ${dist.mergeList} vs $local")
+    val distVocab = dist.vocab.select("word", "freq", "syms")
+      .as[(String, Long, Seq[String])].collect()
+      .map { case (w, f, s) => w -> ((f, s)) }.toMap
+    assert(distVocab === localVocab)
+    // the surrogate pair stayed ONE symbol end-to-end
+    assert(localVocab(s"${emoji}a")._2.forall(_.nonEmpty))
+    assert(localVocab.keySet.contains(s"x$emoji"))
+    dist.release()
+  }
+
   test("merge table runs dry on a single-char vocabulary") {
     val docs = corpus((1L, "a b a b c"))
     val m = Bpe.learn(docs, "text", 5)

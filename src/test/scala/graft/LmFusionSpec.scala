@@ -203,11 +203,16 @@ class LmFusionSpec extends SparkTestBase {
     val med = row.getAs[Double]("med")
     assert(med >= 9.8 && med <= 10.4, s"median of the folded history: $med")
     assert(row.getAs[Double]("iqr") > 0.0)
-    // a clean point passes, the planted spike flags
-    val batch = Seq(("A", 10.1), ("A", 99.0)).toDF("k", "v")
-    val flags = StreamingPipeline.robustFlag(batch, baseline, Seq("k"), "v")
-      .select("v", "outlier").collect().map(r => r.getDouble(0) -> r.getBoolean(1)).toMap
-    assert(!flags(10.1) && flags(99.0), s"$flags")
+    // a clean point passes, the planted spike flags, and a key with NO
+    // history must surface as an alert-on-unknown row, not vanish
+    val batch = Seq(("A", 10.1), ("A", 99.0), ("NEW", 1.0)).toDF("k", "v")
+    val out = StreamingPipeline.robustFlag(batch, baseline, Seq("k"), "v")
+      .select("k", "v", "outlier", "has_baseline").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(out(("A", 10.1)) === ((false, true)))
+    assert(out(("A", 99.0)) === ((true, true)))
+    assert(out(("NEW", 1.0)) === ((true, false)), s"$out")
   }
 
   test("RRF: both-list docs outrank single-list docs at equal ranks") {

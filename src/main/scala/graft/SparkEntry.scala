@@ -275,6 +275,65 @@ object SparkEntry {
        |   + 0.5 * LEAST(($stopRatioSql) * 4.0, 1.0)
        |   - 0.25 * LEAST(($punctRatioSql) * 2.0, 1.0)))""".stripMargin
 
+  // Shared oracle CTE blocks for the NB-classifier family (train on
+  // doc_id < 250, hashed 1024-bucket features) and its held-out scoring
+  // — x_nb_quality_classifier, x_classifier_auc,
+  // x_classifier_calibration and q_rater_agreement_kappa all replay the
+  // IDENTICAL model; one definition keeps their oracles from drifting.
+  private val nbModelCtes =
+    s"""t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+       |bk AS (SELECT doc_id, lang,
+       |         CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
+       |       FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
+       |tr AS (SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |       FROM bk WHERE doc_id < 250),
+       |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM tr GROUP BY bucket),
+       |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM tr),
+       |wt AS (SELECT bucket,
+       |         LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
+       |       FROM cnt, tot)""".stripMargin
+
+  /** Held-out (doc_id ≥ 250) mean-log-odds score + rounded-score frame
+    * with the true label; appended after [[nbModelCtes]]. */
+  private val nbHeldCtes =
+    """sc AS (SELECT b.doc_id, SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
+      |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket
+      |       WHERE b.doc_id >= 250 GROUP BY b.doc_id),
+      |held AS (SELECT d.doc_id, (d.lang = 'en') AS pos,
+      |           ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) AS s_r
+      |         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+      |         WHERE d.doc_id >= 250)""".stripMargin
+
+  // Shared oracle CTE block for the interpolated-KN bigram model
+  // (trained on the even half) scored over every document:
+  // x_kn_perplexity and x_model_curation_pipeline replay the identical
+  // model; ends at `sc` = one smoothed probability per document bigram.
+  private val knBigramCtes =
+    s"""t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+       |tb AS (SELECT unnest(${gramsSql(2)}) AS bg FROM t WHERE doc_id % 2 = 0),
+       |c2 AS (SELECT string_split(bg, ' ')[1] AS w1,
+       |              string_split(bg, ' ')[2] AS w2, COUNT(*) AS c2
+       |       FROM tb GROUP BY 1, 2),
+       |hist AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fwd FROM c2 GROUP BY 1),
+       |cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c2 GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS tt,
+       |               (SELECT COUNT(DISTINCT w)
+       |                FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)) AS vv),
+       |db AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+       |              string_split(bg, ' ')[2] AS w2
+       |       FROM (SELECT doc_id, unnest(${gramsSql(2)}) AS bg FROM t)),
+       |sc AS (SELECT db.doc_id,
+       |         CASE WHEN h.c1 IS NOT NULL THEN
+       |           GREATEST(COALESCE(b.c2, 0) - 0.75, 0.0) / h.c1
+       |           + (0.75 * h.n1p_fwd / h.c1)
+       |             * ((COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0))
+       |         ELSE (COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0)
+       |         END AS p
+       |       FROM db LEFT JOIN c2 b ON db.w1 = b.w1 AND db.w2 = b.w2
+       |         LEFT JOIN hist h ON db.w1 = h.w1
+       |         LEFT JOIN cont ct ON db.w2 = ct.w2
+       |         CROSS JOIN tot)""".stripMargin
+
   /** Register every TPC-H-ish table as a temp view for the SQL-front-end
     * queries. */
   private def tpchViews(s: SparkSession, dir: String): Unit = {
@@ -1226,25 +1285,15 @@ object SparkEntry {
     // oracle retrains the identical model; the gate (pred_en) cuts on the
     // rounded score in both engines.
     Q("x_nb_quality_classifier",
-      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-              |bk AS (SELECT doc_id, lang,
-              |         CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
-              |       FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
-              |tr AS (SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-              |       FROM bk WHERE doc_id < 250),
-              |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM tr GROUP BY bucket),
-              |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM tr),
-              |wt AS (SELECT bucket,
-              |         LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
-              |       FROM cnt, tot),
-              |sc AS (SELECT b.doc_id, COUNT(*) AS n_tokens,
-              |         SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
-              |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket GROUP BY b.doc_id)
-              |SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
-              | ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) AS nb_score,
-              | (ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) > 0) AS pred_en
-              |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-              |ORDER BY d.doc_id""".stripMargin),
+      Some(s"WITH $nbModelCtes,\n" +
+        """sc AS (SELECT b.doc_id, COUNT(*) AS n_tokens,
+          |         SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
+          |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket GROUP BY b.doc_id)
+          |SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+          | ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) AS nb_score,
+          | (ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) > 0) AS pred_en
+          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val w = TextAnalysis.nbTrainWeights(docs.filter(col("doc_id") < 250),
@@ -1264,25 +1313,8 @@ object SparkEntry {
     // scores, never a corpus sort), so the evaluation is exact, engine-
     // stable, and O(distinct scores) past the scoring pass itself.
     Q("x_classifier_auc",
-      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-              |bk AS (SELECT doc_id, lang,
-              |         CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
-              |       FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
-              |tr AS (SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-              |       FROM bk WHERE doc_id < 250),
-              |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM tr GROUP BY bucket),
-              |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM tr),
-              |wt AS (SELECT bucket,
-              |         LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
-              |       FROM cnt, tot),
-              |sc AS (SELECT b.doc_id, SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
-              |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket
-              |       WHERE b.doc_id >= 250 GROUP BY b.doc_id),
-              |held AS (SELECT d.doc_id, (d.lang = 'en') AS pos,
-              |           ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) AS s_r
-              |         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-              |         WHERE d.doc_id >= 250),
-              |grp AS (SELECT s_r, COUNT(*) AS c FROM held GROUP BY 1),
+      Some(s"WITH $nbModelCtes,\n$nbHeldCtes,\n" +
+        s"""grp AS (SELECT s_r, COUNT(*) AS c FROM held GROUP BY 1),
               |ark AS (SELECT s_r, SUM(c) OVER (ORDER BY s_r) - (c - 1) / 2.0 AS avg_rank
               |        FROM grp),
               |agg AS (SELECT SUM(CASE WHEN pos THEN ar.avg_rank END) AS prs,
@@ -1323,25 +1355,8 @@ object SparkEntry {
     // mean score vs observed positive fraction. A well-calibrated
     // ranking shows frac_pos rising monotonically with the decile.
     Q("x_classifier_calibration",
-      Some(s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
-              |bk AS (SELECT doc_id, lang,
-              |         CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
-              |       FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
-              |tr AS (SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-              |       FROM bk WHERE doc_id < 250),
-              |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM tr GROUP BY bucket),
-              |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM tr),
-              |wt AS (SELECT bucket,
-              |         LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
-              |       FROM cnt, tot),
-              |sc AS (SELECT b.doc_id, SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
-              |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket
-              |       WHERE b.doc_id >= 250 GROUP BY b.doc_id),
-              |held AS (SELECT d.doc_id, (d.lang = 'en') AS pos,
-              |           ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) AS s_r
-              |         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-              |         WHERE d.doc_id >= 250),
-              |ntl AS (SELECT pos, s_r,
+      Some(s"WITH $nbModelCtes,\n$nbHeldCtes,\n" +
+        s"""ntl AS (SELECT pos, s_r,
               |          CAST(ntile(10) OVER (ORDER BY s_r, doc_id) AS INT) AS decile
               |        FROM held)
               |SELECT decile, COUNT(*) AS n,
@@ -5058,33 +5073,10 @@ object SparkEntry {
     // engines build the identical model (counting + fixed-order float
     // arithmetic); discount 0.75, add-one <unk> continuation mass.
     Q("x_kn_perplexity",
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-              |tb AS (SELECT unnest(${gramsSql(2)}) AS bg FROM t WHERE doc_id % 2 = 0),
-              |c2 AS (SELECT string_split(bg, ' ')[1] AS w1,
-              |              string_split(bg, ' ')[2] AS w2, COUNT(*) AS c2
-              |       FROM tb GROUP BY 1, 2),
-              |hist AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fwd FROM c2 GROUP BY 1),
-              |cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c2 GROUP BY 1),
-              |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS tt,
-              |               (SELECT COUNT(DISTINCT w)
-              |                FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)) AS vv),
-              |db AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
-              |              string_split(bg, ' ')[2] AS w2
-              |       FROM (SELECT doc_id, unnest(${gramsSql(2)}) AS bg FROM t)),
-              |sc AS (SELECT db.doc_id,
-              |         CASE WHEN h.c1 IS NOT NULL THEN
-              |           GREATEST(COALESCE(b.c2, 0) - 0.75, 0.0) / h.c1
-              |           + (0.75 * h.n1p_fwd / h.c1)
-              |             * ((COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0))
-              |         ELSE (COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0)
-              |         END AS p
-              |       FROM db LEFT JOIN c2 b ON db.w1 = b.w1 AND db.w2 = b.w2
-              |         LEFT JOIN hist h ON db.w1 = h.w1
-              |         LEFT JOIN cont ct ON db.w2 = ct.w2
-              |         CROSS JOIN tot)
-              |SELECT doc_id, COUNT(*) AS n_bigrams,
-              |       ROUND(AVG(-log2(p)) + 1e-9, 4) AS avg_nll
-              |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      Some(s"WITH $knBigramCtes\n" +
+        """SELECT doc_id, COUNT(*) AS n_bigrams,
+          |       ROUND(AVG(-log2(p)) + 1e-9, 4) AS avg_nll
+          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val model = graft.ext.Lm.knBigramTrain(
@@ -5264,31 +5256,8 @@ object SparkEntry {
     // Every stage's shape is the individually-audited operator's; every
     // gate compares ROUNDED values so both engines cut identically.
     Q("x_model_curation_pipeline",
-      Some(s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
-              |tb AS (SELECT unnest(${gramsSql(2)}) AS bg FROM t WHERE doc_id % 2 = 0),
-              |c2 AS (SELECT string_split(bg, ' ')[1] AS w1,
-              |              string_split(bg, ' ')[2] AS w2, COUNT(*) AS c2
-              |       FROM tb GROUP BY 1, 2),
-              |hist AS (SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p_fwd FROM c2 GROUP BY 1),
-              |cont AS (SELECT w2, COUNT(*) AS n1p_bwd FROM c2 GROUP BY 1),
-              |tot AS (SELECT (SELECT COUNT(*) FROM c2) AS tt,
-              |               (SELECT COUNT(DISTINCT w)
-              |                FROM (SELECT unnest(toks) AS w FROM t WHERE doc_id % 2 = 0)) AS vv),
-              |db AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
-              |              string_split(bg, ' ')[2] AS w2
-              |       FROM (SELECT doc_id, unnest(${gramsSql(2)}) AS bg FROM t)),
-              |sc AS (SELECT db.doc_id,
-              |         CASE WHEN h.c1 IS NOT NULL THEN
-              |           GREATEST(COALESCE(b.c2, 0) - 0.75, 0.0) / h.c1
-              |           + (0.75 * h.n1p_fwd / h.c1)
-              |             * ((COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0))
-              |         ELSE (COALESCE(ct.n1p_bwd, 0) + 1.0) / (tot.tt + tot.vv + 1.0)
-              |         END AS p
-              |       FROM db LEFT JOIN c2 b ON db.w1 = b.w1 AND db.w2 = b.w2
-              |         LEFT JOIN hist h ON db.w1 = h.w1
-              |         LEFT JOIN cont ct ON db.w2 = ct.w2
-              |         CROSS JOIN tot),
-              |nll AS (SELECT doc_id, ROUND(AVG(-log2(p)) + 1e-9, 4) AS nll_r
+      Some(s"WITH $knBigramCtes,\n" +
+        s"""nll AS (SELECT doc_id, ROUND(AVG(-log2(p)) + 1e-9, 4) AS nll_r
               |        FROM sc GROUP BY doc_id),
               |med AS (SELECT ROUND(quantile_cont(nll_r, 0.5) + 1e-9, 4) AS m FROM nll),
               |gated AS (SELECT t.doc_id, t.lang, t.text, t.toks, nll.nll_r
@@ -5370,25 +5339,11 @@ object SparkEntry {
     // held-out docs — are the two quality filters measuring the same
     // thing, corrected for chance agreement? κ = (po − pe)/(1 − pe).
     Q("q_rater_agreement_kappa",
-      Some(s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
-              |bk AS (SELECT doc_id, lang,
-              |         CAST(concat('0x', substr(md5(tok), 1, 10)) AS BIGINT) % 1024 AS bucket
-              |       FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)),
-              |tr AS (SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-              |       FROM bk WHERE doc_id < 250),
-              |cnt AS (SELECT bucket, SUM(pos) AS np, SUM(1 - pos) AS nn FROM tr GROUP BY bucket),
-              |tot AS (SELECT SUM(pos) AS tp, SUM(1 - pos) AS tn FROM tr),
-              |wt AS (SELECT bucket,
-              |         LN((np + 1.0) / (tp + 1024.0)) - LN((nn + 1.0) / (tn + 1024.0)) AS w
-              |       FROM cnt, tot),
-              |sc AS (SELECT b.doc_id, SUM(COALESCE(wt.w, 0.0)) / COUNT(*) AS s
-              |       FROM bk b LEFT JOIN wt ON b.bucket = wt.bucket
-              |       WHERE b.doc_id >= 250 GROUP BY b.doc_id),
-              |r AS (SELECT t.doc_id,
+      Some(s"WITH $nbModelCtes,\n$nbHeldCtes,\n" +
+        s"""r AS (SELECT t.doc_id,
               |        (($qualityScoreSql) >= 0.35) AS a,
-              |        (ROUND(COALESCE(sc.s, 0.0) + 1e-9, 4) > 0) AS b
-              |      FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
-              |      WHERE t.doc_id >= 250),
+              |        (held.s_r > 0) AS b
+              |      FROM t JOIN held ON t.doc_id = held.doc_id),
               |m AS (SELECT COUNT(*) AS n,
               |        SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS yy,
               |        SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS yn,
@@ -5445,9 +5400,7 @@ object SparkEntry {
       (s, dir) => {
         val g = Tables.documents(s, dir)
           .groupBy("lang").agg(count(lit(1)).as("n"))
-        val h = conv(substring(md5(concat(lit("7:"), col("lang"))
-          .cast("binary")), 1, 10), 16, 10).cast("double")
-        val u = (h + lit(0.5)) / lit(1099511627776.0)
+        val u = graft.ext.Sampling.md5Uniform(concat(lit("7:"), col("lang")))
         val lap = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
           -log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
         g.select(col("lang"), col("n"),

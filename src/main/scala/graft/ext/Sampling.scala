@@ -50,10 +50,19 @@ object Sampling {
     * identity, so the same k rows win on any engine or partitioning.
     * Distributed shape: narrow projection + TakeOrdered — the classic
     * weighted reservoir without its sequential state. */
-  def esKey(id: Column, weight: Column): Column = {
-    val h = conv(substring(md5(id.cast("string").cast("binary")), 1, 10), 16, 10)
+  /** Engine-portable uniform in (0, 1) from the 40-bit md5 prefix of a
+    * column's string form — THE randomness primitive of this module
+    * ([[esKey]], [[gumbelKey]], the DP noise draw): one definition so
+    * the bit width and the half-step offset can never drift between
+    * call sites (or their DuckDB oracle twins). */
+  def md5Uniform(key: Column): Column = {
+    val h = conv(substring(md5(key.cast("string").cast("binary")), 1, 10), 16, 10)
       .cast("double")
-    val u = (h + lit(0.5)) / lit(1099511627776.0) // 2^40, u in (0,1)
+    (h + lit(0.5)) / lit(1099511627776.0) // 2^40
+  }
+
+  def esKey(id: Column, weight: Column): Column = {
+    val u = md5Uniform(id)
     // ln(u) < 0, so for w > 0 a LARGER key is better and top-k-by-key-desc
     // is the sample. A non-positive weight would flip the sign and always
     // win — pin such rows to -Inf so they can never be selected.
@@ -261,12 +270,9 @@ object Sampling {
     * uniform of (seed, id) — the deterministic twin of the Gumbel-top-k
     * trick (adding Gumbel noise to log-weights and taking the top-k
     * samples k items WITHOUT replacement ∝ their importance weights). */
-  def gumbelKey(id: Column, seed: Int): Column = {
-    val h = conv(substring(md5(concat(lit(seed.toString), lit(":"),
-      id.cast("string")).cast("binary")), 1, 10), 16, 10).cast("double")
-    val u = (h + lit(0.5)) / lit(1099511627776.0) // 2^40, u in (0,1)
-    -log(-log(u))
-  }
+  def gumbelKey(id: Column, seed: Int): Column =
+    -log(-log(md5Uniform(
+      concat(lit(seed.toString), lit(":"), id.cast("string")))))
 
   /** Score every raw document under a [[dsirWeights]] table and rank by
     * Gumbel-perturbed log-weight. Returns (id, n_feats, logw, key);

@@ -2391,11 +2391,20 @@ object SparkEntry {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val (merges, _) = graft.ext.Bpe.learnLocal(docs, "text", 8)
-        val perDoc = graft.ext.Bpe.encode(docs, "text", "doc_id",
+        // packing only needs per-doc subword COUNTS: fold the merge
+        // table once per VOCABULARY word (encodedVocab) and equi-join
+        // the exploded doc words against it — the oracle's own shape —
+        // instead of re-evaluating the 8-merge fold at every token
+        // occurrence in the corpus (Bpe.encode's per-occurrence stream,
+        // which the positional x_bpe_tokens query exists to exercise)
+        val enc = graft.ext.Bpe.encodedVocab(docs, "text",
             merges.map { case (_, l, r, _) => (l, r) })
-          .groupBy(col("id").as("doc_id")).agg(count(lit(1)).as("n_sub"))
-          .join(broadcast(docs.select(col("doc_id"), col("source"))),
-            Seq("doc_id"))
+          .select(col("word"), size(col("syms")).as("n_word_sub"))
+        val perDoc = docs.select(col("doc_id"), col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .join(enc, "word")
+          .groupBy("doc_id", "source")
+          .agg(sum("n_word_sub").cast("long").as("n_sub"))
         val w = Window.partitionBy("source").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         perDoc.withColumn("cum", sum(col("n_sub")).over(w))

@@ -366,7 +366,20 @@ object Dedup {
     * array comparisons. At 100 TB never call without a blocking key. */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
                         blockCol: String, shingleN: Int,
-                        threshold: Double): DataFrame = {
+                        threshold: Double): DataFrame =
+    ngramJaccardPairsReleasable(docs, textCol, idCol, blockCol, shingleN,
+      threshold)._1
+
+  /** [[ngramJaccardPairs]] plus an explicit cache-release handle: the
+    * operator pins its exploded index for the self-join's two sides.
+    * Harness contexts sweep all pinned state between queries
+    * (GraftSession.sweepCaches); a RESIDENT pipeline calling the
+    * operator per block/day must instead consume the pairs and then
+    * call the returned release() or the pinned generations accumulate. */
+  def ngramJaccardPairsReleasable(docs: DataFrame, textCol: String,
+                                  idCol: String, blockCol: String,
+                                  shingleN: Int, threshold: Double)
+      : (DataFrame, () => Unit) = {
     require(threshold > 0.0,
       "inverted-index jaccard never materializes zero-overlap pairs; threshold must be > 0")
     // Repartition before tokenization: a single-file corpus otherwise runs
@@ -388,11 +401,12 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (out, () => { ex.unpersist(); () })
   }
 
   /** Exact Jaccard pairs by PREFIX FILTERING (the AllPairs/PPJoin family):
@@ -415,7 +429,19 @@ object Dedup {
     * blocking-key rule applies as for [[ngramJaccardPairs]]. */
   def jaccardPairsPrefix(docs: DataFrame, textCol: String, idCol: String,
                          blockCol: String, shingleN: Int,
-                         threshold: Double): DataFrame = {
+                         threshold: Double): DataFrame =
+    jaccardPairsPrefixReleasable(docs, textCol, idCol, blockCol, shingleN,
+      threshold)._1
+
+  /** [[jaccardPairsPrefix]] plus an explicit cache-release handle —
+    * same contract as [[ngramJaccardPairsReleasable]]: this operator
+    * pins TWO frames (full shingle arrays for verification, prefix
+    * index for candidates); resident pipelines call release() after
+    * consuming the pairs. */
+  def jaccardPairsPrefixReleasable(docs: DataFrame, textCol: String,
+                                   idCol: String, blockCol: String,
+                                   shingleN: Int, threshold: Double)
+      : (DataFrame, () => Unit) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs 0 < threshold <= 1, got $threshold")
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -446,7 +472,7 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    out
+    (out, () => { pre.unpersist(); prefix.unpersist(); () })
   }
 
   /** SimHash signatures, one 64-char bit-string per document: bit i of the

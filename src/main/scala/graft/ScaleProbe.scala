@@ -27,6 +27,7 @@ object ScaleProbe {
     if (args.headOption.contains("rangejoin")) { rangeJoinProbe(args); return }
     if (args.headOption.contains("jaccard")) { jaccardProbe(args); return }
     if (args.headOption.contains("kn")) { knProbe(args); return }
+    if (args.headOption.contains("bpelocal")) { bpeLocalProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -656,6 +657,36 @@ object ScaleProbe {
       }
       model.release()
       GraftSession.sweepCaches(spark)
+    }
+    spark.stop()
+  }
+
+  /** Pair-indexed learnLocal merge-loop sweep:
+    * `ScaleProbe bpelocal [vocabSmall] [vocabLarge] [numMerges]` —
+    * vocabularies of hash-deterministic 12-hex-char words (16-symbol
+    * alphabet: deep merge structure) at two sizes, a real tokenizer
+    * merge budget. The pair-indexed loop's claim: per-merge cost is
+    * bounded by the words TOUCHED by the winning pair, not the
+    * vocabulary — so total time grows sublinearly in vocab while the
+    * naive rebuild-the-vocab-each-round form is O(merges × vocab). */
+  private def bpeLocalProbe(args: Array[String]): Unit = {
+    val sizes = Seq(
+      if (args.length > 1) args(1).toLong else 50000L,
+      if (args.length > 2) args(2).toLong else 200000L)
+    val numMerges = if (args.length > 3) args(3).toInt else 2000
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    sizes.foreach { v =>
+      val docs = spark.range(v)
+        .select(substring(md5(col("id").cast("string")), 1, 12).as("text"))
+      System.gc()
+      val t0 = System.nanoTime()
+      val (merges, _) = graft.ext.Bpe.learnLocal(docs, "text", numMerges,
+        maxVocab = 4000000)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] bpelocal vocab=$v merges=${merges.length} " +
+        f"sec=$sec%.2f merges_per_sec=${merges.length / sec}%.0f")
     }
     spark.stop()
   }

@@ -74,6 +74,30 @@ class BpeSpec extends SparkTestBase {
     dist.release()
   }
 
+  test("property: learn and learnLocal agree on random small corpora") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    // small alphabets (incl. a surrogate pair) concentrate pair
+    // frequencies, exercising the pair-indexed loop's incremental count
+    // maintenance and tie-breaking far harder than natural text
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "😀")).map(_.mkString))
+    val corpusGen = Gen.choose(3, 10).flatMap(k => Gen.listOfN(k, wordGen))
+    val prop = forAll(corpusGen, Gen.choose(1, 5)) { (words, m) =>
+      val docs = corpus((1L, words.mkString(" ")))
+      val dist = Bpe.learn(docs, "text", m)
+      val (local, localVocab) = Bpe.learnLocal(docs, "text", m)
+      val distVocab = dist.vocab.select("word", "freq", "syms")
+        .as[(String, Long, Seq[String])].collect()
+        .map { case (w, f, s) => w -> ((f, s)) }.toMap
+      dist.release()
+      dist.mergeList == local && distVocab == localVocab
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("merge table runs dry on a single-char vocabulary") {
     val docs = corpus((1L, "a b a b c"))
     val m = Bpe.learn(docs, "text", 5)

@@ -91,12 +91,17 @@ object Lm {
   def knScore(docs: DataFrame, idCol: String, textCol: String,
               model: KnModel, discount: Double = 0.75): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // pre-aggregate to per-doc bigram TYPES with counts before the model
+    // joins: natural text repeats its bigrams heavily (Zipf), so the
+    // join shuffles carry (id, type, cnt) rows instead of one row per
+    // instance — the weighted average below is exact
     val db = Par.fanOut(docs, par)
       .select(col(idCol).as("id"),
         explode(TextAnalysis.shinglesFromTokens(
           TextAnalysis.tokens(col(textCol)), 2)).as("bg"))
       .select(col("id"), split(col("bg"), " ").getItem(0).as("w1"),
         split(col("bg"), " ").getItem(1).as("w2"))
+      .groupBy("id", "w1", "w2").agg(count(lit(1)).as("cnt"))
     val d = lit(discount)
     val pc = (coalesce(col("n1p_bwd"), lit(0L)) + lit(1.0)) /
       (col("tt") + col("vv") + lit(1.0))
@@ -109,8 +114,8 @@ object Lm {
       .join(model.cont, Seq("w2"), "left")
       .crossJoin(broadcast(model.totals))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        avg(-log(2.0, p)).as("avg_nll"))
+      .agg(sum("cnt").as("n_bigrams"),
+        (sum(col("cnt") * -log(2.0, p)) / sum("cnt")).as("avg_nll"))
   }
 
   /** Trigram interpolated-KN model. The lower (bigram) order is built
@@ -166,6 +171,7 @@ object Lm {
   def kn3Score(docs: DataFrame, idCol: String, textCol: String,
                model: Kn3Model, discount: Double = 0.75): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // per-doc trigram TYPES with counts — see [[knScore]]'s shuffle note
     val db = Par.fanOut(docs, par)
       .select(col(idCol).as("id"),
         explode(TextAnalysis.shinglesFromTokens(
@@ -173,6 +179,7 @@ object Lm {
       .select(col("id"), split(col("tg"), " ").getItem(0).as("w1"),
         split(col("tg"), " ").getItem(1).as("w2"),
         split(col("tg"), " ").getItem(2).as("w3"))
+      .groupBy("id", "w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
     val d = lit(discount)
     val pc = (coalesce(col("n1p_bwd"), lit(0L)) + lit(1.0)) /
       (col("tt") + col("vv") + lit(1.0))
@@ -191,7 +198,7 @@ object Lm {
       .join(model.cont, Seq("w3"), "left")
       .crossJoin(broadcast(model.totals))
       .groupBy("id")
-      .agg(count(lit(1)).as("n_trigrams"),
-        avg(-log(2.0, p3)).as("avg_nll"))
+      .agg(sum("cnt").as("n_trigrams"),
+        (sum(col("cnt") * -log(2.0, p3)) / sum("cnt")).as("avg_nll"))
   }
 }

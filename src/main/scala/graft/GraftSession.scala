@@ -36,6 +36,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // answer filterless MIN/MAX/COUNT over parquet from footer
+      // statistics (PushedAggregation in the scan) — at 100 TB that
+      // converts a full-corpus scan into a metadata read; off by
+      // default upstream only for ecosystem-compat caution
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // The testdata events table carries TIMESTAMP(NANOS) parquet, which

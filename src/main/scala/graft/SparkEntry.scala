@@ -5328,6 +5328,31 @@ object SparkEntry {
           .orderBy("doc_id")
       }),
 
+    // S-aggpush: filterless MIN/MAX/COUNT answered from parquet FOOTER
+    // statistics — the session enables spark.sql.parquet.aggregatePushdown
+    // and this read goes through the V2 parquet source (the only path
+    // that implements aggregate pushdown; the SESSION default stays V1
+    // because bucketed-table reads exist only there, so the V2 choice is
+    // scoped to this reader and restored). PushedAggregation is pinned
+    // in PlanSpec. At 100 TB: a metadata read instead of a corpus scan.
+    Q("s_agg_pushdown_stats",
+      Some("""SELECT COUNT(*) AS n_rows,
+             |       MIN(l_orderkey) AS min_okey, MAX(l_orderkey) AS max_okey,
+             |       MIN(l_partkey) AS min_pkey, MAX(l_partkey) AS max_pkey
+             |FROM lineitem""".stripMargin),
+      (s, dir) => {
+        val key = "spark.sql.sources.useV1SourceList"
+        val prev = s.conf.get(key)
+        val df =
+          try { s.conf.set(key, ""); Tables.lineitem(s, dir) }
+          finally s.conf.set(key, prev)
+        df.agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"),
+          min(col("l_partkey")).as("min_pkey"),
+          max(col("l_partkey")).as("max_pkey"))
+      }),
+
     // Q-kanon: k-anonymity audit — for quasi-identifier (lang, source),
     // how many documents sit in groups smaller than k=5 (re-identifiable
     // under linkage) and which groups violate. The release gate a

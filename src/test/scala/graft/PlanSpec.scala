@@ -22,6 +22,12 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("props"), "scan reads unused column props")
   }
 
+  test("s_agg_pushdown_stats: MIN/MAX/COUNT answered from parquet footers") {
+    val p = plan(SparkEntry.queries("s_agg_pushdown_stats")(spark, dir))
+    assert(p.contains("PushedAggregation: [COUNT(*)"),
+      s"aggregate not pushed to the scan:\n$p")
+  }
+
   test("J3: dimension joins broadcast, no shuffled dim") {
     val p = plan(SparkEntry.queries("j3_star_join_revenue")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"customer join is not broadcast:\n$p")

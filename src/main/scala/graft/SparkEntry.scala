@@ -5353,6 +5353,57 @@ object SparkEntry {
           max(col("l_partkey")).as("max_pkey"))
       }),
 
+    // Q-benford: first-significant-digit distribution vs Benford's law —
+    // the classic fabricated-data / unit-error forensic audit for
+    // financial-style columns. One aggregation over the digit (9 rows
+    // out); expected_p = log10(1 + 1/d) rides as column arithmetic.
+    Q("q_benford_first_digit",
+      Some("""WITH d AS (SELECT CAST(substr(CAST(CAST(l_extendedprice AS DOUBLE) AS VARCHAR), 1, 1) AS INT) AS digit
+             |          FROM lineitem WHERE l_extendedprice >= 1),
+             |g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+             |t AS (SELECT SUM(n) AS tot FROM g)
+             |SELECT digit, n, ROUND(n * 1.0 / t.tot + 1e-9, 4) AS observed_p,
+             |       ROUND(log10(1.0 + 1.0 / digit) + 1e-9, 4) AS benford_p
+             |FROM g, t ORDER BY digit""".stripMargin),
+      (s, dir) => {
+        // >= 1 pins the string rendering: both engines then lead with the
+        // first SIGNIFICANT digit (sub-1 values render '0.' in DuckDB but
+        // scientific in Spark)
+        val d = Tables.lineitem(s, dir)
+          .filter(col("l_extendedprice") >= 1)
+          .select(substring(col("l_extendedprice").cast("double")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+        val g = d.groupBy("digit").agg(count(lit(1)).as("n"))
+        val t = g.agg(sum("n").as("tot"))
+        g.crossJoin(broadcast(t))
+          .select(col("digit"), col("n"),
+            R(col("n") * lit(1.0) / col("tot")).as("observed_p"),
+            R(log(10.0, lit(1.0) + lit(1.0) / col("digit"))).as("benford_p"))
+          .orderBy("digit")
+      }),
+
+    // A-uentropy: per-user event-TYPE entropy — behavioral diversity
+    // (0 bits = single-type bots/monitors, high = organic mixed use).
+    // Same one-pass identity as TextAnalysis.tokenEntropy: H = log2 n −
+    // (Σ c·log2 c)/n over (user, type) counts; two hash aggregations.
+    Q("a_user_event_entropy",
+      Some("""WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+             |          FROM events GROUP BY 1, 2),
+             |e AS (SELECT user_id, SUM(c) AS n,
+             |        SUM(c * log2(c)) AS clgc FROM c GROUP BY 1)
+             |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+             |       ROUND(log2(n) - clgc / n + 1e-9, 4) AS entropy_bits
+             |FROM e ORDER BY user_id""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum("c").as("n_events"),
+          sum(col("c") * log(2.0, col("c"))).as("clgc"))
+        .select(col("user_id"), col("n_events"),
+          R(log(2.0, col("n_events")) - col("clgc") / col("n_events"))
+            .as("entropy_bits"))
+        .orderBy("user_id")),
+
     // Q-kanon: k-anonymity audit — for quasi-identifier (lang, source),
     // how many documents sit in groups smaller than k=5 (re-identifiable
     // under linkage) and which groups violate. The release gate a

@@ -239,6 +239,7 @@ class PlanSpec extends SparkTestBase {
       // x_nb_quality_classifier, already allowed above)
       "x_classifier_auc", "x_classifier_calibration",
       "q_rater_agreement_kappa",
+      "q_benford_first_digit", // one-row digit-total crossJoin
       // broadcast-scored similarity: rrf crosses the ONE-ROW query
       // vector, hard-negative mining the 20-row query set, against the
       // corpus — same shape as x_knn_classify

@@ -118,10 +118,11 @@ object SparkEntry {
          |             unnest(syms[2:len(syms)]) AS r
          |      FROM w${r - 1} WHERE len(syms) > 1) GROUP BY l, r),
          |m$r AS (SELECT l, r, c FROM p$r ORDER BY c DESC, l, r LIMIT 1),
-         |w$r AS (SELECT word, freq, string_split(list_reduce(syms,
+         |w$r AS (SELECT word, freq,
+         |        CASE WHEN m.l IS NULL THEN syms ELSE string_split(list_reduce(syms,
          |        (x, y) -> CASE WHEN (x = m.l OR ends_with(x, chr(31) || m.l)) AND y = m.r
-         |                  THEN x || y ELSE x || chr(31) || y END), chr(31)) AS syms
-         |        FROM w${r - 1} CROSS JOIN m$r m)""".stripMargin
+         |                  THEN x || y ELSE x || chr(31) || y END), chr(31)) END AS syms
+         |        FROM w${r - 1} LEFT JOIN m$r m ON TRUE)""".stripMargin
     }
     (words +: rs).mkString(",\n")
   }
@@ -1835,6 +1836,54 @@ object SparkEntry {
             coalesce(col("recall") >= lag(col("recall"), 1).over(wCurve),
               lit(true)))
           .orderBy("n_probe")
+      }),
+
+    // X-retrieval-eval: the standard IR metric suite — recall@5, MRR,
+    // binary-gain nDCG@5 — for the IVF(nProbe=2) system ranking against
+    // the exact brute-force top-5 as graded gold. Recall says WHETHER the
+    // ANN index finds the true neighbors; MRR/nDCG say WHERE it puts
+    // them — the rank-position signal recall can't see, and the number a
+    // retrieval pipeline actually tunes nProbe against. Shape: the two
+    // audited top-k operators + a queries-sized metric aggregation
+    // (5 rows); scales exactly as its constituent operators do.
+    Q("x_retrieval_eval",
+      Some(s"""WITH ${ivfCtes(probeMax = 2)},
+              |sys AS (SELECT qid, cid, rn FROM (
+              |    SELECT p.qid, a.vec_id AS cid,
+              |      row_number() OVER (PARTITION BY p.qid ORDER BY (${cosSql("a.v", "p.qv")}) DESC, a.vec_id) AS rn
+              |    FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid) WHERE rn <= 5),
+              |rel AS (SELECT s.qid, s.rn,
+              |          CASE WHEN ex.cid IS NOT NULL THEN 1 ELSE 0 END AS rel
+              |        FROM sys s LEFT JOIN exact ex ON ex.qid = s.qid AND ex.cid = s.cid),
+              |idcg AS (SELECT SUM(1.0 / log2(i + 1)) AS v FROM range(1, 6) r(i))
+              |SELECT qid AS query_id,
+              |       ROUND(SUM(rel) / 5.0 + 1e-9, 4) AS recall_at_5,
+              |       ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rn END), 0.0) + 1e-9, 4) AS mrr,
+              |       ROUND(SUM(CASE WHEN rel = 1 THEN 1.0 / log2(rn + 1) ELSE 0.0 END) / idcg.v + 1e-9, 4) AS ndcg_at_5
+              |FROM rel, idcg GROUP BY qid, idcg.v ORDER BY query_id""".stripMargin),
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.lloydRefine(emb,
+          Similarity.centroids(emb, "label", 64), iters = 2)
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, queries, 5)
+          .select(col("query_id"), col("corpus_id"), lit(1).as("rel"))
+        val sys = Similarity.ivfTopK(emb, queries, cents, k = 5, nProbe = 2)
+          .select(col("query_id"), col("corpus_id"), col("rank"))
+        // binary gains with all 5 gold items relevant → IDCG is the
+        // k=5 constant Σ 1/log2(i+1)
+        val idcg = (1 to 5).map(i => 1.0 / (math.log(i + 1) / math.log(2))).sum
+        sys.join(exact, Seq("query_id", "corpus_id"), "left")
+          .na.fill(0, Seq("rel"))
+          .groupBy("query_id")
+          .agg(
+            R(sum("rel") / lit(5.0)).as("recall_at_5"),
+            R(coalesce(lit(1.0) / min(when(col("rel") === 1, col("rank"))),
+              lit(0.0))).as("mrr"),
+            R(sum(when(col("rel") === 1,
+              lit(1.0) / log2(col("rank") + lit(1))).otherwise(lit(0.0)))
+              / lit(idcg)).as("ndcg_at_5"))
+          .orderBy("query_id")
       }),
 
     // X-semdedup: semantic deduplication — nearest-centroid clustering
@@ -3629,6 +3678,10 @@ object SparkEntry {
     // components → singleton fallback to own id → md5 split on the
     // cluster id. The oracle recomputes the identical clusters
     // (recursive CTE) and the identical md5 buckets.
+    // Candidate arm: ngramJaccardPairs (inverted index), DELIBERATELY
+    // not jaccardPairsPrefix — at this τ=0.02 the prefix lemma's cut is
+    // bounded by ~1/(1−τ)² ≈ 1.04× while its df-ranking pass costs ~7×
+    // the whole join (measured, SCALE.md "Cluster-split candidate arm").
     Q("x_cluster_split",
       Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
               |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -5419,6 +5472,26 @@ object SparkEntry {
         .withColumn("violates", col("n") < 5)
         .orderBy("lang", "source")),
 
+    // Q-ldiv: l-diversity audit — k-anonymity's necessary complement: a
+    // group can be large (k-safe) yet still leak if every row belongs to
+    // the SAME sensitive value (homogeneity attack). For quasi-identifier
+    // (event_type, day), l = distinct users in the group; l < 3 violates.
+    // Shape: one aggregation with a distinct count, groups-sized output.
+    Q("q_l_diversity",
+      Some("""WITH g AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |                 COUNT(*) AS n, COUNT(DISTINCT user_id) AS l
+             |          FROM events GROUP BY 1, 2)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, l,
+             |       l < 3 AS violates
+             |FROM g ORDER BY event_type, day""".stripMargin),
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("l"))
+        .withColumn("violates", col("l") < 3)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("l"), col("violates"))
+        .orderBy("event_type", "day")),
+
     // Q-kappa: Cohen's kappa between the HEURISTIC quality gate
     // (qualityScore ≥ 0.35) and the LEARNED gate (NB log-odds > 0) on
     // held-out docs — are the two quality filters measuring the same
@@ -5490,6 +5563,34 @@ object SparkEntry {
           -log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
         g.select(col("lang"), col("n"),
           R(col("n") + lap).as("n_dp"))
+          .orderBy("lang")
+      }),
+
+    // Q-dp-ledger: the BUDGET-GATED release — same seeded-Laplace counts,
+    // but routed through the ε-ledger (DpLedger.gatedLaplaceCounts): the
+    // release is recorded against a fresh per-run ledger before the
+    // noised frame is returned, noise scale b = 1/ε = 2, seed keyed by
+    // (dataset, release_id, group) so a replay of release r1 is
+    // byte-identical and costs no new ε. The oracle recomputes the
+    // identical md5-seeded draw. Ledger semantics (gate, idempotent
+    // replay, per-dataset isolation) are pinned in AlertsSpec.
+    Q("q_dp_gated_release",
+      Some("""WITH g AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+             |u AS (SELECT lang, n,
+             |        (CAST(concat('0x', substr(md5('docs:r1:' || lang), 1, 10)) AS BIGINT) + 0.5)
+             |          / 1099511627776.0 AS uu
+             |      FROM g)
+             |SELECT lang, n,
+             |       ROUND(n - CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END
+             |             * 2.0 * LN(1.0 - 2.0 * ABS(uu - 0.5)) + 1e-9, 4) AS n_dp
+             |FROM u ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val ledger = java.nio.file.Files
+          .createTempDirectory("graft-dp-ledger").toString
+        graft.quality.DpLedger.gatedLaplaceCounts(
+            Tables.documents(s, dir), Seq("lang"), ledger,
+            dataset = "docs", releaseId = "r1", epsilon = 0.5,
+            totalBudget = 1.0)
           .orderBy("lang")
       }),
 

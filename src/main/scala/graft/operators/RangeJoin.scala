@@ -44,18 +44,28 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     require(Set(pointCol, startCol, endCol).size == 3,
       "pointCol/startCol/endCol must be three distinct column names")
-    // distinct internal names on the two sides: df("col")-style
-    // disambiguation is unreliable when both inputs derive from the same
-    // base table (the classic self-join resolution trap)
-    val ib = intervals.filter(col(endCol) > col(startCol))
+    // Rename the bound columns to side-unique internal names BEFORE the
+    // join: df("col")-style disambiguation is unreliable when both inputs
+    // derive from the same base table (the classic self-join resolution
+    // trap), and an unqualified col(startCol) would be ambiguous the
+    // moment `points` happens to carry a column of the same name. With
+    // internal names every predicate reference resolves to exactly one
+    // side regardless of what else the two schemas share.
+    val pb = points.withColumnRenamed(pointCol, "_graft_rj_p")
+      .withColumn("_pb", floor(col("_graft_rj_p") / bucketWidth).cast("long"))
+    val ib = intervals.withColumnRenamed(startCol, "_graft_rj_s")
+      .withColumnRenamed(endCol, "_graft_rj_e")
+      .filter(col("_graft_rj_e") > col("_graft_rj_s"))
       .withColumn("_ib",
-        explode(bucketsFor(col(startCol), col(endCol), bucketWidth)))
-    val pb = points
-      .withColumn("_pb", floor(col(pointCol) / bucketWidth).cast("long"))
+        explode(bucketsFor(col("_graft_rj_s"), col("_graft_rj_e"), bucketWidth)))
     pb.join(ib,
         col("_pb") === col("_ib") &&
-          col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+          col("_graft_rj_p") >= col("_graft_rj_s") &&
+          col("_graft_rj_p") < col("_graft_rj_e"))
       .drop("_pb", "_ib")
+      .withColumnRenamed("_graft_rj_p", pointCol)
+      .withColumnRenamed("_graft_rj_s", startCol)
+      .withColumnRenamed("_graft_rj_e", endCol)
   }
 
   /** Inner-join two interval tables on overlap:
@@ -71,17 +81,30 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     require(Set(leftStart, leftEnd, rightStart, rightEnd).size == 4,
       "the four bound columns must have distinct names")
-    val lb = left.filter(col(leftEnd) > col(leftStart))
+    // Same internal-rename discipline as pointInInterval: the overlap
+    // predicate must stay unambiguous even when the two inputs share
+    // other column names (both deriving from one base table is the
+    // common case for overlap joins).
+    val lb = left.withColumnRenamed(leftStart, "_graft_rj_ls")
+      .withColumnRenamed(leftEnd, "_graft_rj_le")
+      .filter(col("_graft_rj_le") > col("_graft_rj_ls"))
       .withColumn("_lgb",
-        explode(bucketsFor(col(leftStart), col(leftEnd), bucketWidth)))
-    val rb = right.filter(col(rightEnd) > col(rightStart))
+        explode(bucketsFor(col("_graft_rj_ls"), col("_graft_rj_le"), bucketWidth)))
+    val rb = right.withColumnRenamed(rightStart, "_graft_rj_rs")
+      .withColumnRenamed(rightEnd, "_graft_rj_re")
+      .filter(col("_graft_rj_re") > col("_graft_rj_rs"))
       .withColumn("_rgb",
-        explode(bucketsFor(col(rightStart), col(rightEnd), bucketWidth)))
+        explode(bucketsFor(col("_graft_rj_rs"), col("_graft_rj_re"), bucketWidth)))
     lb.join(rb,
         col("_lgb") === col("_rgb") &&
-          col(leftStart) < col(rightEnd) && col(rightStart) < col(leftEnd) &&
-          col("_lgb") === floor(greatest(col(leftStart), col(rightStart)) /
+          col("_graft_rj_ls") < col("_graft_rj_re") &&
+          col("_graft_rj_rs") < col("_graft_rj_le") &&
+          col("_lgb") === floor(greatest(col("_graft_rj_ls"), col("_graft_rj_rs")) /
             bucketWidth).cast("long"))
       .drop("_lgb", "_rgb")
+      .withColumnRenamed("_graft_rj_ls", leftStart)
+      .withColumnRenamed("_graft_rj_le", leftEnd)
+      .withColumnRenamed("_graft_rj_rs", rightStart)
+      .withColumnRenamed("_graft_rj_re", rightEnd)
   }
 }

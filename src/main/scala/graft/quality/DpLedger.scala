@@ -1,0 +1,130 @@
+package graft.quality
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Differential-privacy budget ledger: ε accounting that makes repeated
+  * releases honest.
+  *
+  * A single seeded-Laplace release (`q_dp_release_counts`) is fine on its
+  * own, but privacy loss COMPOSES: every release over the same dataset
+  * spends ε, and a pipeline that re-runs its "anonymized" export nightly
+  * silently burns through any budget. The ledger records each release
+  * (dataset, release_id, query_key, epsilon) in a tiny parquet table and
+  * fail-fasts a release that would push the dataset's sequential-
+  * composition total Σε over its budget — the gate that turns "we add
+  * noise" into an enforceable guarantee.
+  *
+  * Exactly-once discipline (same stance as the warehouse batch markers):
+  * a release is identified by `releaseId`. Replaying a recorded release
+  * does NOT spend again and returns byte-identical output, because the
+  * noise is a deterministic function of (dataset, releaseId, group key) —
+  * re-publishing the same numbers reveals nothing new, so it costs no new
+  * ε. The ledger row is written BEFORE the noised frame is handed back:
+  * a crash between the two leaves ε spent but unreleased — the safe
+  * direction for privacy (never the reverse).
+  *
+  * Scale: the ledger is releases-sized (rows = audit events, not data),
+  * so the read-check-rewrite cycle is a metadata operation at any corpus
+  * size; the noised aggregate itself is groups-sized. Writes go through
+  * the same stage-and-swap rename used by the streaming state tables so a
+  * crash never leaves a half-written ledger.
+  */
+object DpLedger {
+
+  /** Rows currently in the ledger for `dataset` (empty frame if the
+    * ledger doesn't exist yet): dataset, release_id, query_key, epsilon. */
+  def ledger(spark: SparkSession, ledgerPath: String): DataFrame = {
+    val dataDir = new Path(s"$ledgerPath/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dataDir)) spark.read.parquet(dataDir.toString)
+    else {
+      import spark.implicits._
+      Seq.empty[(String, String, String, Double)]
+        .toDF("dataset", "release_id", "query_key", "epsilon")
+    }
+  }
+
+  /** Total ε already spent against `dataset` (sequential composition). */
+  def spent(spark: SparkSession, ledgerPath: String, dataset: String): Double =
+    ledger(spark, ledgerPath)
+      .filter(col("dataset") === dataset)
+      .agg(coalesce(sum("epsilon"), lit(0.0))).collect()(0).getDouble(0)
+
+  /** Budget-gated ε-DP count release: `df.groupBy(keys).count()` plus
+    * Laplace(1/ε) noise (sensitivity-1 counts), recorded in the ledger.
+    *
+    *  - (dataset, releaseId) already recorded → idempotent replay: no new
+    *    spend, identical output (deterministic seeded noise).
+    *  - Σε(dataset) + ε > totalBudget → IllegalStateException BEFORE any
+    *    spend or output; the ledger is untouched.
+    *  - otherwise the ledger row lands first (stage-and-swap), then the
+    *    noised frame is returned: (keys..., n, n_dp).
+    */
+  def gatedLaplaceCounts(df: DataFrame, keys: Seq[String],
+                         ledgerPath: String, dataset: String,
+                         releaseId: String, epsilon: Double,
+                         totalBudget: Double): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    require(keys.nonEmpty, "at least one grouping key")
+    val spark = df.sparkSession
+    val already = ledger(spark, ledgerPath)
+      .filter(col("dataset") === dataset && col("release_id") === releaseId)
+      .limit(1).count() > 0
+    if (!already) {
+      val used = spent(spark, ledgerPath, dataset)
+      if (used + epsilon > totalBudget + 1e-12)
+        throw new IllegalStateException(
+          f"DP budget exhausted for dataset '$dataset': spent $used%.4f " +
+            f"+ requested $epsilon%.4f > budget $totalBudget%.4f " +
+            s"(ledger: $ledgerPath)")
+      import spark.implicits._
+      val row = Seq((dataset, releaseId, keys.mkString(","), epsilon))
+        .toDF("dataset", "release_id", "query_key", "epsilon")
+      appendSwap(spark, ledgerPath, row)
+    }
+    // seed covers dataset + release + group key: a replay reproduces the
+    // published numbers exactly; a NEW release id draws fresh noise
+    val seedKey = concat(lit(s"$dataset:$releaseId:"),
+      concat_ws("", keys.map(col(_).cast("string")): _*))
+    val u = graft.ext.Sampling.md5Uniform(seedKey)
+    val b = 1.0 / epsilon
+    val lap = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+      lit(b) * -log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(keys.map(col) :+ col("n") :+
+        round(col("n") + lap + lit(1e-9), 4).as("n_dp"): _*)
+  }
+
+  /** Append `rows` to the ledger via stage-and-swap (read current, union,
+    * write staged, rename-aside swap) — a crash leaves either the old or
+    * the new complete ledger, never a torn one. Single-driver semantics,
+    * like every state table in this engine. */
+  private def appendSwap(spark: SparkSession, ledgerPath: String,
+                         rows: DataFrame): Unit = {
+    val fs = new Path(ledgerPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDir = new Path(s"$ledgerPath/data")
+    val backup = new Path(s"$ledgerPath/_prestate")
+    if (!fs.exists(dataDir) && fs.exists(backup) && !fs.rename(backup, dataDir))
+      throw new java.io.IOException(
+        s"dp ledger: could not restore $backup after crash")
+    val merged =
+      if (fs.exists(dataDir)) spark.read.parquet(dataDir.toString).unionByName(rows)
+      else rows
+    val tmp = new Path(s"$ledgerPath/_stage")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    val hadData = fs.exists(dataDir)
+    if (hadData && !fs.rename(dataDir, backup))
+      throw new java.io.IOException(s"dp ledger: could not move $dataDir aside")
+    if (!fs.rename(tmp, dataDir)) {
+      if (hadData) fs.rename(backup, dataDir)
+      throw new java.io.IOException(s"dp ledger: could not promote staged ledger")
+    }
+    if (hadData) fs.delete(backup, true)
+    ()
+  }
+}

@@ -678,14 +678,19 @@ object StreamingPipeline {
                  valueCol: String, threshold: Double = 3.5): DataFrame =
     batch.join(broadcast(baseline), keys, "left")
       .withColumn("has_baseline", col("med").isNotNull)
+      // a NULL measurement has no z-score — but it must still ALERT
+      // (alert-on-unknown, same stance as the missing-baseline case):
+      // without the explicit branch, null arithmetic would make both
+      // robust_z and `outlier` null, a row that neither flags nor passes
       .withColumn("robust_z",
-        when(!col("has_baseline"), lit(null).cast("double"))
+        when(!col("has_baseline") || col(valueCol).isNull,
+          lit(null).cast("double"))
           .otherwise(when(col("sigma_robust") > 0,
             (col(valueCol) - col("med")) / col("sigma_robust"))
             .otherwise(when(col(valueCol) === col("med"), lit(0.0))
               .otherwise(lit(Double.PositiveInfinity)))))
       .withColumn("outlier",
-        when(!col("has_baseline"), lit(true))
+        when(!col("has_baseline") || col(valueCol).isNull, lit(true))
           .otherwise(abs(col("robust_z")) > threshold))
 
   /** Percentile read over a [[quantileState]] store: one row per group

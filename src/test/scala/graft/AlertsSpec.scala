@@ -466,6 +466,105 @@ class AlertsSpec extends SparkTestBase {
     assert(unescaped === name)
   }
 
+  test("a genuinely-late replay trips high_e2e_latency through the real listener and recovers") {
+    // end-to-end: a file-source replay with CONTROLLED lateness drives
+    // the actual MetricsListener (batch-end minus min event time), whose
+    // history then trips the reference SLO rule
+    // (HighEndToEndLatency ~ alert_rules.yml:37-46) after TWO consecutive
+    // late batches and resets when fresh data resumes.
+    import graft.streaming.StreamingPipeline
+    val inDir = java.nio.file.Files.createTempDirectory("graft-late-in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-late-ck").toString
+    val fmt = java.time.format.DateTimeFormatter.ISO_INSTANT
+    def writeBatch(name: String, ts: java.time.Instant): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, name),
+        (1 to 5).map(i =>
+            s"""{"ts":"${fmt.format(ts.plusSeconds(i))}","k":"a","value":$i.0}""")
+          .mkString("", "\n", "\n"))
+    // no-data micro-batches (watermark-advance flushes) would interleave
+    // input-less batch ids and break the consecutive-breach axis the
+    // `for:` clause counts on — a monitor replaying history disables them
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNd = spark.conf.get(ndKey)
+    val listener = new StreamingPipeline.MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      spark.conf.set(ndKey, "false")
+      val src = spark.readStream
+        .schema("ts TIMESTAMP, k STRING, value DOUBLE").json(inDir)
+      // watermark far wider than the planted lateness: nothing is
+      // dropped, the stats just READ late
+      val agg = StreamingPipeline.windowedAgg(src, "ts", Seq("k"), "value",
+        "5 minutes", "2 hours")
+      val q = agg.writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        writeBatch("b0.json", java.time.Instant.now()) // fresh
+        q.processAllAvailable()
+        writeBatch("b1.json", java.time.Instant.now().minusSeconds(600)) // late burst
+        q.processAllAvailable()
+        writeBatch("b2.json", java.time.Instant.now().minusSeconds(900)) // still late
+        q.processAllAvailable()
+        writeBatch("b3.json", java.time.Instant.now()) // recovered
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      spark.conf.set(ndKey, prevNd)
+      spark.streams.removeListener(listener)
+    }
+    val hist = listener.history
+    assert(hist.size === 4, s"expected one batch per file: $hist")
+    assert(hist.forall(_.eventAgeMaxMs >= 0),
+      "every batch carries event-time info under the watermarked agg")
+    val out = Alerts.evaluateProgress(spark, hist, Alerts.latencyRules)
+      .filter(col("alert") === "high_e2e_latency").collect()
+      .map(r => (r.getAs[String]("window_start"), r.getAs[String]("state")))
+    // batches 1 and 2 breach (ages ~600/~900 s >> 60 s): pending then
+    // firing; batches 0 and 3 (fresh, age ≈ processing time) never appear
+    assert(out.toSeq === Seq(
+      ("1970-01-01 00:00:01", "pending"),
+      ("1970-01-01 00:00:02", "firing")), s"got ${out.toSeq}; hist=$hist")
+  }
+
+  test("DP ledger: budget gate, idempotent replay, per-dataset isolation") {
+    import graft.quality.DpLedger
+    val led = java.nio.file.Files.createTempDirectory("graft-dp-led").toString
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "fr"), (5L, "en"))
+      .toDF("doc_id", "lang")
+    def release(id: String, eps: Double, ds: String = "docs") =
+      DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, ds, id, eps,
+        totalBudget = 1.0)
+    val r1 = release("r1", 0.4).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(r1("en")._1 === 3L && r1.size === 3)
+    // noise is nonzero but bounded-sane at ε=0.4 (b=2.5): |noise| < 40
+    assert(r1.values.forall { case (n, ndp) =>
+      ndp != n.toDouble && math.abs(ndp - n) < 40 })
+    assert(math.abs(DpLedger.spent(spark, led, "docs") - 0.4) < 1e-9)
+    // idempotent replay: same release id → no new spend, SAME numbers
+    val r1b = release("r1", 0.4).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(r1b === r1)
+    assert(math.abs(DpLedger.spent(spark, led, "docs") - 0.4) < 1e-9)
+    // a NEW release id draws FRESH noise and spends
+    val r2 = release("r2", 0.4).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(r2("en") !== r1("en")._2, "fresh release id must re-draw noise")
+    assert(math.abs(DpLedger.spent(spark, led, "docs") - 0.8) < 1e-9)
+    // budget gate: 0.8 + 0.4 > 1.0 → fail fast, ledger untouched
+    val ex = intercept[IllegalStateException] { release("r3", 0.4) }
+    assert(ex.getMessage.contains("budget exhausted"))
+    assert(math.abs(DpLedger.spent(spark, led, "docs") - 0.8) < 1e-9)
+    assert(DpLedger.ledger(spark, led).count() === 2L)
+    // datasets compose independently
+    val other = release("r1", 0.9, ds = "other")
+    assert(other.count() === 3L)
+    assert(math.abs(DpLedger.spent(spark, led, "other") - 0.9) < 1e-9)
+    // an exactly-exhausting release is allowed (<=, not <)
+    assert(release("r4", 0.2).count() === 3L)
+    assert(math.abs(DpLedger.spent(spark, led, "docs") - 1.0) < 1e-9)
+  }
+
   private implicit class StateSeqOps(s: Seq[(String, String, String)]) {
     def toMap2: Map[(String, String), String] =
       s.map(t => (t._1, t._2) -> t._3).toMap

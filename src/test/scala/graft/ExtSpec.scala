@@ -27,9 +27,8 @@ class ExtSpec extends SparkTestBase {
   }
 
   test("prefix-filtered jaccard pairs equal the inverted-index join at every threshold") {
-    // 20-word docs make τ=0.3 hit the float-overshoot case
-    // (0.3·20 = 6.000000000000001): an unguarded ceil shrinks the
-    // prefix and drops pairs
+    // equality sweep over mixed thresholds (the float-overshoot guard is
+    // exercised separately below with a τ·n pair that genuinely rounds up)
     val base = (1 to 20).map(i => s"w$i").mkString(" ")
     val near = ((1 to 16).map(i => s"w$i") ++ (1 to 4).map(i => s"x$i")).mkString(" ")
     val far = (21 to 40).map(i => s"w$i").mkString(" ")
@@ -55,6 +54,30 @@ class ExtSpec extends SparkTestBase {
     val at10 = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", "source", 3, 1.0)
     assert(at10.select("id_a", "id_b").as[(Long, Long)].collect().toSet ===
       Set((1L, 2L)))
+  }
+
+  test("prefix jaccard: the ceil-overshoot guard is load-bearing at τ=0.28, n=25") {
+    // 0.28·25 = 7.000000000000001 in IEEE doubles — an unguarded ceil
+    // reads 8 and SHRINKS doc A's prefix from 19 to 18. The corpus is
+    // built so that shrink drops a qualifying pair: A has 25 shingles of
+    // which the 7 LAST-ranked (highest df, boosted by the two B copies)
+    // are exactly B's whole shingle set, so A's 18-prefix misses every
+    // shared shingle while the guarded 19-prefix keeps the rarest one —
+    // which B's own 6-prefix also keeps. j(A,B) = 7/25 = 0.28 = τ.
+    assert(math.ceil(0.28 * 25) == 8.0 &&
+      math.ceil(0.28 * 25 - 1e-9) == 7.0, "the τ·n pair must overshoot")
+    val aWords = (1 to 27).map(i => f"a$i%02d")
+    val a = aWords.mkString(" ")              // 25 3-shingles
+    val b = aWords.slice(18, 27).mkString(" ") // words a19..a27 → A's last 7 shingles
+    val docs = Seq(
+      (1L, a, "s1"), (2L, b, "s1"), (20L, b, "s1"), (21L, b, "s1")
+    ).toDF("doc_id", "text", "source")
+    val expected = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 0.28)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", "source", 3, 0.28)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(expected.contains(1L -> 2L), "fixture must produce the A-B pair")
+    assert(got === expected)
   }
 
   test("language ID votes stopwords with fixed precedence") {

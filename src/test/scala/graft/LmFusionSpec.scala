@@ -203,16 +203,20 @@ class LmFusionSpec extends SparkTestBase {
     val med = row.getAs[Double]("med")
     assert(med >= 9.8 && med <= 10.4, s"median of the folded history: $med")
     assert(row.getAs[Double]("iqr") > 0.0)
-    // a clean point passes, the planted spike flags, and a key with NO
-    // history must surface as an alert-on-unknown row, not vanish
-    val batch = Seq(("A", 10.1), ("A", 99.0), ("NEW", 1.0)).toDF("k", "v")
+    // a clean point passes, the planted spike flags, a key with NO
+    // history must surface as an alert-on-unknown row (not vanish), and a
+    // NULL measurement must flag too — not produce a null `outlier` that
+    // neither alerts nor passes
+    val batch = Seq(("A", Some(10.1)), ("A", Some(99.0)), ("NEW", Some(1.0)),
+      ("A", Option.empty[Double])).toDF("k", "v")
     val out = StreamingPipeline.robustFlag(batch, baseline, Seq("k"), "v")
       .select("k", "v", "outlier", "has_baseline").collect()
-      .map(r => (r.getString(0), r.getDouble(1)) ->
+      .map(r => (r.getString(0), Option(r.getAs[Any]("v"))) ->
         (r.getBoolean(2), r.getBoolean(3))).toMap
-    assert(out(("A", 10.1)) === ((false, true)))
-    assert(out(("A", 99.0)) === ((true, true)))
-    assert(out(("NEW", 1.0)) === ((true, false)), s"$out")
+    assert(out(("A", Some(10.1))) === ((false, true)))
+    assert(out(("A", Some(99.0))) === ((true, true)))
+    assert(out(("NEW", Some(1.0))) === ((true, false)), s"$out")
+    assert(out(("A", None)) === ((true, true)), s"null value must alert: $out")
   }
 
   test("RRF: both-list docs outrank single-list docs at equal ranks") {

@@ -219,6 +219,11 @@ class PlanSpec extends SparkTestBase {
       "a_supplier_value_share", "a_missing_hours", "a_gapfill_ffill",
       "x_nb_quality_classifier", "x_classifier_curation",
       "x_pq_refined_recall",
+      // the SRP arms inherit the exact-twin's broadcast score where they
+      // deliberately run it (the recall calibration query); listed
+      // EXPLICITLY — membership below is exact-name, never prefix, so a
+      // future x_foo_variant can't silently inherit x_foo's exemption
+      "x_profile_similarity_srp", "x_profile_similarity_srp_recall",
       // one signature row per SOURCE (a handful): the pairwise overlap
       // matrix is sources², broadcast by construction
       "x_source_overlap",
@@ -250,7 +255,7 @@ class PlanSpec extends SparkTestBase {
         val p = fn(spark, dir).queryExecution.executedPlan.toString
         if (p.contains("CartesianProduct"))
           offenders += s"$name: CartesianProduct"
-        if (p.contains("BroadcastNestedLoopJoin") && !nlAllowed.exists(name.startsWith))
+        if (p.contains("BroadcastNestedLoopJoin") && !nlAllowed.contains(name))
           offenders += s"$name: BroadcastNestedLoopJoin"
       } catch {
         case e: Throwable => offenders += s"$name: plan build failed (${e.getClass.getSimpleName})"

@@ -92,6 +92,28 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.contains((42L, 7L)))
   }
 
+  test("both sides sharing non-bound column names resolve unambiguously") {
+    // the common production shape: points and intervals both derive from
+    // one base table, so they share column names beyond the bound
+    // columns ("tag" here). The internal-rename discipline must keep the
+    // range predicates resolvable — before it, col(startCol) was
+    // ambiguous the moment the other side carried a same-named column.
+    val pts = Seq((0L, "p"), (5L, "p"), (42L, "p")).toDF("t", "tag")
+    val ivs = Seq((1L, 0L, 10L, "i"), (7L, 0L, 100L, "i"))
+      .toDF("iv_id", "s", "e", "tag")
+    val got = RangeJoin.pointInInterval(pts, ivs, "t", "s", "e", 8L)
+      .select("t", "iv_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 1L), (5L, 1L), (0L, 7L), (5L, 7L), (42L, 7L)))
+    // same for the overlap join: both interval tables carry "tag", and
+    // the bound columns of one side exist as PAYLOAD columns on the other
+    val l = Seq((1L, 0L, 10L, "x")).toDF("l_id", "ls", "le", "tag")
+    val r = Seq((2L, 5L, 15L, "y"), (3L, 20L, 30L, "y"))
+      .toDF("r_id", "rs", "re", "tag")
+    val ov = RangeJoin.intervalOverlapJoin(l, r, "ls", "le", "rs", "re", 4L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(ov === Set((1L, 2L)))
+  }
+
   test("invalid arguments fail loudly") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 0L)

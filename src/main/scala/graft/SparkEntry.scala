@@ -335,6 +335,18 @@ object SparkEntry {
        |         LEFT JOIN cont ct ON db.w2 = ct.w2
        |         CROSS JOIN tot)""".stripMargin
 
+  /** RBO per-pair contribution coefficient (p = 0.9, depth 5): a pair
+    * first co-present at m = max(rank_a, rank_b) adds Σ_{d=m..5}
+    * p^(d−1)/d (the (1−p) factor applied at the end). Written as
+    * explicit 0.9 products — the identical literal arithmetic parses on
+    * BOTH engines, so no pow/libm last-ulp divergence exists. */
+  private val rboCoefSql: String = (1 to 5).map { m =>
+    val terms = (m to 5)
+      .map(d => (Seq.fill(d - 1)("0.9") :+ "1.0").mkString("*") + s" / $d")
+      .mkString(" + ")
+    s"WHEN $m THEN $terms"
+  }.mkString("CASE m ", " ", " ELSE 0.0 END")
+
   /** Register every TPC-H-ish table as a temp view for the SQL-front-end
     * queries. */
   private def tpchViews(s: SparkSession, dir: String): Unit = {
@@ -1883,6 +1895,57 @@ object SparkEntry {
             R(sum(when(col("rel") === 1,
               lit(1.0) / log2(col("rank") + lit(1))).otherwise(lit(0.0)))
               / lit(idcg)).as("ndcg_at_5"))
+          .orderBy("query_id")
+      }),
+
+    // X-rbo: rank-biased overlap (Webber et al. 2010) between the exact
+    // cosine top-5 and the IVF(nProbe=1) top-5, per query — the
+    // top-weighted ranking-similarity number that says not just WHETHER
+    // the ANN arm finds the right items (recall) but whether it puts
+    // them in the same ORDER, discounting depth geometrically (p=0.9).
+    // Identity used on both engines: a pair first co-present at depth
+    // m = max(rank_a, rank_b) contributes (1−p)·Σ_{d=m..5} p^(d−1)/d —
+    // the coefficient CASE below is the SAME literal-arithmetic string
+    // on both sides (explicit 0.9 products, no pow), so no libm
+    // divergence can enter. Shape: the two audited top-k operators +
+    // an equi-join + a queries-sized aggregation.
+    Q("x_rbo_rankings",
+      Some {
+        s"""WITH ${ivfCtes(probeMax = 1)},
+           |exr AS (SELECT qid, cid, rn AS ra FROM (
+           |    SELECT q.vec_id AS qid, t.vec_id AS cid,
+           |      row_number() OVER (PARTITION BY q.vec_id ORDER BY (${cosSql("t.v", "q.v")}) DESC, t.vec_id) AS rn
+           |    FROM q JOIN e t ON t.vec_id <> q.vec_id) WHERE rn <= 5),
+           |sysr AS (SELECT qid, cid, rn AS rb FROM (
+           |    SELECT p.qid, a.vec_id AS cid,
+           |      row_number() OVER (PARTITION BY p.qid ORDER BY (${cosSql("a.v", "p.qv")}) DESC, a.vec_id) AS rn
+           |    FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.qid) WHERE rn <= 5),
+           |pairs AS (SELECT x.qid, GREATEST(x.ra, s.rb) AS m
+           |          FROM exr x JOIN sysr s ON x.qid = s.qid AND x.cid = s.cid),
+           |contrib AS (SELECT qid, ($rboCoefSql) AS c FROM pairs),
+           |per AS (SELECT qid, SUM(c) AS sc2 FROM contrib GROUP BY qid)
+           |SELECT q.vec_id AS query_id,
+           |       ROUND(0.1 * COALESCE(per.sc2, 0.0) + 1e-9, 4) AS rbo
+           |FROM q LEFT JOIN per ON q.vec_id = per.qid
+           |ORDER BY query_id""".stripMargin
+      },
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.lloydRefine(emb,
+          Similarity.centroids(emb, "label", 64), iters = 2)
+        val queries = emb.filter(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(emb, queries, 5)
+          .select(col("query_id"), col("corpus_id"), col("rank").as("ra"))
+        val sys = Similarity.ivfTopK(emb, queries, cents, k = 5, nProbe = 1)
+          .select(col("query_id"), col("corpus_id"), col("rank").as("rb"))
+        val per = exact.join(sys, Seq("query_id", "corpus_id"))
+          .withColumn("m", greatest(col("ra"), col("rb")))
+          .withColumn("c", expr(rboCoefSql))
+          .groupBy("query_id").agg(sum(col("c")).as("sc2"))
+        queries.select(col("vec_id").as("query_id"))
+          .join(per, Seq("query_id"), "left")
+          .select(col("query_id"),
+            R(lit(0.1) * coalesce(col("sc2"), lit(0.0))).as("rbo"))
           .orderBy("query_id")
       }),
 
@@ -5147,6 +5210,87 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("n_bigrams"),
             R(col("avg_nll")).as("avg_nll"))
           .orderBy("doc_id")
+      }),
+
+    // X-doremi: excess-loss domain reweighting (the DoReMi idea,
+    // arXiv:2305.10429, in its deterministic one-shot form): domains
+    // whose mean LM loss exceeds the easiest domain's get upweighted
+    // exponentially — train the mixture where the model is still losing.
+    // Per-doc nll comes from the audited KN scorer (rounded 4 dp so both
+    // engines aggregate identical values); the softmax runs over the
+    // SOURCES-sized frame (one-row min/total crossJoins, broadcast).
+    Q("x_domain_reweight",
+      Some(s"WITH $knBigramCtes,\n" +
+        """nll AS (SELECT doc_id, ROUND(AVG(-log2(p)) + 1e-9, 4) AS nll_r
+          |        FROM sc GROUP BY doc_id),
+          |sn AS (SELECT d.source, COUNT(*) AS n_docs,
+          |         ROUND(AVG(nll.nll_r) + 1e-9, 4) AS mean_nll
+          |       FROM documents d JOIN nll ON d.doc_id = nll.doc_id GROUP BY 1),
+          |mn AS (SELECT MIN(mean_nll) AS m FROM sn),
+          |e AS (SELECT source, n_docs, mean_nll,
+          |        exp(mean_nll - mn.m) AS ew FROM sn, mn),
+          |t2 AS (SELECT SUM(ew) AS s FROM e)
+          |SELECT source, n_docs, mean_nll,
+          |       ROUND(ew / t2.s + 1e-9, 4) AS weight
+          |FROM e, t2 ORDER BY source""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.ext.Lm.knBigramTrain(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        val nll = graft.ext.Lm.knScore(docs, "doc_id", "text", model)
+          .select(col("id").as("doc_id"), R(col("avg_nll")).as("nll_r"))
+        val sn = docs.join(nll, "doc_id").groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), R(avg(col("nll_r"))).as("mean_nll"))
+        val e = sn.crossJoin(broadcast(sn.agg(min(col("mean_nll")).as("m"))))
+          .withColumn("ew", exp(col("mean_nll") - col("m")))
+        e.crossJoin(broadcast(e.agg(sum(col("ew")).as("s"))))
+          .select(col("source"), col("n_docs"), col("mean_nll"),
+            R(col("ew") / col("s")).as("weight"))
+          .orderBy("source")
+      }),
+
+    // X-curriculum: difficulty-ordered training curriculum — quartile
+    // buckets of KN nll (easy → hard), deterministic md5 shuffle WITHIN
+    // each bucket. Bucket assignment is threshold-based (one-row exact
+    // quartiles broadcast, then a map-side CASE) rather than a global
+    // NTILE — a single-partition ranking window over the corpus is
+    // exactly the scale cliff this engine bans; the only window here is
+    // the per-bucket position, partitioned on bucket.
+    Q("x_curriculum_order",
+      Some(s"WITH $knBigramCtes,\n" +
+        """nll AS (SELECT doc_id, ROUND(AVG(-log2(p)) + 1e-9, 4) AS nll_r
+          |        FROM sc GROUP BY doc_id),
+          |q AS (SELECT ROUND(quantile_cont(nll_r, 0.25) + 1e-9, 4) AS q1,
+          |             ROUND(quantile_cont(nll_r, 0.50) + 1e-9, 4) AS q2,
+          |             ROUND(quantile_cont(nll_r, 0.75) + 1e-9, 4) AS q3 FROM nll),
+          |b AS (SELECT doc_id, nll_r,
+          |        1 + CAST(nll_r > q.q1 AS INT) + CAST(nll_r > q.q2 AS INT)
+          |          + CAST(nll_r > q.q3 AS INT) AS bucket
+          |      FROM nll, q)
+          |SELECT doc_id, bucket, nll_r,
+          |       CAST(row_number() OVER (PARTITION BY bucket
+          |         ORDER BY md5('17|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+          |FROM b ORDER BY bucket, pos""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.ext.Lm.knBigramTrain(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        val nll = graft.ext.Lm.knScore(docs, "doc_id", "text", model)
+          .select(col("id").as("doc_id"), R(col("avg_nll")).as("nll_r"))
+        val qs = nll.agg(
+          R(expr("percentile(nll_r, 0.25d)")).as("q1"),
+          R(expr("percentile(nll_r, 0.5d)")).as("q2"),
+          R(expr("percentile(nll_r, 0.75d)")).as("q3"))
+        val b = nll.crossJoin(broadcast(qs))
+          .withColumn("bucket", lit(1) +
+            (col("nll_r") > col("q1")).cast("int") +
+            (col("nll_r") > col("q2")).cast("int") +
+            (col("nll_r") > col("q3")).cast("int"))
+        val w = Window.partitionBy("bucket").orderBy(
+          md5(concat(lit("17|"), col("doc_id").cast("string"))), col("doc_id"))
+        b.withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("bucket"), col("nll_r"), col("pos"))
+          .orderBy("bucket", "pos")
       }),
 
     // X-lm-kn3: trigram interpolated KN — the full recursion

@@ -248,7 +248,12 @@ class PlanSpec extends SparkTestBase {
       // broadcast-scored similarity: rrf crosses the ONE-ROW query
       // vector, hard-negative mining the 20-row query set, against the
       // corpus — same shape as x_knn_classify
-      "x_rrf_hybrid", "x_hard_negatives")
+      "x_rrf_hybrid", "x_hard_negatives",
+      // retrieval-metric queries over the broadcast-scored top-k arms
+      // (same constituent operators as x_ivf_recall_curve)
+      "x_retrieval_eval", "x_rbo_rankings",
+      // one-row min/total/quartile broadcasts over sources-sized frames
+      "x_domain_reweight", "x_curriculum_order")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

@@ -2527,6 +2527,41 @@ object SparkEntry {
           .orderBy("source", "bin")
       }),
 
+    // X-bpe-fertility: tokenizer fertility per language — subwords/word
+    // and chars/subword under the learned 8-merge table. THE comparison
+    // number for tokenizer choice: a vocabulary whose fertility is 30%
+    // higher on one language inflates that language's token bill (and
+    // shrinks its effective context) by the same 30%. Shape: the
+    // vocabulary-sized encodedVocab join + one aggregation.
+    Q("x_bpe_fertility",
+      Some(s"""WITH ${bpeCtes(8)},
+              |tok AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+              |words AS (SELECT doc_id, lang, unnest(toks) AS word FROM tok),
+              |j AS (SELECT lang, len(syms) AS n_sub, len(word) AS n_chars
+              |      FROM words JOIN w8 USING (word))
+              |SELECT lang, COUNT(*) AS n_words,
+              |       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+              |       ROUND(SUM(n_sub) * 1.0 / COUNT(*) + 1e-9, 4) AS fertility,
+              |       ROUND(SUM(n_chars) * 1.0 / SUM(n_sub) + 1e-9, 4) AS chars_per_subword
+              |FROM j GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val (merges, _) = graft.ext.Bpe.learnLocal(docs, "text", 8)
+        val enc = graft.ext.Bpe.encodedVocab(docs, "text",
+            merges.map { case (_, l, r, _) => (l, r) })
+          .select(col("word"), size(col("syms")).as("n_sub"),
+            length(col("word")).as("n_chars"))
+        docs.select(col("lang"),
+            explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .join(enc, "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_sub").cast("long").as("n_subwords"),
+            R(sum("n_sub") * lit(1.0) / count(lit(1))).as("fertility"),
+            R(sum("n_chars") * lit(1.0) / sum("n_sub")).as("chars_per_subword"))
+          .orderBy("lang")
+      }),
+
     // ---- dashboard-family aggregations (A6) + producer/serialization ----
 
     // A6: pivot table — avg value per sensor pivoted by type.

@@ -271,6 +271,39 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuous deterministic-sample maintenance — the streaming twin of
+    * the batch `x_uniform_sample_k` query: the k-row uniform sample of
+    * EVERYTHING ingested so far, kept incrementally. The sample is the
+    * global top-k by md5(id) — a pure function of row identity — so the
+    * maintained state equals the batch recomputation over the full
+    * history at every point (top-k is associative: top-k(stored ∪
+    * top-k(batch)) = top-k(all), after id-dedup), and is identical
+    * across engines/partitionings. State is k rows regardless of
+    * ingest volume; per batch the work is one TakeOrdered over the
+    * batch plus one over 2k rows. Exactly-once via the same marker+swap
+    * as [[mergeGoldBatch]]. */
+  def sampleIngest(stream: DataFrame, idCol: String, k: Int,
+                   storePath: String, ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sampleBatch(batch, idCol, k, storePath, id)
+      }
+      .start()
+
+  /** The per-batch body of [[sampleIngest]]. */
+  def sampleBatch(batch: DataFrame, idCol: String, k: Int,
+                  storePath: String, batchId: Long): Unit = {
+    mergeSwapState(batch.sparkSession, storePath, batchId) { existingOpt =>
+      val cand = batch.select(col(idCol).cast("string").as("id"))
+        .withColumn("h", md5(col("id").cast("binary")))
+        .orderBy("h", "id").limit(k)
+      existingOpt.map(_.unionByName(cand)).getOrElse(cand)
+        .dropDuplicates("id")
+        .orderBy("h", "id").limit(k)
+    }
+  }
+
   /** Continuous frequency maintenance — the heavy-hitter twin of
     * [[sketchDistinct]]: per micro-batch, count-min sketch the batch's
     * `valueCol` per `keys` group with the built-in `count_min_sketch`

@@ -565,6 +565,44 @@ class AlertsSpec extends SparkTestBase {
     assert(math.abs(DpLedger.spent(spark, led, "docs") - 1.0) < 1e-9)
   }
 
+  test("DP ledger composes with streaming: replayed batches spend no new ε") {
+    // the governance twin of the warehouse batch markers: releaseId =
+    // batch id, so a checkpoint-lost replay re-publishes byte-identical
+    // noised counts and the ε ledger does NOT double-charge
+    import graft.quality.DpLedger
+    val inDir = java.nio.file.Files.createTempDirectory("graft-dps-in").toString
+    val led = java.nio.file.Files.createTempDirectory("graft-dps-led").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "b0.json"),
+      Seq("""{"k":"a"}""", """{"k":"a"}""", """{"k":"b"}""").mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "b1.json"),
+      Seq("""{"k":"a"}""", """{"k":"c"}""").mkString("\n"))
+    def run(): Map[(Long, String), Double] = {
+      val out = scala.collection.mutable.Map.empty[(Long, String), Double]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-dps-ck").toString
+      val q = spark.readStream.schema("k STRING")
+        .option("maxFilesPerTrigger", 1).json(inDir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          DpLedger.gatedLaplaceCounts(b, Seq("k"), led, "stream", s"b$id",
+              epsilon = 0.3, totalBudget = 1.0)
+            .collect().foreach(r =>
+              out((id, r.getString(0))) = r.getDouble(2))
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      out.toMap
+    }
+    val first = run()
+    assert(first.keySet.map(_._1) === Set(0L, 1L))
+    assert(math.abs(DpLedger.spent(spark, led, "stream") - 0.6) < 1e-9)
+    // fresh checkpoint = full replay; same release ids → same numbers,
+    // no new spend
+    val replay = run()
+    assert(replay === first)
+    assert(math.abs(DpLedger.spent(spark, led, "stream") - 0.6) < 1e-9)
+    assert(DpLedger.ledger(spark, led).count() === 2L)
+  }
+
   private implicit class StateSeqOps(s: Seq[(String, String, String)]) {
     def toMap2: Map[(String, String), String] =
       s.map(t => (t._1, t._2) -> t._3).toMap

@@ -237,6 +237,38 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(math.abs(est2("c") - 5.0) / 5.0 <= 0.05)
   }
 
+  test("sampleBatch maintains the deterministic k-sample across batches, exactly-once") {
+    val store = Files.createTempDirectory("graft-smp").toString + "/s"
+    val b0 = (1L to 40L).map(i => i -> s"d$i")
+    val b1 = (41L to 80L).map(i => i -> s"d$i")
+    val b2 = (30L to 50L).map(i => i -> s"d$i") // overlaps both: id-dedup
+    def fold(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingPipeline.sampleBatch(rows.toDF("doc_id", "txt"), "doc_id",
+        k = 10, store, id)
+    fold(b0, 0L); fold(b1, 1L); fold(b2, 2L)
+    def stored: Seq[String] = spark.read.parquet(s"$store/data")
+      .select("id").as[String].collect().sorted.toSeq
+    // parity: the maintained state IS the batch top-10-by-md5 over the
+    // DISTINCT union of everything ingested
+    val expected = (1L to 80L).map(_.toString).toDF("id")
+      .select(col("id"), md5(col("id").cast("binary")).as("h"))
+      .orderBy("h", "id").limit(10)
+      .select("id").as[String].collect().sorted.toSeq
+    assert(stored === expected)
+    // replayed batch id: a no-op, byte-identical state
+    fold(b2, 2L)
+    assert(stored === expected)
+    // a new batch can only change the sample by BEATING existing keys
+    fold(Seq(81L -> "d81"), 3L)
+    val after = stored
+    assert(after.size === 10)
+    val expected2 = (1L to 81L).map(_.toString).toDF("id")
+      .select(col("id"), md5(col("id").cast("binary")).as("h"))
+      .orderBy("h", "id").limit(10)
+      .select("id").as[String].collect().sorted.toSeq
+    assert(after === expected2)
+  }
+
   test("cmsFrequency maintains mergeable count-min registers across batches, exactly-once") {
     val store = Files.createTempDirectory("graft-cms").toString + "/s"
     def batchDf(rows: Seq[(String, String)]) = rows.toDF("k", "item")

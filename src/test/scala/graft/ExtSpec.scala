@@ -80,6 +80,33 @@ class ExtSpec extends SparkTestBase {
     assert(got === expected)
   }
 
+  test("property: prefix jaccard equals the inverted index on random corpora and thresholds") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    // tiny vocabulary → heavy shingle co-occurrence; doc lengths straddle
+    // the <shingleN boundary (empty shingle sets); τ sweeps the float
+    // edge cases the fixed-fixture tests can't enumerate
+    val docGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("u", "v", "w", "x", "y")).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(4, 9).flatMap(k => Gen.listOfN(k, docGen))
+    val tauGen = Gen.oneOf(0.05, 0.28, 1.0 / 3.0, 0.5, 0.7, 0.95, 1.0)
+    val prop = forAll(corpusGen, tauGen) { (texts, tau) =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "blk") }
+        .toDF("doc_id", "text", "source")
+      val exp = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 2, tau)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      val got = Dedup.jaccardPairsPrefix(docs, "text", "doc_id", "source", 2, tau)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      got == exp
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("language ID votes stopwords with fixed precedence") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is happy"),

@@ -114,6 +114,39 @@ class RangeJoinSpec extends SparkTestBase {
     assert(ov === Set((1L, 2L)))
   }
 
+  test("property: both joins equal their naive forms on random inputs and widths") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    // axis values span negatives and bucket boundaries; interval gens
+    // produce empty (e == s) and inverted (e < s) rows on purpose
+    val ptGen = Gen.listOfN(12, Gen.choose(-30L, 30L))
+    val ivGen = Gen.listOfN(8,
+      Gen.zip(Gen.choose(-30L, 30L), Gen.choose(-10L, 25L)))
+    val wGen = Gen.oneOf(1L, 2L, 5L, 17L)
+    val prop = forAll(ptGen, ivGen, wGen) { (ts, ivs, w) =>
+      val pts = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("pt_id", "t")
+      val iv = ivs.zipWithIndex.map { case ((s, len), i) =>
+        (100L + i, s, s + len) }.toDF("iv_id", "s", "e")
+      val gotP = RangeJoin.pointInInterval(pts, iv, "t", "s", "e", w)
+        .select("pt_id", "iv_id").as[(Long, Long)].collect()
+      val expP = pts.join(iv, col("t") >= col("s") && col("t") < col("e"))
+        .select("pt_id", "iv_id").as[(Long, Long)].collect().toSet
+      val iv2 = ivs.zipWithIndex.map { case ((s, len), i) =>
+        (200L + i, s - 3, s - 3 + (len min 12)) }.toDF("r_id", "rs", "re")
+      val gotO = RangeJoin.intervalOverlapJoin(iv, iv2, "s", "e", "rs", "re", w)
+        .select("iv_id", "r_id").as[(Long, Long)].collect()
+      val expO = iv.join(iv2,
+          greatest(col("s"), col("rs")) < least(col("e"), col("re")))
+        .select("iv_id", "r_id").as[(Long, Long)].collect().toSet
+      gotP.length == gotP.toSet.size && gotP.toSet == expP &&
+        gotO.length == gotO.toSet.size && gotO.toSet == expO
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("invalid arguments fail loudly") {
     intercept[IllegalArgumentException] {
       RangeJoin.pointInInterval(points, intervals, "t", "s", "e", 0L)

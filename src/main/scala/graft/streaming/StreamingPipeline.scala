@@ -304,6 +304,66 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuous per-source budget enforcement — the streaming form of the
+    * batch `x_source_cap` sampler: each source keeps ingesting until its
+    * `cap` is exhausted, then contributes nothing more. Semantics are
+    * ARRIVAL-ORDER (first batches win; within a batch the deterministic
+    * md5 rank breaks ties) — deliberately NOT the batch sampler's global
+    * md5 order, which no streaming ingest can honor without buffering
+    * the whole corpus; replaying the same batch sequence reproduces the
+    * identical kept set. State is one (source, kept) row per source;
+    * kept rows land hive-partitioned by batch id, so a replayed batch
+    * OVERWRITES its own partition (idempotent) and the counts store's
+    * marker makes the spend exactly-once — the same two-piece protocol
+    * as the span-dedup ingest. */
+  def sourceCapIngest(stream: DataFrame, srcCol: String, idCol: String,
+                      cap: Long, outPath: String, storePath: String,
+                      ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        sourceCapBatch(b, srcCol, idCol, cap, outPath, storePath, id)
+      }
+      .start()
+
+  /** The per-batch body of [[sourceCapIngest]]. */
+  def sourceCapBatch(batch: DataFrame, srcCol: String, idCol: String,
+                     cap: Long, outPath: String, storePath: String,
+                     batchId: Long): Unit = {
+    require(cap > 0, s"cap must be > 0, got $cap")
+    mergeSwapState(batch.sparkSession, storePath, batchId) { existingOpt =>
+      val w = Window.partitionBy(srcCol)
+        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      val ranked = batch.withColumn("_cap_rn", row_number().over(w))
+      val budgeted = existingOpt match {
+        case Some(prior) =>
+          // sources-sized state: always broadcastable
+          ranked.join(
+              broadcast(prior.select(col("src").as("_cap_src"),
+                col("kept").as("_cap_kept"))),
+              col(srcCol) === col("_cap_src"), "left")
+            .withColumn("_cap_left",
+              lit(cap) - coalesce(col("_cap_kept"), lit(0L)))
+        case None => ranked.withColumn("_cap_left", lit(cap))
+      }
+      val kept = budgeted.filter(col("_cap_rn") <= col("_cap_left"))
+        .drop("_cap_rn", "_cap_src", "_cap_kept", "_cap_left")
+      // idempotent side output: a replayed batch rewrites ITS OWN
+      // partition; the marker above prevents double-charging the counts
+      kept.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      val keptCounts = kept.groupBy(col(srcCol).as("src"))
+        .agg(count(lit(1)).cast("long").as("k_new"))
+      existingOpt match {
+        case Some(prior) =>
+          prior.join(keptCounts, Seq("src"), "full_outer")
+            .select(col("src"),
+              (coalesce(col("kept"), lit(0L)) +
+                coalesce(col("k_new"), lit(0L))).as("kept"))
+        case None => keptCounts.withColumnRenamed("k_new", "kept")
+      }
+    }
+  }
+
   /** Continuous frequency maintenance — the heavy-hitter twin of
     * [[sketchDistinct]]: per micro-batch, count-min sketch the batch's
     * `valueCol` per `keys` group with the built-in `count_min_sketch`

@@ -269,6 +269,40 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(after === expected2)
   }
 
+  test("sourceCapBatch enforces per-source budgets across batches, exactly-once") {
+    val root = Files.createTempDirectory("graft-cap").toString
+    val store = s"$root/state"
+    val out = s"$root/kept"
+    def fold(rows: Seq[(String, Long)], id: Long): Unit =
+      StreamingPipeline.sourceCapBatch(rows.toDF("source", "doc_id"),
+        "source", "doc_id", cap = 5L, out, store, id)
+    def keptBy: Map[String, Long] = spark.read.parquet(out)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    def counts: Map[String, Long] = spark.read.parquet(s"$store/data")
+      .as[(String, Long)].collect().toMap
+    // batch 0: a under budget, b exactly at nothing-left-after
+    fold(Seq.fill(4)("a").zipWithIndex.map { case (s, i) => s -> i.toLong } ++
+      Seq("b" -> 100L, "b" -> 101L), 0L)
+    assert(keptBy === Map("a" -> 4L, "b" -> 2L))
+    // batch 1: a has 1 slot left of 3 offered; b takes all 3 remaining;
+    // c is brand new
+    fold((10L to 12L).map("a" -> _) ++ (110L to 114L).map("b" -> _) ++
+      Seq("c" -> 200L), 1L)
+    assert(keptBy === Map("a" -> 5L, "b" -> 5L, "c" -> 1L))
+    assert(counts === Map("a" -> 5L, "b" -> 5L, "c" -> 1L))
+    // batch 2: a and b exhausted contribute nothing; c still open
+    fold(Seq("a" -> 20L, "b" -> 120L, "c" -> 201L), 2L)
+    assert(keptBy === Map("a" -> 5L, "b" -> 5L, "c" -> 2L))
+    // replayed batch: counts untouched, partition rewritten identically
+    val before = spark.read.parquet(out)
+      .select("source", "doc_id").as[(String, Long)].collect().sorted.toSeq
+    fold(Seq("a" -> 20L, "b" -> 120L, "c" -> 201L), 2L)
+    assert(counts === Map("a" -> 5L, "b" -> 5L, "c" -> 2L))
+    val after = spark.read.parquet(out)
+      .select("source", "doc_id").as[(String, Long)].collect().sorted.toSeq
+    assert(after === before)
+  }
+
   test("cmsFrequency maintains mergeable count-min registers across batches, exactly-once") {
     val store = Files.createTempDirectory("graft-cms").toString + "/s"
     def batchDf(rows: Seq[(String, String)]) = rows.toDF("k", "item")

@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSession
   * page-cache costs. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
@@ -240,7 +242,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = guarded.map(_._2).filter(_ >= 0).sum
     val errsJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min2+reprobe+prior-churn-guard (r13+)","queries":$qs,"errors":$errsJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
+    // environment fingerprint: totals shift ±15-20% across SESSIONS with
+    // identical code (r15 adjudication, SCALE.md) — a bench artifact
+    // must carry enough context to tell "code regressed" from "session
+    // differs" without a post-hoc probe hunt
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val env = s""""env":{"cpus":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
+      s""""load_avg_start":$loadAtStart,""" +
+      s""""load_avg_end":${osBean.getSystemLoadAverage},""" +
+      s""""java":"${System.getProperty("java.version")}"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min2+reprobe+prior-churn-guard (r13+)",$env,"queries":$qs,"errors":$errsJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
     println(json)
     // stdout gets truncated by callers that keep only a tail; also land
     // the complete per-query JSON as an artifact so round-over-round

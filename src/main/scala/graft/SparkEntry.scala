@@ -4030,6 +4030,50 @@ object SparkEntry {
           .orderBy("split")
       }),
 
+    // X-audit: per-document curation lineage — for EVERY input doc, the
+    // first gate of the x_llm_pipeline chain that dropped it (quality →
+    // language → dedup) or the split it survived into. The "why was my
+    // document excluded" debugging read every curation pipeline owes its
+    // users; at 100 TB it's the same one pass + keep-set left join the
+    // pipeline itself runs, so the audit costs what the pipeline costs.
+    Q("x_curation_audit",
+      Some(s"""WITH t AS (SELECT doc_id, text, lang, $toksSql AS toks FROM documents),
+              |g AS (SELECT doc_id, lang, text,
+              |        (($qualityScoreSql) >= 0.35) AS q_ok FROM t),
+              |k AS (SELECT doc_id, text FROM g WHERE q_ok AND lang = 'en'),
+              |f AS (SELECT doc_id, md5($normSql) AS fingerprint FROM k),
+              |d AS (SELECT doc_id, row_number() OVER (PARTITION BY fingerprint
+              |                                        ORDER BY doc_id) AS rn FROM f),
+              |b AS (SELECT doc_id,
+              |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+              |      FROM d WHERE rn = 1)
+              |SELECT g.doc_id,
+              |  CASE WHEN NOT g.q_ok THEN 'drop_quality'
+              |       WHEN g.lang <> 'en' THEN 'drop_lang'
+              |       WHEN b.doc_id IS NULL THEN 'drop_duplicate'
+              |       WHEN b.bucket < 80 THEN 'kept_train'
+              |       WHEN b.bucket < 90 THEN 'kept_valid'
+              |       ELSE 'kept_test' END AS verdict
+              |FROM g LEFT JOIN b ON g.doc_id = b.doc_id
+              |ORDER BY g.doc_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val g = docs.select(col("doc_id"), col("lang"), col("text"),
+          (TextAnalysis.qualityScore(col("text")) >= 0.35).as("q_ok"))
+        val kept = g.filter(col("q_ok") && col("lang") === "en")
+        val surv = Dedup.exactDedup(kept, "text", "doc_id")
+          .withColumn("split", graft.ext.Sampling.deterministicSplit(
+            col("doc_id"), Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+          .select(col("doc_id"), col("split"))
+        g.join(surv, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(!col("q_ok"), lit("drop_quality"))
+              .when(col("lang") =!= "en", lit("drop_lang"))
+              .when(col("split").isNull, lit("drop_duplicate"))
+              .otherwise(concat(lit("kept_"), col("split"))).as("verdict"))
+          .orderBy("doc_id")
+      }),
+
     // Incremental curation: the daily shape — quality gate → dedup vs the
     // historical fingerprint index → per-source cap — with per-stage
     // counts. Batch spiked with re-keyed index dups (as in

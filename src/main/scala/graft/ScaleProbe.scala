@@ -28,6 +28,7 @@ object ScaleProbe {
     if (args.headOption.contains("jaccard")) { jaccardProbe(args); return }
     if (args.headOption.contains("kn")) { knProbe(args); return }
     if (args.headOption.contains("bpelocal")) { bpeLocalProbe(args); return }
+    if (args.headOption.contains("curation")) { curationProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -657,6 +658,62 @@ object ScaleProbe {
       }
       model.release()
       GraftSession.sweepCaches(spark)
+    }
+    spark.stop()
+  }
+
+  /** Model-based-curation capstone sweep:
+    * `ScaleProbe curation [nSmall] [nLarge]` — the x_model_curation_
+    * pipeline composition (KN bigram gate at the self-calibrating median
+    * → exact dedup keep-first → DSIR top-50) end-to-end over synthetic
+    * 40-word Zipf-vocab corpora at two sizes. The capstone's scale claim:
+    * every stage is corpus-linear (the KN model is type-bounded, dedup
+    * keys are fingerprints, DSIR is two hashed-count aggregations + a
+    * TakeOrdered), so docs/sec should RISE with corpus size as the
+    * fixed per-stage overheads amortize — the same signature the chain
+    * and KN probes show. */
+  private def curationProbe(args: Array[String]): Unit = {
+    val sizes = Seq(
+      if (args.length > 1) args(1).toLong else 100000L,
+      if (args.length > 2) args(2).toLong else 1000000L)
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val words = (i: Int) =>
+      concat(lit("w"), least(pmod(hash(col("doc_id") * 97 + lit(i)), lit(100)),
+        pmod(hash(col("doc_id") * 131 + lit(i + 7)), lit(100))))
+    sizes.foreach { nDocs =>
+      spark.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("text", concat_ws(" ", (0 until 40).map(words): _*))
+        .withColumn("lang", when(pmod(hash(col("doc_id") * 7), lit(5)) < 3,
+          lit("en")).otherwise(lit("xx")))
+        .repartition(cpus * 2)
+        .write.mode("overwrite").parquet("/tmp/graft_scale_cur")
+      val df = spark.read.parquet("/tmp/graft_scale_cur")
+      (1 to 2).foreach { run =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val model = graft.ext.Lm.knBigramTrain(
+          df.filter(col("doc_id") % 2 === 0), "text")
+        val scored = graft.ext.Lm.knScore(df, "doc_id", "text", model)
+          .select(col("id").as("doc_id"), col("avg_nll").as("nll_r"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val med = scored.agg(expr("percentile(nll_r, 0.5d)").as("m"))
+        val gated = df.join(scored, "doc_id")
+          .crossJoin(broadcast(med)).filter(col("nll_r") <= col("m"))
+        val surv = graft.ext.Dedup.exactDedup(gated, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val w = graft.ext.Sampling.dsirWeights(
+          surv, surv.filter(col("lang") === "en"), "text", 64)
+        val n = graft.ext.Sampling
+          .dsirScore(surv, "doc_id", "text", w, 64, seed = 41)
+          .orderBy(col("key").desc, col("id").asc).limit(50).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] curation run$run docs=$nDocs selected=$n " +
+          f"sec=$sec%.2f docs_per_sec=${nDocs / sec}%.0f")
+        scored.unpersist(); surv.unpersist(); model.release()
+        GraftSession.sweepCaches(spark)
+      }
     }
     spark.stop()
   }

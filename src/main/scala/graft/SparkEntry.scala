@@ -1949,6 +1949,58 @@ object SparkEntry {
           .orderBy("query_id")
       }),
 
+    // X-matryoshka: truncated-dimension retrieval quality — recall@5 of
+    // brute-force cosine over the FIRST d dims (d = 8/16/32/64) against
+    // the full-dim exact top-5. The storage/quality knob of
+    // Matryoshka-style embeddings: every halving of d halves the index
+    // bytes and the dot-product cost, and this curve says what it costs
+    // in recall. Shape: four truncated broadcast-scored top-k arms +
+    // the audited full-dim arm; the slice happens BEFORE the score, so
+    // a d-dim arm also reads/ships only d dims at scale.
+    Q("x_matryoshka_recall",
+      Some {
+        def armCte(d: Int) =
+          s"""arm$d AS (SELECT qid, cid FROM (
+             |    SELECT q.qid, t.vec_id AS cid,
+             |      row_number() OVER (PARTITION BY q.qid
+             |        ORDER BY (${cosSql("t.v[1:" + d + "]", "q.qv[1:" + d + "]")}) DESC, t.vec_id) AS rn
+             |    FROM q JOIN e t ON t.vec_id <> q.qid) WHERE rn <= 5)""".stripMargin
+        def armSel(d: Int) =
+          s"""SELECT $d AS dims,
+             |  CAST(SUM(CASE WHEN a.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             |  CAST(COUNT(*) AS BIGINT) AS total
+             |FROM exact ex LEFT JOIN arm$d a ON ex.qid = a.qid AND ex.cid = a.cid""".stripMargin
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+           |exact AS (SELECT qid, cid FROM (
+           |    SELECT q.qid, t.vec_id AS cid,
+           |      row_number() OVER (PARTITION BY q.qid ORDER BY (${cosSql("t.v", "q.qv")}) DESC, t.vec_id) AS rn
+           |    FROM q JOIN e t ON t.vec_id <> q.qid) WHERE rn <= 5),
+           |${Seq(8, 16, 32, 64).map(armCte).mkString(",\n")},
+           |curve AS (${Seq(8, 16, 32, 64).map(armSel).mkString("\n UNION ALL ")})
+           |SELECT dims, hits, total, ROUND(hits * 1.0 / total + 1e-9, 4) AS recall
+           |FROM curve ORDER BY dims""".stripMargin
+      },
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 5)
+        val gold = Similarity.bruteForceTopK(emb, queries, 5)
+          .select(col("query_id"), col("corpus_id"), lit(1L).as("h"))
+        val curve = Seq(8, 16, 32, 64).map { d =>
+          def trunc(df: DataFrame) = df.select(col("vec_id"),
+            slice(col("embedding"), 1, d).as("embedding"))
+          val arm = Similarity.bruteForceTopK(trunc(emb), trunc(queries), 5)
+            .select(col("query_id"), col("corpus_id"))
+          gold.join(arm.withColumn("hit", lit(1L)),
+              Seq("query_id", "corpus_id"), "left")
+            .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+              count(lit(1)).as("total"))
+            .select(lit(d).as("dims"), col("hits"), col("total"))
+        }.reduce(_.unionByName(_))
+        curve.withColumn("recall", R(col("hits") * lit(1.0) / col("total")))
+          .orderBy("dims")
+      }),
+
     // X-semdedup: semantic deduplication — nearest-centroid clustering
     // bounds the quadratic cosine stage to within-cell pairs; the
     // higher-id member of every pair above threshold is flagged with its

@@ -251,7 +251,7 @@ class PlanSpec extends SparkTestBase {
       "x_rrf_hybrid", "x_hard_negatives",
       // retrieval-metric queries over the broadcast-scored top-k arms
       // (same constituent operators as x_ivf_recall_curve)
-      "x_retrieval_eval", "x_rbo_rankings",
+      "x_retrieval_eval", "x_rbo_rankings", "x_matryoshka_recall",
       // one-row min/total/quartile broadcasts over sources-sized frames
       "x_domain_reweight", "x_curriculum_order")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -29,6 +29,7 @@ object ScaleProbe {
     if (args.headOption.contains("kn")) { knProbe(args); return }
     if (args.headOption.contains("bpelocal")) { bpeLocalProbe(args); return }
     if (args.headOption.contains("curation")) { curationProbe(args); return }
+    if (args.headOption.contains("ivfdrift")) { ivfDriftProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -658,6 +659,74 @@ object ScaleProbe {
       }
       model.release()
       GraftSession.sweepCaches(spark)
+    }
+    spark.stop()
+  }
+
+  /** IVF staleness sweep: `ScaleProbe ivfdrift [nVecs]` — how fast does a
+    * stored IVF index's recall decay when the CORPUS DRIFTS under fixed
+    * centroids, and how much does a cheap refresh (2 Lloyd rounds seeded
+    * from the stale centroids — no re-labeling pass) recover? 16
+    * deterministic clusters in 64 dims; drift shifts every cluster's
+    * center by δ along a per-cluster direction. The operational number
+    * an ANN serving layer needs: the δ at which stale recall crosses its
+    * SLO is the re-clustering trigger (pair with the m_embedding_drift
+    * monitor, which WATCHES the same movement). */
+  private def ivfDriftProbe(args: Array[String]): Unit = {
+    val nVecs = if (args.length > 1) args(1).toLong else 200000L
+    val dim = 64
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def u(seed: org.apache.spark.sql.Column, i: Int, m: Int) =
+      (pmod(hash(seed * 31 + lit(i * 7 + m)), lit(1000)).cast("double")
+        / lit(500.0)) - lit(1.0)
+    val cl = pmod(col("id"), lit(16))
+    // drift is a per-vector SMEAR toward the NEXT cluster's center
+    // (weight w(doc) ∈ [0,1]): a coherent whole-cluster translation
+    // keeps the stale partition valid by symmetry, and a random-direction
+    // smear in 64 dims is near-orthogonal to every inter-centroid axis —
+    // the regime that actually breaks a stale index is mass migrating
+    // ACROSS a cell boundary toward another mode, which is what topic
+    // drift in embedding space does
+    val nxt = pmod(cl + lit(1), lit(16))
+    def corpus(delta: Double) = spark.range(nVecs)
+      .select(col("id").as("vec_id"), cl.as("label"),
+        array((0 until dim).map(i =>
+          u(cl, i, 1) + lit(0.1) * u(col("id"), i, 2) +
+            lit(delta) * ((u(col("id"), 0, 5) + lit(1.0)) / lit(2.0))
+              * (u(nxt, i, 1) - u(cl, i, 1))): _*).as("embedding"))
+      .repartition(cpus * 2)
+    import graft.ext.Similarity
+    val base = corpus(0.0)
+    base.write.mode("overwrite").parquet("/tmp/graft_scale_drift0")
+    val c0 = spark.read.parquet("/tmp/graft_scale_drift0")
+    val cents0 = Similarity.lloydRefine(c0,
+      Similarity.centroids(c0, "label", dim), iters = 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cents0.count()
+    Seq(0.0, 0.3, 0.55, 0.65, 0.9, 1.2).foreach { d =>
+      corpus(d).write.mode("overwrite").parquet("/tmp/graft_scale_drift1")
+      val c1 = spark.read.parquet("/tmp/graft_scale_drift1")
+      val queries = c1.filter(col("vec_id") < 20)
+      val gold = Similarity.bruteForceTopK(c1, queries, 10)
+        .select(col("query_id"), col("corpus_id"), lit(1L).as("h"))
+      def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+        val ivf = Similarity.ivfTopK(c1, queries, cents, k = 10, nProbe = 1)
+          .select(col("query_id"), col("corpus_id"))
+        val r = gold.join(ivf.withColumn("hit", lit(1L)),
+            Seq("query_id", "corpus_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0L))).cast("double").as("hits"),
+            count(lit(1)).cast("double").as("total")).head()
+        r.getDouble(0) / r.getDouble(1)
+      }
+      val stale = recall(cents0)
+      val refreshed = recall(Similarity.lloydRefine(c1, cents0, iters = 2))
+      println(f"[scale] ivfdrift n=$nVecs delta=$d%.2f " +
+        f"recall_stale=$stale%.3f recall_refreshed=$refreshed%.3f")
+      GraftSession.sweepCaches(spark)
+      cents0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cents0.count()
     }
     spark.stop()
   }

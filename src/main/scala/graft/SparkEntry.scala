@@ -5869,6 +5869,35 @@ object SparkEntry {
           .orderBy("lang")
       }),
 
+    // Q-dp-sums: the SUM form of the gated release — per-row
+    // contributions clipped to [0, 500] chars BEFORE summing, which is
+    // what bounds the sensitivity (one document moves the sum by ≤ 500)
+    // and so sets the Laplace scale b = clip/ε = 1000. The un-clipped
+    // "DP sum" is the classic governance bug this API shape forbids.
+    Q("q_dp_gated_sums",
+      Some("""WITH g AS (SELECT lang, COUNT(*) AS n,
+             |            SUM(LEAST(GREATEST(CAST(len(text) AS DOUBLE), 0.0), 500.0)) AS sc
+             |          FROM documents GROUP BY 1),
+             |u AS (SELECT lang, n, sc,
+             |        (CAST(concat('0x', substr(md5('docs:s1:sum:' || lang), 1, 10)) AS BIGINT) + 0.5)
+             |          / 1099511627776.0 AS uu
+             |      FROM g)
+             |SELECT lang, n, ROUND(sc + 1e-9, 4) AS sum_clipped,
+             |       ROUND(sc - CASE WHEN uu >= 0.5 THEN 1.0 ELSE -1.0 END
+             |             * 1000.0 * LN(1.0 - 2.0 * ABS(uu - 0.5)) + 1e-9, 4) AS sum_dp
+             |FROM u ORDER BY lang""".stripMargin),
+      (s, dir) => {
+        val ledger = java.nio.file.Files
+          .createTempDirectory("graft-dp-ledger-s").toString
+        graft.quality.DpLedger.gatedLaplaceSums(
+            Tables.documents(s, dir)
+              .withColumn("tl", length(col("text"))),
+            Seq("lang"), "tl", clip = 500.0, ledger,
+            dataset = "docs", releaseId = "s1", epsilon = 0.5,
+            totalBudget = 1.0)
+          .orderBy("lang")
+      }),
+
     // X-negsamp: word2vec-style negative-sampling table — 50 vocabulary
     // tokens drawn WITHOUT replacement ∝ count^0.75 (the subsampling
     // exponent that keeps rare words reachable), via the deterministic

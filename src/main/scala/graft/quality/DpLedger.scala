@@ -69,21 +69,8 @@ object DpLedger {
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
     require(keys.nonEmpty, "at least one grouping key")
     val spark = df.sparkSession
-    val already = ledger(spark, ledgerPath)
-      .filter(col("dataset") === dataset && col("release_id") === releaseId)
-      .limit(1).count() > 0
-    if (!already) {
-      val used = spent(spark, ledgerPath, dataset)
-      if (used + epsilon > totalBudget + 1e-12)
-        throw new IllegalStateException(
-          f"DP budget exhausted for dataset '$dataset': spent $used%.4f " +
-            f"+ requested $epsilon%.4f > budget $totalBudget%.4f " +
-            s"(ledger: $ledgerPath)")
-      import spark.implicits._
-      val row = Seq((dataset, releaseId, keys.mkString(","), epsilon))
-        .toDF("dataset", "release_id", "query_key", "epsilon")
-      appendSwap(spark, ledgerPath, row)
-    }
+    spendOrReplay(spark, ledgerPath, dataset, releaseId,
+      s"count by ${keys.mkString(",")}", epsilon, totalBudget)
     // seed covers dataset + release + group key: a replay reproduces the
     // published numbers exactly; a NEW release id draws fresh noise
     val seedKey = concat(lit(s"$dataset:$releaseId:"),
@@ -96,6 +83,75 @@ object DpLedger {
       .agg(count(lit(1)).as("n"))
       .select(keys.map(col) :+ col("n") :+
         round(col("n") + lap + lit(1e-9), 4).as("n_dp"): _*)
+  }
+
+  /** Budget-gated ε-DP SUM release: per-group sums of `valueCol` with
+    * each row's contribution CLIPPED to [0, clip] — the clipping is what
+    * bounds the sensitivity (one row can move the sum by at most `clip`),
+    * so the Laplace scale is clip/ε. Without it a single outlier row
+    * makes the "DP" sum meaningless — the classic mistake this API makes
+    * unrepresentable by requiring `clip` up front. Same ledger contract
+    * as [[gatedLaplaceCounts]]; the noise seed carries a `sum:` tag so a
+    * count and a sum released under one releaseId never share a draw.
+    * Returns (keys..., n, sum_clipped, sum_dp). */
+  def gatedLaplaceSums(df: DataFrame, keys: Seq[String], valueCol: String,
+                       clip: Double, ledgerPath: String, dataset: String,
+                       releaseId: String, epsilon: Double,
+                       totalBudget: Double): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    require(clip > 0, s"clip must be > 0, got $clip")
+    require(keys.nonEmpty, "at least one grouping key")
+    val spark = df.sparkSession
+    spendOrReplay(spark, ledgerPath, dataset, releaseId,
+      s"sum($valueCol clip=$clip) by ${keys.mkString(",")}", epsilon,
+      totalBudget)
+    val seedKey = concat(lit(s"$dataset:$releaseId:sum:"),
+      concat_ws("", keys.map(col(_).cast("string")): _*))
+    val u = graft.ext.Sampling.md5Uniform(seedKey)
+    val b = clip / epsilon
+    val lap = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
+      lit(b) * -log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(least(greatest(col(valueCol).cast("double"), lit(0.0)),
+          lit(clip))).as("sum_clipped"))
+      .select(keys.map(col) :+ col("n") :+
+        round(col("sum_clipped") + lit(1e-9), 4).as("sum_clipped") :+
+        round(col("sum_clipped") + lap + lit(1e-9), 4).as("sum_dp"): _*)
+  }
+
+  /** The shared gate: replay of the identical (dataset, releaseId,
+    * queryKey) is free; a releaseId REUSED for a different query throws
+    * (a silent replay there would publish new numbers without spending —
+    * the exact hole an ε ledger exists to close); otherwise check the
+    * budget and record the spend BEFORE any output is produced. */
+  private def spendOrReplay(spark: SparkSession, ledgerPath: String,
+                            dataset: String, releaseId: String,
+                            queryKey: String, epsilon: Double,
+                            totalBudget: Double): Unit = {
+    val prior = ledger(spark, ledgerPath)
+      .filter(col("dataset") === dataset && col("release_id") === releaseId)
+      .select("query_key", "epsilon").collect().headOption
+    prior match {
+      case Some(r) =>
+        if (r.getString(0) != queryKey || math.abs(r.getDouble(1) - epsilon) > 1e-12)
+          throw new IllegalStateException(
+            s"DP release id '$releaseId' on dataset '$dataset' is already " +
+              s"recorded for a DIFFERENT query ('${r.getString(0)}' at " +
+              s"ε=${r.getDouble(1)}); replay must be byte-identical — " +
+              "pick a new release id")
+      case None =>
+        val used = spent(spark, ledgerPath, dataset)
+        if (used + epsilon > totalBudget + 1e-12)
+          throw new IllegalStateException(
+            f"DP budget exhausted for dataset '$dataset': spent $used%.4f " +
+              f"+ requested $epsilon%.4f > budget $totalBudget%.4f " +
+              s"(ledger: $ledgerPath)")
+        import spark.implicits._
+        appendSwap(spark, ledgerPath,
+          Seq((dataset, releaseId, queryKey, epsilon))
+            .toDF("dataset", "release_id", "query_key", "epsilon"))
+    }
   }
 
   /** Append `rows` to the ledger via stage-and-swap (read current, union,

@@ -563,6 +563,24 @@ class AlertsSpec extends SparkTestBase {
     // an exactly-exhausting release is allowed (<=, not <)
     assert(release("r4", 0.2).count() === 3L)
     assert(math.abs(DpLedger.spent(spark, led, "docs") - 1.0) < 1e-9)
+    // a releaseId reused for a DIFFERENT query must throw — a silent
+    // "replay" there would publish new numbers without spending
+    val ex2 = intercept[IllegalStateException] {
+      DpLedger.gatedLaplaceSums(docs.withColumn("v", lit(10.0)),
+        Seq("lang"), "v", clip = 5.0, led, "docs", "r1", 0.4, 1.0)
+    }
+    assert(ex2.getMessage.contains("DIFFERENT query"))
+    // sums: per-row contributions clip BEFORE summing (sensitivity =
+    // clip), on an independent dataset budget
+    val sums = DpLedger.gatedLaplaceSums(docs.withColumn("v", lit(10.0)),
+        Seq("lang"), "v", clip = 5.0, led, "sums", "s1", 0.5, 1.0)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(sums("en")._2 === 15.0, "3 en rows x clip 5, not 3 x 10")
+    assert(sums("en")._3 !== 15.0)
+    assert(math.abs(sums("en")._3 - 15.0) < 200.0)
+    assert(math.abs(DpLedger.spent(spark, led, "sums") - 0.5) < 1e-9)
   }
 
   test("DP ledger composes with streaming: replayed batches spend no new ε") {

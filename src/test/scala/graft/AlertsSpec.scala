@@ -583,6 +583,29 @@ class AlertsSpec extends SparkTestBase {
     assert(math.abs(DpLedger.spent(spark, led, "sums") - 0.5) < 1e-9)
   }
 
+  test("DP ledger survives a mid-swap crash: the backup restores, no spend lost") {
+    import graft.quality.DpLedger
+    val led = java.nio.file.Files.createTempDirectory("graft-dp-crash").toString
+    val docs = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r1", 0.3, 1.0)
+      .collect()
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.3) < 1e-9)
+    // simulate the crash window: the ledger moved aside but the staged
+    // dir was never promoted — the next release must restore the backup
+    // (the authoritative spend record) before checking the budget
+    val dataDir = new java.io.File(s"$led/data")
+    val backup = new java.io.File(s"$led/_prestate")
+    assert(dataDir.renameTo(backup), "test setup: simulate mid-swap crash")
+    DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r2", 0.3, 1.0)
+      .collect()
+    // both releases are on the books: a lost r1 row would let a third
+    // 0.5 release slip under the budget it actually exceeds
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.6) < 1e-9)
+    intercept[IllegalStateException] {
+      DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r3", 0.5, 1.0)
+    }
+  }
+
   test("DP ledger composes with streaming: replayed batches spend no new ε") {
     // the governance twin of the warehouse batch markers: releaseId =
     // batch id, so a checkpoint-lost replay re-publishes byte-identical

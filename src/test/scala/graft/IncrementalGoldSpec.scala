@@ -303,6 +303,52 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(after === before)
   }
 
+  test("property: sampleBatch parity and sourceCap budget hold under random batch splits") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    // the incremental claims must hold for ANY way the stream slices the
+    // data into micro-batches: the sample equals the batch top-k over
+    // the distinct union, and no source ever exceeds its cap
+    val idsGen = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(1L, 60L)))
+    val cutsGen = Gen.listOfN(2, Gen.choose(0.0, 1.0))
+    val prop = forAll(idsGen, cutsGen) { (ids, cuts) =>
+      val parts = {
+        val sorted = cuts.sorted.map(c => (c * ids.size).toInt)
+        val (a, rest) = ids.splitAt(sorted.head)
+        val (b, c2) = rest.splitAt(math.max(0, sorted(1) - sorted.head))
+        Seq(a, b, c2)
+      }
+      // --- sample parity under this split
+      val sDir = Files.createTempDirectory("graft-psmp").toString + "/s"
+      parts.zipWithIndex.foreach { case (p, i) =>
+        StreamingPipeline.sampleBatch(
+          p.toDF("doc_id").withColumn("x", lit(1)), "doc_id", 7, sDir, i.toLong)
+      }
+      val got = spark.read.parquet(s"$sDir/data")
+        .select("id").as[String].collect().sorted.toSeq
+      val want = ids.map(_.toString).distinct.toDF("id")
+        .select(col("id"), md5(col("id").cast("binary")).as("h"))
+        .orderBy("h", "id").limit(7).select("id")
+        .as[String].collect().sorted.toSeq
+      // --- cap invariant under the same split (source = id parity)
+      val cDir = Files.createTempDirectory("graft-pcap").toString
+      parts.zipWithIndex.foreach { case (p, i) =>
+        StreamingPipeline.sourceCapBatch(
+          p.zipWithIndex.map { case (id, j) =>
+            (if (id % 2 == 0) "even" else "odd", id * 100 + j) }
+            .toDF("source", "doc_id"),
+          "source", "doc_id", cap = 6L, s"$cDir/kept", s"$cDir/state", i.toLong)
+      }
+      val perSource = spark.read.parquet(s"$cDir/kept")
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      got == want && perSource.values.forall(_ <= 6L)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("cmsFrequency maintains mergeable count-min registers across batches, exactly-once") {
     val store = Files.createTempDirectory("graft-cms").toString + "/s"
     def batchDf(rows: Seq[(String, String)]) = rows.toDF("k", "item")

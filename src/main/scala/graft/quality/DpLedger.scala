@@ -34,10 +34,21 @@ import org.apache.spark.sql.functions._
 object DpLedger {
 
   /** Rows currently in the ledger for `dataset` (empty frame if the
-    * ledger doesn't exist yet): dataset, release_id, query_key, epsilon. */
+    * ledger doesn't exist yet): dataset, release_id, query_key, epsilon.
+    *
+    * Crash-window discipline: if a previous release crashed BETWEEN the
+    * rename-aside and the promotion, the authoritative ledger sits in
+    * `_prestate` — every READ restores it first. Restoring only on the
+    * write path is not enough: a read in that window would see an empty
+    * ledger, report spent = 0, and let the budget gate (or the replay
+    * check) wave through a release the real ledger forbids. */
   def ledger(spark: SparkSession, ledgerPath: String): DataFrame = {
     val dataDir = new Path(s"$ledgerPath/data")
+    val backup = new Path(s"$ledgerPath/_prestate")
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dataDir) && fs.exists(backup) && !fs.rename(backup, dataDir))
+      throw new java.io.IOException(
+        s"dp ledger: could not restore $backup after crash")
     if (fs.exists(dataDir)) spark.read.parquet(dataDir.toString)
     else {
       import spark.implicits._

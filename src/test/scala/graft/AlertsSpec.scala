@@ -591,15 +591,26 @@ class AlertsSpec extends SparkTestBase {
       .collect()
     assert(math.abs(DpLedger.spent(spark, led, "d") - 0.3) < 1e-9)
     // simulate the crash window: the ledger moved aside but the staged
-    // dir was never promoted — the next release must restore the backup
-    // (the authoritative spend record) before checking the budget
+    // dir was never promoted — READS in this window must restore the
+    // backup before answering, or spent() reads 0 and the gate is blind
     val dataDir = new java.io.File(s"$led/data")
     val backup = new java.io.File(s"$led/_prestate")
     assert(dataDir.renameTo(backup), "test setup: simulate mid-swap crash")
+    // hole 1: an over-budget release right inside the window must still
+    // be refused (budget 0.5: 0.3 spent + 0.3 requested exceeds it)
+    intercept[IllegalStateException] {
+      DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r2", 0.3, 0.5)
+    }
+    // hole 2: replaying r1 inside the window must NOT re-append its row
+    assert(dataDir.renameTo(backup) || backup.exists(),
+      "window may have been healed by the read above")
+    DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r1", 0.3, 1.0)
+      .collect()
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.3) < 1e-9)
+    assert(DpLedger.ledger(spark, led).count() === 1L)
+    // and a legitimate further release still lands on the restored books
     DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r2", 0.3, 1.0)
       .collect()
-    // both releases are on the books: a lost r1 row would let a third
-    // 0.5 release slip under the budget it actually exceeds
     assert(math.abs(DpLedger.spent(spark, led, "d") - 0.6) < 1e-9)
     intercept[IllegalStateException] {
       DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r3", 0.5, 1.0)

@@ -1956,7 +1956,10 @@ object SparkEntry {
     // bytes and the dot-product cost, and this curve says what it costs
     // in recall. Shape: four truncated broadcast-scored top-k arms +
     // the audited full-dim arm; the slice happens BEFORE the score, so
-    // a d-dim arm also reads/ships only d dims at scale.
+    // a d-dim arm SHIPS and scores only d dims past the projection. (The
+    // scan itself still reads the full array — parquet prunes columns,
+    // not array elements; the storage saving at scale comes from WRITING
+    // the truncated index, which is one `slice` away.)
     Q("x_matryoshka_recall",
       Some {
         def armCte(d: Int) =

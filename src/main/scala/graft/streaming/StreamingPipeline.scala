@@ -295,7 +295,15 @@ object StreamingPipeline {
   def sampleBatch(batch: DataFrame, idCol: String, k: Int,
                   storePath: String, batchId: Long): Unit = {
     mergeSwapState(batch.sparkSession, storePath, batchId) { existingOpt =>
+      // Dedup BEFORE the candidate cut: limit(k) counts ROWS, so a batch
+      // with duplicate ids among its top-k hash ranks would waste candidate
+      // slots on copies and truncate away distinct ids that belong in the
+      // global top-k-over-distinct-union (r15 property counterexample:
+      // nine id-0 rows + one id-3 row, k=7 → sample {0} where {0,3} is
+      // required). Distinct-first keeps the cut over the id domain the
+      // parity contract is stated on.
       val cand = batch.select(col(idCol).cast("string").as("id"))
+        .dropDuplicates("id")
         .withColumn("h", md5(col("id").cast("binary")))
         .orderBy("h", "id").limit(k)
       existingOpt.map(_.unionByName(cand)).getOrElse(cand)

@@ -269,6 +269,29 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(after === expected2)
   }
 
+  test("sampleBatch: duplicate ids in one batch cannot crowd distinct ids out " +
+    "of the candidate cut (r15 shrunk counterexample)") {
+    // Nine copies of id 0 plus one id 3, all in ONE batch, k=7: a row-wise
+    // limit(k) before dedup would emit seven copies of "0" as candidates and
+    // the post-dedup sample would be {0}; the contract (top-k-by-md5 over
+    // DISTINCT ids) requires {0, 3}.
+    val store = Files.createTempDirectory("graft-smp-dup").toString + "/s"
+    val rows = Seq.fill(9)(0L) :+ 3L
+    StreamingPipeline.sampleBatch(
+      rows.toDF("doc_id").withColumn("x", lit(1)), "doc_id", k = 7, store, 0L)
+    val got = spark.read.parquet(s"$store/data")
+      .select("id").as[String].collect().sorted.toSeq
+    assert(got === Seq("0", "3"))
+    // and the same pressure split across batches (duplicates of an id the
+    // store already holds) must not evict anything either
+    StreamingPipeline.sampleBatch(
+      Seq.fill(9)(0L).toDF("doc_id").withColumn("x", lit(1)),
+      "doc_id", k = 7, store, 1L)
+    val got2 = spark.read.parquet(s"$store/data")
+      .select("id").as[String].collect().sorted.toSeq
+    assert(got2 === Seq("0", "3"))
+  }
+
   test("sourceCapBatch enforces per-source budgets across batches, exactly-once") {
     val root = Files.createTempDirectory("graft-cap").toString
     val store = s"$root/state"
@@ -304,15 +327,21 @@ class IncrementalGoldSpec extends SparkTestBase {
   }
 
   test("property: sampleBatch parity and sourceCap budget hold under random batch splits") {
-    import org.scalacheck.Prop.forAll
+    import org.scalacheck.Prop
+    import org.scalacheck.Prop.{forAllNoShrink, propBoolean, AnyOperators}
     import org.scalacheck.{Gen, Test => SCTest}
     // the incremental claims must hold for ANY way the stream slices the
     // data into micro-batches: the sample equals the batch top-k over
-    // the distinct union, and no source ever exceeds its cap
+    // the distinct union, and no source ever exceeds its cap.
+    // forAllNoShrink: default shrinking walks outside the generator domain
+    // and replays a full Spark pipeline per candidate (~50 min of shrinking
+    // in r15 for an unreadable result); the raw case is small enough to read.
+    // Gen.choose(1L, 60L) over up-to-40 draws makes intra-batch duplicate
+    // collisions routine — the exact regime that exposed the r15 bug.
     val idsGen = Gen.choose(5, 40).flatMap(n =>
       Gen.listOfN(n, Gen.choose(1L, 60L)))
     val cutsGen = Gen.listOfN(2, Gen.choose(0.0, 1.0))
-    val prop = forAll(idsGen, cutsGen) { (ids, cuts) =>
+    val prop = forAllNoShrink(idsGen, cutsGen) { (ids, cuts) =>
       val parts = {
         val sorted = cuts.sorted.map(c => (c * ids.size).toInt)
         val (a, rest) = ids.splitAt(sorted.head)
@@ -342,10 +371,12 @@ class IncrementalGoldSpec extends SparkTestBase {
       }
       val perSource = spark.read.parquet(s"$cDir/kept")
         .groupBy("source").count().as[(String, Long)].collect().toMap
-      got == want && perSource.values.forall(_ <= 6L)
+      // labeled conjuncts so a failure names the broken invariant
+      ("sample parity" |: (got ?= want)) &&
+        ("cap budget" |: Prop(perSource.values.forall(_ <= 6L)))
     }
     val res = SCTest.check(SCTest.Parameters.default
-      .withMinSuccessfulTests(6), prop)
+      .withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
 

@@ -587,10 +587,16 @@ object StreamingPipeline {
           // enforces within a batch, enforced here across batches
           // (both frames are d²+d+1 rows, so the counts are free)
           val nE = existing.count()
-          require(cells.isEmpty || nE == cells.length,
+          // nE == 0: the store was created by an EMPTY first micro-batch
+          // (zero moment cells — a routine trigger-with-no-data event,
+          // not a dimension change), so the first real batch seeds the
+          // layout instead of tripping the dimension check and wedging
+          // the stream permanently
+          require(cells.isEmpty || nE == 0L || nE == cells.length,
             s"embedding dimension changed across batches: state has $nE " +
               s"moment cells, batch produced ${cells.length}")
           if (cells.isEmpty) existing
+          else if (nE == 0L) partial
           else existing.unionByName(partial)
             .groupBy("k").agg(sum("s").as("s"))
         case None => partial

@@ -616,6 +616,85 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(a2(22L) === 20L)
   }
 
+  test("mergeSwapState crash windows: backup-restore and stale-backup hold " +
+    "for the sample and cap-spend stores (parameterized)") {
+    // The same READ-side restore path in mergeSwapState serves every
+    // state store; the CMS/GK/CC/DP-ledger tests each cover the
+    // mid-swap window for their own store — this parameterized case
+    // covers the two stores without one (the k-sample and the
+    // cap-SPEND counts, the closest analog to the ledger's budget) and
+    // adds the second window nothing else exercises: a crash AFTER the
+    // staged promotion but BEFORE the backup delete leaves BOTH
+    // $store/data and $store/_prestate on disk, and the next batch
+    // must read the (newer) data dir and discard the stale backup, not
+    // resurrect it.
+    case class StoreCase(
+      name: String,
+      fold: (Seq[Long], Long, String) => Unit, // (ids, batchId, store)
+      read: String => Map[String, Long])
+    val cases = Seq(
+      StoreCase("sample",
+        (ids, bid, st) => StreamingPipeline.sampleBatch(
+          ids.toDF("doc_id"), "doc_id", k = 3, st, bid),
+        st => spark.read.parquet(s"$st/data").select("id")
+          .as[String].collect().map(_ -> 1L).toMap),
+      StoreCase("cap-spend",
+        (ids, bid, st) => StreamingPipeline.sourceCapBatch(
+          ids.map(i => (if (i % 2 == 0) "even" else "odd", i))
+            .toDF("source", "doc_id"),
+          "source", "doc_id", cap = 4L,
+          s"${st}_kept", st, bid),
+        st => spark.read.parquet(s"$st/data")
+          .as[(String, Long)].collect().toMap))
+    for (c <- cases) {
+      val store = Files.createTempDirectory(s"graft-cw-${c.name}")
+        .toString + "/s"
+      c.fold((1L to 5L), 0L, store)
+      val afterB0 = c.read(store)
+      // window 1 — crash mid-swap during (a hypothetical) batch 1: the
+      // data dir moved aside, the staged merge never promoted
+      val dataDir = new java.io.File(s"$store/data")
+      val backup = new java.io.File(s"$store/_prestate")
+      assert(dataDir.renameTo(backup),
+        s"${c.name}: test setup: simulate mid-swap crash")
+      c.fold(Seq(6L, 7L), 1L, store)
+      val afterB1 = c.read(store)
+      // no state/spend loss: batch-0 history must be inside the merge
+      val expect01 = {
+        val fresh = Files.createTempDirectory(s"graft-cw2-${c.name}")
+          .toString + "/s"
+        c.fold((1L to 5L), 0L, fresh); c.fold(Seq(6L, 7L), 1L, fresh)
+        c.read(fresh)
+      }
+      assert(afterB1 === expect01,
+        s"${c.name}: state after crash-restore must equal the " +
+          "uninterrupted fold")
+      assert(afterB0.keySet.forall(k =>
+          afterB1.contains(k) || c.name == "sample"),
+        s"${c.name}: pre-crash history lost in the restore")
+      // window 2 — crash after promote, before backup delete: BOTH dirs
+      // exist; the stale backup must be discarded, never read
+      val staleSrc = new java.io.File(s"$store/data")
+      val staleDst = new java.io.File(s"$store/_prestate")
+      org.apache.commons.io.FileUtils
+        .copyDirectory(staleSrc, staleDst)
+      // poison the copy so reading it would be detectable: delete its
+      // markers — if the next fold restored or folded the backup in,
+      // the replayed batch below would double-merge
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$staleDst/_merged"))
+      c.fold(Seq(8L), 2L, store)
+      val afterB2 = c.read(store)
+      // replay of batch 2 is a marker no-op even with the (now deleted)
+      // stale backup gone through a swap
+      c.fold(Seq(8L), 2L, store)
+      assert(c.read(store) === afterB2,
+        s"${c.name}: replay after stale-backup swap must be a no-op")
+      assert(!staleDst.exists,
+        s"${c.name}: stale backup must be deleted by the next swap")
+    }
+  }
+
   test("stream-static dim join enriches every micro-batch via broadcast") {
     val inDir = Files.createTempDirectory("graft-ss-in").toString
     writeBatch(inDir, "b1.json", Seq(

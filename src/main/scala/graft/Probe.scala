@@ -39,8 +39,15 @@ object Probe {
       case "stream" =>
         import java.nio.file.{Files, Path}
         val streamDir = Files.createTempDirectory("graft-probe-stream")
-        Files.copy(Path.of(s"$sfDir/events.parquet"),
-          streamDir.resolve("events.parquet"))
+        // events.parquet may be a single file (the driver's testdata) or a
+        // Spark-written DIRECTORY of part files; Files.copy on a directory
+        // creates an empty dir and the stream would replay 0 rows — a
+        // silently meaningless events_per_sec. Copy whichever shape it is.
+        val srcPath = Path.of(s"$sfDir/events.parquet")
+        if (Files.isDirectory(srcPath))
+          org.apache.commons.io.FileUtils.copyDirectory(srcPath.toFile,
+            streamDir.resolve("events.parquet").toFile)
+        else Files.copy(srcPath, streamDir.resolve("events.parquet"))
         val raw = spark.read.parquet(streamDir.toString)
         val src0 = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
         val src =
@@ -48,6 +55,9 @@ object Probe {
             src0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           else src0
         val rows = raw.count()
+        require(rows > 0,
+          s"stream probe: $srcPath replayed 0 rows — events_per_sec would " +
+            "be meaningless")
         val agg = streaming.StreamingPipeline.windowedAgg(
           src, "ts", Seq("event_type"), "value", "5 minutes", "10 minutes")
         (1 to 3).foreach { i =>

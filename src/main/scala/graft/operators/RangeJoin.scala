@@ -44,6 +44,23 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     require(Set(pointCol, startCol, endCol).size == 3,
       "pointCol/startCol/endCol must be three distinct column names")
+    // Output-schema contract: all point columns + all interval columns,
+    // bound columns under their caller-given names. A bound name that
+    // ALSO exists on the other side (the shared-base-table case: points
+    // carrying its own `start` payload column) would make the rename-back
+    // emit two identically named columns — the join would succeed and
+    // every downstream col(name) would then throw ambiguity. Fail loudly
+    // at the call site instead; non-bound names shared by both sides
+    // follow ordinary Spark join duplicate semantics (caller's contract).
+    require(!points.columns.contains(startCol) &&
+        !points.columns.contains(endCol),
+      s"points already carries a column named '$startCol' or '$endCol': " +
+        "the output would hold two identically named columns; rename the " +
+        "points column before the join")
+    require(!intervals.columns.contains(pointCol),
+      s"intervals already carries a column named '$pointCol': the output " +
+        "would hold two identically named columns; rename the intervals " +
+        "column before the join")
     // Rename the bound columns to side-unique internal names BEFORE the
     // join: df("col")-style disambiguation is unreliable when both inputs
     // derive from the same base table (the classic self-join resolution
@@ -81,6 +98,19 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
     require(Set(leftStart, leftEnd, rightStart, rightEnd).size == 4,
       "the four bound columns must have distinct names")
+    // Same output-schema contract as pointInInterval: each side's bound
+    // names must be absent from the OTHER side, or the rename-back would
+    // emit duplicate column names (see the collision note there).
+    require(!left.columns.contains(rightStart) &&
+        !left.columns.contains(rightEnd),
+      s"left already carries a column named '$rightStart' or '$rightEnd': " +
+        "the output would hold two identically named columns; rename it " +
+        "before the join")
+    require(!right.columns.contains(leftStart) &&
+        !right.columns.contains(leftEnd),
+      s"right already carries a column named '$leftStart' or '$leftEnd': " +
+        "the output would hold two identically named columns; rename it " +
+        "before the join")
     // Same internal-rename discipline as pointInInterval: the overlap
     // predicate must stay unambiguous even when the two inputs share
     // other column names (both deriving from one base table is the

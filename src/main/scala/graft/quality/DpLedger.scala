@@ -19,11 +19,27 @@ import org.apache.spark.sql.functions._
   * Exactly-once discipline (same stance as the warehouse batch markers):
   * a release is identified by `releaseId`. Replaying a recorded release
   * does NOT spend again and returns byte-identical output, because the
-  * noise is a deterministic function of (dataset, releaseId, group key) —
-  * re-publishing the same numbers reveals nothing new, so it costs no new
-  * ε. The ledger row is written BEFORE the noised frame is handed back:
-  * a crash between the two leaves ε spent but unreleased — the safe
-  * direction for privacy (never the reverse).
+  * noise is a deterministic function of (dataset, releaseId, secretSalt,
+  * group key) — re-publishing the same numbers reveals nothing new, so it
+  * costs no new ε. The ledger row is written BEFORE the noised frame is
+  * handed back: a crash between the two leaves ε spent but unreleased —
+  * the safe direction for privacy (never the reverse).
+  *
+  * WHAT THE LEDGER DOES AND DOES NOT GUARANTEE: the ledger makes the ε
+  * ACCOUNTING enforceable (no release beyond budget, no double-spend on
+  * replay, no releaseId reuse for a different query). The privacy of the
+  * released numbers themselves additionally requires BOTH of:
+  *  - a non-empty `secretSalt` mixed into the noise seed. With the
+  *    default empty salt the seed is a pure function of public metadata
+  *    (dataset:releaseId:group), so anyone can recompute the noise and
+  *    recover the exact values — that mode exists ONLY so cross-engine
+  *    parity tests (the DuckDB oracle) can reproduce the draw, and is
+  *    not a release path.
+  *  - publishing [[publicView]] of the returned frame, not the frame
+  *    itself: the full frame deliberately carries the exact `n` (and
+  *    `sum_clipped`) next to the noised value as the PRIVATE-side audit
+  *    record; handing that to a consumer releases the exact values and
+  *    makes the noise decoration.
   *
   * Scale: the ledger is releases-sized (rows = audit events, not data),
   * so the read-check-rewrite cycle is a metadata operation at any corpus
@@ -63,6 +79,21 @@ object DpLedger {
       .filter(col("dataset") === dataset)
       .agg(coalesce(sum("epsilon"), lit(0.0))).collect()(0).getDouble(0)
 
+  /** Null-safe, boundary-safe group-key segment of the noise seed:
+    * values join on NUL (U+0000 — absent from real text keys, unlike
+    * the empty separator, under which ("ab","c") and ("a","bc") get the
+    * SAME seed and the same noise draw) and NULL maps to the U+0001
+    * sentinel so (null) and ("") draw differently too. Single-key seeds
+    * are byte-identical to the historical separator-less form (no join
+    * point; non-null values pass through coalesce unchanged), which is
+    * what keeps the cross-engine oracle stable. */
+  private def keySeed(keys: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws("\u0000",
+      keys.map(k => coalesce(col(k).cast("string"), lit("\u0001"))): _*)
+
+  private def saltSeg(secretSalt: String): String =
+    if (secretSalt.isEmpty) "" else s"$secretSalt:"
+
   /** Budget-gated ε-DP count release: `df.groupBy(keys).count()` plus
     * Laplace(1/ε) noise (sensitivity-1 counts), recorded in the ledger.
     *
@@ -71,21 +102,25 @@ object DpLedger {
     *  - Σε(dataset) + ε > totalBudget → IllegalStateException BEFORE any
     *    spend or output; the ledger is untouched.
     *  - otherwise the ledger row lands first (stage-and-swap), then the
-    *    noised frame is returned: (keys..., n, n_dp).
+    *    noised frame is returned: (keys..., n, n_dp) — the PRIVATE-side
+    *    audit frame. Publish [[publicView]] of it, and pass a non-empty
+    *    `secretSalt`, for any real release (see the class doc).
     */
   def gatedLaplaceCounts(df: DataFrame, keys: Seq[String],
                          ledgerPath: String, dataset: String,
                          releaseId: String, epsilon: Double,
-                         totalBudget: Double): DataFrame = {
+                         totalBudget: Double,
+                         secretSalt: String = ""): DataFrame = {
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
     require(keys.nonEmpty, "at least one grouping key")
     val spark = df.sparkSession
     spendOrReplay(spark, ledgerPath, dataset, releaseId,
       s"count by ${keys.mkString(",")}", epsilon, totalBudget)
-    // seed covers dataset + release + group key: a replay reproduces the
-    // published numbers exactly; a NEW release id draws fresh noise
-    val seedKey = concat(lit(s"$dataset:$releaseId:"),
-      concat_ws("", keys.map(col(_).cast("string")): _*))
+    // seed covers dataset + release + salt + group key: a replay
+    // reproduces the published numbers exactly; a NEW release id (or a
+    // different salt) draws fresh noise
+    val seedKey = concat(
+      lit(s"$dataset:$releaseId:" + saltSeg(secretSalt)), keySeed(keys))
     val u = graft.ext.Sampling.md5Uniform(seedKey)
     val b = 1.0 / epsilon
     val lap = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
@@ -108,7 +143,8 @@ object DpLedger {
   def gatedLaplaceSums(df: DataFrame, keys: Seq[String], valueCol: String,
                        clip: Double, ledgerPath: String, dataset: String,
                        releaseId: String, epsilon: Double,
-                       totalBudget: Double): DataFrame = {
+                       totalBudget: Double,
+                       secretSalt: String = ""): DataFrame = {
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
     require(clip > 0, s"clip must be > 0, got $clip")
     require(keys.nonEmpty, "at least one grouping key")
@@ -116,8 +152,9 @@ object DpLedger {
     spendOrReplay(spark, ledgerPath, dataset, releaseId,
       s"sum($valueCol clip=$clip) by ${keys.mkString(",")}", epsilon,
       totalBudget)
-    val seedKey = concat(lit(s"$dataset:$releaseId:sum:"),
-      concat_ws("", keys.map(col(_).cast("string")): _*))
+    val seedKey = concat(
+      lit(s"$dataset:$releaseId:" + saltSeg(secretSalt) + "sum:"),
+      keySeed(keys))
     val u = graft.ext.Sampling.md5Uniform(seedKey)
     val b = clip / epsilon
     val lap = when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0)) *
@@ -130,6 +167,15 @@ object DpLedger {
         round(col("sum_clipped") + lit(1e-9), 4).as("sum_clipped") :+
         round(col("sum_clipped") + lap + lit(1e-9), 4).as("sum_dp"): _*)
   }
+
+  /** The consumer-facing projection of a gated release: the noised
+    * columns only. The frames returned by [[gatedLaplaceCounts]] /
+    * [[gatedLaplaceSums]] carry the exact `n` (and `sum_clipped`)
+    * beside the noised value as the private-side audit record;
+    * publishing THOSE columns releases the exact values and reduces the
+    * noise to decoration. Every real release publishes this view. */
+  def publicView(released: DataFrame): DataFrame =
+    released.drop("n", "sum_clipped")
 
   /** The shared gate: replay of the identical (dataset, releaseId,
     * queryKey) is free; a releaseId REUSED for a different query throws

@@ -583,6 +583,62 @@ class AlertsSpec extends SparkTestBase {
     assert(math.abs(DpLedger.spent(spark, led, "sums") - 0.5) < 1e-9)
   }
 
+  test("DP ledger: secret salt re-keys the noise, multi-key seeds are " +
+    "boundary- and null-safe, publicView drops the exact columns") {
+    import graft.quality.DpLedger
+    val docs = Seq((1L, "en"), (2L, "en"), (3L, "de")).toDF("doc_id", "lang")
+    def fresh() = java.nio.file.Files
+      .createTempDirectory("graft-dp-salt").toString
+    // (a) a non-empty secretSalt draws DIFFERENT noise for the same
+    // (dataset, releaseId, group) — the unsalted draw is recomputable
+    // from public metadata, so a real release must re-key it
+    val unsalted = DpLedger.gatedLaplaceCounts(docs, Seq("lang"), fresh(),
+        "d", "r1", 0.5, 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val salted = DpLedger.gatedLaplaceCounts(docs, Seq("lang"), fresh(),
+        "d", "r1", 0.5, 1.0, secretSalt = "s3cr3t")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(unsalted.keySet === salted.keySet)
+    assert(unsalted.keys.forall(k => unsalted(k) !== salted(k)),
+      "salted draws must differ from the public-seed draws")
+    // and the salted release replays byte-identically under the same salt
+    val led2 = fresh()
+    val s1 = DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led2,
+      "d", "r1", 0.5, 1.0, secretSalt = "s3cr3t").collect().toSeq
+    val s2 = DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led2,
+      "d", "r1", 0.5, 1.0, secretSalt = "s3cr3t").collect().toSeq
+    assert(s1 === s2)
+    // (b) multi-key groups that would collide under a separator-less
+    // join — ("ab","c") vs ("a","bc") — must draw DIFFERENT noise.
+    // Counts are equal (2 rows each) so distinct n_dp proves a
+    // distinct draw.
+    val pairs = Seq(("ab", "c"), ("ab", "c"), ("a", "bc"), ("a", "bc"))
+      .toDF("k1", "k2")
+    val mk = DpLedger.gatedLaplaceCounts(pairs, Seq("k1", "k2"), fresh(),
+        "d", "r1", 0.5, 10.0)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    assert(mk(("ab", "c")) !== mk(("a", "bc")),
+      "boundary-colliding composite keys must not share a noise draw")
+    // (c) a NULL key and an empty-string key draw differently too
+    val nulls = Seq(Some(""), Some(""), None, None)
+      .toDF("k")
+    val nk = DpLedger.gatedLaplaceCounts(nulls, Seq("k"), fresh(),
+        "d", "r1", 0.5, 10.0)
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+    assert(nk(Some("")) !== nk(None),
+      "null and empty-string keys must not share a noise draw")
+    // (d) publicView: the released projection carries no exact values
+    val full = DpLedger.gatedLaplaceSums(
+      docs.withColumn("v", lit(10.0)), Seq("lang"), "v", clip = 5.0,
+      fresh(), "d", "r1", 0.5, 1.0, secretSalt = "s3cr3t")
+    assert(full.columns.toSeq === Seq("lang", "n", "sum_clipped", "sum_dp"))
+    assert(DpLedger.publicView(full).columns.toSeq === Seq("lang", "sum_dp"))
+    val fullC = DpLedger.gatedLaplaceCounts(docs, Seq("lang"), fresh(),
+      "d", "r1", 0.5, 1.0, secretSalt = "s3cr3t")
+    assert(DpLedger.publicView(fullC).columns.toSeq === Seq("lang", "n_dp"))
+  }
+
   test("DP ledger survives a mid-swap crash: the backup restores, no spend lost") {
     import graft.quality.DpLedger
     val led = java.nio.file.Files.createTempDirectory("graft-dp-crash").toString

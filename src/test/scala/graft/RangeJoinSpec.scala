@@ -67,6 +67,37 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("bound-name collisions with the other side's schema fail loudly " +
+    "instead of emitting duplicate column names") {
+    // the shared-base-table scenario: points carries its own payload
+    // column named like a bound — the rename-back would otherwise emit
+    // two identically named columns and every downstream col(name)
+    // would throw ambiguity
+    val pWithS = points.withColumn("s", lit(1L))
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pWithS, intervals, "t", "s", "e", 5L)
+    }
+    assert(ex.getMessage.contains("identically named"))
+    val iWithT = intervals.withColumn("t", lit(1L))
+    val ex2 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, iWithT, "t", "s", "e", 5L)
+    }
+    assert(ex2.getMessage.contains("identically named"))
+    val rightIv = intervals.toDF("r_id", "rs", "re").withColumn("s", lit(0L))
+    val ex3 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlapJoin(intervals, rightIv,
+        "s", "e", "rs", "re", 5L)
+    }
+    assert(ex3.getMessage.contains("identically named"))
+    // and the documented contract still admits non-bound shared names
+    // (ordinary Spark join duplicate semantics, caller's concern): the
+    // operators must not reject those
+    val pShared = points.withColumn("note", lit("x"))
+    val iShared = intervals.withColumn("note", lit("y"))
+    assert(RangeJoin.pointInInterval(pShared, iShared, "t", "s", "e", 5L)
+      .count() > 0)
+  }
+
   test("pointInInterval composes with a stream (stream-static enrichment)") {
     // the operator is stateless (narrow bucket projection + equi-join
     // against the static side), so it must run unchanged inside a

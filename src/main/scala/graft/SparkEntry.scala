@@ -990,6 +990,79 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy("fingerprint")),
 
+    // Normalized (robust near-exact) dedup — the CCNet normalization
+    // stage: case, punctuation, digit values, and whitespace are
+    // presentation noise, so variants differing only in those collapse
+    // to one survivor. Demonstrated against a deterministic perturbed
+    // copy of the corpus (uppercased, punctuation-injected, re-spaced):
+    // every perturbed doc must be absorbed by its original.
+    Q("x_normalized_dedup",
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             |pert AS (SELECT doc_id + 10000 AS doc_id,
+             |           '  ' || upper(text) || ' !!!' AS text FROM base),
+             |a AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+             |n AS (SELECT doc_id, md5(trim(regexp_replace(
+             |        regexp_replace(lower(text), '[0-9]', '0', 'g'),
+             |        '[^a-z0-9]+', ' ', 'g'))) AS fp FROM a),
+             |g AS (SELECT fp, min(doc_id) AS doc_id, count(*) AS n_dups
+             |      FROM n GROUP BY 1)
+             |SELECT doc_id, n_dups FROM g ORDER BY doc_id""".stripMargin),
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select("doc_id", "text")
+        val pert = base.select((col("doc_id") + lit(10000L)).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" !!!")).as("text"))
+        graft.ext.Dedup
+          .normalizedDedup(base.unionByName(pert), "text", "doc_id")
+          .select("doc_id", "n_dups").orderBy("doc_id")
+      }),
+
+    // Per-source ADAPTIVE quality gate: each source cut at its OWN p25
+    // quality quantile instead of one global threshold — the cutoff
+    // table is sources-sized and broadcasts back; the corpus never
+    // re-shuffles by source.
+    Q("x_adaptive_quality_gate",
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks, text
+              |           FROM documents),
+              |q AS (SELECT doc_id, source,
+              |        ROUND(($qualityScoreSql) + 1e-9, 4) AS rq FROM t),
+              |c AS (SELECT source,
+              |        ROUND(quantile_cont(rq, 0.25) + 1e-9, 4) AS cutoff
+              |      FROM q GROUP BY 1),
+              |k AS (SELECT q.source, q.rq, c.cutoff
+              |      FROM q JOIN c USING (source) WHERE q.rq >= c.cutoff)
+              |SELECT source, cutoff, COUNT(*) AS n_kept,
+              |       ROUND(AVG(rq) + 1e-9, 4) AS avg_q
+              |FROM k GROUP BY 1, 2 ORDER BY source""".stripMargin),
+      (s, dir) => graft.ext.Curate
+        .adaptiveQualityGate(Tables.documents(s, dir), "source", "text",
+          pct = 0.25)
+        .groupBy("source", "cutoff")
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg("quality") + lit(1e-9), 4).as("avg_q"))
+        .orderBy("source")),
+
+    // Token-budget corpus selection: the best documents by quality until
+    // 25% of the corpus's tokens are spent — rank + prefix-sum WITHOUT a
+    // global sort (101 quality-bucket partial sorts + one broadcast
+    // offset table; see Sampling.tokenBudgetSelect).
+    Q("x_token_budget_select",
+      Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks, text
+              |            FROM documents),
+              |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok_n,
+              |        ROUND(($qualityScoreSql) + 1e-9, 4) AS rq FROM t0),
+              |b AS (SELECT CAST(FLOOR(0.25 * SUM(tok_n)) AS BIGINT)
+              |        AS budget FROM t),
+              |c AS (SELECT doc_id, tok_n,
+              |        CAST(SUM(tok_n) OVER (ORDER BY rq DESC, doc_id)
+              |          AS BIGINT) AS cum_tokens FROM t)
+              |SELECT c.doc_id, c.tok_n, c.cum_tokens
+              |FROM c, b WHERE c.cum_tokens <= b.budget
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => graft.ext.Sampling
+        .tokenBudgetSelect(Tables.documents(s, dir), "text", "doc_id",
+          budgetFrac = 0.25)
+        .orderBy("doc_id")),
+
     // Distribution drift (PSI) per event type between the month's halves:
     // fixed [0,500)x10 buckets, Laplace-smoothed, sparse-bucket
     // convention mirrored exactly in the oracle.

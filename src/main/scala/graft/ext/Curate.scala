@@ -96,6 +96,35 @@ object Curate {
   private def metric(o: Observation, fallback: => Long): Long =
     o.get.get("n").map(_.asInstanceOf[Long]).getOrElse(fallback)
 
+  /** Per-source ADAPTIVE quality gate — the fixed global threshold of
+    * [[incremental]] silently over-prunes clean sources and under-prunes
+    * noisy ones, because quality-score distributions differ BY SOURCE
+    * (a forum dump and an encyclopedia dump do not share a cutoff).
+    * This gate cuts each source at its OWN `pct` quantile: keep a doc
+    * iff its quality ≥ the exact interpolated percentile of its source's
+    * 4-dp-rounded scores. Rounding before the percentile and before the
+    * comparison is what pins the boundary across engines (the repo-wide
+    * ROUND(x+1e-9, 4) oracle discipline).
+    *
+    * Shape at scale: one aggregation to a sources-sized cutoff table
+    * (exact `percentile` — per-group state is the source's score
+    * multiset; for sources too hot for that, swap in approx_percentile
+    * with a documented error budget), broadcast back, one filter. The
+    * corpus never re-shuffles by source. Returns the kept rows with
+    * `quality` and `cutoff` columns attached. */
+  def adaptiveQualityGate(docs: DataFrame, keyCol: String,
+                          textCol: String = "text",
+                          pct: Double = 0.25): DataFrame = {
+    require(pct >= 0.0 && pct < 1.0, s"pct must be in [0, 1), got $pct")
+    val scored = docs.withColumn("quality",
+      round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4))
+    val cuts = scored.groupBy(col(keyCol))
+      .agg(round(expr(s"percentile(quality, $pct)") + lit(1e-9), 4)
+        .as("cutoff"))
+    scored.join(broadcast(cuts), Seq(keyCol))
+      .filter(col("quality") >= col("cutoff"))
+  }
+
   /** The daily-increment form of [[run]]: quality gate → within-batch +
     * against-index exact dedup → per-source cap. History is the
     * fingerprint index, never the documents — each day pays one pass over

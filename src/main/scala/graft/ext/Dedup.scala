@@ -32,6 +32,27 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Normalized (robust near-exact) dedup — [[exactDedup]] keyed on
+    * [[TextAnalysis.robustFingerprint]] instead: case, punctuation,
+    * digit-value, and whitespace variants of one document collapse to a
+    * single survivor (the CCNet normalization-dedup stage; the web's
+    * most common duplication mode is exactly these presentation-level
+    * mutations of syndicated content). Returns the lowest-id survivor
+    * per normalized form plus `n_dups`, the number of raw documents it
+    * absorbed — the audit column a curation report needs. Shape at
+    * scale: one fingerprint-keyed shuffle; document bodies ride it once
+    * (same cost envelope as exactDedup). */
+  def normalizedDedup(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_nfp")).orderBy(col(idCol).asc)
+    docs.withColumn("_nfp", TextAnalysis.robustFingerprint(col(textCol)))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(
+        Window.partitionBy(col("_nfp"))))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_nfp")
+  }
+
   /** Incremental exact dedup — the shape every production pipeline
     * actually runs: dedup TODAY'S batch against the historical
     * fingerprint index without rescanning history. Two steps, both

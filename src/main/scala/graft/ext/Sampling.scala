@@ -165,6 +165,54 @@ object Sampling {
       .drop("_mk", "_mb", "_lr", "_off", "q")
   }
 
+  /** Token-budget-constrained corpus selection — the "fill an N-token
+    * training budget with the best documents" operator: rank documents
+    * by (4-dp-rounded quality DESC, id ASC) and keep the prefix whose
+    * cumulative token count stays within `budgetFrac` of the corpus
+    * total. Deterministic (no rand; rounding pins the order across
+    * engines) and budget-exact: the first document that would overflow
+    * the budget is excluded, as is everything after it.
+    *
+    * Shape at scale: the prefix sum is computed WITHOUT a global sort —
+    * documents bucket by floor(100·quality) (101 order-preserving
+    * ranges), cum-sum locally per bucket over (quality DESC, id), and
+    * add per-bucket offsets from a ≤101-row cumulative table joined back
+    * broadcast (the [[mixtureOrder]] bucket-offset trick, applied to the
+    * quality axis). The biggest corpus costs 101 parallel partial sorts
+    * plus one broadcast, not one giant ordered shuffle.
+    *
+    * Returns (idCol, tok_n, cum_tokens) for the selected documents. */
+  def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
+                        budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
+    val t = docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_n"),
+      round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4)
+        .as("_rq"))
+    val budget = t.agg(
+      floor(lit(budgetFrac) * sum("tok_n")).cast("long").as("_budget"))
+    val bucketed = t.withColumn("_qb",
+      floor(col("_rq") * 100).cast("int"))
+    // ≤101-row bucket table: offset(b) = Σ tok_n of all HIGHER buckets
+    val offsets = bucketed.groupBy("_qb")
+      .agg(sum("tok_n").as("_bt"))
+      .withColumn("_off",
+        coalesce(sum("_bt").over(Window.orderBy(col("_qb").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_qb"), col("_off"))
+    bucketed
+      .withColumn("_lc", sum("tok_n").over(
+        Window.partitionBy("_qb")
+          .orderBy(col("_rq").desc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsets), Seq("_qb"))
+      .crossJoin(broadcast(budget))
+      .withColumn("cum_tokens", col("_off") + col("_lc"))
+      .filter(col("cum_tokens") <= col("_budget"))
+      .select(col(idCol), col("tok_n"), col("cum_tokens"))
+  }
+
   /** Temperature-scaled mixing weights per group (the multinomial
     * source/language re-balancing used when assembling a training mix):
     * with p_g the group's share of the corpus, q_g ∝ p_g^alpha

@@ -92,6 +92,25 @@ object TextAnalysis {
     when(best.getField("n") <= 0, lit("und")).otherwise(best.getField("lang"))
   }
 
+  /** Aggressive canonical form for robust near-exact dedup (the
+    * CCNet/C4 normalization: case, punctuation, digit values, and
+    * whitespace are all presentation noise): lowercase, every digit →
+    * '0', every non-alphanumeric run → one space, trim. Two documents
+    * differing only in casing, punctuation, spacing, or numeric values
+    * normalize to the same string. One pass of stateless column
+    * expressions — codegen'd, no shuffle, same cost shape as
+    * [[normalize]]. */
+  def normalizeAggressive(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[0-9]", "0"),
+      "[^a-z0-9]+", " "))
+
+  /** Robust content fingerprint: md5 of [[normalizeAggressive]] — the
+    * dedup key that absorbs case/punctuation/digit/whitespace variants
+    * of the same content, where [[fingerprint]] only absorbs
+    * case/whitespace. */
+  def robustFingerprint(text: Column): Column =
+    md5(normalizeAggressive(text).cast("binary"))
+
   /** Content fingerprint: md5 of the normalized text. Stable across
     * engines (the oracle computes the identical md5), used as the exact
     * dedup key. */

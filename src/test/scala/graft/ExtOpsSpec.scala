@@ -265,6 +265,84 @@ class ExtOpsSpec extends SparkTestBase {
     assert(a("rare") > 30L)
   }
 
+  test("normalizedDedup absorbs case/punct/digit/whitespace variants into " +
+    "the lowest-id survivor") {
+    val docs = Seq(
+      (1L, "release version 2 of the parser"),
+      (2L, "Release   Version 7, of the PARSER!!"), // digits+case+punct+ws
+      (3L, "release version two of the parser"),    // genuinely different
+      (4L, "  release -- version 9 :: of the parser  ")) // another variant
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedDedup(docs, "text", "doc_id")
+      .select("doc_id", "n_dups").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L), (3L, 1L)))
+    // and the robust fingerprint is insensitive to each mutation class
+    val fps = docs.select(
+        graft.ext.TextAnalysis.robustFingerprint(col("text")).as("fp"))
+      .as[String].collect()
+    assert(fps(0) === fps(1) && fps(1) === fps(3))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("adaptiveQualityGate cuts each source at its own quantile") {
+    import graft.ext.{Curate, TextAnalysis}
+    // graded, per-doc-distinct qualities in BOTH sources so the p25
+    // cutoff lands strictly between the 2nd and 3rd lowest scores:
+    // 'clean' is uniformly better than 'noisy', yet each source must
+    // lose exactly its own bottom quartile (a global threshold would
+    // instead pass all of clean and gut noisy)
+    val clean = (1 to 8).map(i =>
+      (i.toLong, "clean",
+        ("the quick brown fox jumps over the lazy dog and " * i).trim))
+    val noisy = (11 to 18).map(i =>
+      (i.toLong, "noisy", ("word " * (i - 10)).trim)) // no stopwords: low q
+    val docs = (clean ++ noisy).toDF("doc_id", "source", "text")
+    val kept = Curate.adaptiveQualityGate(docs, "source", "text", 0.25)
+    val bySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // every kept doc clears its OWN source's cutoff
+    assert(kept.filter(col("quality") < col("cutoff")).count() === 0L)
+    // with 8 distinct scores per source, p25 interpolates between the
+    // 2nd and 3rd lowest → each source loses exactly its bottom two
+    assert(bySrc === Map("clean" -> 6L, "noisy" -> 6L))
+    // cutoffs differ by source (the point of the adaptive form)
+    val cuts = kept.select("source", "cutoff").distinct()
+      .as[(String, Double)].collect().toMap
+    assert(cuts("clean") > cuts("noisy"))
+  }
+
+  test("tokenBudgetSelect: quality-ordered prefix, budget never exceeded, " +
+    "boundary doc excluded") {
+    import graft.ext.TextAnalysis
+    // distinct qualities via distinct lengths; tokens per doc known
+    val docs = (1 to 12).map(i =>
+      (i.toLong, ("the and of to in is word " * i).trim))
+      .toDF("doc_id", "text")
+    val picked = Sampling.tokenBudgetSelect(docs, "text", "doc_id", 0.25)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val scored = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+        round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4)
+          .as("q"))
+      .as[(Long, Long, Double)].collect()
+    val budget = math.floor(0.25 * scored.map(_._2).sum).toLong
+    // reference: plain sort + running sum
+    val order = scored.sortBy { case (id, _, q) => (-q, id) }
+    var cum = 0L
+    val want = order.takeWhile { case (_, n, _) =>
+      cum += n; cum <= budget }.map(_._1).toSet
+    assert(picked.map(_._1).toSet === want)
+    assert(picked.map(_._2).sum <= budget, "budget must never be exceeded")
+    // cum_tokens is the true running total in quality order
+    assert(picked.map(_._3).max === picked.map(_._2).sum)
+    // degenerate regimes: full budget selects everything; tiny budget
+    // selects at most the single best doc
+    assert(Sampling.tokenBudgetSelect(docs, "text", "doc_id", 1.0)
+      .count() === 12L)
+    val tiny = Sampling.tokenBudgetSelect(docs, "text", "doc_id", 0.01)
+    assert(tiny.count() <= 1L)
+  }
+
   test("topKSelect matches the rank-window cut on tie-heavy string payloads") {
     import org.apache.spark.sql.expressions.Window
     // 400 rows over 8 groups; scores collide heavily ((i % 5) only) so

@@ -344,6 +344,70 @@ class StreamingSplitParitySpec extends SparkTestBase {
   }
 
   // ---------------------------------------------------------------
+  // curateFullIngestBatch: the gate → exact-dedup → near-dup → cap
+  // capstone composition. Which doc_id survives is arrival-order (the
+  // documented first-seen-wins), but with mutually non-near-dup
+  // templates and a non-binding cap the published TEXT set is
+  // split-invariant: exactly the distinct gate-passing texts, each once.
+  // ---------------------------------------------------------------
+  test("property: curateFullIngest publishes exactly the distinct " +
+    "gate-passing texts under random splits") {
+    // six templates with DISJOINT vocabularies (no cross-template
+    // near-dup at estThreshold=0.5) + junk strings the quality gate cuts
+    val good = Seq(
+      "apples and oranges are sold at the market on every sunday while " +
+        "the children play in the park near the river ",
+      "engines and turbines convert thermal energy into rotation under " +
+        "careful monitoring of pressure valves inside the plant ",
+      "glaciers carve deep valleys across mountain ranges leaving " +
+        "moraines boulders and striations behind them over millennia ",
+      "violins cellos and clarinets tune quietly before the conductor " +
+        "raises a baton toward the orchestra pit tonight ",
+      "databases index tables with btrees partitioning queries across " +
+        "shards replicas and caches for latency budgets ",
+      "penguins huddle against antarctic winds rotating positions so " +
+        "each bird shares warmth during the long polar night ")
+      .map(_ * 3)
+    val junk = Seq("x", "!!!", "aa aa aa aa")
+    // self-validate the pool against the REAL gate once: the property's
+    // expected set is built from this classification
+    val gateScores = (good ++ junk).toDF("text")
+      .select(col("text"),
+        graft.ext.TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(String, Double)].collect().toMap
+    good.foreach(t => assert(gateScores(t) >= 0.35,
+      s"template must pass the gate, scored ${gateScores(t)}"))
+    junk.foreach(t => assert(gateScores(t) < 0.35,
+      s"junk must fail the gate, scored ${gateScores(t)}"))
+    val pool = good ++ junk
+    val rowsGen = Gen.choose(4, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, pool.size - 1)))
+    val prop = forAllNoShrink(rowsGen, cutsGen) { (idxs, cuts) =>
+      val rows = idxs.zipWithIndex.map { case (ti, i) =>
+        (i.toLong, if (ti % 2 == 0) "a" else "b", pool(ti))
+      }
+      val root = Files.createTempDirectory("graft-pcur").toString
+      val counts = new StreamingPipeline.CurateCounts
+      splitBy(rows, cuts).zipWithIndex.foreach { case (p, i) =>
+        StreamingPipeline.curateFullIngestBatch(
+          p.toDF("doc_id", "source", "text"), i.toLong,
+          s"$root/out", s"$root/fp", s"$root/sig",
+          minQuality = 0.35, estThreshold = 0.5, perSourceCap = 10,
+          counts = counts)
+      }
+      val published = spark.read.parquet(s"$root/out/data")
+        .select("text").as[String].collect().toSeq
+      val want = idxs.map(pool).filter(t => gateScores(t) >= 0.35)
+        .distinct.toSet
+      ("published text set" |: (published.toSet ?= want)) &&
+        ("one row per text" |: (published.size ?= want.size))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---------------------------------------------------------------
   // knCountsBatch: additive bigram/unigram type counts
   // ---------------------------------------------------------------
   test("property: knCounts n-gram counts equal the batch recompute " +

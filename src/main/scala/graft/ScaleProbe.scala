@@ -30,6 +30,7 @@ object ScaleProbe {
     if (args.headOption.contains("bpelocal")) { bpeLocalProbe(args); return }
     if (args.headOption.contains("curation")) { curationProbe(args); return }
     if (args.headOption.contains("ivfdrift")) { ivfDriftProbe(args); return }
+    if (args.headOption.contains("budgetselect")) { budgetSelectProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -783,6 +784,61 @@ object ScaleProbe {
         scored.unpersist(); surv.unpersist(); model.release()
         GraftSession.sweepCaches(spark)
       }
+    }
+    spark.stop()
+  }
+
+  /** Token-budget selection arm comparison:
+    * `ScaleProbe budgetselect [nDocs]` — the bucketed prefix sum
+    * (Sampling.tokenBudgetSelect: 101 quality-bucket partial sorts +
+    * one broadcast offset table) vs the textbook global-window form
+    * (SUM OVER (ORDER BY q DESC, id) — which Spark must execute as a
+    * SINGLE-partition window: every row through one task). Both arms
+    * must select the IDENTICAL set; the probe measures what the
+    * global sort costs as the corpus grows. */
+  private def budgetSelectProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.ext.TextAnalysis
+    // hash-deterministic doc lengths 1..100 words → graded quality
+    spark.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("text",
+        concat(lit("the and of to in is "),
+          expr("repeat('w ', CAST(pmod(hash(doc_id * 31), 100) AS INT) + 1)")))
+      .repartition(cpus * 2)
+      .write.mode("overwrite").parquet("/tmp/graft_scale_budget")
+    val df = spark.read.parquet("/tmp/graft_scale_budget")
+    (1 to 2).foreach { run =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val nBucketed = graft.ext.Sampling
+        .tokenBudgetSelect(df, "text", "doc_id", 0.25).count()
+      val tBucketed = (System.nanoTime() - t0) / 1e9
+      System.gc()
+      val t1 = System.nanoTime()
+      val scored = df.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("tok_n"),
+        round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4)
+          .as("rq"))
+      val budget = scored.agg(
+        floor(lit(0.25) * sum("tok_n")).cast("long").as("b"))
+      val nGlobal = scored
+        .withColumn("cum", sum("tok_n").over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rq").desc, col("doc_id").asc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+        .crossJoin(broadcast(budget))
+        .filter(col("cum") <= col("b")).count()
+      val tGlobal = (System.nanoTime() - t1) / 1e9
+      require(nBucketed == nGlobal,
+        s"arms disagree: bucketed=$nBucketed global=$nGlobal")
+      println(f"[scale] budgetselect run$run docs=$nDocs " +
+        f"selected=$nBucketed bucketed_sec=$tBucketed%.2f " +
+        f"global_window_sec=$tGlobal%.2f speedup=${tGlobal / tBucketed}%.2fx")
+      GraftSession.sweepCaches(spark)
     }
     spark.stop()
   }

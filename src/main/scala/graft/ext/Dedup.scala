@@ -53,6 +53,29 @@ object Dedup {
       .drop("_rn", "_nfp")
   }
 
+  /** Incremental normalized dedup — [[incrementalExactDedup]] keyed on
+    * [[TextAnalysis.robustFingerprint]]: today's batch loses its
+    * case/punct/digit/whitespace variants both within the batch
+    * (keep-lowest-id) and against the historical robust-fingerprint
+    * index, without rescanning history. Same two fingerprint-keyed
+    * steps and the same index-delta contract
+    * ([[survivorRobustFingerprints]]) as the exact form. */
+  def incrementalNormalizedDedup(batch: DataFrame, textCol: String,
+                                 idCol: String,
+                                 index: DataFrame): DataFrame = {
+    val inBatch = normalizedDedup(batch, textCol, idCol).drop("n_dups")
+      .withColumn("_fp", TextAnalysis.robustFingerprint(col(textCol)))
+    inBatch.join(index.select(col("fingerprint").as("_fp")), Seq("_fp"),
+        "left_anti")
+      .drop("_fp")
+  }
+
+  /** The index delta for [[incrementalNormalizedDedup]] survivors. */
+  def survivorRobustFingerprints(survivors: DataFrame,
+                                 textCol: String): DataFrame =
+    survivors.select(
+      TextAnalysis.robustFingerprint(col(textCol)).as("fingerprint"))
+
   /** Incremental exact dedup — the shape every production pipeline
     * actually runs: dedup TODAY'S batch against the historical
     * fingerprint index without rescanning history. Two steps, both

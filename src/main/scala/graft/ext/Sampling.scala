@@ -176,40 +176,65 @@ object Sampling {
     * Shape at scale: the prefix sum is computed WITHOUT a global sort —
     * documents bucket by floor(100·quality) (101 order-preserving
     * ranges), cum-sum locally per bucket over (quality DESC, id), and
-    * add per-bucket offsets from a ≤101-row cumulative table joined back
-    * broadcast (the [[mixtureOrder]] bucket-offset trick, applied to the
-    * quality axis). The biggest corpus costs 101 parallel partial sorts
-    * plus one broadcast, not one giant ordered shuffle.
+    * add per-bucket offsets from a ≤101-row cumulative table. The bucket
+    * table ALSO yields the corpus token total (no second corpus scan for
+    * the budget) and the boundary bucket: every bucket whose offset
+    * already exceeds the budget is pruned BEFORE the per-bucket sort, so
+    * the window runs over ~budgetFrac of the corpus, not all of it. The
+    * ≤101-row table collects to the driver — size-gated by construction.
+    * The biggest corpus costs one bucket aggregation plus partial sorts
+    * over the kept buckets; never one giant ordered shuffle, never a
+    * single-partition window.
     *
     * Returns (idCol, tok_n, cum_tokens) for the selected documents. */
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
                         budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1.0,
       s"budgetFrac must be in (0, 1], got $budgetFrac")
-    val t = docs.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_n"),
-      round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4)
-        .as("_rq"))
-    val budget = t.agg(
-      floor(lit(budgetFrac) * sum("tok_n")).cast("long").as("_budget"))
-    val bucketed = t.withColumn("_qb",
-      floor(col("_rq") * 100).cast("int"))
-    // ≤101-row bucket table: offset(b) = Σ tok_n of all HIGHER buckets
-    val offsets = bucketed.groupBy("_qb")
-      .agg(sum("tok_n").as("_bt"))
-      .withColumn("_off",
-        coalesce(sum("_bt").over(Window.orderBy(col("_qb").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_qb"), col("_off"))
-    bucketed
+    val spark = docs.sparkSession
+    // persist the NARROW scored projection (id, tok_n, rq, qb — tens of
+    // bytes/row): tokenization+scoring is the dominant cost and feeds
+    // two consumers (the bucket aggregation and the window input);
+    // without the cache the corpus tokenizes twice. The session's
+    // between-queries sweep (GraftSession.sweepCaches) reclaims it.
+    val bucketed = docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_n"),
+        round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4)
+          .as("_rq"))
+      .withColumn("_qb", floor(col("_rq") * 100).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one aggregation pass → ≤101 (bucket, token-total) rows; everything
+    // the selection needs besides the per-row running sums lives here
+    // (and the pass materializes the cache for the window input)
+    val bt = bucketed.groupBy("_qb").agg(sum("tok_n").as("_bt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val budget = math.floor(budgetFrac * bt.map(_._2).sum).toLong
+    // offset(b) = Σ token totals of all HIGHER buckets; a bucket whose
+    // offset already EXCEEDS the budget cannot contribute a row — prune
+    // it before it is ever sorted (off == budget stays: a zero-token row
+    // there still satisfies cum == budget, matching the reference
+    // global-order semantics)
+    val offsets = bt.scanLeft((Int.MaxValue, 0L)) {
+      case ((_, acc), (qb, btot)) => (qb, acc + btot)
+    }.sliding(2).collect { case Array((_, off0), (qb, _)) => (qb, off0) }
+      .toArray
+    val kept = offsets.filter(_._2 <= budget)
+    if (kept.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("tok_n"),
+          lit(0L).as("cum_tokens")).limit(0)
+    val minQb = kept.map(_._1).min
+    import spark.implicits._
+    val offDf = kept.toSeq.toDF("_qb", "_off")
+    bucketed.filter(col("_qb") >= minQb)
       .withColumn("_lc", sum("tok_n").over(
         Window.partitionBy("_qb")
           .orderBy(col("_rq").desc, col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offsets), Seq("_qb"))
-      .crossJoin(broadcast(budget))
+      .join(broadcast(offDf), Seq("_qb"))
       .withColumn("cum_tokens", col("_off") + col("_lc"))
-      .filter(col("cum_tokens") <= col("_budget"))
+      .filter(col("cum_tokens") <= lit(budget))
       .select(col(idCol), col("tok_n"), col("cum_tokens"))
   }
 

@@ -1091,6 +1091,35 @@ object StreamingPipeline {
         () => ())
     }
 
+  /** Normalized-dedup-at-ingest — [[dedupIngest]] keyed on the ROBUST
+    * fingerprint ([[graft.ext.TextAnalysis.robustFingerprint]]): a
+    * case/punctuation/digit/whitespace variant of ANY earlier batch's
+    * survivor never lands (the CCNet normalization-dedup stage as a
+    * stream). Same crash-safe index protocol as [[dedupIngest]]. */
+  def normalizedDedupIngest(stream: DataFrame, textCol: String,
+                            idCol: String, outPath: String,
+                            indexPath: String, ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        normalizedDedupIngestBatch(batch, id, textCol, idCol, outPath,
+          indexPath)
+      }
+      .start()
+
+  /** The per-batch body of [[normalizedDedupIngest]]. */
+  def normalizedDedupIngestBatch(batch: DataFrame, id: Long,
+                                 textCol: String, idCol: String,
+                                 outPath: String,
+                                 indexPath: String): Unit =
+    withBatchIndex(batch.sparkSession, id, outPath, indexPath) { index =>
+      val survivors = graft.ext.Dedup
+        .incrementalNormalizedDedup(batch, textCol, idCol, index)
+      (survivors,
+        graft.ext.Dedup.survivorRobustFingerprints(survivors, textCol),
+        () => ())
+    }
+
   /** Span-dedup-at-ingest — the ExactSubstr surgery as a streaming
     * stage: each micro-batch's docs are cleaned of token spans
     * duplicated within the batch or against ANY earlier batch (a

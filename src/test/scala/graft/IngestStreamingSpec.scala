@@ -132,6 +132,37 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$out/data").count() === 3)
   }
 
+  test("normalizedDedupIngest: case/punct/digit variants of any earlier " +
+    "survivor never land") {
+    val out = Files.createTempDirectory("graft-nd-out").toString
+    val idx = Files.createTempDirectory("graft-nd-idx").toString
+    def batch(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    // batch 1: doc 11 is a punctuation/case variant of doc 10 → absorbed
+    StreamingPipeline.normalizedDedupIngestBatch(
+      batch(10L -> "release version 2 of the parser",
+        11L -> "Release, Version 7 -- of the PARSER!",
+        12L -> "a different document entirely"),
+      1L, "text", "doc_id", out, idx)
+    assert(spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq === Seq(10L, 12L))
+    // batch 2: doc 20 is a whitespace/digit variant of batch-1's
+    // SURVIVOR (the index catches it); doc 21 is genuinely new
+    StreamingPipeline.normalizedDedupIngestBatch(
+      batch(20L -> "  RELEASE   version 9 of the parser  ",
+        21L -> "fresh content for batch two"),
+      2L, "text", "doc_id", out, idx)
+    val landed = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(landed === Seq(10L, 12L, 21L))
+    assert(spark.read.parquet(s"$idx/data").distinct().count() === 3)
+    // replay of batch 2 is a marker no-op
+    StreamingPipeline.normalizedDedupIngestBatch(
+      batch(20L -> "  RELEASE   version 9 of the parser  ",
+        21L -> "fresh content for batch two"),
+      2L, "text", "doc_id", out, idx)
+    assert(spark.read.parquet(s"$out/data").count() === 3)
+  }
+
   test("driftMonitorIngest: per-batch PSI series drives driftRules pending→firing; replay no-op") {
     import graft.monitoring.{Alerts, Drift}
     val inDir = Files.createTempDirectory("graft-drift-in").toString

@@ -253,10 +253,7 @@ class PlanSpec extends SparkTestBase {
       // (same constituent operators as x_ivf_recall_curve)
       "x_retrieval_eval", "x_rbo_rankings", "x_matryoshka_recall",
       // one-row min/total/quartile broadcasts over sources-sized frames
-      "x_domain_reweight", "x_curriculum_order",
-      // one-row token-budget frame crossJoined against the bucketed
-      // corpus (the prefix-sum selection's only non-equi join)
-      "x_token_budget_select")
+      "x_domain_reweight", "x_curriculum_order")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {

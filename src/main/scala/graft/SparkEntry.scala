@@ -3948,6 +3948,49 @@ object SparkEntry {
           .orderBy("split")
       }),
 
+    // Keep-BEST-per-cluster dedup: the same near-dup clusters as
+    // x_cluster_split, but instead of a split each cluster retains its
+    // highest-quality member (doc-id tie-break) — the FineWeb-style
+    // alternative to keep-first dedup. One rank window per cluster.
+    Q("x_cluster_keep_best",
+      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
+              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |       FROM pre a JOIN pre b
+              |         ON a.source = b.source AND a.doc_id < b.doc_id
+              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
+              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
+              |          UNION ALL SELECT id_b, id_a FROM pj),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |d AS (SELECT documents.doc_id, text,
+              |        COALESCE(comp.cluster_id, documents.doc_id) AS cluster_id
+              |      FROM documents LEFT JOIN comp ON comp.id = documents.doc_id),
+              |q AS (SELECT doc_id, cluster_id,
+              |        ROUND(($qualityScoreSql) + 1e-9, 4) AS quality
+              |      FROM (SELECT doc_id, cluster_id, text, $toksSql AS toks
+              |            FROM d)),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              |        ORDER BY quality DESC, doc_id) AS rn FROM q)
+              |SELECT cluster_id, doc_id, quality FROM r WHERE rn = 1
+              |ORDER BY cluster_id""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          "source", 3, 0.02)
+        val comp = graft.ext.Graph.connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        val clustered = docs.select("doc_id", "text")
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        graft.ext.Curate.keepBestPerCluster(clustered, "cluster_id")
+          .select("cluster_id", "doc_id", "quality")
+          .orderBy("cluster_id")
+      }),
+
     // Deterministic epoch shuffle: the oracle recomputes the ENTIRE
     // permutation (shard assignment + within-shard position) from the
     // same md5("epoch|id") key — hash-exact, row for row. One shuffle

@@ -125,6 +125,25 @@ object Curate {
       .filter(col("quality") >= col("cutoff"))
   }
 
+  /** Keep the BEST member of each duplicate cluster — the modern
+    * alternative to keep-first/lowest-id dedup: when near-dup detection
+    * has grouped documents into clusters (e.g.
+    * `Dedup.ngramJaccardPairs` → `Graph.connectedComponents`), retain
+    * the member with the highest quality score (4-dp-rounded; doc-id
+    * tie-break), so the corpus keeps the cleanest copy of each piece of
+    * content instead of whichever arrived first. One rank window
+    * partitioned by cluster — the shuffle moves each cluster once. */
+  def keepBestPerCluster(docs: DataFrame, clusterCol: String,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.withColumn("quality",
+      round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4))
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** The daily-increment form of [[run]]: quality gate → within-batch +
     * against-index exact dedup → per-source cap. History is the
     * fingerprint index, never the documents — each day pays one pass over

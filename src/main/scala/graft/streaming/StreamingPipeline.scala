@@ -546,6 +546,75 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuous per-source ADAPTIVE quality gating — the streaming twin
+    * of [[graft.ext.Curate.adaptiveQualityGate]]: each micro-batch is
+    * gated at the HISTORICAL per-source `pct` quantile read from a
+    * [[quantileState]] GK store, then the batch's scores (kept AND
+    * dropped) fold into the store for the next batch. Folding the full
+    * offered distribution — not the survivors — is what keeps the gate
+    * stable: a survivors-only fold would ratchet the cutoff upward every
+    * batch (the p25 of an already-gated population keeps climbing), a
+    * feedback loop that eventually drops everything. Sources with no
+    * history yet (cold start) keep everything — a gate with no baseline
+    * must not guess.
+    *
+    * Exactly-once: the quantile store's batch marker doubles as the
+    * COMMIT record for the gated output. A replay of a fully-processed
+    * batch returns before touching the output (re-gating it against the
+    * now-updated store would select a different set); a crash after the
+    * output write but before the fold replays the gate against the same
+    * pre-batch store and rewrites the identical partition. */
+  def adaptiveGateIngest(stream: DataFrame, srcCol: String,
+                         textCol: String, outPath: String,
+                         storePath: String, ckpt: String,
+                         pct: Double = 0.25,
+                         relativeError: Double = 0.001): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        adaptiveGateBatch(batch, id, srcCol, textCol, outPath, storePath,
+          pct, relativeError)
+      }
+      .start()
+
+  /** The per-batch body of [[adaptiveGateIngest]]. */
+  def adaptiveGateBatch(batch: DataFrame, id: Long, srcCol: String,
+                        textCol: String, outPath: String,
+                        storePath: String, pct: Double,
+                        relativeError: Double): Unit = {
+    val spark = batch.sparkSession
+    val fs = stateFs(spark, storePath)
+    val dataDir = new Path(s"$storePath/data")
+    val backup = new Path(s"$storePath/_prestate")
+    // same READ-side crash-window restore as mergeSwapState: a gate read
+    // in the rename-aside window must see the authoritative store
+    if (!fs.exists(dataDir) && fs.exists(backup) &&
+        !fs.rename(backup, dataDir))
+      throw new java.io.IOException(
+        s"adaptive gate: could not restore $backup to $dataDir after crash")
+    // the store marker is the batch's commit record: a completed batch
+    // must NOT re-gate against the post-fold store (different cutoffs →
+    // different output than originally published)
+    if (fs.exists(new Path(s"$storePath/data/_merged/$id"))) return
+    val scored = batch.withColumn("quality",
+      round(graft.ext.TextAnalysis.qualityScore(col(textCol)) + lit(1e-9),
+        4))
+    val kept =
+      if (fs.exists(dataDir)) {
+        val cuts = quantileStateView(
+            spark.read.parquet(dataDir.toString), Seq(srcCol), Seq(pct))
+          .select(col(srcCol),
+            round(element_at(col("quantiles"), 1) + lit(1e-9), 4)
+              .as("_cut"))
+        scored.join(broadcast(cuts), Seq(srcCol), "left")
+          .filter(col("_cut").isNull || col("quality") >= col("_cut"))
+          .drop("_cut")
+      } else scored
+    kept.write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
+    quantileStateBatch(scored, id, Seq(srcCol), "quality", storePath,
+      relativeError)
+  }
+
   /** Continuous whitening-fit maintenance: the embedding moment cells
     * (n, Σx per dim, Σ xᵢxⱼ — see [[graft.ext.Whiten.momentCells]]) are
     * purely ADDITIVE, so each micro-batch's partial folds into the

@@ -616,6 +616,69 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(a2(22L) === 20L)
   }
 
+  test("adaptiveGateIngest gates each batch at the HISTORICAL per-source " +
+    "quantile; cold sources keep everything; replay is a no-op") {
+    val root = Files.createTempDirectory("graft-agate").toString
+    val out = s"$root/out"; val store = s"$root/store"
+    // 8 docs with distinct graded qualities (distinct token counts)
+    def doc(src: String, i: Int): (Long, String, String) =
+      (i.toLong + (if (src == "a") 0L else 100L), src,
+        ("the and of to in is word w " * i).trim)
+    def fold(rows: Seq[(Long, String, String)], id: Long): Unit =
+      StreamingPipeline.adaptiveGateBatch(
+        rows.toDF("doc_id", "source", "text"), id, "source", "text",
+        out, store, pct = 0.25, relativeError = 0.001)
+    // batch 0: NO history → cold start keeps all 8
+    val b0 = (1 to 8).map(doc("a", _))
+    fold(b0, 0L)
+    assert(spark.read.parquet(s"$out/batch_id=0").count() === 8)
+    // the store now holds source a's offered distribution; its p25
+    // interpolates between the 2nd and 3rd lowest of the 8 scores
+    val cut = StreamingPipeline.quantileStateView(
+        spark.read.parquet(s"$store/data"), Seq("source"), Seq(0.25))
+      .select(col("source"), round(element_at(col("quantiles"), 1)
+        + lit(1e-9), 4).as("c"))
+      .as[(String, Double)].collect().toMap
+    // batch 1: the SAME 8 source-a docs (identical scores) → everything
+    // below the historical p25 drops (the GK read returns an actual
+    // sample, so the doc AT the cutoff survives under >=); brand-new
+    // source b (cold) keeps everything regardless of score
+    val scores = b0.map(_._3).toDF("text")
+      .select(round(graft.ext.TextAnalysis.qualityScore(col("text"))
+        + lit(1e-9), 4))
+      .as[Double].collect()
+    val expectA = scores.count(_ >= cut("a"))
+    assert(expectA < 8, s"cutoff ${cut("a")} must bite on ${scores.toSeq}")
+    val b1 = (1 to 8).map(doc("a", _)) ++ Seq(doc("b", 1))
+    fold(b1, 1L)
+    val kept1 = spark.read.parquet(s"$out/batch_id=1")
+      .select("source", "doc_id").as[(String, Long)].collect()
+    assert(kept1.count(_._1 == "a") === expectA,
+      s"cutoff ${cut("a")} over ${scores.toSeq}")
+    assert(kept1.count(_._1 == "b") === 1, "cold source must keep all")
+    // kept docs all clear the pre-batch cutoff
+    val keptQ = spark.read.parquet(s"$out/batch_id=1")
+      .filter(col("source") === "a")
+      .withColumn("q", round(graft.ext.TextAnalysis
+        .qualityScore(col("text")) + lit(1e-9), 4))
+      .select("q").as[Double].collect()
+    assert(keptQ.forall(_ >= cut("a")))
+    // the store folds the OFFERED distribution (kept AND dropped): both
+    // sources present, and source a's registers now hold 16 values
+    val n = StreamingPipeline.quantileStateView(
+        spark.read.parquet(s"$store/data"), Seq("source"), Seq(0.0, 1.0))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(n.keySet === Set("a", "b"))
+    // replay of batch 1 is a marker no-op: output byte-identical even
+    // though the store has since evolved (re-gating would differ)
+    val before = spark.read.parquet(s"$out/batch_id=1")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    fold(b1, 1L)
+    val after = spark.read.parquet(s"$out/batch_id=1")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after === before)
+  }
+
   test("mergeSwapState crash windows: backup-restore and stale-backup hold " +
     "for the sample and cap-spend stores (parameterized)") {
     // The same READ-side restore path in mergeSwapState serves every

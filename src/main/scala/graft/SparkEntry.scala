@@ -3991,6 +3991,29 @@ object SparkEntry {
           .orderBy("cluster_id")
       }),
 
+    // Training-shard manifest: every doc assigned to an ≈1000-token
+    // output shard in epoch-shuffle order (shard = floor(start_offset /
+    // budget); a straddling doc belongs to the shard where it STARTS).
+    // The oracle computes the running total with a plain global-order
+    // window; the engine uses the 256-way first-byte-bucketed prefix
+    // sum — identical output IS the scale claim under test.
+    Q("x_shard_manifest",
+      Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok_n,
+              |        md5(concat('1', '|', CAST(doc_id AS VARCHAR))) AS k
+              |      FROM t0),
+              |c AS (SELECT doc_id, tok_n,
+              |        CAST(SUM(tok_n) OVER (ORDER BY k, doc_id) AS BIGINT)
+              |          AS cum FROM t)
+              |SELECT doc_id, tok_n,
+              |       CAST(FLOOR((cum - tok_n) / 1000.0) AS BIGINT)
+              |         AS shard_id
+              |FROM c ORDER BY doc_id""".stripMargin),
+      (s, dir) => graft.ext.Sampling
+        .shardManifest(Tables.documents(s, dir), "text", "doc_id",
+          epoch = 1, tokensPerShard = 1000L)
+        .orderBy("doc_id")),
+
     // Deterministic epoch shuffle: the oracle recomputes the ENTIRE
     // permutation (shard assignment + within-shard position) from the
     // same md5("epoch|id") key — hash-exact, row for row. One shuffle

@@ -238,6 +238,61 @@ object Sampling {
       .select(col(idCol), col("tok_n"), col("cum_tokens"))
   }
 
+  /** Training-shard manifest — assign every document to an output shard
+    * of ≈`tokensPerShard` tokens, in the [[epochKey]] pseudo-random
+    * order (the order a training run reads): shard_id =
+    * floor(start_offset / tokensPerShard), where start_offset is the
+    * running token total of all documents BEFORE this one. A document
+    * straddling a boundary belongs to the shard where it starts (greedy
+    * sequential semantics — shards overflow by at most one document).
+    * Deterministic: re-running the manifest, or materializing shard 7
+    * alone, reproduces identical assignments.
+    *
+    * Shape at scale: the same no-global-sort prefix sum as
+    * [[tokenBudgetSelect]], keyed on the md5 epoch key instead of
+    * quality — rows bucket by the key's first byte (256 order-preserving
+    * ranges), cum-sum locally per bucket, add ≤256 broadcast offsets
+    * (collected driver-side, size-gated by construction). The narrow
+    * keyed projection persists for its two consumers; the session sweep
+    * reclaims it.
+    *
+    * Returns (idCol, tok_n, shard_id). */
+  def shardManifest(docs: DataFrame, textCol: String, idCol: String,
+                    epoch: Int, tokensPerShard: Long): DataFrame = {
+    require(tokensPerShard > 0,
+      s"tokensPerShard must be > 0, got $tokensPerShard")
+    val spark = docs.sparkSession
+    val keyed = docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_n"))
+      .withColumn("_mk", epochKey(col(idCol), epoch))
+      .withColumn("_kb",
+        conv(substring(col("_mk"), 1, 2), 16, 10).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bt = keyed.groupBy("_kb").agg(sum("tok_n").as("_bt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = bt.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (kb, btot)) => (kb, acc + btot)
+    }.sliding(2).collect { case Array((_, off0), (kb, _)) => (kb, off0) }
+      .toArray
+    import spark.implicits._
+    if (offsets.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("tok_n"),
+          lit(0L).as("shard_id")).limit(0)
+    val offDf = offsets.toSeq.toDF("_kb", "_off")
+    keyed
+      .withColumn("_lc", sum("tok_n").over(
+        Window.partitionBy("_kb")
+          .orderBy(col("_mk").asc, col(idCol).asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offDf), Seq("_kb"))
+      .withColumn("shard_id",
+        ((col("_off") + col("_lc") - col("tok_n"))
+          / lit(tokensPerShard.toDouble)).cast("long"))
+      .select(col(idCol), col("tok_n"), col("shard_id"))
+  }
+
   /** Temperature-scaled mixing weights per group (the multinomial
     * source/language re-balancing used when assembling a training mix):
     * with p_g the group's share of the corpus, q_g ∝ p_g^alpha

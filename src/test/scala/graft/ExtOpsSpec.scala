@@ -343,6 +343,36 @@ class ExtOpsSpec extends SparkTestBase {
     assert(tiny.count() <= 1L)
   }
 
+  test("shardManifest: bucketed two-pass assignment == reference global " +
+    "order; shards contiguous and budget-shaped") {
+    import graft.ext.TextAnalysis
+    val docs = (1 to 60).map(i =>
+      (i.toLong, ("tok " * (1 + i % 17)).trim)).toDF("doc_id", "text")
+    val got = Sampling.shardManifest(docs, "text", "doc_id",
+        epoch = 3, tokensPerShard = 40L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // reference: plain sort by the same epoch key + running start offset
+    val keyed = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+        Sampling.epochKey(col("doc_id"), 3).as("k"))
+      .as[(Long, Long, String)].collect()
+    var cum = 0L
+    val want = keyed.sortBy(t => (t._3, t._1)).map { case (id, n, _) =>
+      val start = cum; cum += n; (id, n, start / 40L)
+    }.sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // shards are contiguous 0..max and every doc appears exactly once
+    val shards = got.map(_._3).distinct.sorted
+    assert(shards.toSeq === (0L to shards.max).toSeq)
+    assert(got.length === 60 && got.map(_._1).distinct.length === 60)
+    // greedy start-based budgets: every shard except the last holds at
+    // least the budget minus its last doc's spillover
+    val perShard = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = got.map(_._2).max
+    perShard.filterKeys(_ < shards.max).values.foreach(tot =>
+      assert(tot >= 40L - maxDoc && tot <= 40L + maxDoc, s"shard total $tot"))
+  }
+
   test("topKSelect matches the rank-window cut on tie-heavy string payloads") {
     import org.apache.spark.sql.expressions.Window
     // 400 rows over 8 groups; scores collide heavily ((i % 5) only) so

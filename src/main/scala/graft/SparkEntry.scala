@@ -3991,6 +3991,46 @@ object SparkEntry {
           .orderBy("cluster_id")
       }),
 
+    // Duplicate-cluster size histogram — the standard curation report
+    // ("how duplicated is this corpus"): near-dup cluster sizes →
+    // (size, #clusters, #docs). Shares the cluster construction with
+    // x_cluster_split / x_cluster_keep_best.
+    Q("x_dup_cluster_histogram",
+      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
+              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |       FROM pre a JOIN pre b
+              |         ON a.source = b.source AND a.doc_id < b.doc_id
+              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
+              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
+              |          UNION ALL SELECT id_b, id_a FROM pj),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |d AS (SELECT documents.doc_id,
+              |        COALESCE(comp.cluster_id, documents.doc_id) AS cluster_id
+              |      FROM documents LEFT JOIN comp ON comp.id = documents.doc_id),
+              |s AS (SELECT cluster_id, COUNT(*) AS csize FROM d GROUP BY 1)
+              |SELECT csize, COUNT(*) AS n_clusters,
+              |       CAST(SUM(csize) AS BIGINT) AS n_docs
+              |FROM s GROUP BY 1 ORDER BY csize""".stripMargin),
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          "source", 3, 0.02)
+        val comp = graft.ext.Graph.connectedComponents(pairs, "id_a", "id_b")
+          .withColumnRenamed("id", "doc_id")
+        docs.select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+          .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+          .groupBy("csize").agg(count(lit(1)).as("n_clusters"),
+            sum("csize").cast("long").as("n_docs"))
+          .orderBy("csize")
+      }),
+
     // Training-shard manifest: every doc assigned to an ≈1000-token
     // output shard in epoch-shuffle order (shard = floor(start_offset /
     // budget); a straddling doc belongs to the shard where it STARTS).

@@ -261,14 +261,29 @@ object Sampling {
                     epoch: Int, tokensPerShard: Long): DataFrame = {
     require(tokensPerShard > 0,
       s"tokensPerShard must be > 0, got $tokensPerShard")
-    val spark = docs.sparkSession
     val keyed = docs.select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_n"))
       .withColumn("_mk", epochKey(col(idCol), epoch))
-      .withColumn("_kb",
-        conv(substring(col("_mk"), 1, 2), 16, 10).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bt = keyed.groupBy("_kb").agg(sum("tok_n").as("_bt"))
+    startOffsets(keyed, idCol)
+      .withColumn("shard_id",
+        (col("_start") / lit(tokensPerShard.toDouble)).cast("long"))
+      .select(col(idCol), col("tok_n"), col("shard_id"))
+  }
+
+  /** The shared no-global-sort running-offset kernel of
+    * [[shardManifest]] and the streaming shard twin: given a narrow
+    * (idCol, tok_n, _mk) frame (caller persists it — tokenization is
+    * the expensive part and this reads it twice), compute each row's
+    * START offset in (_mk, id) order via 256 first-byte-bucketed
+    * partial prefix sums plus a ≤256-row broadcast offset table.
+    * Returns (idCol, tok_n, _start). */
+  private[graft] def startOffsets(keyed: DataFrame,
+                                  idCol: String): DataFrame = {
+    val spark = keyed.sparkSession
+    val bucketed = keyed.withColumn("_kb",
+      conv(substring(col("_mk"), 1, 2), 16, 10).cast("int"))
+    val bt = bucketed.groupBy("_kb").agg(sum("tok_n").as("_bt"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
     val offsets = bt.scanLeft((Int.MinValue, 0L)) {
@@ -279,18 +294,16 @@ object Sampling {
     if (offsets.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as(idCol), lit(0L).as("tok_n"),
-          lit(0L).as("shard_id")).limit(0)
+          lit(0L).as("_start")).limit(0)
     val offDf = offsets.toSeq.toDF("_kb", "_off")
-    keyed
+    bucketed
       .withColumn("_lc", sum("tok_n").over(
         Window.partitionBy("_kb")
           .orderBy(col("_mk").asc, col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .join(broadcast(offDf), Seq("_kb"))
-      .withColumn("shard_id",
-        ((col("_off") + col("_lc") - col("tok_n"))
-          / lit(tokensPerShard.toDouble)).cast("long"))
-      .select(col(idCol), col("tok_n"), col("shard_id"))
+      .withColumn("_start", col("_off") + col("_lc") - col("tok_n"))
+      .select(col(idCol), col("tok_n"), col("_start"))
   }
 
   /** Temperature-scaled mixing weights per group (the multinomial

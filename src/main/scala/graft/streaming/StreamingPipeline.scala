@@ -372,6 +372,61 @@ object StreamingPipeline {
     }
   }
 
+  /** Continuous training-shard assignment — the streaming twin of
+    * [[graft.ext.Sampling.shardManifest]]: each micro-batch's documents
+    * are appended to the shard sequence where the previous batch left
+    * off (state = ONE row, the running token total), so a continuously
+    * ingested corpus accumulates ready-to-train ≈`tokensPerShard` shards
+    * without ever re-manifesting history. Semantics are ARRIVAL-ORDER
+    * across batches (no stream can honor a global shuffle order without
+    * buffering the corpus — the [[sourceCapIngest]] stance) with the
+    * deterministic md5 order within a batch, so replaying the same batch
+    * sequence reproduces identical assignments. Manifest rows land
+    * hive-partitioned by batch id (a replay overwrites its own
+    * partition); the marker makes the offset advance exactly-once. */
+  def shardManifestIngest(stream: DataFrame, textCol: String,
+                          idCol: String, outPath: String,
+                          storePath: String, ckpt: String,
+                          tokensPerShard: Long): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        shardManifestBatch(b, id, textCol, idCol, outPath, storePath,
+          tokensPerShard)
+      }
+      .start()
+
+  /** The per-batch body of [[shardManifestIngest]]. */
+  def shardManifestBatch(batch: DataFrame, id: Long, textCol: String,
+                         idCol: String, outPath: String,
+                         storePath: String, tokensPerShard: Long): Unit = {
+    require(tokensPerShard > 0,
+      s"tokensPerShard must be > 0, got $tokensPerShard")
+    val spark = batch.sparkSession
+    import spark.implicits._
+    mergeSwapState(spark, storePath, id) { existingOpt =>
+      val base = existingOpt
+        .map(_.select("total").as[Long].head()).getOrElse(0L)
+      val keyed = batch.select(col(idCol),
+          graft.ext.TextAnalysis.tokenCount(col(textCol)).cast("long")
+            .as("tok_n"))
+        .withColumn("_mk", graft.ext.Sampling.epochKey(col(idCol), 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val manifest = graft.ext.Sampling.startOffsets(keyed, idCol)
+          .withColumn("shard_id",
+            ((lit(base) + col("_start")).cast("double")
+              / lit(tokensPerShard.toDouble)).cast("long"))
+          .select(col(idCol), col("tok_n"), col("shard_id"))
+        manifest.write.mode("overwrite")
+          .parquet(s"$outPath/batch_id=$id")
+        val batchTokens = keyed.agg(
+          coalesce(sum("tok_n"), lit(0L))).as[Long].head()
+        Seq(base + batchTokens).toDF("total")
+      } finally { keyed.unpersist(); () }
+    }
+  }
+
   /** Continuous frequency maintenance — the heavy-hitter twin of
     * [[sketchDistinct]]: per micro-batch, count-min sketch the batch's
     * `valueCol` per `keys` group with the built-in `count_min_sketch`

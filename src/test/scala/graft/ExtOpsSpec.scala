@@ -373,6 +373,49 @@ class ExtOpsSpec extends SparkTestBase {
       assert(tot >= 40L - maxDoc && tot <= 40L + maxDoc, s"shard total $tot"))
   }
 
+  test("property: bucketed prefix-sum operators equal the plain global-order " +
+    "reference on random corpora (tie and bucket-boundary pressure)") {
+    import org.scalacheck.Prop.{forAllNoShrink, propBoolean, AnyOperators}
+    import org.scalacheck.{Gen, Test => SCTest}
+    import graft.ext.TextAnalysis
+    // repeated small lengths make quality ties and same-bucket/adjacent-
+    // bucket collisions routine — the regime where a wrong bucket edge
+    // or tie-break in the two-pass form diverges from the global order
+    val docsGen = Gen.choose(5, 40).flatMap(n => Gen.listOfN(n,
+      Gen.choose(1, 12))).map(_.zipWithIndex.map { case (k, i) =>
+        (i.toLong, ("the and of word w " * k).trim) })
+    val fracGen = Gen.oneOf(0.1, 0.25, 0.5, 0.9)
+    val prop = forAllNoShrink(docsGen, fracGen) { (rows, frac) =>
+      val docs = rows.toDF("doc_id", "text")
+      val scored = docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4)
+            .as("q"),
+          Sampling.epochKey(col("doc_id"), 2).as("k"))
+        .as[(Long, Long, Double, String)].collect()
+      // --- tokenBudgetSelect vs reference prefix
+      val budget = math.floor(frac * scored.map(_._2).sum).toLong
+      var cum = 0L
+      val wantSel = scored.sortBy(t => (-t._3, t._1)).iterator
+        .map { t => cum += t._2; (t._1, cum) }
+        .takeWhile(_._2 <= budget).map(_._1).toSet
+      val gotSel = Sampling.tokenBudgetSelect(docs, "text", "doc_id", frac)
+        .select("doc_id").as[Long].collect().toSet
+      // --- shardManifest vs reference running offsets
+      var off = 0L
+      val wantShard = scored.sortBy(t => (t._4, t._1)).map { t =>
+        val s = off / 7L; off += t._2; (t._1, s) }.toMap
+      val gotShard = Sampling.shardManifest(docs, "text", "doc_id",
+          epoch = 2, tokensPerShard = 7L)
+        .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+      ("budget selection" |: (gotSel ?= wantSel)) &&
+        ("shard assignment" |: (gotShard ?= wantShard))
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("topKSelect matches the rank-window cut on tie-heavy string payloads") {
     import org.apache.spark.sql.expressions.Window
     // 400 rows over 8 groups; scores collide heavily ((i % 5) only) so

@@ -679,6 +679,52 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(after === before)
   }
 
+  test("shardManifestIngest continues the shard sequence across batches, " +
+    "exactly-once") {
+    import graft.ext.{Sampling, TextAnalysis}
+    val root = Files.createTempDirectory("graft-shm").toString
+    val out = s"$root/out"; val store = s"$root/state"
+    def docs(ids: Range): Seq[(Long, String)] =
+      ids.map(i => (i.toLong, ("tok " * (1 + i % 9)).trim))
+    def fold(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingPipeline.shardManifestBatch(rows.toDF("doc_id", "text"),
+        id, "text", "doc_id", out, store, tokensPerShard = 25L)
+    fold(docs(1 to 20), 0L)
+    fold(docs(21 to 35), 1L)
+    val got = spark.read.parquet(out)
+      .select("doc_id", "tok_n", "shard_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // reference: concatenate the two batches, each in its own md5 order,
+    // and assign start-offset shards over the running total
+    def ordered(rows: Seq[(Long, String)]) = {
+      val keyed = rows.toDF("doc_id", "text").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          Sampling.epochKey(col("doc_id"), 0).as("k"))
+        .as[(Long, Long, String)].collect()
+      keyed.sortBy(t => (t._3, t._1))
+    }
+    var cum = 0L
+    val want = (ordered(docs(1 to 20)) ++ ordered(docs(21 to 35))).map {
+      case (id, n, _) => val s = cum / 25L; cum += n; (id, n, s)
+    }.sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    // the running total survives in the one-row state
+    assert(spark.read.parquet(s"$store/data").as[Long].head() === cum)
+    // shard ids are contiguous and batch 1 CONTINUES batch 0's last
+    // (possibly partial) shard rather than starting a fresh one
+    val shards = got.map(_._3).distinct.sorted
+    assert(shards.toSeq === (0L to shards.max).toSeq)
+    val lastShardB0 = spark.read.parquet(s"$out/batch_id=0")
+      .agg(max("shard_id")).as[Long].head()
+    val firstShardB1 = spark.read.parquet(s"$out/batch_id=1")
+      .agg(min("shard_id")).as[Long].head()
+    assert(firstShardB1 <= lastShardB0 + 1)
+    // replay of batch 1: offset not double-advanced, rows identical
+    fold(docs(21 to 35), 1L)
+    assert(spark.read.parquet(s"$store/data").as[Long].head() === cum)
+    assert(spark.read.parquet(out).count() === 35)
+  }
+
   test("mergeSwapState crash windows: backup-restore and stale-backup hold " +
     "for the sample and cap-spend stores (parameterized)") {
     // The same READ-side restore path in mergeSwapState serves every

@@ -31,6 +31,7 @@ object ScaleProbe {
     if (args.headOption.contains("curation")) { curationProbe(args); return }
     if (args.headOption.contains("ivfdrift")) { ivfDriftProbe(args); return }
     if (args.headOption.contains("budgetselect")) { budgetSelectProbe(args); return }
+    if (args.headOption.contains("ingestops")) { ingestOpsProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -784,6 +785,64 @@ object ScaleProbe {
         scored.unpersist(); surv.unpersist(); model.release()
         GraftSession.sweepCaches(spark)
       }
+    }
+    spark.stop()
+  }
+
+  /** Round-16 streaming-twin throughput:
+    * `ScaleProbe ingestops [nDocs] [nBatches]` — per-batch fold rates of
+    * the three new index/state-backed ingest operators (normalized
+    * dedup, adaptive gate, shard manifest) over hash-deterministic docs
+    * with ~20% injected case/punct variants (so the dedup path bites).
+    * Each family pays its real exactly-once protocol per batch (marker
+    * check, state read, staged write, swap), so the figure is the
+    * honest per-batch overhead + data rate, not a bare transform. */
+  private def ingestOpsProbe(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 1) args(1).toLong else 200000L
+    val nBatches = if (args.length > 2) args(2).toInt else 5
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.DataFrame
+    val per = nDocs / nBatches
+    def batchDf(b: Int): DataFrame = {
+      val base = spark.range(b * per, (b + 1) * per)
+        .select(col("id").as("doc_id"))
+        .withColumn("source",
+          concat(lit("src"), pmod(hash(col("doc_id")), lit(8))))
+        .withColumn("text", concat(lit("the and of to in is doc "),
+          expr("repeat(concat('w', CAST(pmod(hash(doc_id * 13), 50) AS STRING), ' '), CAST(pmod(hash(doc_id * 7), 30) AS INT) + 3)")))
+      // ~20% of rows are case/punct variants of the PREVIOUS doc — the
+      // normalized-dedup kill path
+      base.withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") > b * per,
+          concat(lit("  "), upper(col("text")), lit(" !!!")))
+          .otherwise(col("text")))
+        .repartition(cpus * 2)
+    }
+    def timeFold(label: String)(fold: (DataFrame, Long) => Unit): Unit = {
+      System.gc()
+      val t0 = System.nanoTime()
+      (0 until nBatches).foreach(b => fold(batchDf(b), b.toLong))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] ingestops $label docs=$nDocs batches=$nBatches " +
+        f"sec=$sec%.2f docs_per_sec=${nDocs / sec}%.0f")
+    }
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ingestops").toString
+    timeFold("normalized_dedup") { (b, id) =>
+      streaming.StreamingPipeline.normalizedDedupIngestBatch(
+        b, id, "text", "doc_id", s"$root/nd-out", s"$root/nd-idx")
+    }
+    timeFold("adaptive_gate") { (b, id) =>
+      streaming.StreamingPipeline.adaptiveGateBatch(
+        b, id, "source", "text", s"$root/ag-out", s"$root/ag-store",
+        pct = 0.25, relativeError = 0.001)
+    }
+    timeFold("shard_manifest") { (b, id) =>
+      streaming.StreamingPipeline.shardManifestBatch(
+        b, id, "text", "doc_id", s"$root/sm-out", s"$root/sm-store",
+        tokensPerShard = 100000L)
     }
     spark.stop()
   }

@@ -754,7 +754,28 @@ class IncrementalGoldSpec extends SparkTestBase {
           "source", "doc_id", cap = 4L,
           s"${st}_kept", st, bid),
         st => spark.read.parquet(s"$st/data")
-          .as[(String, Long)].collect().toMap))
+          .as[(String, Long)].collect().toMap),
+      StoreCase("shard-offset",
+        (ids, bid, st) => StreamingPipeline.shardManifestBatch(
+          ids.map(i => (i, ("tok " * (1 + (i % 4)).toInt).trim))
+            .toDF("doc_id", "text"),
+          bid, "text", "doc_id", s"${st}_out", st, tokensPerShard = 10L),
+        st => Map("total" -> spark.read.parquet(s"$st/data")
+          .as[Long].head())),
+      // adaptiveGateBatch hand-rolls the READ-side restore (the gate
+      // reads the store directly, outside mergeSwapState) — the crash
+      // window must hold for that path too
+      StoreCase("adaptive-gate",
+        (ids, bid, st) => StreamingPipeline.adaptiveGateBatch(
+          ids.map(i => (i, "s", ("the and of w " * (1 + (i % 5)).toInt).trim))
+            .toDF("doc_id", "source", "text"),
+          bid, "source", "text", s"${st}_out", st,
+          pct = 0.25, relativeError = 0.001),
+        st => StreamingPipeline.quantileStateView(
+            spark.read.parquet(s"$st/data"), Seq("source"), Seq(0.0, 1.0))
+          .as[(String, Seq[Double])].collect()
+          .map { case (s, q) => s -> (q.head * 100 + q(1)).toLong }
+          .toMap))
     for (c <- cases) {
       val store = Files.createTempDirectory(s"graft-cw-${c.name}")
         .toString + "/s"

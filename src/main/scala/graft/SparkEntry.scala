@@ -3991,6 +3991,31 @@ object SparkEntry {
           .orderBy("cluster_id")
       }),
 
+    // Deterministic fractional upsampling: repeat src0 2.5x and run
+    // src1 at 0.25x in the training mix — copy counts are a pure
+    // function of row identity (floor(f) + md5-uniform fractional
+    // draw), identical on any engine or partitioning. The oracle
+    // replays the exact draw.
+    Q("x_upsample_factors",
+      Some("""WITH f AS (SELECT doc_id, source,
+             |    CASE source WHEN 'src0' THEN 2.5
+             |                WHEN 'src1' THEN 0.25 ELSE 1.0 END AS f,
+             |    (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 10)) AS BIGINT) + 0.5)
+             |      / 1099511627776.0 AS u
+             |  FROM documents),
+             |n AS (SELECT doc_id,
+             |        CAST(FLOOR(f) + CASE WHEN u < f - FLOOR(f)
+             |          THEN 1 ELSE 0 END AS INT) AS n FROM f)
+             |SELECT doc_id,
+             |       CAST(unnest(generate_series(0, n - 1)) AS BIGINT)
+             |         AS copy_idx
+             |FROM n WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin),
+      (s, dir) => graft.ext.Sampling
+        .upsampleByFactor(Tables.documents(s, dir), "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 0.25), defaultFactor = 1.0)
+        .select("doc_id", "copy_idx")
+        .orderBy("doc_id", "copy_idx")),
+
     // Duplicate-cluster size histogram — the standard curation report
     // ("how duplicated is this corpus"): near-dup cluster sizes →
     // (size, #clusters, #docs). Shares the cluster construction with

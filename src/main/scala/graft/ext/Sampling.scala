@@ -306,6 +306,36 @@ object Sampling {
       .select(col(idCol), col("tok_n"), col("_start"))
   }
 
+  /** Deterministic fractional upsampling — the "repeat rare sources
+    * 2.5× in the training mix" operator (data-constrained mixes repeat
+    * high-value sources for multiple epochs while big sources run
+    * under 1×): each document of source s appears
+    * floor(f_s) + [u(id) < frac(f_s)] times, u the [[md5Uniform]] draw —
+    * a pure function of row identity, so the realized copy counts are
+    * identical on any engine, partitioning, or re-run, and per-source
+    * expected volume is exactly f_s·n_s. Downsampling is the f < 1 case
+    * of the same formula. Output rows carry `copy_idx` (0-based);
+    * feed `epochKey(concat(id, '#', copy_idx), epoch)` to the epoch
+    * shuffle so copies never ride adjacent in training order. Shape:
+    * one narrow projection + explode — no shuffle; output volume is the
+    * factor-weighted corpus size by construction. */
+  def upsampleByFactor(docs: DataFrame, srcCol: String, idCol: String,
+                       factors: Map[String, Double],
+                       defaultFactor: Double = 1.0): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(_ >= 0.0),
+      "factors must be >= 0")
+    val f = factors.foldLeft(lit(defaultFactor): Column) {
+      case (acc, (s, v)) => when(col(srcCol) === s, lit(v)).otherwise(acc)
+    }
+    val u = md5Uniform(col(idCol))
+    val n = (floor(f) +
+      when(u < (f - floor(f)), lit(1)).otherwise(lit(0))).cast("int")
+    docs.withColumn("_n", n).filter(col("_n") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0), col("_n") - 1)))
+      .withColumn("copy_idx", col("copy_idx").cast("long"))
+      .drop("_n")
+  }
+
   /** Temperature-scaled mixing weights per group (the multinomial
     * source/language re-balancing used when assembling a training mix):
     * with p_g the group's share of the corpus, q_g ∝ p_g^alpha

@@ -416,6 +416,40 @@ class ExtOpsSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("upsampleByFactor: deterministic copy counts, factor-weighted " +
+    "volumes, downsampling and zero-factor regimes") {
+    val docs = (1 to 400).map(i =>
+      (i.toLong, if (i <= 200) "rare" else "big", s"text $i"))
+      .toDF("doc_id", "source", "text")
+    val up = Sampling.upsampleByFactor(docs, "source", "doc_id",
+      Map("rare" -> 2.5, "big" -> 0.25))
+    val bySrc = up.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // md5-uniform fractional draws: realized volume within a loose
+    // binomial envelope of f*n (200*2.5=500, 200*0.25=50)
+    assert(bySrc("rare") >= 440 && bySrc("rare") <= 560, bySrc.toString)
+    assert(bySrc("big") >= 25 && bySrc("big") <= 80, bySrc.toString)
+    // every rare doc appears at least floor(2.5)=2 times; copy_idx dense
+    val perDoc = up.filter(col("source") === "rare")
+      .groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(perDoc.length === 200 && perDoc.forall(c => c._2 == 2 || c._2 == 3))
+    val idx = up.filter(col("source") === "rare")
+      .groupBy("doc_id").agg(max("copy_idx").as("m"), count(lit(1)).as("c"))
+      .filter(col("m") =!= col("c") - 1).count()
+    assert(idx === 0L, "copy_idx must be dense 0..n-1")
+    // pure function of identity: a re-run is byte-identical
+    val again = Sampling.upsampleByFactor(docs, "source", "doc_id",
+      Map("rare" -> 2.5, "big" -> 0.25))
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().sorted.toSeq
+    assert(again === up.select("doc_id", "copy_idx")
+      .as[(Long, Long)].collect().sorted.toSeq)
+    // factor 0 drops the source entirely; unlisted sources default 1.0
+    val zeroed = Sampling.upsampleByFactor(docs, "source", "doc_id",
+      Map("rare" -> 0.0))
+    assert(zeroed.filter(col("source") === "rare").count() === 0L)
+    assert(zeroed.filter(col("source") === "big").count() === 200L)
+  }
+
   test("topKSelect matches the rank-window cut on tie-heavy string payloads") {
     import org.apache.spark.sql.expressions.Window
     // 400 rows over 8 groups; scores collide heavily ((i % 5) only) so

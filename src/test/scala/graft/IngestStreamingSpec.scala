@@ -966,6 +966,76 @@ class IngestStreamingSpec extends SparkTestBase {
     assert(landed === Set(10L, 11L, 12L, 13L, 22L))
   }
 
+  test("every index/state-backed ingest twin tolerates an EMPTY first " +
+    "micro-batch (trigger with no new data) and recovers on the next") {
+    import graft.ext.Similarity
+    // an empty first batch is a routine streaming event: it must seed
+    // (or skip) state without wedging the stream — the embeddingMoments
+    // bug this round wrote a zero-cell state an then rejected every
+    // later batch's "changed" dimension
+    def emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    def realDocs = Seq((1L, "the quick brown fox jumps over the dog", "a"),
+      (2L, "a completely different second document text", "a"))
+      .toDF("doc_id", "text", "source")
+    val root = Files.createTempDirectory("graft-empty").toString
+
+    StreamingPipeline.normalizedDedupIngestBatch(emptyDocs, 0L, "text",
+      "doc_id", s"$root/nd-out", s"$root/nd-idx")
+    StreamingPipeline.normalizedDedupIngestBatch(realDocs, 1L, "text",
+      "doc_id", s"$root/nd-out", s"$root/nd-idx")
+    assert(spark.read.parquet(s"$root/nd-out/data").count() === 2)
+
+    StreamingPipeline.spanDedupIngestBatch(emptyDocs, 0L, "text",
+      "doc_id", s"$root/sp-out", s"$root/sp-idx", k = 3)
+    StreamingPipeline.spanDedupIngestBatch(realDocs, 1L, "text",
+      "doc_id", s"$root/sp-out", s"$root/sp-idx", k = 3)
+    assert(spark.read.parquet(s"$root/sp-out/data").count() === 2)
+
+    StreamingPipeline.nearDupIngestBatch(emptyDocs, 0L, "text",
+      "doc_id", s"$root/nr-out", s"$root/nr-idx", estThreshold = 0.5)
+    StreamingPipeline.nearDupIngestBatch(realDocs, 1L, "text",
+      "doc_id", s"$root/nr-out", s"$root/nr-idx", estThreshold = 0.5)
+    assert(spark.read.parquet(s"$root/nr-out/data").count() === 2)
+
+    StreamingPipeline.adaptiveGateBatch(emptyDocs, 0L, "source", "text",
+      s"$root/ag-out", s"$root/ag-store", pct = 0.25,
+      relativeError = 0.001)
+    StreamingPipeline.adaptiveGateBatch(realDocs, 1L, "source", "text",
+      s"$root/ag-out", s"$root/ag-store", pct = 0.25,
+      relativeError = 0.001)
+    assert(spark.read.parquet(s"$root/ag-out/batch_id=1").count() === 2)
+
+    StreamingPipeline.shardManifestBatch(emptyDocs, 0L, "text", "doc_id",
+      s"$root/sm-out", s"$root/sm-store", tokensPerShard = 10L)
+    StreamingPipeline.shardManifestBatch(realDocs, 1L, "text", "doc_id",
+      s"$root/sm-out", s"$root/sm-store", tokensPerShard = 10L)
+    assert(spark.read.parquet(s"$root/sm-out/batch_id=1").count() === 2)
+
+    val vecs = Seq((1L, Array(1.0f, 0.2f)), (2L, Array(0.2f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.centroids(
+      vecs.withColumn("label", lit(0)), "label", 1)
+    def emptyVecs = vecs.limit(0)
+    StreamingPipeline.ivfIngestBatch(emptyVecs, 0L, "vec_id", "embedding",
+      s"$root/iv-out", s"$root/iv-idx", cents)
+    StreamingPipeline.ivfIngestBatch(vecs, 1L, "vec_id", "embedding",
+      s"$root/iv-out", s"$root/iv-idx", cents)
+    assert(spark.read.parquet(s"$root/iv-idx/data").count() === 2)
+    StreamingPipeline.pqIngestBatch(emptyVecs, 0L, "vec_id", "embedding",
+      s"$root/pq-out", s"$root/pq-idx", cents, m = 1, dim = 2)
+    StreamingPipeline.pqIngestBatch(vecs, 1L, "vec_id", "embedding",
+      s"$root/pq-out", s"$root/pq-idx", cents, m = 1, dim = 2)
+    assert(spark.read.parquet(s"$root/pq-idx/data").count() === 2)
+    StreamingPipeline.semanticDedupIngestBatch(emptyVecs, 0L, "vec_id",
+      "embedding", s"$root/sd-out", s"$root/sd-idx", cents,
+      threshold = 0.95)
+    StreamingPipeline.semanticDedupIngestBatch(vecs, 1L, "vec_id",
+      "embedding", s"$root/sd-out", s"$root/sd-idx", cents,
+      threshold = 0.95)
+    assert(spark.read.parquet(s"$root/sd-out/data").count() === 2)
+  }
+
   test("S7/S8: CSV replay source round-trips through producer-shaped JSON") {
     val csvDir = Files.createTempDirectory("graft-csv").toString
     Files.writeString(java.nio.file.Path.of(csvDir, "replay.csv"),

@@ -450,6 +450,84 @@ class ExtOpsSpec extends SparkTestBase {
     assert(zeroed.filter(col("source") === "big").count() === 200L)
   }
 
+  test("property: normalizedDedup is invariant under random presentation " +
+    "mutations (case/punct/digit/whitespace) of pool texts") {
+    import org.scalacheck.Prop.{forAllNoShrink, AnyOperators}
+    import org.scalacheck.{Gen, Test => SCTest}
+    val pool = Seq(
+      "release version 2 of the parser today",
+      "a different document about number 9 entirely",
+      "third text with value 5 inside it",
+      "fourth entry mentioning item 3 here")
+    // a random presentation mutation: any composition of these must map
+    // to the SAME robust fingerprint as the original
+    val mutGen: Gen[String => String] = Gen.someOf(Seq[String => String](
+      _.toUpperCase,
+      s => s"  $s  ",
+      _.replace(" ", "   "),
+      s => s + " !!!",
+      s => s.replace(",", "").replace("2", "7").replace("9", "4")
+        .replace("5", "0").replace("3", "8"),
+      _.replace(" ", " -- "))).map(fs => fs.foldLeft(identity[String] _)(_ andThen _))
+    val rowsGen = Gen.choose(4, 16).flatMap(n => Gen.listOfN(n, for {
+      ti <- Gen.choose(0, pool.size - 1)
+      mut <- mutGen
+    } yield (ti, mut)))
+    val prop = forAllNoShrink(rowsGen) { picks =>
+      val rows = picks.zipWithIndex.map { case ((ti, mut), i) =>
+        (i.toLong, ti.toLong, mut(pool(ti)))
+      }
+      val got = graft.ext.Dedup
+        .normalizedDedup(rows.toDF("doc_id", "pool_id", "text"),
+          "text", "doc_id")
+        .select("pool_id", "n_dups").as[(Long, Long)].collect()
+      val wantCounts = picks.groupBy(_._1)
+        .map { case (ti, ps) => ti.toLong -> ps.size.toLong }
+      ("one survivor per pool text" |:
+        (got.map(_._1).sorted.toSeq ?= wantCounts.keys.toSeq.sorted)) &&
+        ("dup counts" |: (got.map(t => t._1 -> t._2).toMap ?= wantCounts))
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: upsampleByFactor copy counts are floor/ceil of the factor " +
+    "and deterministic under random factor maps") {
+    import org.scalacheck.Prop.{forAllNoShrink, propBoolean, AnyOperators}
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val srcs = Seq("s0", "s1", "s2")
+    val factorsGen = Gen.listOfN(3, Gen.choose(0.0, 3.0))
+      .map(fs => srcs.zip(fs.map(f => math.round(f * 100) / 100.0)).toMap)
+    val rowsGen = Gen.choose(6, 30).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0, 2))).map(_.zipWithIndex.map { case (s, i) =>
+        (i.toLong, srcs(s)) })
+    val prop = forAllNoShrink(rowsGen, factorsGen) { (rows, factors) =>
+      val docs = rows.toDF("doc_id", "source")
+      val up = Sampling.upsampleByFactor(docs, "source", "doc_id", factors)
+        .select("doc_id", "source", "copy_idx")
+        .as[(Long, String, Long)].collect()
+      val perDoc = up.groupBy(_._1).view
+        .mapValues(_.map(_._3).sorted.toSeq).toMap
+      val srcOf = rows.toMap
+      val floorCeil = rows.forall { case (id, s) =>
+        val f = factors(s)
+        val n = perDoc.get(id).map(_.size).getOrElse(0)
+        (n == math.floor(f).toInt || n == math.ceil(f).toInt) &&
+          perDoc.getOrElse(id, Seq.empty) == (0L until n.toLong)
+      }
+      val again = Sampling.upsampleByFactor(docs, "source", "doc_id",
+          factors).select("doc_id", "copy_idx")
+        .as[(Long, Long)].collect().sorted.toSeq
+      ("floor/ceil + dense idx" |: Prop(floorCeil)) &&
+        ("deterministic" |:
+          (again ?= up.map(t => (t._1, t._3)).sorted.toSeq))
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("topKSelect matches the rank-window cut on tie-heavy string payloads") {
     import org.apache.spark.sql.expressions.Window
     // 400 rows over 8 groups; scores collide heavily ((i % 5) only) so

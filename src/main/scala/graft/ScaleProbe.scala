@@ -805,18 +805,25 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.DataFrame
     val per = nDocs / nBatches
+    // text is a pure function of the id, so a variant row can derive
+    // its text from doc_id−1 (same batch — the guard below excludes the
+    // batch's first id), making the variant a true case/punct mutation
+    // of ANOTHER live doc rather than of itself
+    def textOf(idExpr: String) = expr(
+      s"concat('the and of to in is doc ', repeat(concat('w', " +
+        s"CAST(pmod(hash(($idExpr) * 13), 50) AS STRING), ' '), " +
+        s"CAST(pmod(hash(($idExpr) * 7), 30) AS INT) + 3))")
     def batchDf(b: Int): DataFrame = {
       val base = spark.range(b * per, (b + 1) * per)
         .select(col("id").as("doc_id"))
         .withColumn("source",
           concat(lit("src"), pmod(hash(col("doc_id")), lit(8))))
-        .withColumn("text", concat(lit("the and of to in is doc "),
-          expr("repeat(concat('w', CAST(pmod(hash(doc_id * 13), 50) AS STRING), ' '), CAST(pmod(hash(doc_id * 7), 30) AS INT) + 3)")))
+        .withColumn("text", textOf("doc_id"))
       // ~20% of rows are case/punct variants of the PREVIOUS doc — the
       // normalized-dedup kill path
       base.withColumn("text",
         when(pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") > b * per,
-          concat(lit("  "), upper(col("text")), lit(" !!!")))
+          concat(lit("  "), upper(textOf("doc_id - 1")), lit(" !!!")))
           .otherwise(col("text")))
         .repartition(cpus * 2)
     }
@@ -897,6 +904,45 @@ object ScaleProbe {
       println(f"[scale] budgetselect run$run docs=$nDocs " +
         f"selected=$nBucketed bucketed_sec=$tBucketed%.2f " +
         f"global_window_sec=$tGlobal%.2f speedup=${tGlobal / tBucketed}%.2fx")
+      GraftSession.sweepCaches(spark)
+    }
+    // ---- adversarial arm: EVERY doc carries the identical quality, so
+    // the whole corpus is ONE 4-dp tie block (the distribution real
+    // Gopher-style scores approach — quality mass concentrates). The
+    // two-level kernel must range-split it into ≤maxBucketRows tasks;
+    // the pre-r17 per-quality-bucket window would funnel all nDocs rows
+    // through a single sort task here. Verified against the global
+    // window on the same corpus; per-task row bound asserted from the
+    // spill-free sub-bucket count.
+    spark.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("text", lit("the and of to in is word w w w"))
+      .repartition(cpus * 2)
+      .write.mode("overwrite").parquet("/tmp/graft_scale_budget_same")
+    val same = spark.read.parquet("/tmp/graft_scale_budget_same")
+    val maxRows = math.max(1L, nDocs / 64)
+    (1 to 2).foreach { run =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val sel = graft.ext.Sampling
+        .tokenBudgetSelect(same, "text", "doc_id", 0.25,
+          maxBucketRows = maxRows)
+      val nSel = sel.count()
+      val tSplit = (System.nanoTime() - t0) / 1e9
+      // uniform tokens + identical quality → the selection is exactly
+      // the first nSel ids in id order — an oracle with no Spark in it
+      val idsOk = sel.agg(max("doc_id")).head().getLong(0) == nSel - 1
+      require(idsOk, "all-same-quality selection must be the id prefix")
+      System.gc()
+      val t1 = System.nanoTime()
+      val nSingle = graft.ext.Sampling
+        .tokenBudgetSelect(same, "text", "doc_id", 0.25,
+          maxBucketRows = Long.MaxValue) // forces the one-task regime
+        .count()
+      val tSingle = (System.nanoTime() - t1) / 1e9
+      require(nSingle == nSel, s"arms disagree: split=$nSel single=$nSingle")
+      println(f"[scale] budgetselect-sameq run$run docs=$nDocs " +
+        f"selected=$nSel max_task_rows=$maxRows split_sec=$tSplit%.2f " +
+        f"single_block_sec=$tSingle%.2f speedup=${tSingle / tSplit}%.2fx")
       GraftSession.sweepCaches(spark)
     }
     spark.stop()

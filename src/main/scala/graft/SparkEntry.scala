@@ -1043,8 +1043,10 @@ object SparkEntry {
 
     // Token-budget corpus selection: the best documents by quality until
     // 25% of the corpus's tokens are spent — rank + prefix-sum WITHOUT a
-    // global sort (101 quality-bucket partial sorts + one broadcast
-    // offset table; see Sampling.tokenBudgetSelect).
+    // global sort (exact-4dp-quality tie blocks, fat blocks range-split
+    // on frozen id boundaries, one broadcast two-level offset table; see
+    // Sampling.tokenBudgetSelect — task size bounded under ANY quality
+    // distribution).
     Q("x_token_budget_select",
       Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks, text
               |            FROM documents),
@@ -4071,8 +4073,7 @@ object SparkEntry {
               |        CAST(SUM(tok_n) OVER (ORDER BY k, doc_id) AS BIGINT)
               |          AS cum FROM t)
               |SELECT doc_id, tok_n,
-              |       CAST(FLOOR((cum - tok_n) / 1000.0) AS BIGINT)
-              |         AS shard_id
+              |       CAST((cum - tok_n) // 1000 AS BIGINT) AS shard_id
               |FROM c ORDER BY doc_id""".stripMargin),
       (s, dir) => graft.ext.Sampling
         .shardManifest(Tables.documents(s, dir), "text", "doc_id",

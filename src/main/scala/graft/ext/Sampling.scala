@@ -173,66 +173,171 @@ object Sampling {
     * engines) and budget-exact: the first document that would overflow
     * the budget is excluded, as is everything after it.
     *
-    * Shape at scale: the prefix sum is computed WITHOUT a global sort —
-    * documents bucket by floor(100·quality) (101 order-preserving
-    * ranges), cum-sum locally per bucket over (quality DESC, id), and
-    * add per-bucket offsets from a ≤101-row cumulative table. The bucket
-    * table ALSO yields the corpus token total (no second corpus scan for
-    * the budget) and the boundary bucket: every bucket whose offset
-    * already exceeds the budget is pruned BEFORE the per-bucket sort, so
-    * the window runs over ~budgetFrac of the corpus, not all of it. The
-    * ≤101-row table collects to the driver — size-gated by construction.
-    * The biggest corpus costs one bucket aggregation plus partial sorts
-    * over the kept buckets; never one giant ordered shuffle, never a
-    * single-partition window.
+    * Shape at scale: the prefix sum is computed WITHOUT a global sort,
+    * via TWO order-preserving bucketing levels, so task size is bounded
+    * regardless of how the corpus's quality mass is distributed:
+    *
+    *  - Level 1: the EXACT 4-dp quality integer (≤10001 values). Every
+    *    bucket is a tie block — within it the remaining order is id ASC
+    *    alone. Per-bucket (token-total, row-count) aggregates collect to
+    *    a ≤10001-row driver table that yields the corpus total, the
+    *    budget, and the prune set (buckets whose offset already exceeds
+    *    the budget never reach a sort).
+    *  - Level 2: any tie block fatter than `maxBucketRows` (real quality
+    *    scores CONCENTRATE — a single 4-dp value can hold a large corpus
+    *    fraction, and one per-bucket sort task would be the exact
+    *    single-partition cliff this operator exists to avoid) is split
+    *    into contiguous ID RANGES at approx-percentile boundaries of the
+    *    id, computed once and FROZEN driver-side. Range sub-bucketing is
+    *    order-preserving on id, so composing per-(bucket, sub) running
+    *    sums with the two-level offset table reproduces the exact global
+    *    (quality DESC, id ASC) prefix sum — the boundary VALUES only
+    *    control balance, never the result (any contiguous split of a
+    *    total order yields the same running sum), which is why an
+    *    approximate, frozen percentile sketch is sufficient and fully
+    *    deterministic downstream. An md5-style hash sub-bucket would NOT
+    *    work here: hashing is not order-preserving on id, so it would
+    *    reorder rows inside the tie block and change which documents the
+    *    budget boundary admits.
+    *
+    * The offset table is ≤ (10001 + corpusRows/maxBucketRows) rows —
+    * driver-sized by construction. The biggest corpus costs one bucket
+    * aggregation, (for fat blocks only) one boundary sketch plus one
+    * sub-bucket aggregation over the fat rows, and partial sorts of at
+    * most ~maxBucketRows rows each; never one giant ordered shuffle.
+    *
+    * Fat-block splitting keys on `CAST(id AS DOUBLE)` (monotone for
+    * numeric ids, including longs past 2^53 — rounding is monotone and
+    * double-ties stay in one sub-bucket where the true id ordering
+    * resumes). Non-numeric ids cast to NULL, the sketch returns no
+    * boundaries, and the block degrades to a single sorted range —
+    * correct, just unbounded for that block.
     *
     * Returns (idCol, tok_n, cum_tokens) for the selected documents. */
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
-                        budgetFrac: Double): DataFrame = {
+                        budgetFrac: Double,
+                        maxBucketRows: Long = 4000000L): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1.0,
       s"budgetFrac must be in (0, 1], got $budgetFrac")
+    require(maxBucketRows > 0,
+      s"maxBucketRows must be > 0, got $maxBucketRows")
     val spark = docs.sparkSession
-    // persist the NARROW scored projection (id, tok_n, rq, qb — tens of
+    import spark.implicits._
+    // persist the NARROW scored projection (id, tok_n, rqi — tens of
     // bytes/row): tokenization+scoring is the dominant cost and feeds
-    // two consumers (the bucket aggregation and the window input);
-    // without the cache the corpus tokenizes twice. The session's
-    // between-queries sweep (GraftSession.sweepCaches) reclaims it.
+    // the bucket aggregation, the (fat-path) boundary/sub-bucket passes,
+    // and the window input; without the cache the corpus tokenizes once
+    // per consumer. The session's between-queries sweep
+    // (GraftSession.sweepCaches) reclaims it.
     val bucketed = docs.select(col(idCol),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_n"),
-        round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4)
-          .as("_rq"))
-      .withColumn("_qb", floor(col("_rq") * 100).cast("int"))
+        round(round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4)
+          * 10000).cast("int").as("_rqi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one aggregation pass → ≤101 (bucket, token-total) rows; everything
-    // the selection needs besides the per-row running sums lives here
-    // (and the pass materializes the cache for the window input)
-    val bt = bucketed.groupBy("_qb").agg(sum("tok_n").as("_bt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // one aggregation pass → ≤10001 (bucket, token-total, rows) rows;
+    // everything the selection needs besides the per-row running sums
+    // lives here (and the pass materializes the cache)
+    val bt = bucketed.groupBy("_rqi")
+      .agg(sum("tok_n").as("_bt"), count(lit(1)).as("_bn"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(-_._1)
     val budget = math.floor(budgetFrac * bt.map(_._2).sum).toLong
     // offset(b) = Σ token totals of all HIGHER buckets; a bucket whose
     // offset already EXCEEDS the budget cannot contribute a row — prune
-    // it before it is ever sorted (off == budget stays: a zero-token row
-    // there still satisfies cum == budget, matching the reference
-    // global-order semantics)
-    val offsets = bt.scanLeft((Int.MaxValue, 0L)) {
-      case ((_, acc), (qb, btot)) => (qb, acc + btot)
-    }.sliding(2).collect { case Array((_, off0), (qb, _)) => (qb, off0) }
+    // it before it is ever split or sorted (off == budget stays: a
+    // zero-token row there still satisfies cum == budget, matching the
+    // reference global-order semantics)
+    val bucketOffsets = bt.scanLeft((Int.MaxValue, 0L)) {
+      case ((_, acc), (rqi, btot, _)) => (rqi, acc + btot)
+    }.sliding(2).collect { case Array((_, off0), (rqi, _)) => (rqi, off0) }
       .toArray
-    val kept = offsets.filter(_._2 <= budget)
-    if (kept.isEmpty)
-      return spark.emptyDataFrame
-        .select(lit(0L).as(idCol), lit(0L).as("tok_n"),
-          lit(0L).as("cum_tokens")).limit(0)
-    val minQb = kept.map(_._1).min
-    import spark.implicits._
-    val offDf = kept.toSeq.toDF("_qb", "_off")
-    bucketed.filter(col("_qb") >= minQb)
+    val keptOff = bucketOffsets.filter(_._2 <= budget).toMap
+    if (keptOff.isEmpty)
+      return bucketed.limit(0)
+        .select(col(idCol), col("tok_n"), lit(0L).as("cum_tokens"))
+    val keptBt = bt.filter(t => keptOff.contains(t._1))
+    val minRqi = keptOff.keys.min
+    // ---- level 2: split kept tie blocks fatter than maxBucketRows into
+    // contiguous id ranges at frozen approx-percentile boundaries
+    val fat = keptBt.filter(_._3 > maxBucketRows)
+      .map { case (rqi, _, bn) =>
+        rqi -> math.min(1024L, (bn + maxBucketRows - 1) / maxBucketRows).toInt
+      }.toMap
+    // one pass over the FAT rows only: per-bucket percentile sketch of
+    // the id at a shared grid sized to the LARGEST split count, sliced
+    // down to each bucket's own s−1 boundaries driver-side (boundaries
+    // only control balance — exactness never depends on where they
+    // fall, so nearest-grid-point slicing is sufficient). A bucket
+    // whose ids cast to NULL (non-numeric) sketches to no boundaries
+    // and degrades to one range.
+    val grid = if (fat.isEmpty) 0 else fat.values.max
+    val bounds: Map[Int, Array[Double]] =
+      if (fat.isEmpty) Map.empty
+      else bucketed.filter(col("_rqi").isin(fat.keys.toSeq: _*))
+        .withColumn("_idd", col(idCol).cast("double"))
+        .groupBy("_rqi")
+        .agg(expr(s"approx_percentile(_idd, array(${
+          (1 until grid).map(i => i.toDouble / grid).mkString(",")
+        }), 10000)").as("_qs"))
+        .collect().map { r =>
+          val rqi = r.getInt(0)
+          val s = fat(rqi)
+          val qs = Option(r.getSeq[Double](1)).map(_.toArray)
+            .getOrElse(Array.empty[Double])
+          val picked =
+            if (qs.isEmpty) Array.empty[Double]
+            else (1 until s).map { i =>
+              qs(math.min(qs.length - 1,
+                math.max(0, math.round(i.toDouble / s * grid).toInt - 1)))
+            }.toArray
+          rqi -> picked
+        }.toMap
+    // sub-bucket id of a row: #boundaries strictly below its id-double
+    // (0 for thin buckets). Boundaries are FROZEN literals — both the
+    // offset aggregation and the window see the identical assignment.
+    val subCol: Column =
+      if (fat.isEmpty) lit(0)
+      else {
+        val idd = col(idCol).cast("double")
+        fat.keys.toSeq.sorted.foldLeft(lit(0): Column) { (acc, rqi) =>
+          val bs = bounds.getOrElse(rqi, Array.empty[Double])
+          if (bs.isEmpty) acc
+          else when(col("_rqi") === rqi,
+            bs.foldLeft(lit(0): Column)((a, b) =>
+              a + when(idd > lit(b), 1).otherwise(0))).otherwise(acc)
+        }
+      }
+    // per-(bucket, sub) token totals: thin buckets come straight from
+    // the level-1 table; fat buckets pay one more aggregation over THEIR
+    // rows only
+    val fatSums: Map[(Int, Int), Long] =
+      if (fat.isEmpty) Map.empty
+      else bucketed.filter(col("_rqi").isin(fat.keys.toSeq: _*))
+        .withColumn("_sub", subCol)
+        .groupBy("_rqi", "_sub").agg(sum("tok_n").as("_bt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // compose the two-level offset table driver-side, in global order
+    // (rqi DESC, sub ASC), pruning (rqi, sub) cells past the budget
+    val cells: Seq[(Int, Int, Long)] = keptBt.toSeq.flatMap {
+      case (rqi, btot, _) =>
+        if (!fat.contains(rqi)) Seq((rqi, 0, btot))
+        else fatSums.collect { case ((r, s), t) if r == rqi => (s, t) }
+          .toSeq.sortBy(_._1).map { case (s, t) => (rqi, s, t) }
+    }.sortBy { case (rqi, s, _) => (-rqi, s) }
+    val offCells = cells.scanLeft(((0, 0), 0L)) {
+      case (((_, _), acc), (rqi, s, t)) => ((rqi, s), acc + t)
+    }.sliding(2).collect {
+      case Seq(((_, _), off0), ((rqi, s), _)) => (rqi, s, off0)
+    }.toSeq.filter(_._3 <= budget)
+    val offDf = offCells.toDF("_rqi", "_sub", "_off")
+    bucketed.filter(col("_rqi") >= minRqi)
+      .withColumn("_sub", subCol)
+      .join(broadcast(offDf), Seq("_rqi", "_sub"))
       .withColumn("_lc", sum("tok_n").over(
-        Window.partitionBy("_qb")
-          .orderBy(col("_rq").desc, col(idCol).asc)
+        Window.partitionBy("_rqi", "_sub")
+          .orderBy(col(idCol).asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offDf), Seq("_qb"))
       .withColumn("cum_tokens", col("_off") + col("_lc"))
       .filter(col("cum_tokens") <= lit(budget))
       .select(col(idCol), col("tok_n"), col("cum_tokens"))
@@ -265,9 +370,12 @@ object Sampling {
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_n"))
       .withColumn("_mk", epochKey(col(idCol), epoch))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exact integer floor division: the double form loses integer
+    // precision once the running token total passes 2^53 — at odds with
+    // the documented floor(start/tokensPerShard) contract at 100 TB
+    // (offsets are non-negative, so `div` IS floor here)
     startOffsets(keyed, idCol)
-      .withColumn("shard_id",
-        (col("_start") / lit(tokensPerShard.toDouble)).cast("long"))
+      .withColumn("shard_id", expr(s"_start div ${tokensPerShard}L"))
       .select(col(idCol), col("tok_n"), col("shard_id"))
   }
 
@@ -291,10 +399,13 @@ object Sampling {
     }.sliding(2).collect { case Array((_, off0), (kb, _)) => (kb, off0) }
       .toArray
     import spark.implicits._
+    // empty input: derive the empty frame FROM the input so the id
+    // column keeps its real type — fabricating it from emptyDataFrame
+    // with lit(0L) would type a string-id stream's empty-batch manifest
+    // partition bigint and break schema merge on the manifest root
     if (offsets.isEmpty)
-      return spark.emptyDataFrame
-        .select(lit(0L).as(idCol), lit(0L).as("tok_n"),
-          lit(0L).as("_start")).limit(0)
+      return keyed.limit(0)
+        .select(col(idCol), col("tok_n"), lit(0L).as("_start"))
     val offDf = offsets.toSeq.toDF("_kb", "_off")
     bucketed
       .withColumn("_lc", sum("tok_n").over(

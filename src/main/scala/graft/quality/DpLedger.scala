@@ -49,8 +49,23 @@ import org.apache.spark.sql.functions._
   */
 object DpLedger {
 
+  /** Version tag of the noise-seed construction, recorded with every
+    * spend. The NUL-separator multi-key scheme ([[keySeed]]) changed the
+    * seed for multi-key and null-key groups relative to the historical
+    * separator-less form — so a release RECORDED under the old scheme
+    * and replayed under the new one would be treated as free (the ledger
+    * row matches) yet publish a second, INDEPENDENT noise draw of the
+    * same statistic without spending ε, weakening the guarantee by
+    * averaging. Recording the scheme makes that replay detectable:
+    * [[spendOrReplay]] rejects a replay whose recorded scheme differs
+    * from the current one. Rows from ledgers that predate the column
+    * read as "pre-v2" and therefore never replay under this build —
+    * re-release them under a NEW release id (a fresh spend). */
+  private[graft] val SeedScheme = "nul-v2"
+
   /** Rows currently in the ledger for `dataset` (empty frame if the
-    * ledger doesn't exist yet): dataset, release_id, query_key, epsilon.
+    * ledger doesn't exist yet): dataset, release_id, query_key, epsilon,
+    * seed_scheme (ledgers written before the column read as "pre-v2").
     *
     * Crash-window discipline: if a previous release crashed BETWEEN the
     * rename-aside and the promotion, the authoritative ledger sits in
@@ -65,11 +80,15 @@ object DpLedger {
     if (!fs.exists(dataDir) && fs.exists(backup) && !fs.rename(backup, dataDir))
       throw new java.io.IOException(
         s"dp ledger: could not restore $backup after crash")
-    if (fs.exists(dataDir)) spark.read.parquet(dataDir.toString)
-    else {
+    if (fs.exists(dataDir)) {
+      val raw = spark.read.parquet(dataDir.toString)
+      if (raw.columns.contains("seed_scheme")) raw
+      else raw.withColumn("seed_scheme", lit("pre-v2"))
+    } else {
       import spark.implicits._
-      Seq.empty[(String, String, String, Double)]
-        .toDF("dataset", "release_id", "query_key", "epsilon")
+      Seq.empty[(String, String, String, Double, String)]
+        .toDF("dataset", "release_id", "query_key", "epsilon",
+          "seed_scheme")
     }
   }
 
@@ -188,7 +207,7 @@ object DpLedger {
                             totalBudget: Double): Unit = {
     val prior = ledger(spark, ledgerPath)
       .filter(col("dataset") === dataset && col("release_id") === releaseId)
-      .select("query_key", "epsilon").collect().headOption
+      .select("query_key", "epsilon", "seed_scheme").collect().headOption
     prior match {
       case Some(r) =>
         if (r.getString(0) != queryKey || math.abs(r.getDouble(1) - epsilon) > 1e-12)
@@ -197,6 +216,14 @@ object DpLedger {
               s"recorded for a DIFFERENT query ('${r.getString(0)}' at " +
               s"ε=${r.getDouble(1)}); replay must be byte-identical — " +
               "pick a new release id")
+        if (r.getString(2) != SeedScheme)
+          throw new IllegalStateException(
+            s"DP release id '$releaseId' on dataset '$dataset' was " +
+              s"recorded under seed scheme '${r.getString(2)}' but this " +
+              s"build seeds with '$SeedScheme': a free replay would " +
+              "publish a second, independent noise draw of the same " +
+              "statistic without spending ε (averaging attack). " +
+              "Re-release under a NEW release id (spends ε) instead")
       case None =>
         val used = spent(spark, ledgerPath, dataset)
         if (used + epsilon > totalBudget + 1e-12)
@@ -206,8 +233,9 @@ object DpLedger {
               s"(ledger: $ledgerPath)")
         import spark.implicits._
         appendSwap(spark, ledgerPath,
-          Seq((dataset, releaseId, queryKey, epsilon))
-            .toDF("dataset", "release_id", "query_key", "epsilon"))
+          Seq((dataset, releaseId, queryKey, epsilon, SeedScheme))
+            .toDF("dataset", "release_id", "query_key", "epsilon",
+              "seed_scheme"))
     }
   }
 
@@ -224,8 +252,10 @@ object DpLedger {
     if (!fs.exists(dataDir) && fs.exists(backup) && !fs.rename(backup, dataDir))
       throw new java.io.IOException(
         s"dp ledger: could not restore $backup after crash")
+    // merge through ledger() so a pre-seed_scheme table widens to the
+    // current schema ("pre-v2" rows) instead of failing unionByName
     val merged =
-      if (fs.exists(dataDir)) spark.read.parquet(dataDir.toString).unionByName(rows)
+      if (fs.exists(dataDir)) ledger(spark, ledgerPath).unionByName(rows)
       else rows
     val tmp = new Path(s"$ledgerPath/_stage")
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -413,10 +413,12 @@ object StreamingPipeline {
         .withColumn("_mk", graft.ext.Sampling.epochKey(col(idCol), 0))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // exact integer floor division (same fix as the batch twin): the
+        // double form silently diverges from floor(start/tokensPerShard)
+        // once the running total passes 2^53
         val manifest = graft.ext.Sampling.startOffsets(keyed, idCol)
           .withColumn("shard_id",
-            ((lit(base) + col("_start")).cast("double")
-              / lit(tokensPerShard.toDouble)).cast("long"))
+            expr(s"(${base}L + _start) div ${tokensPerShard}L"))
           .select(col(idCol), col("tok_n"), col("shard_id"))
         manifest.write.mode("overwrite")
           .parquet(s"$outPath/batch_id=$id")

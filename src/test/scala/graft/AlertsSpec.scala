@@ -673,6 +673,39 @@ class AlertsSpec extends SparkTestBase {
     }
   }
 
+  test("DP ledger rejects replays recorded under an older seed scheme " +
+    "(no free second draw); new spends record the current scheme") {
+    import graft.quality.DpLedger
+    val led = java.nio.file.Files.createTempDirectory("graft-dp-scheme").toString
+    val docs = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    // simulate a ledger written BEFORE the seed_scheme column: the same
+    // row shape minus the column. Under this build its noise seed may
+    // differ (multi-key/null-key groups), so a "free" replay would be a
+    // second independent draw — it must be refused, not re-drawn.
+    Seq(("d", "r1", "count by lang", 0.3))
+      .toDF("dataset", "release_id", "query_key", "epsilon")
+      .coalesce(1).write.mode("overwrite").parquet(s"$led/data")
+    val ex = intercept[IllegalStateException] {
+      DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r1", 0.3, 1.0)
+    }
+    assert(ex.getMessage.contains("seed scheme"))
+    assert(ex.getMessage.contains("pre-v2"))
+    // the legacy spend still counts against the budget…
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.3) < 1e-9)
+    // …and a NEW release id works, recording the current scheme, after
+    // which ITS replay is free as usual
+    DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r2", 0.3, 1.0)
+      .collect()
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.6) < 1e-9)
+    DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r2", 0.3, 1.0)
+      .collect()
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.6) < 1e-9)
+    val schemes = DpLedger.ledger(spark, led)
+      .select("release_id", "seed_scheme")
+      .as[(String, String)].collect().toMap
+    assert(schemes === Map("r1" -> "pre-v2", "r2" -> "nul-v2"))
+  }
+
   test("DP ledger composes with streaming: replayed batches spend no new ε") {
     // the governance twin of the warehouse batch markers: releaseId =
     // batch id, so a checkpoint-lost replay re-publishes byte-identical

@@ -343,6 +343,53 @@ class ExtOpsSpec extends SparkTestBase {
     assert(tiny.count() <= 1L)
   }
 
+  test("tokenBudgetSelect: adversarial all-same-quality corpus — fat tie " +
+    "blocks range-split on frozen id boundaries, selection unchanged") {
+    import graft.ext.TextAnalysis
+    // every doc identical quality → ONE 4-dp tie block holds the whole
+    // corpus (the skew regime the two-level kernel exists for); a tiny
+    // maxBucketRows forces the fat path at test scale
+    val same = (1 to 300).map(i => (i.toLong, "the and of to in is word"))
+      .toDF("doc_id", "text")
+    def ref(docs: org.apache.spark.sql.DataFrame, frac: Double): Set[Long] = {
+      val scored = docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4)
+            .as("q"))
+        .as[(Long, Long, Double)].collect()
+      val budget = math.floor(frac * scored.map(_._2).sum).toLong
+      var cum = 0L
+      scored.sortBy(t => (-t._3, t._1)).iterator
+        .map { t => cum += t._2; (t._1, cum) }
+        .takeWhile(_._2 <= budget).map(_._1).toSet
+    }
+    for (frac <- Seq(0.25, 0.5, 0.9)) {
+      val fatPath = Sampling.tokenBudgetSelect(same, "text", "doc_id",
+        frac, maxBucketRows = 32L)
+      assert(fatPath.select("doc_id").as[Long].collect().toSet ===
+        ref(same, frac), s"fat path diverged at frac=$frac")
+      // the split must actually bound the per-window data: with 300 rows
+      // and maxBucketRows=32 the plan's window partitions by (_rqi,_sub)
+      // over ≥10 sub-ranges, but the OUTPUT is identical to the default
+      // (thin) path — the whole exactness claim of the range split
+      val thinPath = Sampling.tokenBudgetSelect(same, "text", "doc_id", frac)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fatPath.as[(Long, Long, Long)].collect().toSet === thinPath)
+    }
+    // mixed regime: one fat tie block + thin blocks around it, budget
+    // boundary landing INSIDE the fat block's sub-ranges
+    val mixed = ((1 to 200).map(i => (i.toLong, "the and of to in is word"))
+      ++ (201 to 210).map(i =>
+        (i.toLong, ("the and of to in is word " * (i - 199)).trim)))
+      .toDF("doc_id", "text")
+    for (frac <- Seq(0.3, 0.6)) {
+      val got = Sampling.tokenBudgetSelect(mixed, "text", "doc_id",
+          frac, maxBucketRows = 16L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === ref(mixed, frac), s"mixed regime diverged at frac=$frac")
+    }
+  }
+
   test("shardManifest: bucketed two-pass assignment == reference global " +
     "order; shards contiguous and budget-shaped") {
     import graft.ext.TextAnalysis

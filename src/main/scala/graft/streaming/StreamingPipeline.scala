@@ -764,6 +764,54 @@ object StreamingPipeline {
         .connectedComponents(batch, srcCol, dstCol)
     }
 
+  /** Continuous keep-best-per-cluster dedup — the streaming twin of
+    * [[graft.ext.Curate.keepBestPerCluster]], closing the cluster-layer
+    * ingest family ([[ccIngest]] maintains WHICH docs are the same;
+    * this maintains which copy the corpus KEEPS): per micro-batch, each
+    * cluster's champion row (4-dp-rounded quality DESC, id ASC — ids
+    * unique per doc, the standard corpus contract) folds into a stored
+    * per-cluster best table. Best-by-a-total-order is associative, so
+    * the state always equals the batch operator over the full
+    * concatenated history EXACTLY (split-invariant; property-tested),
+    * and a batch-only form would instead pay a full-history recompute
+    * at every ingest. The batch reduces to its own per-cluster
+    * champions FIRST, so the state merge ranks state ∪ batch-champions
+    * — never state ∪ raw batch. State is clusters-sized (one row per
+    * cluster ever seen); at 100 TB the store becomes a partitioned
+    * table merged on the clusters the batch touches, exactly like the
+    * gold-state note on [[mergeGoldBatch]]. Exactly-once via the same
+    * marker+swap. */
+  def keepBestIngest(stream: DataFrame, clusterCol: String,
+                     textCol: String, idCol: String, storePath: String,
+                     ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        keepBestBatch(batch, id, clusterCol, textCol, idCol, storePath)
+      }
+      .start()
+
+  /** The per-batch body of [[keepBestIngest]]. */
+  def keepBestBatch(batch: DataFrame, id: Long, clusterCol: String,
+                    textCol: String, idCol: String,
+                    storePath: String): Unit =
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      val w = Window.partitionBy(col(clusterCol))
+        .orderBy(col("quality").desc, col(idCol).asc)
+      def champions(df: DataFrame): DataFrame =
+        df.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+      val batchBest = champions(batch
+        .select(col(clusterCol), col(idCol), col(textCol))
+        .withColumn("quality",
+          round(graft.ext.TextAnalysis.qualityScore(col(textCol))
+            + lit(1e-9), 4)))
+      existingOpt match {
+        case Some(existing) => champions(existing.unionByName(batchBest))
+        case None => batchBest
+      }
+    }
+
   /** Continuous DSIR weight maintenance — the streaming twin of
     * [[graft.ext.Sampling.dsirWeights]]: each micro-batch's hashed-ngram
     * bucket counts (target-predicate rows and all rows) fold ADDITIVELY

@@ -725,6 +725,45 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === 35)
   }
 
+  test("keepBestIngest: cross-batch parity with the batch operator, " +
+    "champion displacement, replay no-op") {
+    import graft.ext.Curate
+    val store = Files.createTempDirectory("graft-kb").toString + "/s"
+    def df(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("doc_id", "cluster_id", "text")
+    // batch 1 exercises both merge directions: cluster 10's incumbent
+    // (doc 2) survives a weaker challenger (doc 4), cluster 20's
+    // incumbent (doc 3) is DISPLACED by a stronger one (doc 5), and
+    // cluster 30 is brand new.
+    val b0 = Seq(
+      (1L, 10L, "x"),
+      (2L, 10L, "the and of to in is a good doc here"),
+      (3L, 20L, "w w"))
+    val b1 = Seq(
+      (4L, 10L, "short"),
+      (5L, 20L, "the and of to in is a better longer doc here today"),
+      (6L, 30L, "z"))
+    StreamingPipeline.keepBestBatch(df(b0), 0L,
+      "cluster_id", "text", "doc_id", store)
+    StreamingPipeline.keepBestBatch(df(b1), 1L,
+      "cluster_id", "text", "doc_id", store)
+    def readState: Set[(Long, Long, Double)] =
+      spark.read.parquet(s"$store/data")
+        .select("cluster_id", "doc_id", "quality")
+        .as[(Long, Long, Double)].collect().toSet
+    val want = Curate.keepBestPerCluster(df(b0 ++ b1),
+        "cluster_id", "text", "doc_id")
+      .select(col("cluster_id"), col("doc_id"), col("quality"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(readState === want)
+    assert(readState.map(t => t._1 -> t._2).toMap ===
+      Map(10L -> 2L, 20L -> 5L, 30L -> 6L))
+    // replay of batch 1 is a marker no-op
+    StreamingPipeline.keepBestBatch(df(b1), 1L,
+      "cluster_id", "text", "doc_id", store)
+    assert(readState === want)
+  }
+
   test("mergeSwapState crash windows: backup-restore and stale-backup hold " +
     "for the sample and cap-spend stores (parameterized)") {
     // The same READ-side restore path in mergeSwapState serves every
@@ -762,6 +801,14 @@ class IncrementalGoldSpec extends SparkTestBase {
           bid, "text", "doc_id", s"${st}_out", st, tokensPerShard = 10L),
         st => Map("total" -> spark.read.parquet(s"$st/data")
           .as[Long].head())),
+      StoreCase("keep-best",
+        (ids, bid, st) => StreamingPipeline.keepBestBatch(
+          ids.map(i => (i, i % 3, ("the and of w " * (1 + (i % 5)).toInt).trim))
+            .toDF("doc_id", "cluster_id", "text"),
+          bid, "cluster_id", "text", "doc_id", st),
+        st => spark.read.parquet(s"$st/data")
+          .select("cluster_id", "doc_id").as[(Long, Long)].collect()
+          .map { case (c, d) => c.toString -> d }.toMap),
       // adaptiveGateBatch hand-rolls the READ-side restore (the gate
       // reads the store directly, outside mergeSwapState) — the crash
       // window must hold for that path too

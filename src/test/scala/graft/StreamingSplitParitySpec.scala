@@ -408,6 +408,180 @@ class StreamingSplitParitySpec extends SparkTestBase {
   }
 
   // ---------------------------------------------------------------
+  // keepBestBatch: per-cluster champion state — best-by-total-order is
+  // associative, so parity with the batch operator is EXACT for any
+  // split. Pool texts repeat, so equal-quality id tie-breaks and
+  // incumbent-vs-challenger displacements both occur routinely.
+  // ---------------------------------------------------------------
+  test("property: keepBestIngest champions equal the batch keep-best " +
+    "under random splits") {
+    val pool = Vector("x", "w w", "the and of to in w",
+      "the and of to in is a good doc here",
+      "the and of to in is a better longer doc here today", "zz z")
+    val rowsGen = Gen.choose(4, 24).flatMap(n => Gen.listOfN(n, for {
+      c <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0, pool.size - 1)
+    } yield (c, t)).map(_.zipWithIndex.map { case ((c, t), i) =>
+      (i.toLong, c, pool(t)) }))
+    val prop = forAllNoShrink(rowsGen, cutsGen) { (rows, cuts) =>
+      val store = tmp("graft-pkb")
+      splitBy(rows, cuts).zipWithIndex.foreach { case (p, i) =>
+        StreamingPipeline.keepBestBatch(
+          p.toDF("doc_id", "cluster_id", "text"), i.toLong,
+          "cluster_id", "text", "doc_id", store)
+      }
+      val got = spark.read.parquet(s"$store/data")
+        .select("cluster_id", "doc_id", "text", "quality")
+        .as[(Long, Long, String, Double)].collect().toSet
+      val want = graft.ext.Curate.keepBestPerCluster(
+          rows.toDF("doc_id", "cluster_id", "text"),
+          "cluster_id", "text", "doc_id")
+        .select(col("cluster_id"), col("doc_id"), col("text"),
+          col("quality"))
+        .as[(Long, Long, String, Double)].collect().toSet
+      "keep-best champion parity" |: (got ?= want)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---------------------------------------------------------------
+  // normalizedDedupIngestBatch: which id survives is arrival-order, but
+  // the published set covers every distinct ROBUST fingerprint exactly
+  // once — case/punct/digit/whitespace variants of any earlier survivor
+  // never land, whichever batch they ride in
+  // ---------------------------------------------------------------
+  test("property: normalizedDedupIngest publishes exactly one survivor " +
+    "per robust fingerprint under random splits") {
+    val bases = (1 to 6).map(i => s"document number $i about topic $i")
+    // mutation closure: identity, case, punctuation, digits, whitespace
+    val variants = bases.flatMap(b => Seq(
+      b, b.toUpperCase, s"  $b !!!", b.replace("1", "7"), b + "   9"))
+    // fingerprint each pool text ONCE through the production expression
+    val fpOf = variants.toDF("t")
+      .select(col("t"),
+        graft.ext.TextAnalysis.robustFingerprint(col("t")).as("fp"))
+      .as[(String, String)].collect().toMap
+    val rowsGen = Gen.choose(4, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(variants)))
+    val prop = forAllNoShrink(rowsGen, cutsGen) { (texts, cuts) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val root = Files.createTempDirectory("graft-pnd").toString
+      splitBy(rows, cuts).zipWithIndex.foreach { case (p, i) =>
+        StreamingPipeline.normalizedDedupIngestBatch(
+          p.toDF("doc_id", "text"), i.toLong, "text", "doc_id",
+          s"$root/out", s"$root/idx")
+      }
+      val survivors = spark.read.parquet(s"$root/out/data")
+        .select("text").as[String].collect().toSeq
+      val wantFps = texts.map(fpOf).distinct.toSet
+      ("survivor fingerprint set" |:
+        (survivors.map(fpOf).toSet ?= wantFps)) &&
+        ("one survivor per fingerprint" |: (survivors.size ?= wantFps.size))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---------------------------------------------------------------
+  // shardManifestBatch: arrival-order-across-batches semantics — the
+  // published manifest equals the per-batch md5-order fold with base
+  // offsets carried across batches (computed here with no Spark in the
+  // expected side beyond tokenization), and total tokens conserve
+  // ---------------------------------------------------------------
+  test("property: shardManifestIngest assignments equal the arrival-order " +
+    "fold under random splits") {
+    val rowsGen = Gen.choose(4, 20).flatMap(n => Gen.listOfN(n,
+      Gen.choose(1, 9)).map(_.zipWithIndex.map { case (k, i) =>
+        (i.toLong, ("tok " * k).trim) }))
+    val prop = forAllNoShrink(rowsGen, cutsGen) { (rows, cuts) =>
+      val root = Files.createTempDirectory("graft-psm").toString
+      val parts = splitBy(rows, cuts)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        StreamingPipeline.shardManifestBatch(p.toDF("doc_id", "text"),
+          i.toLong, "text", "doc_id", s"$root/out", s"$root/st",
+          tokensPerShard = 10L)
+      }
+      val got = spark.read.parquet(s"$root/out")
+        .select("doc_id", "tok_n", "shard_id")
+        .as[(Long, Long, Long)].collect().toMap2
+      // expected: concatenate the parts, each internally in
+      // (md5-epoch-key, id) order, and assign shard = start div 10;
+      // key and token count both come from the production expressions
+      val meta = rows.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.ext.Sampling.epochKey(col("doc_id"), 0).as("k"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n"))
+        .as[(Long, String, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      var off = 0L
+      val want = parts.flatMap { p =>
+        p.sortBy { case (id, _) => (meta(id)._1, id) }.map { case (id, _) =>
+          val n = meta(id)._2
+          val s = off / 10L; off += n; id -> ((n, s))
+        }
+      }.toMap
+      val total = spark.read.parquet(s"$root/st/data")
+        .as[Long].head()
+      ("shard assignment parity" |: (got ?= want)) &&
+        ("token total conserved" |: (total ?= off))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---------------------------------------------------------------
+  // adaptiveGateBatch: the gate's STATE contract is the offered-
+  // distribution fold (kept AND dropped scores), so the quantile store
+  // must equal the one-shot fold over the full scored corpus for any
+  // split — the survivors-only ratchet this design explicitly avoids
+  // would fail exactly this property
+  // ---------------------------------------------------------------
+  test("property: adaptiveGateIngest quantile state equals the full " +
+    "offered-distribution fold under random splits") {
+    val pool = Vector("x", "w w", "the and of to in w",
+      "the and of to in is a good doc here",
+      "the and of to in is a better longer doc here today")
+    val rowsGen = Gen.choose(4, 20).flatMap(n => Gen.listOfN(n, for {
+      s <- Gen.oneOf("a", "b")
+      t <- Gen.choose(0, pool.size - 1)
+    } yield (s, t)).map(_.zipWithIndex.map { case ((s, t), i) =>
+      (i.toLong, s, pool(t)) }))
+    val pcts = Seq(0.0, 0.25, 0.5, 1.0)
+    val prop = forAllNoShrink(rowsGen, cutsGen) { (rows, cuts) =>
+      val root = Files.createTempDirectory("graft-pag").toString
+      splitBy(rows, cuts).zipWithIndex.foreach { case (p, i) =>
+        StreamingPipeline.adaptiveGateBatch(
+          p.toDF("doc_id", "source", "text"), i.toLong, "source", "text",
+          s"$root/out", s"$root/st", pct = 0.25, relativeError = 0.001)
+      }
+      val oneShot = tmp("graft-pag1")
+      val scoredAll = rows.toDF("doc_id", "source", "text")
+        .withColumn("quality", round(
+          graft.ext.TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4))
+      StreamingPipeline.quantileStateBatch(scoredAll, 0L, Seq("source"),
+        "quality", oneShot, relativeError = 0.001)
+      def read(s: String): Map[String, Seq[Double]] =
+        StreamingPipeline.quantileStateView(
+            spark.read.parquet(s"$s/data"), Seq("source"), pcts)
+          .as[(String, Seq[Double])].collect().toMap
+      "offered-distribution fold parity" |: (read(s"$root/st") ?= read(oneShot))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private implicit class PairSeqOps(s: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      s.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
+
+  // ---------------------------------------------------------------
   // knCountsBatch: additive bigram/unigram type counts
   // ---------------------------------------------------------------
   test("property: knCounts n-gram counts equal the batch recompute " +

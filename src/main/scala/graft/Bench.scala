@@ -133,16 +133,29 @@ object Bench {
         " — churn guard inactive this run")
       Map.empty
     }
+    // Declared per-cell variance envelopes: a cell listed here has a
+    // PROBED, structural reason to read up to the given multiple of its
+    // prior without any code change, so the guard widens its threshold
+    // to the envelope instead of burning re-run attempts every session.
+    // x_model_curation_pipeline: the recorded min-of-2 is bimodal —
+    // ~2.4 s when run 2 reuses run 1's two persisted stage boundaries
+    // (the usual case) vs ~5.3 s when every stage computes cold; both
+    // are steady states of the same code (r17 curationvar probe, 16
+    // reps: run1 4.5-6.5 s, run2 1.8-2.9 s, under clean AND pressured
+    // JVMs; SCALE.md adjudication). A regression BEYOND the slow mode
+    // still flags.
+    val envelope = Map("x_model_curation_pipeline" -> 2.8)
     val guarded = reprobed.map { case (name, t) =>
       val p = prior.getOrElse(name, -1.0)
+      val ratio = envelope.getOrElse(name, 1.4)
       // sentinel failures, cells with no prior, sub-noise-floor cells
       // (<0.3s — a regression there can't dominate the total), and
       // non-regressed cells pass through untouched
-      if (t < 0 || p <= 0 || t < 0.3 || t <= p * 1.4) name -> t
+      if (t < 0 || p <= 0 || t < 0.3 || t <= p * ratio) name -> t
       else {
         var best = t
         var attempt = 0
-        while (attempt < 2 && best > p * 1.4) {
+        while (attempt < 2 && best > p * ratio) {
           GraftSession.sweepCaches(spark)
           System.gc()
           var reFailed = false
@@ -252,7 +265,11 @@ object Bench {
       s""""load_avg_start":$loadAtStart,""" +
       s""""load_avg_end":${osBean.getSystemLoadAverage},""" +
       s""""java":"${System.getProperty("java.version")}"}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min2+reprobe+prior-churn-guard (r13+)",$env,"queries":$qs,"errors":$errsJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
+    // declared envelopes travel in the artifact so a round-over-round
+    // reader sees the claimed variance band next to the figures
+    val envJson = envelope.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min2+reprobe+prior-churn-guard (r13+)",$env,"queries":$qs,"errors":$errsJson,"variance_envelopes":$envJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
     println(json)
     // stdout gets truncated by callers that keep only a tail; also land
     // the complete per-query JSON as an artifact so round-over-round

@@ -29,6 +29,7 @@ object ScaleProbe {
     if (args.headOption.contains("kn")) { knProbe(args); return }
     if (args.headOption.contains("bpelocal")) { bpeLocalProbe(args); return }
     if (args.headOption.contains("curation")) { curationProbe(args); return }
+    if (args.headOption.contains("curationvar")) { curationVarProbe(args); return }
     if (args.headOption.contains("ivfdrift")) { ivfDriftProbe(args); return }
     if (args.headOption.contains("budgetselect")) { budgetSelectProbe(args); return }
     if (args.headOption.contains("ingestops")) { ingestOpsProbe(args); return }
@@ -786,6 +787,115 @@ object ScaleProbe {
         GraftSession.sweepCaches(spark)
       }
     }
+    spark.stop()
+  }
+
+  /** Bench-variance diagnosis for the registry's heaviest multi-stage
+    * cell: `ScaleProbe curationvar [sfDir]` — names the r14-r16
+    * bimodality of `x_model_curation_pipeline` (committed ~2.4 s vs
+    * driver re-reads ~5.9 s, three rounds of adjudication). Two
+    * instruments: (a) a pipeline BISECT timing uncached prefixes
+    * (train+score+gate+dedup, +DSIR top-k, +join-back, full registry
+    * fn — discard rep 1, it absorbs codegen), and (b) a bench TWIN
+    * replaying the bench's exact per-cell procedure (two timed counts,
+    * no sweep between, min) with per-run GC-time deltas, clean and
+    * under deliberate JVM pressure (a persisted hog + dead broadcasts).
+    * r17 finding: run 1 (cold caches, every stage computes) is
+    * 4.5-6.5 s and run 2 (reuses run 1's two persisted stage
+    * boundaries) is 1.8-2.9 s under BOTH conditions — the recorded
+    * min-of-2 is structurally bimodal, not contaminated; the declared
+    * envelope in [[Bench]] consumes this. */
+  private def curationVarProbe(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries("x_model_curation_pipeline")
+    // bench-twin measurement: EXACTLY the bench's per-cell procedure
+    // (two timed counts, no sweep between — run 2 reuses run 1's
+    // persisted stages via the cache manager — then min), with GC-time
+    // deltas per run, so the recorded figure's distribution and its GC
+    // component are both visible
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def benchTwin(label: String, rep: Int): Unit = {
+      val g0 = gcMs(); val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val t1 = (System.nanoTime() - t0) / 1e9; val g1 = gcMs()
+      val t0b = System.nanoTime()
+      fn(spark, sfDir).count()
+      val t2 = (System.nanoTime() - t0b) / 1e9; val g2 = gcMs()
+      println(f"[scale] curationvar-bench $label rep$rep " +
+        f"run1=$t1%.2f (gc=${g1 - g0}ms) run2=$t2%.2f (gc=${g2 - g1}ms) " +
+        f"min=${math.min(t1, t2)}%.2f")
+      GraftSession.sweepCaches(spark)
+    }
+    // bisect the registry fn: which suffix of the pipeline owns the
+    // uncached-run gap (full fn ~5 s vs ~2 s of summed stages)?
+    def bisect(rep: Int): Unit = {
+      import graft.model.Tables
+      def freshParts() = {
+        val docs = Tables.documents(spark, sfDir)
+        val model = graft.ext.Lm.knBigramTrain(
+          docs.filter(col("doc_id") % 2 === 0), "text")
+        val scored = graft.ext.Lm.knScore(docs, "doc_id", "text", model)
+          .select(col("id").as("doc_id"),
+            round(col("avg_nll") + lit(1e-9), 4).as("nll_r"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val med = scored.agg(
+          round(expr("percentile(nll_r, 0.5d)") + lit(1e-9), 4).as("m"))
+        val gated = docs.join(scored, "doc_id")
+          .crossJoin(broadcast(med)).filter(col("nll_r") <= col("m"))
+        val surv = graft.ext.Dedup.exactDedup(gated, "text", "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (scored, surv)
+      }
+      def timed(label: String)(f: => Unit): Unit = {
+        GraftSession.sweepCaches(spark); System.gc()
+        val t0 = System.nanoTime(); f
+        println(f"[scale] curationvar-bisect rep$rep $label " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+        GraftSession.sweepCaches(spark)
+      }
+      timed("v1_surv_only") { val (s, sv) = freshParts(); sv.count(); () }
+      timed("v2_plus_dsir_topk") {
+        val (s, sv) = freshParts()
+        val w = graft.ext.Sampling.dsirWeights(
+          sv, sv.filter(col("lang") === "en"), "text", 64)
+        graft.ext.Sampling.dsirScore(sv, "doc_id", "text", w, 64, 41)
+          .orderBy(round(col("key") + lit(1e-9), 6).desc, col("id").asc)
+          .limit(50).count(); ()
+      }
+      timed("v3_plus_joinback") {
+        val (s, sv) = freshParts()
+        val w = graft.ext.Sampling.dsirWeights(
+          sv, sv.filter(col("lang") === "en"), "text", 64)
+        graft.ext.Sampling.dsirScore(sv, "doc_id", "text", w, 64, 41)
+          .orderBy(round(col("key") + lit(1e-9), 6).desc, col("id").asc)
+          .limit(50)
+          .join(sv.select(col("doc_id"), col("nll_r")),
+            col("id") === col("doc_id"))
+          .select(col("doc_id"), col("nll_r"),
+            round(col("logw") + lit(1e-9), 4).as("logw_r"))
+          .orderBy("doc_id").count(); ()
+      }
+      timed("v4_registry_fn") { fn(spark, sfDir).count(); () }
+    }
+    (1 to 2).foreach(bisect)
+    (1 to 4).foreach { r => System.gc(); benchTwin("clean", r) }
+    // pressure condition: a persisted hog eats storage memory and a pile
+    // of un-GC'd broadcasts loads the cleaner — the state a cell late in
+    // the 231-cell registry actually runs in
+    val hog = spark.range(200000000L)
+      .select(col("id"), md5(col("id").cast("string").cast("binary")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hog.count()
+    (1 to 60).foreach { i =>
+      spark.range(1000000L).select(sum(col("id") * i)).collect(); ()
+    }
+    (1 to 4).foreach(r => benchTwin("pressure", r))
+    hog.unpersist()
     spark.stop()
   }
 

@@ -5844,7 +5844,12 @@ object SparkEntry {
         // the cache each reuse re-executes the whole KN-scoring
         // lineage (measured 17.9 s → ~2 s at sf0.1). At production
         // scale these are the stage boundaries a pipeline would
-        // checkpoint to parquet.
+        // checkpoint to parquet. Bench note: this cell's recorded time
+        // is structurally BIMODAL — ~5.3 s when these caches are cold
+        // (every stage computes) vs ~2.4 s when the bench's second
+        // timed run reuses them; both are steady states of the same
+        // code (probed r17, SCALE.md "x_model_curation_pipeline
+        // bimodality") — the declared envelope in Bench covers it.
         val scored = graft.ext.Lm.knScore(docs, "doc_id", "text", model)
           .select(col("id").as("doc_id"), R(col("avg_nll")).as("nll_r"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -148,6 +148,92 @@ object Bpe {
     BpeModel(mergesDf, mergeSeq, cur)
   }
 
+  /** Batched distributed learning — closes the distributed arm's
+    * production-budget gap: [[learn]] pays one vocab-sized aggregation
+    * plus one driver round-trip PER MERGE, which makes 30k merges
+    * infeasible distributed ([[learnLocal]] is the production arm, but
+    * its size gate refuses word tables beyond driver memory — exactly
+    * the corpora that need a distributed loop). This arm applies up to
+    * `batch` SYMBOL-DISJOINT merges per round, selected in the same
+    * strict (pair_freq desc, l, r) order, cutting rounds and driver
+    * round-trips by ~batch×.
+    *
+    * Batch rule — CUT, don't skip: candidates are scanned in strict
+    * order and the batch ENDS at the first pair sharing any symbol with
+    * an already-selected one. Skipping it instead would let a
+    * lower-ranked disjoint pair jump a higher-ranked conflicting pair
+    * whose count survives the round — a divergence from strict BPE that
+    * the cut rule makes impossible. Symbol-disjoint pairs have
+    * non-overlapping occurrences, so applying the batch in one rewrite
+    * pass is EXACTLY applying them sequentially, and each selection's
+    * pre-round count is still its true count at its turn. The one
+    * remaining divergence source vs [[learn]] is pair CREATION: a merge
+    * can mint a pair (bounded by the creating merge's count) that
+    * strict BPE would rank above a later batch member; corpora where
+    * creations are dominated agree merge-for-merge (spec-pinned), and
+    * batch=1 degenerates to [[learn]] exactly — same rounds, same
+    * table. */
+  def learnBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                   batch: Int = 8): BpeModel =
+    learnBatchedFromWordCounts(wordCounts(docs, textCol), numMerges, batch)
+
+  /** The batched merge loop over an already-computed (word, freq)
+    * table — the [[learnFromWordCounts]] seam, batched. */
+  def learnBatchedFromWordCounts(wc: DataFrame, numMerges: Int,
+                                 batch: Int): BpeModel = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batch >= 1 && batch <= 64,
+      s"batch must be in [1, 64] (nested fold depth per round), got $batch")
+    val spark = wc.sparkSession
+    var cur = wc
+      .withColumn("syms", charSyms(col("word")))
+      .localCheckpoint(true)
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= numMerges && !dry) {
+      val want = math.min(batch, numMerges - r + 1)
+      val top = pairCounts(cur)
+        .orderBy(col("pair_freq").desc, col("l").asc, col("r").asc)
+        .limit(want).collect()
+      if (top.isEmpty) dry = true
+      else {
+        // strict-order scan with the cut rule; `used` tracks the round's
+        // touched symbols ((a,a) self-pairs are fine alone — one entry)
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = Vector.newBuilder[(String, String, Long)]
+        var cutAt = false
+        top.foreach { row =>
+          val (l, rr, c) =
+            (row.getString(0), row.getString(1), row.getLong(2))
+          if (!cutAt && !used.contains(l) && !used.contains(rr)) {
+            sel += ((l, rr, c)); used += l; used += rr; ()
+          } else cutAt = true
+        }
+        val batchSel = sel.result()
+        batchSel.foreach { case (l, rr, c) =>
+          merges += ((r, l, rr, c)); r += 1
+        }
+        // one rewrite pass: nested single-merge folds in rank order —
+        // linear expression growth per applyMergeOnce's shape note,
+        // bounded by the batch cap
+        val next = cur
+          .select(col("word"), col("freq"),
+            batchSel.foldLeft(col("syms")) { case (s, (l, rr, _)) =>
+              applyMergeOnce(s, l, rr)
+            }.as("syms"))
+          .localCheckpoint(true)
+        Graph.freeCheckpoint(cur)
+        cur = next
+      }
+    }
+    val mergeSeq = merges.result()
+    val mergesDf = spark.createDataFrame(mergeSeq.map {
+      case (rank, l, rr, c) => (rank, l, rr, l + rr, c)
+    }).toDF("merge_rank", "lhs", "rhs", "merged", "pair_freq")
+    BpeModel(mergesDf, mergeSeq, cur)
+  }
+
   /** Code-point comparison — the driver-side twin of the distributed
     * arm's UTF8String binary ordering (UTF-8 byte order IS code-point
     * order). Plain String.compareTo is UTF-16 code-UNIT order, which

@@ -98,6 +98,54 @@ class BpeSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("learnBatched: batch=1 degenerates to learn exactly; disjoint " +
+    "corpora agree at any batch; the cut rule preserves strict order " +
+    "through conflicts") {
+    // mixed natural corpus: batch=1 must be the SAME algorithm
+    val docs = corpus(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest"))
+    val strict = Bpe.learn(docs, "text", 6)
+    val b1 = Bpe.learnBatched(docs, "text", 6, batch = 1)
+    assert(b1.mergeList === strict.mergeList)
+    val v = (m: Bpe.BpeModel) => m.vocab.select("word", "freq", "syms")
+      .as[(String, Long, Seq[String])].collect().toSet
+    assert(v(b1) === v(strict))
+    strict.release(); b1.release()
+    // symbol-disjoint alphabets with descending freqs: one round of
+    // batch=3 applies all three merges, in the strict order, and the
+    // table equals the strict arm's merge-for-merge (no creations can
+    // outrank: 2-symbol words vanish into single symbols)
+    val disjoint = corpus((1L,
+      (Seq.fill(5)("ab") ++ Seq.fill(4)("cd") ++ Seq.fill(3)("ef"))
+        .mkString(" ")))
+    val sD = Bpe.learn(disjoint, "text", 3)
+    val bD = Bpe.learnBatched(disjoint, "text", 3, batch = 3)
+    assert(bD.mergeList === sD.mergeList)
+    assert(bD.mergeList === Seq(
+      (1, "a", "b", 5L), (2, "c", "d", 4L), (3, "e", "f", 3L)))
+    sD.release(); bD.release()
+    // conflict chain: (a,b) 5, (b,c) 4, (c,d) 3 all share symbols — the
+    // cut rule forces one merge per round and the result must STILL be
+    // the strict sequence (a skip rule would have jumped (c,d) over
+    // (b,c) in round 1)
+    val chain = corpus((1L,
+      (Seq.fill(5)("ab") ++ Seq.fill(4)("bc") ++ Seq.fill(3)("cd"))
+        .mkString(" ")))
+    val sC = Bpe.learn(chain, "text", 3)
+    val bC = Bpe.learnBatched(chain, "text", 3, batch = 3)
+    assert(bC.mergeList === sC.mergeList,
+      s"cut rule diverged: ${bC.mergeList} vs ${sC.mergeList}")
+    sC.release(); bC.release()
+    // encode replay consistency under a batched table
+    val bModel = Bpe.learnBatched(docs, "text", 5, batch = 4)
+    val ms = bModel.mergeList.map { case (_, l, r, _) => (l, r) }
+    val enc = Bpe.encodedVocab(docs, "text", ms)
+    assert(enc.filter(concat_ws("", col("syms")) =!= col("word"))
+      .count() === 0L)
+    bModel.release()
+  }
+
   test("merge table runs dry on a single-char vocabulary") {
     val docs = corpus((1L, "a b a b c"))
     val m = Bpe.learn(docs, "text", 5)

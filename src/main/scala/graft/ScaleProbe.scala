@@ -28,6 +28,7 @@ object ScaleProbe {
     if (args.headOption.contains("jaccard")) { jaccardProbe(args); return }
     if (args.headOption.contains("kn")) { knProbe(args); return }
     if (args.headOption.contains("bpelocal")) { bpeLocalProbe(args); return }
+    if (args.headOption.contains("bpebatch")) { bpeBatchProbe(args); return }
     if (args.headOption.contains("curation")) { curationProbe(args); return }
     if (args.headOption.contains("curationvar")) { curationVarProbe(args); return }
     if (args.headOption.contains("ivfdrift")) { ivfDriftProbe(args); return }
@@ -1130,6 +1131,55 @@ object ScaleProbe {
         f"wc_sec=$wcSec%.2f loop_sec=$loopSec%.2f " +
         f"docs_per_sec=${n / (wcSec + loopSec)}%.0f")
     }
+    spark.stop()
+  }
+
+  /** Batched vs per-merge distributed BPE:
+    * `ScaleProbe bpebatch [vocabWords] [numMerges] [batch]` — both arms
+    * run `learn*FromWordCounts` over the SAME checkpointed
+    * hash-deterministic word table (12-hex-char words, 16-symbol
+    * alphabet: deep merge structure, dense pair conflicts — the
+    * batched arm's WORST case for batch utilization), and reports the
+    * merge-for-merge agreement prefix (the cut rule makes
+    * skip-divergence impossible; any divergence would come from pair
+    * CREATION outranking a later batch member — measured 200/200 here)
+    * plus each arm's wall time. The per-merge arm pays (aggregation +
+    * driver argmax + checkpoint) × numMerges; batched pays it ×
+    * rounds. */
+  private def bpeBatchProbe(args: Array[String]): Unit = {
+    val nWords = if (args.length > 1) args(1).toLong else 200000L
+    val numMerges = if (args.length > 2) args(2).toInt else 200
+    val batch = if (args.length > 3) args(3).toInt else 8
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val wc = spark.range(nWords)
+      .select(concat(
+          lpad(hex(pmod(hash(col("id") * 31), lit(16777216))), 6, "0"),
+          lpad(hex(pmod(hash(col("id") * 67 + 13), lit(16777216))), 6, "0"))
+        .as("word"))
+      .groupBy("word")
+      .agg((pmod(hash(col("word")), lit(1000)) + lit(1001)).as("freq"))
+      .localCheckpoint(true)
+    val vocab = wc.count()
+    System.gc()
+    var t0 = System.nanoTime()
+    val strict = ext.Bpe.learnFromWordCounts(wc, numMerges)
+    val strictSec = (System.nanoTime() - t0) / 1e9
+    System.gc()
+    t0 = System.nanoTime()
+    val batched = ext.Bpe.learnBatchedFromWordCounts(wc, numMerges, batch)
+    val batchedSec = (System.nanoTime() - t0) / 1e9
+    // agreement check on the shared prefix (both arms may run dry)
+    val common = math.min(strict.mergeList.size, batched.mergeList.size)
+    val agree = (0 until common).count(i =>
+      strict.mergeList(i) == batched.mergeList(i))
+    println(f"[scale] bpebatch vocab=$vocab merges=$numMerges " +
+      f"batch=$batch strict_sec=$strictSec%.2f " +
+      f"batched_sec=$batchedSec%.2f speedup=${strictSec / batchedSec}%.2fx " +
+      f"agree_prefix=$agree/$common " +
+      f"(batched merges=${batched.mergeList.size})")
+    strict.release(); batched.release(); ext.Graph.freeCheckpoint(wc)
     spark.stop()
   }
 

@@ -1065,6 +1065,31 @@ object SparkEntry {
           budgetFrac = 0.25)
         .orderBy("doc_id")),
 
+    // The same selection FORCED through the fat-block path: a tiny
+    // maxBucketRows makes every populated 4-dp quality tie block split
+    // into frozen id ranges, so the two-level composition is gated
+    // hash-exact against the identical global-order oracle on real data
+    // (the default-path cell above never exercises the split at test
+    // scale). Identical results from a different execution shape IS the
+    // de-skew claim under test.
+    Q("x_token_budget_select_skew",
+      Some(s"""WITH t0 AS (SELECT doc_id, $toksSql AS toks, text
+              |            FROM documents),
+              |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok_n,
+              |        ROUND(($qualityScoreSql) + 1e-9, 4) AS rq FROM t0),
+              |b AS (SELECT CAST(FLOOR(0.25 * SUM(tok_n)) AS BIGINT)
+              |        AS budget FROM t),
+              |c AS (SELECT doc_id, tok_n,
+              |        CAST(SUM(tok_n) OVER (ORDER BY rq DESC, doc_id)
+              |          AS BIGINT) AS cum_tokens FROM t)
+              |SELECT c.doc_id, c.tok_n, c.cum_tokens
+              |FROM c, b WHERE c.cum_tokens <= b.budget
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => graft.ext.Sampling
+        .tokenBudgetSelect(Tables.documents(s, dir), "text", "doc_id",
+          budgetFrac = 0.25, maxBucketRows = 8L)
+        .orderBy("doc_id")),
+
     // Distribution drift (PSI) per event type between the month's halves:
     // fixed [0,500)x10 buckets, Laplace-smoothed, sparse-bucket
     // convention mirrored exactly in the oracle.
@@ -2559,6 +2584,31 @@ object SparkEntry {
         val model = graft.ext.Bpe.learn(Tables.documents(s, dir), "text", 8)
         // merges is already a numMerges-bounded LOCAL frame; release the
         // final vocab checkpoint (unused here) before returning
+        model.release()
+        model.merges.orderBy("merge_rank")
+      }),
+
+    // X-bpe-batched: the BATCHED distributed learner over the same
+    // corpus and budget (batch=4, symbol-disjoint selections under the
+    // cut rule — the arm for word tables beyond learnLocal's driver
+    // gate; ScaleProbe bpebatch measured 1.87x fewer round-trip costs
+    // at 200 merges on the conflict-dense worst case). On this corpus
+    // the rounds are creation-dominated, so the table is merge-for-
+    // merge EQUAL to strict BPE and shares the strict oracle unroll —
+    // a divergence (skip-jump is impossible by the cut rule; only a
+    // created pair outranking a batch member could) fails the hash
+    // gate loudly instead of passing silently.
+    Q("x_bpe_merges_batched",
+      Some {
+        val sel = (1 to 8).map(r =>
+          s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, CAST(c AS BIGINT) AS pair_freq FROM m$r")
+          .mkString("\n UNION ALL ")
+        s"""WITH ${bpeCtes(8)}
+           |$sel ORDER BY merge_rank""".stripMargin
+      },
+      (s, dir) => {
+        val model = graft.ext.Bpe.learnBatched(Tables.documents(s, dir),
+          "text", 8, batch = 4)
         model.release()
         model.merges.orderBy("merge_rank")
       }),

@@ -725,6 +725,31 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === 35)
   }
 
+  test("shardManifestIngest: an EMPTY micro-batch on a string-id stream " +
+    "keeps the manifest root schema-mergeable (id stays string)") {
+    // regression: the empty-batch manifest used to be fabricated from
+    // emptyDataFrame with lit(0L).as(idCol), landing a batch partition
+    // whose id column was bigint beside string partitions — reading the
+    // manifest root then failed schema merge or silently picked one
+    val root = Files.createTempDirectory("graft-shm-str").toString
+    val out = s"$root/out"; val store = s"$root/state"
+    def fold(rows: Seq[(String, String)], id: Long): Unit =
+      StreamingPipeline.shardManifestBatch(rows.toDF("doc_id", "text"),
+        id, "text", "doc_id", out, store, tokensPerShard = 10L)
+    fold(Seq(("d-a", "tok tok tok"), ("d-b", "tok tok")), 0L)
+    fold(Seq.empty[(String, String)], 1L) // trigger-with-no-data event
+    fold(Seq(("d-c", "tok tok tok tok")), 2L)
+    val merged = spark.read.parquet(out)
+    assert(merged.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    val got = merged.select("doc_id", "tok_n", "shard_id")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq("d-a", "d-b", "d-c"))
+    // the empty batch advanced nothing: batch 2 continues batch 0's
+    // running total (5 tokens → doc c starts in shard 0)
+    assert(spark.read.parquet(s"$store/data").as[Long].head() === 9L)
+  }
+
   test("keepBestIngest: cross-batch parity with the batch operator, " +
     "champion displacement, replay no-op") {
     import graft.ext.Curate

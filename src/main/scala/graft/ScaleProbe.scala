@@ -962,6 +962,21 @@ object ScaleProbe {
         b, id, "text", "doc_id", s"$root/sm-out", s"$root/sm-store",
         tokensPerShard = 100000L)
     }
+    timeFold("token_budget") { (b, id) =>
+      streaming.StreamingPipeline.tokenBudgetIngestBatch(
+        b, id, "text", "doc_id", s"$root/tb-store")
+    }
+    // the read side the fold amortizes: one selection over the full
+    // accumulated index (scored once per doc above, never re-tokenized)
+    locally {
+      System.gc()
+      val t0 = System.nanoTime()
+      val n = streaming.StreamingPipeline.tokenBudgetView(
+        spark.read.parquet(s"$root/tb-store/data"), "doc_id", 0.5).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] ingestops token_budget_view docs=$nDocs " +
+        f"kept=$n sec=$sec%.2f")
+    }
     spark.stop()
   }
 

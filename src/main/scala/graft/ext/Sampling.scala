@@ -216,12 +216,47 @@ object Sampling {
     * Returns (idCol, tok_n, cum_tokens) for the selected documents. */
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
                         budgetFrac: Double,
-                        maxBucketRows: Long = 4000000L): DataFrame = {
+                        maxBucketRows: Long = 4000000L): DataFrame =
+    tokenBudgetSelectScored(tokenBudgetScore(docs, textCol, idCol), idCol,
+      budgetFrac, maxBucketRows)
+
+  /** The scored narrow projection [[tokenBudgetSelect]] ranks on:
+    * (idCol, tok_n, _rqi) with _rqi the exact 4-dp quality integer.
+    * Exposed so the streaming twin ([[graft.streaming.StreamingPipeline]]
+    * tokenBudgetIngest) can score each document ONCE at arrival and fold
+    * the projection into its index — the selection then replays from the
+    * index without ever re-reading document text. */
+  def tokenBudgetScore(docs: DataFrame, textCol: String,
+                       idCol: String): DataFrame =
+    docs.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_n"),
+      round(round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4)
+        * 10000).cast("int").as("_rqi"))
+
+  /** [[tokenBudgetSelect]] from an already-scored projection (the
+    * [[tokenBudgetScore]] shape). The selection is a deterministic
+    * function of the (id, tok_n, _rqi) SET, so running it over a stored
+    * index of per-arrival scores equals the batch operator over the
+    * concatenated history exactly.
+    *
+    * `cacheInput = false` makes the kernel's multiple passes re-read
+    * `scored` instead of persisting it. The streaming view REQUIRES
+    * this: its input is a path read of a store directory that every
+    * ingest fold swap-replaces, and Spark's cache manager matches
+    * cached plans by path — a persisted read would serve the PRE-swap
+    * contents to every later view call AND to the ingest's own
+    * state-merge reads (silent state corruption, not just a stale
+    * view). Re-reading is cheap there: the store is the narrow
+    * projection, already scored. */
+  def tokenBudgetSelectScored(scored: DataFrame, idCol: String,
+                              budgetFrac: Double,
+                              maxBucketRows: Long = 4000000L,
+                              cacheInput: Boolean = true): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1.0,
       s"budgetFrac must be in (0, 1], got $budgetFrac")
     require(maxBucketRows > 0,
       s"maxBucketRows must be > 0, got $maxBucketRows")
-    val spark = docs.sparkSession
+    val spark = scored.sparkSession
     import spark.implicits._
     // persist the NARROW scored projection (id, tok_n, rqi — tens of
     // bytes/row): tokenization+scoring is the dominant cost and feeds
@@ -229,11 +264,10 @@ object Sampling {
     // and the window input; without the cache the corpus tokenizes once
     // per consumer. The session's between-queries sweep
     // (GraftSession.sweepCaches) reclaims it.
-    val bucketed = docs.select(col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("tok_n"),
-        round(round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4)
-          * 10000).cast("int").as("_rqi"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed =
+      if (cacheInput)
+        scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scored
     // one aggregation pass → ≤10001 (bucket, token-total, rows) rows;
     // everything the selection needs besides the per-row running sums
     // lives here (and the pass materializes the cache)

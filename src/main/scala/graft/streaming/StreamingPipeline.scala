@@ -812,6 +812,64 @@ object StreamingPipeline {
       }
     }
 
+  /** Continuous token-budget corpus selection — the streaming twin of
+    * [[graft.ext.Sampling.tokenBudgetSelect]]: each micro-batch's
+    * documents are scored ONCE at arrival into the narrow
+    * (id, tok_n, 4-dp-quality) projection and folded into a stored
+    * index; [[tokenBudgetView]] replays the exact two-level selection
+    * kernel over the index at read time.
+    *
+    * Why the state is the scored index and NOT the kept set: the budget
+    * is a FRACTION of the running corpus token total, so the kept set is
+    * not monotone — a document outside today's budget re-enters whenever
+    * the budget grows faster than better documents arrive (e.g. a batch
+    * of low-quality docs raises the budget without raising the cutoff).
+    * Keeping only survivors would lose those readmission candidates
+    * forever; the index keeps every doc's score, sized tens of bytes per
+    * document ever seen — the same docs-sized-state stance as the
+    * fingerprint/signature dedup indices, and the expensive part
+    * (tokenize + quality-score the text) is still paid exactly once per
+    * document. The fold is a union, so the view over any batch split
+    * equals [[graft.ext.Sampling.tokenBudgetSelect]] over the
+    * concatenated history EXACTLY (split-invariant; property-tested).
+    * Exactly-once via the same marker+swap. */
+  def tokenBudgetIngest(stream: DataFrame, textCol: String, idCol: String,
+                        storePath: String, ckpt: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        tokenBudgetIngestBatch(b, id, textCol, idCol, storePath)
+      }
+      .start()
+
+  /** The per-batch body of [[tokenBudgetIngest]]. */
+  def tokenBudgetIngestBatch(batch: DataFrame, id: Long, textCol: String,
+                             idCol: String, storePath: String): Unit =
+    mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
+      // an empty batch scores to an empty projection DERIVED from the
+      // input, so the id column keeps its real type (the shardManifest
+      // empty-frame lesson: fabricated literals would land a
+      // wrongly-typed parquet partition)
+      val scored = graft.ext.Sampling.tokenBudgetScore(batch, textCol,
+        idCol)
+      existingOpt match {
+        case Some(existing) => existing.unionByName(scored)
+        case None => scored
+      }
+    }
+
+  /** The current selection from a [[tokenBudgetIngest]] store:
+    * identical columns and rows to running the batch operator over
+    * every document streamed so far. The store read stays UNCACHED
+    * (`cacheInput = false`): every fold swap-replaces the store
+    * directory, and Spark's cache manager matches plans by path — a
+    * persisted read here would pin the pre-swap contents for every
+    * later view call and for the ingest's own state-merge reads. */
+  def tokenBudgetView(stored: DataFrame, idCol: String, budgetFrac: Double,
+                      maxBucketRows: Long = 4000000L): DataFrame =
+    graft.ext.Sampling.tokenBudgetSelectScored(stored, idCol, budgetFrac,
+      maxBucketRows, cacheInput = false)
+
   /** Continuous DSIR weight maintenance — the streaming twin of
     * [[graft.ext.Sampling.dsirWeights]]: each micro-batch's hashed-ngram
     * bucket counts (target-predicate rows and all rows) fold ADDITIVELY
@@ -917,10 +975,14 @@ object StreamingPipeline {
     * (vocabulary-bounded), identical to `knBigramTrain` over the full
     * streamed corpus; feed it to `Lm.knScore` unchanged. */
   def knModelView(stored: DataFrame): graft.ext.Lm.KnModel = {
+    // NO persist here (the tokenBudgetView lesson): `stored` is a path
+    // read of a store directory every fold swap-replaces, and the cache
+    // manager matches plans by path — a persisted view would serve the
+    // PRE-swap model to every later knModelView call. The store is
+    // vocabulary-sized; the extra scans per consumer are cheap.
     val bigrams = stored.filter(col("kind") === "bg")
       .select(split(col("k"), " ").getItem(0).as("w1"),
         split(col("k"), " ").getItem(1).as("w2"), col("c").as("c2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = bigrams.groupBy("w1")
       .agg(sum("c2").as("c1"), count(lit(1)).as("n1p_fwd"))
     val cont = bigrams.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))

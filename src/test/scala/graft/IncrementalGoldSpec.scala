@@ -789,6 +789,54 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(readState === want)
   }
 
+  test("tokenBudgetIngest: view equals the batch selection, a dropped doc " +
+    "RE-ENTERS when the budget grows, replay no-op, empty batch keeps " +
+    "the id type") {
+    import graft.ext.Sampling
+    val store = Files.createTempDirectory("graft-tb").toString + "/s"
+    // three texts with strictly ordered quality scores; the ordering is
+    // asserted below so a qualityScore change fails loudly here rather
+    // than silently voiding the readmission scenario
+    val tA = "the and of to" // 4 stopword tokens: highest quality
+    val tB = "qq ww ee rr" // 4 plain tokens: middle
+    val tC = "z1! z2! z3! z4! z5! z6! z7! z8!" // 8 punct/digit tokens: lowest
+    val q = Seq(tA, tB, tC).toDF("text")
+      .select(graft.ext.TextAnalysis.qualityScore(col("text")))
+      .as[Double].collect()
+    assert(q(0) > q(1) && q(1) > q(2),
+      s"test texts must order A>B>C by quality, got ${q.toSeq}")
+    def df(rows: Seq[(String, String)]) = rows.toDF("doc_id", "text")
+    def view = StreamingPipeline.tokenBudgetView(
+      spark.read.parquet(s"$store/data"), "doc_id", budgetFrac = 0.5)
+    def kept = view.select("doc_id").as[String].collect().toSet
+    // batch 0: total 8 tokens, budget 4 → only A fits; B is DROPPED
+    StreamingPipeline.tokenBudgetIngestBatch(
+      df(Seq(("d-a", tA), ("d-b", tB))), 0L, "text", "doc_id", store)
+    assert(kept === Set("d-a"))
+    // batch 1: C's 8 low-quality tokens raise the budget to 8 without
+    // raising the cutoff — B re-enters. A kept-set-only state would have
+    // lost B forever; the scored index readmits it.
+    StreamingPipeline.tokenBudgetIngestBatch(
+      df(Seq(("d-c", tC))), 1L, "text", "doc_id", store)
+    assert(kept === Set("d-a", "d-b"))
+    // the view IS the batch operator over the concatenated history
+    val want = Sampling.tokenBudgetSelect(
+        df(Seq(("d-a", tA), ("d-b", tB), ("d-c", tC))),
+        "text", "doc_id", budgetFrac = 0.5)
+      .as[(String, Long, Long)].collect().toSet
+    assert(view.as[(String, Long, Long)].collect().toSet === want)
+    // replay of batch 1 is a marker no-op (no duplicate index rows)
+    StreamingPipeline.tokenBudgetIngestBatch(
+      df(Seq(("d-c", tC))), 1L, "text", "doc_id", store)
+    assert(spark.read.parquet(s"$store/data").count() === 3)
+    // an empty micro-batch keeps the string id type in the store
+    StreamingPipeline.tokenBudgetIngestBatch(
+      df(Seq.empty), 2L, "text", "doc_id", store)
+    assert(spark.read.parquet(s"$store/data").schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(kept === Set("d-a", "d-b"))
+  }
+
   test("mergeSwapState crash windows: backup-restore and stale-backup hold " +
     "for the sample and cap-spend stores (parameterized)") {
     // The same READ-side restore path in mergeSwapState serves every
@@ -826,6 +874,14 @@ class IncrementalGoldSpec extends SparkTestBase {
           bid, "text", "doc_id", s"${st}_out", st, tokensPerShard = 10L),
         st => Map("total" -> spark.read.parquet(s"$st/data")
           .as[Long].head())),
+      StoreCase("token-budget",
+        (ids, bid, st) => StreamingPipeline.tokenBudgetIngestBatch(
+          ids.map(i => (i, ("tok " * (1 + (i % 4)).toInt).trim))
+            .toDF("doc_id", "text"),
+          bid, "text", "doc_id", st),
+        st => spark.read.parquet(s"$st/data")
+          .select("doc_id", "tok_n").as[(Long, Long)].collect()
+          .map { case (d, t) => d.toString -> t }.toMap),
       StoreCase("keep-best",
         (ids, bid, st) => StreamingPipeline.keepBestBatch(
           ids.map(i => (i, i % 3, ("the and of w " * (1 + (i % 5)).toInt).trim))

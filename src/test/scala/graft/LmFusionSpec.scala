@@ -167,6 +167,12 @@ class LmFusionSpec extends SparkTestBase {
     val b2 = Seq((2L, "the cat ate the fish"), (3L, "a dog sat"))
       .toDF("doc_id", "text")
     StreamingPipeline.knCountsBatch(b1, 0L, "text", dir)
+    // materialize a view of the batch-0 store BEFORE the next fold: a
+    // view that cached its store read would pin the pre-swap contents
+    // (plans match by path) and silently serve the batch-0 model to
+    // every assertion below — the stale-view regression this test pins
+    StreamingPipeline.knModelView(spark.read.parquet(s"$dir/data"))
+      .bigrams.count()
     StreamingPipeline.knCountsBatch(b2, 1L, "text", dir)
     // replay: marker no-op
     StreamingPipeline.knCountsBatch(b2, 1L, "text", dir)

@@ -447,6 +447,44 @@ class StreamingSplitParitySpec extends SparkTestBase {
   }
 
   // ---------------------------------------------------------------
+  // tokenBudgetIngest: the stored scored index is a pure union fold, so
+  // the read-time selection must equal the batch operator over the
+  // concatenated corpus for ANY split — including the readmission cases
+  // where a batch of low-quality tokens grows the budget and pulls a
+  // previously-dropped doc back inside it
+  // ---------------------------------------------------------------
+  test("property: tokenBudgetIngest view equals the batch token-budget " +
+    "selection under random splits") {
+    val pool = Vector("x", "w w", "the and of to in w",
+      "the and of to in is a good doc here",
+      "the and of to in is a better longer doc here today",
+      "z1! z2! z3! z4! z5! z6! z7! z8!")
+    val rowsGen = Gen.choose(4, 24).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0, pool.size - 1)).map(_.zipWithIndex.map {
+        case (t, i) => (i.toLong, pool(t)) }))
+    val prop = forAllNoShrink(rowsGen, cutsGen) { (rows, cuts) =>
+      val store = tmp("graft-ptb")
+      splitBy(rows, cuts).zipWithIndex.foreach { case (p, i) =>
+        StreamingPipeline.tokenBudgetIngestBatch(
+          p.toDF("doc_id", "text"), i.toLong, "text", "doc_id", store)
+      }
+      val got = StreamingPipeline.tokenBudgetView(
+          spark.read.parquet(s"$store/data"), "doc_id", budgetFrac = 0.6)
+        .as[(Long, Long, Long)].collect().toSet
+      val want = graft.ext.Sampling.tokenBudgetSelect(
+          rows.toDF("doc_id", "text"), "text", "doc_id", budgetFrac = 0.6)
+        .as[(Long, Long, Long)].collect().toSet
+      spark.catalog.clearCache() // the selection kernel persists its
+      // narrow projection per call (the session sweep reclaims it in
+      // production); 20 draws × 2 selections would otherwise accumulate
+      "token-budget selection parity" |: (got ?= want)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---------------------------------------------------------------
   // normalizedDedupIngestBatch: which id survives is arrival-order, but
   // the published set covers every distinct ROBUST fingerprint exactly
   // once — case/punct/digit/whitespace variants of any earlier survivor

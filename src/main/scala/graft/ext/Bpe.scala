@@ -160,13 +160,17 @@ object Bpe {
     *
     * Batch rule — CUT, don't skip: candidates are scanned in strict
     * order and the batch ENDS at the first pair sharing any symbol with
-    * an already-selected one. Skipping it instead would let a
-    * lower-ranked disjoint pair jump a higher-ranked conflicting pair
-    * whose count survives the round — a divergence from strict BPE that
-    * the cut rule makes impossible. Symbol-disjoint pairs have
-    * non-overlapping occurrences, so applying the batch in one rewrite
-    * pass is EXACTLY applying them sequentially, and each selection's
-    * pre-round count is still its true count at its turn. The one
+    * an already-selected one OR with an already-selected pair's minted
+    * PRODUCT (selecting (a, b) cuts a later (ab, c): applying (a, b)
+    * mints new "ab" instances, so (ab, c)'s pre-round count would not
+    * be its at-turn count). Skipping instead would let a lower-ranked
+    * disjoint pair jump a higher-ranked conflicting pair whose count
+    * survives the round — a divergence from strict BPE that the cut
+    * rule makes impossible. Product-inclusive symbol-disjoint pairs
+    * have occurrence sets untouched by earlier batch members, so
+    * applying the batch in one rewrite pass is EXACTLY applying them
+    * sequentially, and each selection's pre-round count is still its
+    * true count at its turn. The one
     * remaining divergence source vs [[learn]] is pair CREATION: a merge
     * can mint a pair (bounded by the creating merge's count) that
     * strict BPE would rank above a later batch member; corpora where
@@ -200,6 +204,21 @@ object Bpe {
       else {
         // strict-order scan with the cut rule; `used` tracks the round's
         // touched symbols ((a,a) self-pairs are fine alone — one entry)
+        // AND each selection's minted PRODUCT symbol: a candidate like
+        // (ab, c) after selecting (a, b) is not symbol-disjoint even
+        // though "ab" ≠ "a" ≠ "b" — applying (a, b) mints new "ab"
+        // instances, so (ab, c)'s pre-round count is NOT its count at
+        // its turn and strict BPE could rank a minted pair above it.
+        // Cutting on the product keeps every selection's occurrence set
+        // untouched by earlier batch members, which is exactly what
+        // makes pre-round counts the true at-turn counts and leaves
+        // pair CREATION as the only divergence source. (Under the global
+        // rank order such a coexistence — pair (a, b) countable while
+        // symbol "ab" already exists — appears unreachable: whatever
+        // merge sequence minted the product also consumed the pair's
+        // adjacencies first, and fusing never re-exposes them. The cut
+        // costs one Set entry and makes the invariant hold by
+        // construction instead of by that argument.)
         val used = scala.collection.mutable.Set.empty[String]
         val sel = Vector.newBuilder[(String, String, Long)]
         var cutAt = false
@@ -207,7 +226,7 @@ object Bpe {
           val (l, rr, c) =
             (row.getString(0), row.getString(1), row.getLong(2))
           if (!cutAt && !used.contains(l) && !used.contains(rr)) {
-            sel += ((l, rr, c)); used += l; used += rr; ()
+            sel += ((l, rr, c)); used += l; used += rr; used += (l + rr); ()
           } else cutAt = true
         }
         val batchSel = sel.result()

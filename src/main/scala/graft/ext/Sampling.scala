@@ -206,12 +206,14 @@ object Sampling {
     * sub-bucket aggregation over the fat rows, and partial sorts of at
     * most ~maxBucketRows rows each; never one giant ordered shuffle.
     *
-    * Fat-block splitting keys on `CAST(id AS DOUBLE)` (monotone for
-    * numeric ids, including longs past 2^53 — rounding is monotone and
-    * double-ties stay in one sub-bucket where the true id ordering
-    * resumes). Non-numeric ids cast to NULL, the sketch returns no
-    * boundaries, and the block degrades to a single sorted range —
-    * correct, just unbounded for that block.
+    * Fat-block splitting keys on `CAST(id AS DOUBLE)` and is gated on a
+    * NUMERIC id column type (monotone cast, including longs past 2^53 —
+    * rounding is monotone and double-ties stay in one sub-bucket where
+    * the true id ordering resumes). Non-numeric id types — INCLUDING
+    * strings that happen to parse as numbers, whose window order is
+    * lexicographic and would disagree with a numeric range split — keep
+    * every tie block as a single sorted range: correct, just unbounded
+    * for blocks beyond maxBucketRows.
     *
     * Returns (idCol, tok_n, cum_tokens) for the selected documents. */
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
@@ -293,10 +295,24 @@ object Sampling {
     val minRqi = keptOff.keys.min
     // ---- level 2: split kept tie blocks fatter than maxBucketRows into
     // contiguous id ranges at frozen approx-percentile boundaries
-    val fat = keptBt.filter(_._3 > maxBucketRows)
-      .map { case (rqi, _, bn) =>
-        rqi -> math.min(1024L, (bn + maxBucketRows - 1) / maxBucketRows).toInt
-      }.toMap
+    // Fat-block range splitting is gated on a NUMERIC id column: the
+    // split orders sub-buckets by CAST(id AS DOUBLE), which agrees with
+    // the contract's id ASC order only for numeric types (monotone cast,
+    // double-ties resolved inside one sub-bucket). A STRING id that
+    // happens to parse as a number would cast non-null but sort
+    // lexicographically in the window ("3000000" < "4") — range-splitting
+    // it numerically would compose cum_tokens in a different total order
+    // and silently admit the wrong documents. Non-numeric id types
+    // therefore keep every tie block as a single sorted range — correct,
+    // just unbounded for blocks beyond maxBucketRows.
+    val idNumeric = scored.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val fat =
+      if (!idNumeric) Map.empty[Int, Int]
+      else keptBt.filter(_._3 > maxBucketRows)
+        .map { case (rqi, _, bn) =>
+          rqi -> math.min(1024L, (bn + maxBucketRows - 1) / maxBucketRows).toInt
+        }.toMap
     // one pass over the FAT rows only: per-bucket percentile sketch of
     // the id at a shared grid sized to the LARGEST split count, sliced
     // down to each bucket's own s−1 boundaries driver-side (boundaries
@@ -327,27 +343,33 @@ object Sampling {
           rqi -> picked
         }.toMap
     // sub-bucket id of a row: #boundaries strictly below its id-double
-    // (0 for thin buckets). Boundaries are FROZEN literals — both the
-    // offset aggregation and the window see the identical assignment.
-    val subCol: Column =
-      if (fat.isEmpty) lit(0)
-      else {
-        val idd = col(idCol).cast("double")
-        fat.keys.toSeq.sorted.foldLeft(lit(0): Column) { (acc, rqi) =>
-          val bs = bounds.getOrElse(rqi, Array.empty[Double])
-          if (bs.isEmpty) acc
-          else when(col("_rqi") === rqi,
-            bs.foldLeft(lit(0): Column)((a, b) =>
-              a + when(idd > lit(b), 1).otherwise(0))).otherwise(acc)
-        }
-      }
+    // (0 for thin buckets). The boundaries are FROZEN driver-side and
+    // ride in as a broadcast (rqi → boundary-array) table consumed by a
+    // size(filter(...)) lookup — NOT as a per-bucket CASE chain: with
+    // thousands of fat buckets × up to 1023 boundaries each (exactly the
+    // concentrated-quality regime this kernel targets) an inlined
+    // when/otherwise fold would build a plan with millions of expression
+    // nodes and fall over in analysis/codegen before the window it
+    // replaces ever would. The join keeps the plan size O(1) in the
+    // bucket count; both the offset aggregation and the window apply the
+    // identical deterministic assignment.
+    val boundsDf =
+      bounds.toSeq.map { case (rqi, bs) => (rqi, bs.toSeq) }
+        .toDF("_rqi", "_bs")
+    def withSub(df: DataFrame): DataFrame =
+      if (fat.isEmpty) df.withColumn("_sub", lit(0))
+      else df
+        .join(broadcast(boundsDf), Seq("_rqi"), "left")
+        .withColumn("_idd", col(idCol).cast("double"))
+        .withColumn("_sub", coalesce(
+          expr("size(filter(_bs, b -> _idd > b))"), lit(0)))
+        .drop("_bs", "_idd")
     // per-(bucket, sub) token totals: thin buckets come straight from
     // the level-1 table; fat buckets pay one more aggregation over THEIR
     // rows only
     val fatSums: Map[(Int, Int), Long] =
       if (fat.isEmpty) Map.empty
-      else bucketed.filter(col("_rqi").isin(fat.keys.toSeq: _*))
-        .withColumn("_sub", subCol)
+      else withSub(bucketed.filter(col("_rqi").isin(fat.keys.toSeq: _*)))
         .groupBy("_rqi", "_sub").agg(sum("tok_n").as("_bt"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
@@ -365,8 +387,7 @@ object Sampling {
       case Seq(((_, _), off0), ((rqi, s), _)) => (rqi, s, off0)
     }.toSeq.filter(_._3 <= budget)
     val offDf = offCells.toDF("_rqi", "_sub", "_off")
-    bucketed.filter(col("_rqi") >= minRqi)
-      .withColumn("_sub", subCol)
+    withSub(bucketed.filter(col("_rqi") >= minRqi))
       .join(broadcast(offDf), Seq("_rqi", "_sub"))
       .withColumn("_lc", sum("tok_n").over(
         Window.partitionBy("_rqi", "_sub")

@@ -58,9 +58,13 @@ object DpLedger {
     * same statistic without spending ε, weakening the guarantee by
     * averaging. Recording the scheme makes that replay detectable:
     * [[spendOrReplay]] rejects a replay whose recorded scheme differs
-    * from the current one. Rows from ledgers that predate the column
-    * read as "pre-v2" and therefore never replay under this build —
-    * re-release them under a NEW release id (a fresh spend). */
+    * from the current one, UNLESS the seeds are provably byte-identical
+    * under both schemes (single key column, no null key values — the
+    * form [[keySeed]] leaves untouched), where the replay reproduces
+    * the published numbers exactly and stays the contract's free no-op.
+    * Rows from ledgers that predate the column read as "pre-v2";
+    * multi-key or null-key pre-v2 releases never replay under this
+    * build — re-release them under a NEW release id (a fresh spend). */
   private[graft] val SeedScheme = "nul-v2"
 
   /** Rows currently in the ledger for `dataset` (empty frame if the
@@ -134,7 +138,9 @@ object DpLedger {
     require(keys.nonEmpty, "at least one grouping key")
     val spark = df.sparkSession
     spendOrReplay(spark, ledgerPath, dataset, releaseId,
-      s"count by ${keys.mkString(",")}", epsilon, totalBudget)
+      s"count by ${keys.mkString(",")}", epsilon, totalBudget,
+      preV2SeedIdentical = () => keys.size == 1 &&
+        df.filter(col(keys.head).isNull).isEmpty)
     // seed covers dataset + release + salt + group key: a replay
     // reproduces the published numbers exactly; a NEW release id (or a
     // different salt) draws fresh noise
@@ -170,7 +176,9 @@ object DpLedger {
     val spark = df.sparkSession
     spendOrReplay(spark, ledgerPath, dataset, releaseId,
       s"sum($valueCol clip=$clip) by ${keys.mkString(",")}", epsilon,
-      totalBudget)
+      totalBudget,
+      preV2SeedIdentical = () => keys.size == 1 &&
+        df.filter(col(keys.head).isNull).isEmpty)
     val seedKey = concat(
       lit(s"$dataset:$releaseId:" + saltSeg(secretSalt) + "sum:"),
       keySeed(keys))
@@ -204,7 +212,9 @@ object DpLedger {
   private def spendOrReplay(spark: SparkSession, ledgerPath: String,
                             dataset: String, releaseId: String,
                             queryKey: String, epsilon: Double,
-                            totalBudget: Double): Unit = {
+                            totalBudget: Double,
+                            preV2SeedIdentical: () => Boolean =
+                              () => false): Unit = {
     val prior = ledger(spark, ledgerPath)
       .filter(col("dataset") === dataset && col("release_id") === releaseId)
       .select("query_key", "epsilon", "seed_scheme").collect().headOption
@@ -216,14 +226,26 @@ object DpLedger {
               s"recorded for a DIFFERENT query ('${r.getString(0)}' at " +
               s"ε=${r.getDouble(1)}); replay must be byte-identical — " +
               "pick a new release id")
-        if (r.getString(2) != SeedScheme)
+        // a pre-v2 replay is REJECTED unless the caller can prove the
+        // seeds are byte-identical under both schemes (single key
+        // column, no null key values — see [[keySeed]]): for those
+        // releases the replay reproduces the published numbers exactly,
+        // and rejecting it would break the guaranteed free-replay
+        // idempotence (e.g. a checkpoint-lost streaming batch replay)
+        // that the averaging-attack rationale never required closing.
+        // The thunk runs only when a pre-v2 row is actually hit, so the
+        // common path pays nothing.
+        if (r.getString(2) != SeedScheme &&
+            !(r.getString(2) == "pre-v2" && preV2SeedIdentical()))
           throw new IllegalStateException(
             s"DP release id '$releaseId' on dataset '$dataset' was " +
               s"recorded under seed scheme '${r.getString(2)}' but this " +
-              s"build seeds with '$SeedScheme': a free replay would " +
-              "publish a second, independent noise draw of the same " +
-              "statistic without spending ε (averaging attack). " +
-              "Re-release under a NEW release id (spends ε) instead")
+              s"build seeds with '$SeedScheme' and the seeds are not " +
+              "provably identical under both (multi-key release, or " +
+              "null key values): a free replay would publish a second, " +
+              "independent noise draw of the same statistic without " +
+              "spending ε (averaging attack). Re-release under a NEW " +
+              "release id (spends ε) instead")
       case None =>
         val used = spent(spark, ledgerPath, dataset)
         if (used + epsilon > totalBudget + 1e-12)

@@ -864,7 +864,17 @@ object StreamingPipeline {
     * (`cacheInput = false`): every fold swap-replaces the store
     * directory, and Spark's cache manager matches plans by path — a
     * persisted read here would pin the pre-swap contents for every
-    * later view call and for the ingest's own state-merge reads. */
+    * later view call and for the ingest's own state-merge reads.
+    *
+    * Snapshot contract: ACT on the returned frame before the next fold.
+    * The kernel freezes its offset table driver-side at call time while
+    * the final window runs at the caller's action; `stored`'s file
+    * listing is pinned at read creation, so a fold in between makes the
+    * action fail loudly on the swapped-away files (FileNotFound) rather
+    * than mix corpus states — EXCEPT under
+    * `spark.sql.files.ignoreMissingFiles=true`, where the action would
+    * silently read a partial snapshot. Same single-writer,
+    * read-between-folds stance as every other store view here. */
   def tokenBudgetView(stored: DataFrame, idCol: String, budgetFrac: Double,
                       maxBucketRows: Long = 4000000L): DataFrame =
     graft.ext.Sampling.tokenBudgetSelectScored(stored, idCol, budgetFrac,

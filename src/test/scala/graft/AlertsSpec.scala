@@ -673,37 +673,64 @@ class AlertsSpec extends SparkTestBase {
     }
   }
 
-  test("DP ledger rejects replays recorded under an older seed scheme " +
-    "(no free second draw); new spends record the current scheme") {
+  test("DP ledger: pre-v2 replays are free ONLY where the seeds are " +
+    "byte-identical (single non-null key); multi-key and null-key " +
+    "replays are rejected, new spends record the current scheme") {
     import graft.quality.DpLedger
     val led = java.nio.file.Files.createTempDirectory("graft-dp-scheme").toString
-    val docs = Seq((1L, "en"), (2L, "de")).toDF("doc_id", "lang")
+    val docs = Seq((1L, "en", "a"), (2L, "de", "b"))
+      .toDF("doc_id", "lang", "src")
     // simulate a ledger written BEFORE the seed_scheme column: the same
-    // row shape minus the column. Under this build its noise seed may
-    // differ (multi-key/null-key groups), so a "free" replay would be a
-    // second independent draw — it must be refused, not re-drawn.
-    Seq(("d", "r1", "count by lang", 0.3))
+    // row shape minus the column.
+    Seq(("d", "r1", "count by lang", 0.3),
+        ("d", "rm", "count by lang,src", 0.2),
+        ("d", "rn", "count by lang", 0.1))
       .toDF("dataset", "release_id", "query_key", "epsilon")
       .coalesce(1).write.mode("overwrite").parquet(s"$led/data")
-    val ex = intercept[IllegalStateException] {
-      DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r1", 0.3, 1.0)
+    // single non-null key: keySeed is byte-identical to the historical
+    // separator-less form, so the replay reproduces the published
+    // numbers exactly — it stays the contract's FREE no-op (the
+    // streaming checkpoint-replay case), spending nothing
+    val rep1 = DpLedger
+      .gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r1", 0.3, 1.0)
+      .orderBy("lang").collect().map(_.toSeq)
+    val rep2 = DpLedger
+      .gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r1", 0.3, 1.0)
+      .orderBy("lang").collect().map(_.toSeq)
+    assert(rep1.toSeq === rep2.toSeq)
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.6) < 1e-9)
+    // multi-key: NUL-joined seed differs from the separator-less form —
+    // a "free" replay would be a second independent draw; refused
+    val exM = intercept[IllegalStateException] {
+      DpLedger.gatedLaplaceCounts(docs, Seq("lang", "src"), led, "d",
+        "rm", 0.2, 1.0)
     }
-    assert(ex.getMessage.contains("seed scheme"))
-    assert(ex.getMessage.contains("pre-v2"))
-    // the legacy spend still counts against the budget…
-    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.3) < 1e-9)
+    assert(exM.getMessage.contains("seed scheme"))
+    assert(exM.getMessage.contains("pre-v2"))
+    // single key but a NULL key value: the U+0001 sentinel changed that
+    // group's seed relative to concat_ws's null-skipping — refused too
+    val withNull = Seq((1L, "en"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "lang")
+    val exN = intercept[IllegalStateException] {
+      DpLedger.gatedLaplaceCounts(withNull, Seq("lang"), led, "d",
+        "rn", 0.1, 1.0)
+    }
+    assert(exN.getMessage.contains("seed scheme"))
+    // the legacy spends still count against the budget…
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.6) < 1e-9)
     // …and a NEW release id works, recording the current scheme, after
     // which ITS replay is free as usual
     DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r2", 0.3, 1.0)
       .collect()
-    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.6) < 1e-9)
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.9) < 1e-9)
     DpLedger.gatedLaplaceCounts(docs, Seq("lang"), led, "d", "r2", 0.3, 1.0)
       .collect()
-    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.6) < 1e-9)
+    assert(math.abs(DpLedger.spent(spark, led, "d") - 0.9) < 1e-9)
     val schemes = DpLedger.ledger(spark, led)
       .select("release_id", "seed_scheme")
       .as[(String, String)].collect().toMap
-    assert(schemes === Map("r1" -> "pre-v2", "r2" -> "nul-v2"))
+    assert(schemes === Map("r1" -> "pre-v2", "rm" -> "pre-v2",
+      "rn" -> "pre-v2", "r2" -> "nul-v2"))
   }
 
   test("DP ledger composes with streaming: replayed batches spend no new ε") {

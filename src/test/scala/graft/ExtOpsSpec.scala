@@ -388,6 +388,34 @@ class ExtOpsSpec extends SparkTestBase {
         .select("doc_id").as[Long].collect().toSet
       assert(got === ref(mixed, frac), s"mixed regime diverged at frac=$frac")
     }
+    // regression: STRING ids that PARSE as numbers sort lexicographically
+    // in the contract order ("100" < "2" < "20" < "9"), so the numeric
+    // range split must NOT engage for them — before the dtype gate the
+    // fat path cast them to double, composed cum_tokens in numeric order,
+    // and silently admitted the wrong documents
+    val numericStrIds = (1 to 300)
+      .map(i => ((i * 7919 % 100000).toString, "the and of to in is word"))
+      .toDF("doc_id", "text")
+    def refStr(docs: org.apache.spark.sql.DataFrame,
+               frac: Double): Set[String] = {
+      val scored = docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          round(TextAnalysis.qualityScore(col("text")) + lit(1e-9), 4)
+            .as("q"))
+        .as[(String, Long, Double)].collect()
+      val budget = math.floor(frac * scored.map(_._2).sum).toLong
+      var cum = 0L
+      scored.sortBy(t => (-t._3, t._1)).iterator
+        .map { t => cum += t._2; (t._1, cum) }
+        .takeWhile(_._2 <= budget).map(_._1).toSet
+    }
+    for (frac <- Seq(0.25, 0.5)) {
+      val got = Sampling.tokenBudgetSelect(numericStrIds, "text", "doc_id",
+          frac, maxBucketRows = 32L)
+        .select("doc_id").as[String].collect().toSet
+      assert(got === refStr(numericStrIds, frac),
+        s"numeric-string ids diverged from lexicographic order at frac=$frac")
+    }
   }
 
   test("shardManifest: bucketed two-pass assignment == reference global " +

@@ -1090,6 +1090,40 @@ object SparkEntry {
           budgetFrac = 0.25, maxBucketRows = 8L)
         .orderBy("doc_id")),
 
+    // The skew-forced selection on STRING ids — the realistic corpus-id
+    // shape (URLs, hex hashes). Casting doc_id to string makes the
+    // contract order LEXICOGRAPHIC ("10" < "2"), deliberately disagreeing
+    // with numeric order, and the tiny maxBucketRows forces every tie
+    // block through the frozen STRING-boundary range split (engine-sorted
+    // md5-sampled boundaries, string `>` composition) — hash-exactness
+    // against the string-ordered global oracle IS the r18 de-skew claim
+    // for string keys. budgetFrac = 0.40, NOT 0.25: measured at both
+    // sf0.01 and sf0.1, 0.40 lands the budget boundary INSIDE a quality
+    // tie block (the numeric- and string-ordered selections differ by
+    // 2-6 documents there), so this gate actually distinguishes the
+    // composition orders — at 0.25 the boundary falls on a tie-block
+    // edge and any within-block order would pass.
+    Q("x_token_budget_select_skew_str",
+      Some(s"""WITH t0 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+              |              $toksSql AS toks, text
+              |            FROM documents),
+              |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok_n,
+              |        ROUND(($qualityScoreSql) + 1e-9, 4) AS rq FROM t0),
+              |b AS (SELECT CAST(FLOOR(0.40 * SUM(tok_n)) AS BIGINT)
+              |        AS budget FROM t),
+              |c AS (SELECT doc_id, tok_n,
+              |        CAST(SUM(tok_n) OVER (ORDER BY rq DESC, doc_id)
+              |          AS BIGINT) AS cum_tokens FROM t)
+              |SELECT c.doc_id, c.tok_n, c.cum_tokens
+              |FROM c, b WHERE c.cum_tokens <= b.budget
+              |ORDER BY doc_id""".stripMargin),
+      (s, dir) => graft.ext.Sampling
+        .tokenBudgetSelect(
+          Tables.documents(s, dir)
+            .withColumn("doc_id", col("doc_id").cast("string")),
+          "text", "doc_id", budgetFrac = 0.40, maxBucketRows = 8L)
+        .orderBy("doc_id")),
+
     // Distribution drift (PSI) per event type between the month's halves:
     // fixed [0,500)x10 buckets, Laplace-smoothed, sparse-bucket
     // convention mirrored exactly in the oracle.

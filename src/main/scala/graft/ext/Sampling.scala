@@ -206,14 +206,26 @@ object Sampling {
     * sub-bucket aggregation over the fat rows, and partial sorts of at
     * most ~maxBucketRows rows each; never one giant ordered shuffle.
     *
-    * Fat-block splitting keys on `CAST(id AS DOUBLE)` and is gated on a
-    * NUMERIC id column type (monotone cast, including longs past 2^53 —
-    * rounding is monotone and double-ties stay in one sub-bucket where
-    * the true id ordering resumes). Non-numeric id types — INCLUDING
-    * strings that happen to parse as numbers, whose window order is
-    * lexicographic and would disagree with a numeric range split — keep
-    * every tie block as a single sorted range: correct, just unbounded
-    * for blocks beyond maxBucketRows.
+    * Fat-block boundaries are drawn PER ID TYPE, always compared in the
+    * engine's own sort order for that type so the assignment is
+    * order-preserving by construction:
+    *  - NUMERIC ids: approx-percentile boundaries of `CAST(id AS
+    *    DOUBLE)` (monotone cast, including longs past 2^53 — rounding
+    *    is monotone and double-ties stay in one sub-bucket where the
+    *    true id ordering resumes), compared with numeric `>`.
+    *  - STRING ids (URLs, md5/uuid hex — the realistic corpus-id
+    *    shape): boundaries sliced from a deterministic md5-thresholded
+    *    sample of each fat block's ids, sorted by the ENGINE
+    *    (`sort_array` = UTF8 binary order, the exact order the window's
+    *    `id ASC` uses) and compared with string `>`. A string that
+    *    happens to parse as a number stays in lexicographic order
+    *    throughout — the boundary values and the comparison both live
+    *    in string space, so the numeric-cast reorder bug this gate
+    *    originally guarded against cannot arise. The sample is ~64 ids
+    *    per target sub-bucket (≤64·1024 per fat block; fat blocks
+    *    number ≤ corpusRows/maxBucketRows), driver-bounded.
+    *  - Other id types keep every tie block as a single sorted range:
+    *    correct, just unbounded for blocks beyond maxBucketRows.
     *
     * Returns (idCol, tok_n, cum_tokens) for the selected documents. */
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
@@ -294,21 +306,22 @@ object Sampling {
     val keptBt = bt.filter(t => keptOff.contains(t._1))
     val minRqi = keptOff.keys.min
     // ---- level 2: split kept tie blocks fatter than maxBucketRows into
-    // contiguous id ranges at frozen approx-percentile boundaries
-    // Fat-block range splitting is gated on a NUMERIC id column: the
-    // split orders sub-buckets by CAST(id AS DOUBLE), which agrees with
-    // the contract's id ASC order only for numeric types (monotone cast,
-    // double-ties resolved inside one sub-bucket). A STRING id that
-    // happens to parse as a number would cast non-null but sort
-    // lexicographically in the window ("3000000" < "4") — range-splitting
-    // it numerically would compose cum_tokens in a different total order
-    // and silently admit the wrong documents. Non-numeric id types
-    // therefore keep every tie block as a single sorted range — correct,
+    // contiguous id ranges at frozen boundaries, drawn per id TYPE but
+    // always COMPARED in the engine's own sort order for that type:
+    //  - numeric ids: approx-percentile of CAST(id AS DOUBLE) (monotone
+    //    cast, double-ties resolved inside one sub-bucket), numeric `>`;
+    //  - string ids: sliced from an engine-sorted deterministic sample
+    //    of the fat rows' ids, string `>` — a STRING id that parses as
+    //    a number ("3000000" < "4" lexicographically) never leaves
+    //    string space, so the numeric-cast reorder bug cannot arise.
+    // Other id types keep every tie block as one sorted range — correct,
     // just unbounded for blocks beyond maxBucketRows.
-    val idNumeric = scored.schema(idCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val idType = scored.schema(idCol).dataType
+    val idNumeric =
+      idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val idString = idType == org.apache.spark.sql.types.StringType
     val fat =
-      if (!idNumeric) Map.empty[Int, Int]
+      if (!idNumeric && !idString) Map.empty[Int, Int]
       else keptBt.filter(_._3 > maxBucketRows)
         .map { case (rqi, _, bn) =>
           rqi -> math.min(1024L, (bn + maxBucketRows - 1) / maxBucketRows).toInt
@@ -322,7 +335,7 @@ object Sampling {
     // and degrades to one range.
     val grid = if (fat.isEmpty) 0 else fat.values.max
     val bounds: Map[Int, Array[Double]] =
-      if (fat.isEmpty) Map.empty
+      if (fat.isEmpty || !idNumeric) Map.empty
       else bucketed.filter(col("_rqi").isin(fat.keys.toSeq: _*))
         .withColumn("_idd", col(idCol).cast("double"))
         .groupBy("_rqi")
@@ -342,28 +355,79 @@ object Sampling {
             }.toArray
           rqi -> picked
         }.toMap
-    // sub-bucket id of a row: #boundaries strictly below its id-double
-    // (0 for thin buckets). The boundaries are FROZEN driver-side and
-    // ride in as a broadcast (rqi → boundary-array) table consumed by a
-    // size(filter(...)) lookup — NOT as a per-bucket CASE chain: with
-    // thousands of fat buckets × up to 1023 boundaries each (exactly the
+    // STRING-id boundaries: one pass over the FAT rows only — a
+    // deterministic md5-thresholded sample (~64 ids per target
+    // sub-bucket; per-bucket fraction rides in as a broadcast join, not
+    // a CASE chain) collected per bucket and sorted BY THE ENGINE
+    // (sort_array = UTF8 binary comparison, identical to the window's
+    // id ASC order), then sliced to s−1 evenly spaced boundaries
+    // driver-side. Driver footprint ≤ 64·1024 ids per fat block, and
+    // fat blocks number ≤ corpusRows/maxBucketRows by definition. A
+    // bucket whose sample comes back empty simply gets no boundary row
+    // and degrades to one range (balance lost, exactness untouched).
+    val strBounds: Map[Int, Array[String]] =
+      if (fat.isEmpty || !idString) Map.empty
+      else {
+        val fracDf = fat.toSeq.map { case (rqi, s) =>
+          val bn = keptBt.find(_._1 == rqi).map(_._3).getOrElse(1L)
+          (rqi, math.min(1.0, 64.0 * s / bn))
+        }.toDF("_rqi", "_frac")
+        bucketed.filter(col("_rqi").isin(fat.keys.toSeq: _*))
+          .join(broadcast(fracDf), Seq("_rqi"))
+          .filter(conv(substring(
+              md5(concat(col(idCol), lit("#tbsel")).cast("binary")), 1, 8),
+            16, 10).cast("double") < col("_frac") * lit(4294967296.0))
+          .groupBy("_rqi")
+          .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+          .collect().map { r =>
+            val rqi = r.getInt(0)
+            val s = fat(rqi)
+            val ids = Option(r.getSeq[String](1)).map(_.toArray)
+              .getOrElse(Array.empty[String])
+            val picked =
+              if (ids.isEmpty) Array.empty[String]
+              else (1 until s).map { i =>
+                ids(math.min(ids.length - 1, math.max(0,
+                  math.round(i.toDouble / s * ids.length).toInt - 1)))
+              }.distinct.toArray
+            rqi -> picked
+          }.toMap
+      }
+    // sub-bucket id of a row: #boundaries strictly below its id (in the
+    // id type's own engine comparison; 0 for thin buckets). The
+    // boundaries are FROZEN driver-side and ride in as a broadcast
+    // (rqi → boundary-array) table consumed by a size(filter(...))
+    // lookup — NOT as a per-bucket CASE chain: with thousands of fat
+    // buckets × up to 1023 boundaries each (exactly the
     // concentrated-quality regime this kernel targets) an inlined
     // when/otherwise fold would build a plan with millions of expression
     // nodes and fall over in analysis/codegen before the window it
     // replaces ever would. The join keeps the plan size O(1) in the
     // bucket count; both the offset aggregation and the window apply the
-    // identical deterministic assignment.
+    // identical deterministic assignment. The null branch is explicit
+    // (thin bucket → no boundary row → _sub 0) rather than a coalesce
+    // around size(NULL): under spark.sql.legacy.sizeOfNull=true,
+    // size(NULL) is -1, not NULL — a coalesce would pass -1 through and
+    // the offset join (which carries _sub = 0 for thin buckets) would
+    // silently DROP every thin-bucket row. Correctness must not hinge
+    // on a session conf.
     val boundsDf =
-      bounds.toSeq.map { case (rqi, bs) => (rqi, bs.toSeq) }
-        .toDF("_rqi", "_bs")
+      if (idString)
+        strBounds.toSeq.map { case (rqi, bs) => (rqi, bs.toSeq) }
+          .toDF("_rqi", "_bs")
+      else
+        bounds.toSeq.map { case (rqi, bs) => (rqi, bs.toSeq) }
+          .toDF("_rqi", "_bs")
     def withSub(df: DataFrame): DataFrame =
       if (fat.isEmpty) df.withColumn("_sub", lit(0))
       else df
         .join(broadcast(boundsDf), Seq("_rqi"), "left")
-        .withColumn("_idd", col(idCol).cast("double"))
-        .withColumn("_sub", coalesce(
-          expr("size(filter(_bs, b -> _idd > b))"), lit(0)))
-        .drop("_bs", "_idd")
+        .withColumn("_idc",
+          if (idString) col(idCol) else col(idCol).cast("double"))
+        .withColumn("_sub",
+          when(col("_bs").isNull || col("_idc").isNull, lit(0))
+            .otherwise(expr("size(filter(_bs, b -> _idc > b))")))
+        .drop("_bs", "_idc")
     // per-(bucket, sub) token totals: thin buckets come straight from
     // the level-1 table; fat buckets pay one more aggregation over THEIR
     // rows only

@@ -174,6 +174,29 @@ object StreamingPipeline {
     }
   }
 
+  /** Runtime enforcement of the store-view snapshot contract. Every lazy
+    * view over a swap-replaced store ([[tokenBudgetView]],
+    * [[dsirWeightsView]], the quantile/EWMA/seasonal/drift views) pins
+    * its file listing at read creation and relies on a fold-in-between
+    * failing LOUDLY at action time (FileNotFoundException on the
+    * swapped-away files) to keep "act before the next fold" enforceable.
+    * `spark.sql.files.ignoreMissingFiles=true` converts that loud
+    * failure into a silent PARTIAL-snapshot read — a wrong answer
+    * instead of an error — so view construction refuses outright under
+    * that conf rather than leaving the hazard to scaladoc. */
+  private[graft] def requireLoudMissingFiles(spark: SparkSession,
+                                             view: String): Unit = {
+    val on = spark.conf.getOption("spark.sql.files.ignoreMissingFiles")
+      .exists(_.trim.equalsIgnoreCase("true"))
+    if (on) throw new IllegalStateException(
+      s"$view: refusing to build a store view while " +
+        "spark.sql.files.ignoreMissingFiles=true — a state fold between " +
+        "view creation and action would silently read a PARTIAL snapshot " +
+        "of the swap-replaced store instead of failing loudly; unset the " +
+        "conf (the snapshot contract depends on missing files being an " +
+        "error)")
+  }
+
   /** Crash-safe merge-and-swap shared by the small per-group STATE tables
     * ([[mergeGoldBatch]] aggregates, [[sketchDistinct]] registers): read
     * the current state if any, apply `merge`, stage the result next to
@@ -829,7 +852,9 @@ object StreamingPipeline {
     * document ever seen — the same docs-sized-state stance as the
     * fingerprint/signature dedup indices, and the expensive part
     * (tokenize + quality-score the text) is still paid exactly once per
-    * document. The fold is a union, so the view over any batch split
+    * document. The fold is a union of first-arrival rows (an id already
+    * in the index folds as a no-op — per-document idempotence, see
+    * [[tokenBudgetIngestBatch]]), so the view over any batch split
     * equals [[graft.ext.Sampling.tokenBudgetSelect]] over the
     * concatenated history EXACTLY (split-invariant; property-tested).
     * Exactly-once via the same marker+swap. */
@@ -842,7 +867,17 @@ object StreamingPipeline {
       }
       .start()
 
-  /** The per-batch body of [[tokenBudgetIngest]]. */
+  /** The per-batch body of [[tokenBudgetIngest]]. The fold is
+    * per-DOCUMENT idempotent, not just per-batch: the marker suppresses
+    * replays of the same batch id, and the anti-join below additionally
+    * drops index rows whose doc id is already present — so an
+    * at-least-once source re-delivering a document under a NEW batch id
+    * (e.g. after checkpoint loss) folds as a no-op instead of
+    * double-counting its tokens in the budget and in cum_tokens forever
+    * (first-arrival score wins, matching the sibling dedup/keep-best
+    * ingest stores). Distinct-id rows still fold as a pure union, so
+    * the view over any batch split equals the batch operator over the
+    * first-arrival-deduped history exactly. */
   def tokenBudgetIngestBatch(batch: DataFrame, id: Long, textCol: String,
                              idCol: String, storePath: String): Unit =
     mergeSwapState(batch.sparkSession, storePath, id) { existingOpt =>
@@ -853,7 +888,8 @@ object StreamingPipeline {
       val scored = graft.ext.Sampling.tokenBudgetScore(batch, textCol,
         idCol)
       existingOpt match {
-        case Some(existing) => existing.unionByName(scored)
+        case Some(existing) => existing.unionByName(
+          scored.join(existing.select(col(idCol)), Seq(idCol), "left_anti"))
         case None => scored
       }
     }
@@ -871,14 +907,18 @@ object StreamingPipeline {
     * the final window runs at the caller's action; `stored`'s file
     * listing is pinned at read creation, so a fold in between makes the
     * action fail loudly on the swapped-away files (FileNotFound) rather
-    * than mix corpus states — EXCEPT under
-    * `spark.sql.files.ignoreMissingFiles=true`, where the action would
-    * silently read a partial snapshot. Same single-writer,
-    * read-between-folds stance as every other store view here. */
+    * than mix corpus states. `spark.sql.files.ignoreMissingFiles=true`
+    * would turn that loud failure into a silent partial-snapshot read,
+    * so the view REFUSES to build under it
+    * ([[requireLoudMissingFiles]] — enforced, not just documented).
+    * Same single-writer, read-between-folds stance as every other store
+    * view here. */
   def tokenBudgetView(stored: DataFrame, idCol: String, budgetFrac: Double,
-                      maxBucketRows: Long = 4000000L): DataFrame =
+                      maxBucketRows: Long = 4000000L): DataFrame = {
+    requireLoudMissingFiles(stored.sparkSession, "tokenBudgetView")
     graft.ext.Sampling.tokenBudgetSelectScored(stored, idCol, budgetFrac,
       maxBucketRows, cacheInput = false)
+  }
 
   /** Continuous DSIR weight maintenance — the streaming twin of
     * [[graft.ext.Sampling.dsirWeights]]: each micro-batch's hashed-ngram
@@ -926,6 +966,7 @@ object StreamingPipeline {
     * `Sampling.dsirScore` unchanged. */
   def dsirWeightsView(stored: DataFrame, numBuckets: Int,
                       alpha: Double = 1.0): DataFrame = {
+    requireLoudMissingFiles(stored.sparkSession, "dsirWeightsView")
     val spark = stored.sparkSession
     val all = spark.range(numBuckets).select(col("id").as("bucket"))
     val tot = stored.agg(sum("ct").as("tt"), sum("cr").as("tr"))
@@ -1051,10 +1092,12 @@ object StreamingPipeline {
     * scalar read of the groups-sized state, no driver collect and no
     * event rescan. */
   def quantileStateView(stored: DataFrame, keys: Seq[String],
-                        percentages: Seq[Double]): DataFrame =
+                        percentages: Seq[Double]): DataFrame = {
+    requireLoudMissingFiles(stored.sparkSession, "quantileStateView")
     stored.select(keys.map(col) :+
       graft.functions.QuantileFunctions
         .quantileSketchQuery(col("sk"), percentages).as("quantiles"): _*)
+  }
 
   /** Continuous gold maintenance: stream → per-batch partial window
     * aggregates → algebraic merge into the gold table (exactly-once via
@@ -1119,6 +1162,7 @@ object StreamingPipeline {
     * rounding boundary.) */
   def ewmaDailyView(stored: DataFrame, keys: Seq[String],
                     alpha: Double = 0.5, windowDays: Int = 10): DataFrame = {
+    requireLoudMissingFiles(stored.sparkSession, "ewmaDailyView")
     val w = Window.partitionBy(keys.map(col): _*).orderBy("day")
       .rowsBetween(-(windowDays - 1), Window.currentRow)
     stored
@@ -1174,13 +1218,15 @@ object StreamingPipeline {
   /** Mean + sample stddev from [[seasonalBaselineIngest]] moments:
     * sd² = (Σv² − (Σv)²/n)/(n−1), clamped at 0 against FP cancellation;
     * sd is NULL for single-observation groups (like stddev_samp). */
-  def seasonalBaselineView(stored: DataFrame): DataFrame =
+  def seasonalBaselineView(stored: DataFrame): DataFrame = {
+    requireLoudMissingFiles(stored.sparkSession, "seasonalBaselineView")
     stored
       .withColumn("m", col("sum_v") / col("n"))
       .withColumn("sd", when(col("n") > 1,
         sqrt(greatest(
           (col("sum_sq") - col("sum_v") * col("sum_v") / col("n"))
             / (col("n") - lit(1)), lit(0.0)))))
+  }
 
   /** Continuous drift monitoring at ingest: per micro-batch, score the
     * batch's `valueCol` distribution against a STORED reference
@@ -1291,6 +1337,7 @@ object StreamingPipeline {
                       group: Seq[(String, String)] = Nil,
                       metric: String = "psi",
                       valueCol: String = "psi"): DataFrame = {
+    requireLoudMissingFiles(stored.sparkSession, "driftSeriesView")
     val one = group.foldLeft(stored) { case (df, (c, v)) =>
       df.filter(col(c) === v)
     }

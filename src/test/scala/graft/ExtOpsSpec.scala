@@ -389,10 +389,12 @@ class ExtOpsSpec extends SparkTestBase {
       assert(got === ref(mixed, frac), s"mixed regime diverged at frac=$frac")
     }
     // regression: STRING ids that PARSE as numbers sort lexicographically
-    // in the contract order ("100" < "2" < "20" < "9"), so the numeric
-    // range split must NOT engage for them — before the dtype gate the
-    // fat path cast them to double, composed cum_tokens in numeric order,
-    // and silently admitted the wrong documents
+    // in the contract order ("100" < "2" < "20" < "9"). The r17 kernel
+    // gated these out of the split entirely (a numeric cast would have
+    // composed cum_tokens in the wrong order); the r18 kernel range-splits
+    // them on frozen STRING boundaries compared with string `>`, so the
+    // fat path now ENGAGES here and must still reproduce the exact
+    // lexicographic global order
     val numericStrIds = (1 to 300)
       .map(i => ((i * 7919 % 100000).toString, "the and of to in is word"))
       .toDF("doc_id", "text")
@@ -415,6 +417,28 @@ class ExtOpsSpec extends SparkTestBase {
         .select("doc_id").as[String].collect().toSet
       assert(got === refStr(numericStrIds, frac),
         s"numeric-string ids diverged from lexicographic order at frac=$frac")
+    }
+    // string ids in the REALISTIC shape (hex-hash-like, all one quality
+    // value → one fat tie block over the whole corpus): the string-id
+    // split must bound the work AND stay exact, including duplicated
+    // cum_tokens values, against both the driver reference and the
+    // single-range (thin) path
+    val hexIds = (1 to 300).map { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (h, ("the and of to in is word " * (1 + i % 5)).trim)
+    }.toDF("doc_id", "text")
+    for (frac <- Seq(0.25, 0.6)) {
+      val fatStr = Sampling.tokenBudgetSelect(hexIds, "text", "doc_id",
+          frac, maxBucketRows = 24L)
+        .as[(String, Long, Long)].collect().toSet
+      val thinStr = Sampling.tokenBudgetSelect(hexIds, "text", "doc_id", frac)
+        .as[(String, Long, Long)].collect().toSet
+      assert(fatStr === thinStr,
+        s"string-id fat path diverged from single-range path at frac=$frac")
+      assert(fatStr.map(_._1) === refStr(hexIds, frac),
+        s"string-id fat path diverged from global order at frac=$frac")
     }
   }
 

@@ -835,6 +835,52 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$store/data").schema("doc_id").dataType ===
       org.apache.spark.sql.types.StringType)
     assert(kept === Set("d-a", "d-b"))
+    // per-DOCUMENT idempotence: d-c re-delivered under a NEW batch id
+    // (the at-least-once redelivery the marker cannot catch — e.g. after
+    // checkpoint loss) must fold as a no-op, not double-count its tokens
+    StreamingPipeline.tokenBudgetIngestBatch(
+      df(Seq(("d-c", tC))), 3L, "text", "doc_id", store)
+    assert(spark.read.parquet(s"$store/data").count() === 3,
+      "re-delivered doc under a new batch id must not duplicate its row")
+    assert(kept === Set("d-a", "d-b"))
+  }
+
+  test("store views refuse to build under ignoreMissingFiles=true (the " +
+    "snapshot contract is enforced, not just documented) and recover " +
+    "when the conf is unset") {
+    val store = Files.createTempDirectory("graft-tbg").toString + "/s"
+    StreamingPipeline.tokenBudgetIngestBatch(
+      Seq(("d-a", "the and of to")).toDF("doc_id", "text"),
+      0L, "text", "doc_id", store)
+    def stored = spark.read.parquet(s"$store/data")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      // every lazy store view refuses while the conf would let a
+      // fold-between-view-and-action silently read a partial snapshot
+      val ex = intercept[IllegalStateException] {
+        StreamingPipeline.tokenBudgetView(stored, "doc_id", 0.5)
+      }
+      assert(ex.getMessage.contains("ignoreMissingFiles"))
+      intercept[IllegalStateException] {
+        StreamingPipeline.quantileStateView(stored, Seq("doc_id"), Seq(0.5))
+      }
+      intercept[IllegalStateException] {
+        StreamingPipeline.dsirWeightsView(stored, 16)
+      }
+      intercept[IllegalStateException] {
+        StreamingPipeline.seasonalBaselineView(stored)
+      }
+      intercept[IllegalStateException] {
+        StreamingPipeline.ewmaDailyView(stored, Seq("doc_id"))
+      }
+      intercept[IllegalStateException] {
+        StreamingPipeline.driftSeriesView(stored)
+      }
+    } finally spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
+    // conf back to loud-failure default: the view builds and reads
+    // (frac 1.0 — at 0.5 the single 4-token doc exceeds budget 2)
+    assert(StreamingPipeline.tokenBudgetView(stored, "doc_id", 1.0)
+      .select("doc_id").as[String].collect().toSet === Set("d-a"))
   }
 
   test("mergeSwapState crash windows: backup-restore and stale-backup hold " +

@@ -159,11 +159,26 @@ object Bench {
     val envelopePath = sys.env.getOrElse("SPARK_GRAFT_ENVELOPES",
       "bench_envelopes.json")
     val envelopeFallback = Map("x_model_curation_pipeline" -> 2.8)
+    // `cells` widen the per-cell churn guard; `headline` rows are
+    // declared bands for the whole-run figures (stream_events_per_sec
+    // etc.) — adjudicated baselines that travel in the artifact so a
+    // round-over-round reader compares against the declared band, not
+    // whichever session happened to be committed last
+    var headlineEnv: Map[String, String] = Map.empty
     val envelope: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(envelopePath)), "UTF-8")
-      val node = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(txt).get("cells")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt)
+      val hn = root.get("headline")
+      if (hn != null) {
+        val hb = Map.newBuilder[String, String]
+        hn.fields().forEachRemaining { e =>
+          hb += e.getKey -> e.getValue.toString
+        }
+        headlineEnv = hb.result()
+      }
+      val node = root.get("cells")
       if (node == null) envelopeFallback
       else {
         val b = Map.newBuilder[String, Double]
@@ -306,7 +321,10 @@ object Bench {
     val bimodalJson = bimodal.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min2+reprobe+prior-churn-guard (r13+)",$env,"queries":$qs,"errors":$errsJson,"variance_envelopes":$envJson,"bimodal_cells":$bimodalJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
+    val headlineJson = headlineEnv.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min2+reprobe+prior-churn-guard (r13+)",$env,"queries":$qs,"errors":$errsJson,"variance_envelopes":$envJson,"bimodal_cells":$bimodalJson,"headline_envelopes":$headlineJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
     println(json)
     // stdout gets truncated by callers that keep only a tail; also land
     // the complete per-query JSON as an artifact so round-over-round

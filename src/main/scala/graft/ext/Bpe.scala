@@ -182,9 +182,14 @@ object Bpe {
     learnBatchedFromWordCounts(wordCounts(docs, textCol), numMerges, batch)
 
   /** The batched merge loop over an already-computed (word, freq)
-    * table — the [[learnFromWordCounts]] seam, batched. */
+    * table — the [[learnFromWordCounts]] seam, batched. `onRound` is
+    * called once per distributed round with the number of merges that
+    * round realized (ScaleProbe uses it to measure batch UTILIZATION —
+    * realized merges/round vs the batch cap — without touching the
+    * model type); the default is a no-op. */
   def learnBatchedFromWordCounts(wc: DataFrame, numMerges: Int,
-                                 batch: Int): BpeModel = {
+                                 batch: Int,
+                                 onRound: Int => Unit = _ => ()): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(batch >= 1 && batch <= 64,
       s"batch must be in [1, 64] (nested fold depth per round), got $batch")
@@ -230,6 +235,7 @@ object Bpe {
           } else cutAt = true
         }
         val batchSel = sel.result()
+        onRound(batchSel.size)
         batchSel.foreach { case (l, rr, c) =>
           merges += ((r, l, rr, c)); r += 1
         }
@@ -299,8 +305,43 @@ object Bpe {
     val n = wc.count()
     require(n <= maxVocab,
       s"vocabulary $n exceeds maxVocab=$maxVocab: raise the gate or use learn()")
-    val rows = wc.collect()
-    Graph.freeCheckpoint(wc)
+    try learnLocalFromWordCounts(wc.collect(), numMerges)
+    finally Graph.freeCheckpoint(wc)
+  }
+
+  /** Auto-switching production facade: ONE word-count pass, then the
+    * driver arm ([[learnLocal]]'s pair-indexed loop — argmax + touched
+    * words per merge, the fastest shape for any table that fits) when
+    * the vocabulary is within `maxVocab`, else the distributed
+    * [[learnBatchedFromWordCounts]] loop (symbol-disjoint batches under
+    * the conflict-CUT rule) for tables beyond driver memory. Callers no
+    * longer pick an arm by guessing corpus size — the gate that
+    * [[learnLocal]] enforces by throwing is the same gate that routes
+    * here. Returns the merge sequence (rank, lhs, rhs, pair_freq), the
+    * common currency both arms produce and [[encode]]/[[encodedVocab]]
+    * consume. */
+  def learnAuto(docs: DataFrame, textCol: String, numMerges: Int,
+                maxVocab: Int = 2000000,
+                batch: Int = 8): Seq[(Int, String, String, Long)] = {
+    val wc = wordCounts(docs, textCol).localCheckpoint(true)
+    try {
+      if (wc.count() <= maxVocab)
+        learnLocalFromWordCounts(wc.collect(), numMerges)._1
+      else {
+        val model = learnBatchedFromWordCounts(wc, numMerges, batch)
+        try model.mergeList finally model.release()
+      }
+    } finally Graph.freeCheckpoint(wc)
+  }
+
+  /** The driver merge loop over collected (word, freq) rows — the
+    * [[learnLocal]] body behind the size gate, exposed so
+    * [[learnAuto]] can reuse one materialized word table for both the
+    * gate count and the chosen arm. */
+  private def learnLocalFromWordCounts(rows: Array[org.apache.spark.sql.Row],
+                                       numMerges: Int):
+      (Seq[(Int, String, String, Long)],
+       Map[String, (Long, Seq[String])]) = {
     val words = new Array[String](rows.length)
     val freqs = new Array[Long](rows.length)
     val syms = new Array[Vector[String]](rows.length)

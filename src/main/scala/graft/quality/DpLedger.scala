@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   * does NOT spend again and returns byte-identical output, because the
   * noise is a deterministic function of (dataset, releaseId, secretSalt,
   * group key) — re-publishing the same numbers reveals nothing new, so it
-  * costs no new ε. The ledger row is written BEFORE the noised frame is
-  * handed back: a crash between the two leaves ε spent but unreleased —
-  * the safe direction for privacy (never the reverse).
+  * costs no new ε. The free-replay contract is CONDITIONAL on the caller
+  * replaying the same data: the ledger records no data fingerprint, so a
+  * "replay" against changed data publishes new group counts under the
+  * old spend — same-data is the caller's invariant here, exactly as it
+  * is for the warehouse batch markers. The ledger row is written BEFORE
+  * the noised frame is handed back: a crash between the two leaves ε
+  * spent but unreleased — the safe direction for privacy (never the
+  * reverse).
   *
   * WHAT THE LEDGER DOES AND DOES NOT GUARANTEE: the ledger makes the ε
   * ACCOUNTING enforceable (no release beyond budget, no double-spend on
@@ -235,6 +240,17 @@ object DpLedger {
         // that the averaging-attack rationale never required closing.
         // The thunk runs only when a pre-v2 row is actually hit, so the
         // common path pays nothing.
+        //
+        // Scope of the proof: the null-key check runs on the REPLAY-time
+        // dataframe — the ledger stores no data fingerprint, so it
+        // cannot verify that the ORIGINALLY released data was also
+        // null-free. A pre-v2 release whose published groups included a
+        // null key, replayed later against data that no longer contains
+        // one, passes this gate and draws under the new scheme. That is
+        // the same conditional-on-same-data contract every free replay
+        // here already has (nul-v2 replays never verify data identity
+        // either — see the class doc): the gate proves seed-SCHEME
+        // equivalence given the replay df, not data identity.
         if (r.getString(2) != SeedScheme &&
             !(r.getString(2) == "pre-v2" && preV2SeedIdentical()))
           throw new IllegalStateException(

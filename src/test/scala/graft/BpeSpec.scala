@@ -50,6 +50,26 @@ class BpeSpec extends SparkTestBase {
     dist.release()
   }
 
+  test("learnAuto routes by the vocabulary gate: driver arm under it, " +
+    "batched distributed arm over it, identical merge tables") {
+    val docs = corpus(
+      (1L, "low low low low low lower lower newest newest"),
+      (2L, "newest newest newest newest widest widest widest"))
+    // vocab (4 words) within the gate → the driver arm's exact table
+    val (local, _) = Bpe.learnLocal(docs, "text", 6)
+    assert(Bpe.learnAuto(docs, "text", 6) === local)
+    // gate forced below the vocab size → the batched distributed arm;
+    // batch=1 degenerates to strict learn(), so the facade's fallback
+    // is pinned against the strict table too
+    val strict = Bpe.learn(docs, "text", 6)
+    assert(Bpe.learnAuto(docs, "text", 6, maxVocab = 2, batch = 1) ===
+      strict.mergeList)
+    val batched = Bpe.learnBatched(docs, "text", 6, batch = 4)
+    assert(Bpe.learnAuto(docs, "text", 6, maxVocab = 2, batch = 4) ===
+      batched.mergeList)
+    strict.release(); batched.release()
+  }
+
   test("learn and learnLocal agree on non-BMP text (surrogate pairs, CJK ties)") {
     // 😀 (U+1F600) is a surrogate pair: a per-code-UNIT local split would
     // make it two symbols and diverge from the distributed arm at round

@@ -440,6 +440,27 @@ class ExtOpsSpec extends SparkTestBase {
       assert(fatStr.map(_._1) === refStr(hexIds, frac),
         s"string-id fat path diverged from global order at frac=$frac")
     }
+    // conf-independence: under spark.sql.legacy.sizeOfNull=true,
+    // size(NULL) is -1 — a coalesce-shaped sub-bucket assignment would
+    // pass -1 through for every THIN bucket and the offset join (which
+    // carries _sub = 0 there) would silently drop those rows. The
+    // mixed corpus has both fat and thin tie blocks, so a wrong thin
+    // branch changes the selection here.
+    // (the legacy conf only takes effect with ANSI off, so flip both —
+    // and restore both — to actually drive size(NULL) to -1)
+    val ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      val gotLegacy = Sampling.tokenBudgetSelect(mixed, "text", "doc_id",
+          0.6, maxBucketRows = 16L)
+        .select("doc_id").as[Long].collect().toSet
+      assert(gotLegacy === ref(mixed, 0.6),
+        "selection must not depend on spark.sql.legacy.sizeOfNull")
+    } finally {
+      spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+      spark.conf.set("spark.sql.ansi.enabled", ansi0)
+    }
   }
 
   test("shardManifest: bucketed two-pass assignment == reference global " +

@@ -261,34 +261,21 @@ object Bench {
     val latencyListener = new graft.streaming.StreamingPipeline.MetricsListener
     spark.streams.addListener(latencyListener)
     val streamRps = try {
-      import java.nio.file.{Files, Path}
-      val streamDir = Files.createTempDirectory("graft-bench-stream")
-      Files.copy(Path.of(s"$sfDir/events.parquet"),
-        streamDir.resolve("events.parquet"))
-      val raw = spark.read.parquet(streamDir.toString)
-      val src0 = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
-      val src =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          src0.withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        else src0
-      val agg = graft.streaming.StreamingPipeline.windowedAgg(
-        src, "ts", Seq("event_type"), "value", "5 minutes", "10 minutes")
+      // the measurement itself lives in bench.StreamIngest — ONE
+      // definition shared with the ScaleProbe streamheadline
+      // adjudication probe, so probe and bench cannot diverge when the
+      // window width / watermark / ts conversion next changes
+      val (agg, rows) = graft.bench.StreamIngest.buildAgg(spark, sfDir)
       // Best-of-3, same discipline as the chain: the single-shot reading
       // swung ±15% round-to-round on identical code. Each run replays the
       // whole source dir from a FRESH checkpoint (a reused one would mark
       // every file already-processed and measure an empty batch).
       val sec = (1 to 3).map { _ =>
-        val ckpt = Files.createTempDirectory("graft-bench-ckpt").toString
-        val s = time {
-          val q = agg.writeStream.outputMode("update").format("noop")
-            .option("checkpointLocation", ckpt).start()
-          try q.processAllAvailable() finally q.stop()
-        }
+        val s = graft.bench.StreamIngest.runOnce(agg)
         System.gc()
         s
       }.min
-      if (sec > 0) chainRows / sec else 0.0
+      if (sec > 0) rows / sec else 0.0
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming-ingest measurement failed: $e")
       errors += "stream_events_per_sec"

@@ -915,6 +915,8 @@ object ScaleProbe {
     * cell is visible as (run1 >> run2) directly, without re-deriving the
     * r17 curationvar analysis for every newly flagged cell. */
   private def cellProbe(args: Array[String]): Unit = {
+    require(args.length > 1 && args(1).nonEmpty,
+      "usage: ScaleProbe cellprobe <name[,name...]> [sfDir] [reps]")
     val names = args(1).split(",").toSeq
     val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
     val reps = if (args.length > 3) args(3).toInt else 4
@@ -960,27 +962,12 @@ object ScaleProbe {
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import java.nio.file.{Files, Path}
-    val nRows = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val streamDir = Files.createTempDirectory("graft-shl-stream")
-    Files.copy(Path.of(s"$sfDir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val raw = spark.read.parquet(streamDir.toString)
-    val src0 = spark.readStream.schema(raw.schema).parquet(streamDir.toString)
-    val src =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        src0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else src0
-    val agg = streaming.StreamingPipeline.windowedAgg(
-      src, "ts", Seq("event_type"), "value", "5 minutes", "10 minutes")
+    // the SAME buildAgg/runOnce the bench calls — not a copy, so this
+    // probe measures exactly what the bench measures by construction
+    val (agg, nRows) = bench.StreamIngest.buildAgg(spark, sfDir)
     (1 to reps).foreach { rep =>
       System.gc()
-      val ckpt = Files.createTempDirectory("graft-shl-ckpt").toString
-      val t0 = System.nanoTime()
-      val q = agg.writeStream.outputMode("update").format("noop")
-        .option("checkpointLocation", ckpt).start()
-      try q.processAllAvailable() finally q.stop()
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = bench.StreamIngest.runOnce(agg)
       println(f"[scale] streamheadline rep$rep rows=$nRows sec=$sec%.2f " +
         f"events_per_sec=${nRows / sec}%.0f")
     }

@@ -183,7 +183,18 @@ object StreamingPipeline {
     * `spark.sql.files.ignoreMissingFiles=true` converts that loud
     * failure into a silent PARTIAL-snapshot read — a wrong answer
     * instead of an error — so view construction refuses outright under
-    * that conf rather than leaving the hazard to scaladoc. */
+    * that conf rather than leaving the hazard to scaladoc.
+    *
+    * Scope: the check runs at view-CONSTRUCTION time against the
+    * SESSION conf — the misconfiguration the hazard was filed about.
+    * Two bypasses remain the caller's contract (documented, not
+    * enforceable from here): a per-read
+    * `.option("ignoreMissingFiles", "true")` baked into `stored`'s own
+    * reader (invisible to the session conf), and setting the conf
+    * AFTER the view is built but before its action (no construction
+    * hook can see the future). Both require the caller to explicitly
+    * opt into ignoring missing files on a store they were told is
+    * swap-replaced. */
   private[graft] def requireLoudMissingFiles(spark: SparkSession,
                                              view: String): Unit = {
     val on = spark.conf.getOption("spark.sql.files.ignoreMissingFiles")
@@ -885,8 +896,19 @@ object StreamingPipeline {
       // input, so the id column keeps its real type (the shardManifest
       // empty-frame lesson: fabricated literals would land a
       // wrongly-typed parquet partition)
-      val scored = graft.ext.Sampling.tokenBudgetScore(batch, textCol,
-        idCol)
+      val raw = graft.ext.Sampling.tokenBudgetScore(batch, textCol, idCol)
+      // in-batch dedup FIRST: a duplicate id arriving twice within one
+      // micro-batch (producer-retry duplicates adjacent in the log)
+      // would bypass the store anti-join below — both rows are absent
+      // from `existing` — and double-count forever. The reduction is
+      // the deterministic min-(tok_n, _rqi) representative per id:
+      // identity for true re-deliveries (identical scored rows), a
+      // stable pick for conflicting payloads (same stance as the
+      // semantic-dedup ingest's in-batch pass).
+      val scored = raw.groupBy(col(idCol))
+        .agg(min(struct(col("tok_n"), col("_rqi"))).as("_m"))
+        .select(col(idCol), col("_m.tok_n").as("tok_n"),
+          col("_m._rqi").as("_rqi"))
       existingOpt match {
         case Some(existing) => existing.unionByName(
           scored.join(existing.select(col(idCol)), Seq(idCol), "left_anti"))
@@ -1026,6 +1048,10 @@ object StreamingPipeline {
     * (vocabulary-bounded), identical to `knBigramTrain` over the full
     * streamed corpus; feed it to `Lm.knScore` unchanged. */
   def knModelView(stored: DataFrame): graft.ext.Lm.KnModel = {
+    // lazy view over a swap-replaced store (the KnModel's frames
+    // evaluate at the caller's knScore action) — same snapshot contract
+    // as the other store views, so same guard
+    requireLoudMissingFiles(stored.sparkSession, "knModelView")
     // NO persist here (the tokenBudgetView lesson): `stored` is a path
     // read of a store directory every fold swap-replaces, and the cache
     // manager matches plans by path — a persisted view would serve the

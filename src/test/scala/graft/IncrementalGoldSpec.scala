@@ -843,6 +843,15 @@ class IncrementalGoldSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$store/data").count() === 3,
       "re-delivered doc under a new batch id must not duplicate its row")
     assert(kept === Set("d-a", "d-b"))
+    // ...including duplicates WITHIN one micro-batch (producer-retry
+    // duplicates adjacent in the log): both rows are absent from the
+    // store, so only an in-batch dedup can stop them — a new doc
+    // delivered twice in its first batch must land exactly once
+    StreamingPipeline.tokenBudgetIngestBatch(
+      df(Seq(("d-d", tB), ("d-d", tB))), 4L, "text", "doc_id", store)
+    assert(spark.read.parquet(s"$store/data")
+      .filter(col("doc_id") === "d-d").count() === 1,
+      "a doc delivered twice within one batch must not double-count")
   }
 
   test("store views refuse to build under ignoreMissingFiles=true (the " +
@@ -875,6 +884,12 @@ class IncrementalGoldSpec extends SparkTestBase {
       }
       intercept[IllegalStateException] {
         StreamingPipeline.driftSeriesView(stored)
+      }
+      // knModelView returns lazy frames inside a KnModel — same
+      // contract, same guard (the guard throws before column access,
+      // so the store's schema is irrelevant here)
+      intercept[IllegalStateException] {
+        StreamingPipeline.knModelView(stored)
       }
     } finally spark.conf.set("spark.sql.files.ignoreMissingFiles", "false")
     // conf back to loud-failure default: the view builds and reads

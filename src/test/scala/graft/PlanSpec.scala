@@ -180,6 +180,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
   }
 
+  test("token-budget skew kernel (string ids): boundary/offset tables " +
+    "broadcast, window partitioned (never a single-partition global sort)") {
+    val p = plan(SparkEntry.queries("x_token_budget_select_skew_str")(spark, dir))
+    // the frozen boundary array and the two-level offset table ride in
+    // as broadcast joins — the r17 CASE-chain cliff and any future
+    // SortMergeJoin regression both fail here
+    assert(p.contains("BroadcastHashJoin"),
+      s"boundary/offset tables not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"kernel join degraded to SortMergeJoin:\n$p")
+    // the whole point of the two-level kernel: the running sum is a
+    // window PARTITIONED by (quality bucket, id range) — a global-order
+    // window would appear as an Exchange SinglePartition
+    assert(p.contains("Window"), s"no window in kernel plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"kernel funnels rows through a single partition:\n$p")
+  }
+
   test("contamination: test-gram set broadcasts, corpus grams filter map-side") {
     val p = plan(SparkEntry.queries("x_contamination")(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"test grams not broadcast:\n$p")

@@ -536,6 +536,47 @@ class ExtOpsSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: string-id fat-block split is order-preserving for " +
+    "ARBITRARY unicode ids (surrogates, PUA, mixed scripts) — fat path " +
+    "equals the single-range path exactly") {
+    import org.scalacheck.Prop.{forAllNoShrink, propBoolean, AnyOperators}
+    import org.scalacheck.{Gen, Test => SCTest}
+    // both arms run in-engine, so NO driver reference is needed (a
+    // driver sortBy would compare UTF-16 code units and disagree with
+    // the engine's UTF8 binary order on non-BMP ids — exactly the trap
+    // this property must not fall into): the single-range arm is the
+    // trivially correct execution of the same total order, and fat ≡
+    // thin IS the order-preservation claim of the sampled boundaries
+    val idChar = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "ß", "中", "ю", "ع"),
+      1 -> Gen.oneOf("😀", "🤖"), // non-BMP surrogate pairs
+      1 -> Gen.oneOf("", "")) // private-use BMP: AFTER the
+      // surrogates in UTF-16 code-unit order, BEFORE them in UTF-8
+    val idGen = Gen.choose(1, 6)
+      .flatMap(n => Gen.listOfN(n, idChar)).map(_.mkString)
+    val docsGen = Gen.choose(10, 50).flatMap { n =>
+      Gen.listOfN(n, Gen.zip(idGen, Gen.choose(1, 8)))
+    }.map(_.zipWithIndex.map { case ((id, k), i) =>
+      // suffix with the index so ids stay distinct without disturbing
+      // the random prefix that drives the boundary comparisons
+      (s"$id#$i", ("the and of word w " * k).trim)
+    })
+    val fracGen = Gen.oneOf(0.25, 0.5, 0.9)
+    val prop = forAllNoShrink(docsGen, fracGen) { (rows, frac) =>
+      val docs = rows.toDF("doc_id", "text")
+      val fat = Sampling.tokenBudgetSelect(docs, "text", "doc_id", frac,
+          maxBucketRows = 4L)
+        .as[(String, Long, Long)].collect().toSet
+      val thin = Sampling.tokenBudgetSelect(docs, "text", "doc_id", frac)
+        .as[(String, Long, Long)].collect().toSet
+      "fat split == single range" |: (fat ?= thin)
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("upsampleByFactor: deterministic copy counts, factor-weighted " +
     "volumes, downsampling and zero-factor regimes") {
     val docs = (1 to 400).map(i =>

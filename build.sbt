@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default 16g, matching the declared bench-env heap band (BenchGuard
+  // HeapBandMb, BASELINE.md): two bench sessions must measure the same
+  // JVM sizing or their artifacts are not comparable (r18 saw 16 GiB vs
+  // 91 GiB between committed and driver sessions). Override via
+  // SPARK_DRIVER_MEM only for non-bench experiments.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

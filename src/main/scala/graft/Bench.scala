@@ -34,31 +34,43 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // min of 2 runs per query: first run absorbs codegen/JIT/page-cache;
-    // the minimum approximates steady-state per-query latency. A query that
-    // throws records the -1 sentinel (and the exception on stderr) so a
-    // regression can't masquerade as a near-zero-time speedup.
+    // min of 2 COLD runs per query (r19): caches are swept BETWEEN the
+    // two reps, so run 2 can never reuse run 1's persisted stage
+    // boundaries — the very mechanism that made r13-r18 minima bimodal
+    // (cached vs cold mode, 34 recorded signatures in the r18 artifact)
+    // and forced a growing per-cell envelope table. Run 1 still absorbs
+    // codegen/JIT; run 2 is codegen-warm but data-cold, so the min is a
+    // clean, unimodal cold-state figure. A query that throws records
+    // the -1 sentinel (and the exception on stderr) so a regression
+    // can't masquerade as a near-zero-time speedup.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    // Bimodal-signature capture (r18): a cell whose run 1 is ≥1.8× its
-    // run 2 inside ONE min-of-2 measurement carries the persist-reuse
-    // signature the r17 curationvar probe named (run 2 reuses run 1's
-    // persisted stage boundaries; both are steady states). Recording the
-    // observed ratio in the artifact turns each future "cell X flagged
-    // ≥1.4× with no code change" adjudication into a table lookup
-    // instead of a bespoke probe. Detection only — the churn guard's
-    // threshold never widens from this; envelopes stay DECLARED data.
+    // Bimodal-signature capture (r18, semantics updated r19): with the
+    // inter-rep sweep a >=1.8x run1/run2 ratio can no longer mean
+    // persist-reuse — what remains is first-run overhead (codegen/JIT/
+    // page-cache of this cell's inputs). Kept as diagnostic data: a
+    // populated entry on a flagged cell says its FIRST run is the
+    // expensive one, so a prior committed under this methodology (the
+    // min, i.e. run 2's mode) is the right comparison baseline.
+    // Detection only — the churn guard's threshold never widens from
+    // this; envelopes stay DECLARED data.
     val bimodal = scala.collection.mutable.Map.empty[String, Double]
     var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var failed = false
-      val times = (1 to 2).map { _ =>
-        time {
+      val times = (1 to 2).map { rep =>
+        val t = time {
           try { fn(spark, sfDir).count(); () }
           catch { case e: Throwable =>
             failed = true
             System.err.println(s"[bench] query $name failed: $e")
           }
         }
+        // the r19 methodology point: kill this cell's own persisted
+        // intermediates before rep 2 so both reps measure the cold
+        // steady state (CacheManager matches by canonicalized plan, so
+        // a fresh fn() invocation WOULD silently hit rep 1's cache)
+        if (rep == 1) GraftSession.sweepCaches(spark)
+        t
       }
       if (!failed && times.min > 0.3 && times.head / times.last >= 1.8)
         bimodal(name) =
@@ -124,22 +136,19 @@ object Bench {
     // state instead of burning a round of adjudication.
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
       "BENCH_full.json")
+    // a prior from a different scale factor OR a different measurement
+    // methodology would flag every cell (or none) for reasons unrelated
+    // to the code under test — BenchGuard.parsePrior returns empty (guard
+    // inactive) for both, so the first run after a methodology change
+    // re-baselines instead of burning 2 futile re-runs per cell
     val prior: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(priorPath)), "UTF-8")
-      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-      val priorSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
-      val node = root.get("queries")
-      // a prior from a different scale factor would flag every cell (or
-      // none) — only guard against figures measured on the same data
-      if (node == null || priorSf != sfDir) Map.empty
-      else {
-        val b = Map.newBuilder[String, Double]
-        node.fields().forEachRemaining { e =>
-          b += e.getKey -> e.getValue.asDouble()
-        }
-        b.result()
-      }
+      val p = graft.bench.BenchGuard.parsePrior(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(priorPath)), "UTF-8"), sfDir)
+      if (p.isEmpty)
+        System.err.println(s"[bench] prior ($priorPath) has different " +
+          "sf/methodology or no queries — churn guard inactive this run")
+      p
     } catch { case e: Exception =>
       System.err.println(s"[bench] no prior bench figures ($priorPath): $e" +
         " — churn guard inactive this run")
@@ -158,70 +167,50 @@ object Bench {
     // r17-probed cell so a bare checkout keeps its adjudicated band.
     val envelopePath = sys.env.getOrElse("SPARK_GRAFT_ENVELOPES",
       "bench_envelopes.json")
-    val envelopeFallback = Map("x_model_curation_pipeline" -> 2.8)
     // `cells` widen the per-cell churn guard; `headline` rows are
     // declared bands for the whole-run figures (stream_events_per_sec
     // etc.) — adjudicated baselines that travel in the artifact so a
     // round-over-round reader compares against the declared band, not
-    // whichever session happened to be committed last
-    var headlineEnv: Map[String, String] = Map.empty
-    val envelope: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(envelopePath)), "UTF-8")
-      val root = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(txt)
-      val hn = root.get("headline")
-      if (hn != null) {
-        val hb = Map.newBuilder[String, String]
-        hn.fields().forEachRemaining { e =>
-          hb += e.getKey -> e.getValue.toString
-        }
-        headlineEnv = hb.result()
-      }
-      val node = root.get("cells")
-      if (node == null) envelopeFallback
-      else {
-        val b = Map.newBuilder[String, Double]
-        node.fields().forEachRemaining { e =>
-          b += e.getKey -> e.getValue.asDouble()
-        }
-        b.result()
-      }
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] no envelope file ($envelopePath): $e" +
-        " — using built-in fallback")
-      envelopeFallback
+    // whichever session happened to be committed last. A MISSING file
+    // means empty envelopes (every cell keeps the 1.4x default); a
+    // present-but-malformed file fails the run loudly — BenchGuard
+    // documents why a silent fallback would be worse.
+    val parsedEnv: graft.bench.BenchGuard.Envelopes = {
+      val path = java.nio.file.Paths.get(envelopePath)
+      if (!java.nio.file.Files.exists(path)) {
+        System.err.println(s"[bench] no envelope file ($envelopePath) " +
+          "— every cell keeps the default 1.4x churn guard")
+        graft.bench.BenchGuard.Envelopes(Map.empty, Map.empty)
+      } else graft.bench.BenchGuard.parseEnvelopes(
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
     }
+    val envelope = parsedEnv.cells
+    val headlineEnv = parsedEnv.headline
     val guarded = reprobed.map { case (name, t) =>
       val p = prior.getOrElse(name, -1.0)
       val ratio = envelope.getOrElse(name, 1.4)
-      // sentinel failures, cells with no prior, sub-noise-floor cells
-      // (<0.3s — a regression there can't dominate the total), and
-      // non-regressed cells pass through untouched
-      if (t < 0 || p <= 0 || t < 0.3 || t <= p * ratio) name -> t
-      else {
-        var best = t
-        var attempt = 0
-        while (attempt < 2 && best > p * ratio) {
-          GraftSession.sweepCaches(spark)
-          System.gc()
-          var reFailed = false
-          val rt = time {
-            try { SparkEntry.queries(name)(spark, sfDir).count(); () }
-            catch { case e: Throwable =>
-              reFailed = true
-              System.err.println(s"[bench] churn-guard re-run of $name failed: $e")
-            }
-          }
-          if (!reFailed) best = math.min(best, rt)
-          attempt += 1
-        }
-        if (best < t)
-          System.err.println(
-            f"[bench] $name: churn guard $t%.2fs -> $best%.2fs (prior $p%.2fs)")
+      val best = graft.bench.BenchGuard.guardCell(t, p, ratio, () => {
         GraftSession.sweepCaches(spark)
-        name -> best
-      }
+        System.gc()
+        var reFailed = false
+        val rt = time {
+          try { SparkEntry.queries(name)(spark, sfDir).count(); () }
+          catch { case e: Throwable =>
+            reFailed = true
+            System.err.println(s"[bench] churn-guard re-run of $name failed: $e")
+          }
+        }
+        if (reFailed) None else Some(rt)
+      })
+      if (best < t)
+        System.err.println(
+          f"[bench] $name: churn guard $t%.2fs -> $best%.2fs (prior $p%.2fs)")
+      // a guard re-run leaves this cell's persisted intermediates behind
+      // regardless of whether it improved the figure — drop them so the
+      // next guarded cell isn't taxed by them
+      if (t >= 0.3 && p > 0 && t > p * ratio)
+        GraftSession.sweepCaches(spark)
+      name -> best
     }
 
     // Medallion chain throughput: events -> silver flags -> gold 5-min aggs.
@@ -294,11 +283,26 @@ object Bench {
     // must carry enough context to tell "code regressed" from "session
     // differs" without a post-hoc probe hunt
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    // env_ok: declared comparability bounds (BenchGuard, BASELINE.md) —
+    // a run outside them still produces an artifact, but the flag
+    // travels with the figures so no future reader compares a loaded /
+    // differently-sized session against a clean one without noticing
+    val envOk = graft.bench.BenchGuard.envOk(loadAtStart, heapMb)
+    if (!envOk)
+      System.err.println(f"[bench] ENV OUT OF BOUNDS: load_avg_start=" +
+        f"$loadAtStart%.1f (max ${graft.bench.BenchGuard.LoadAvgStartMax})," +
+        f" heap_max_mb=$heapMb (band ${graft.bench.BenchGuard.HeapBandMb})" +
+        " — artifact annotated env_ok:false; figures not comparable to" +
+        " an in-bounds session")
     val env = s""""env":{"cpus":${Runtime.getRuntime.availableProcessors()},""" +
-      s""""heap_max_mb":${Runtime.getRuntime.maxMemory() / (1024 * 1024)},""" +
+      s""""heap_max_mb":$heapMb,""" +
       s""""load_avg_start":$loadAtStart,""" +
       s""""load_avg_end":${osBean.getSystemLoadAverage},""" +
-      s""""java":"${System.getProperty("java.version")}"}"""
+      s""""java":"${System.getProperty("java.version")}"},""" +
+      s""""env_ok":$envOk,""" +
+      s""""env_bounds":{"load_avg_start_max":${graft.bench.BenchGuard.LoadAvgStartMax},""" +
+      s""""heap_max_mb_band":[${graft.bench.BenchGuard.HeapBandMb._1},${graft.bench.BenchGuard.HeapBandMb._2}]}"""
     // declared envelopes travel in the artifact so a round-over-round
     // reader sees the claimed variance band next to the figures
     val envJson = envelope.map { case (k, v) => "\"" + k + "\":" + v }
@@ -311,7 +315,7 @@ object Bench {
     val headlineJson = headlineEnv.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"min2+reprobe+prior-churn-guard (r13+)",$env,"queries":$qs,"errors":$errsJson,"variance_envelopes":$envJson,"bimodal_cells":$bimodalJson,"headline_envelopes":$headlineJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"${graft.bench.BenchGuard.Methodology}",$env,"queries":$qs,"errors":$errsJson,"variance_envelopes":$envJson,"bimodal_cells":$bimodalJson,"headline_envelopes":$headlineJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
     println(json)
     // stdout gets truncated by callers that keep only a tail; also land
     // the complete per-query JSON as an artifact so round-over-round

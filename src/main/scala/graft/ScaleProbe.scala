@@ -30,6 +30,7 @@ object ScaleProbe {
     if (args.headOption.contains("bpelocal")) { bpeLocalProbe(args); return }
     if (args.headOption.contains("bpebatch")) { bpeBatchProbe(args); return }
     if (args.headOption.contains("bpebatchtext")) { bpeBatchTextProbe(args); return }
+    if (args.headOption.contains("bpezipf")) { bpeZipfProbe(args); return }
     if (args.headOption.contains("curation")) { curationProbe(args); return }
     if (args.headOption.contains("curationvar")) { curationVarProbe(args); return }
     if (args.headOption.contains("ivfdrift")) { ivfDriftProbe(args); return }
@@ -1318,6 +1319,99 @@ object ScaleProbe {
     * (merges per distributed round vs the cap) and wall-clock on the
     * real documents corpus at a production-shaped merge count, plus
     * merge-for-merge agreement with strict [[graft.ext.Bpe.learn]]. */
+  /** Batched-BPE utilization on a REALISTIC vocabulary (VERDICT r18 #6):
+    * the sf0.1 documents corpus has a 31-word vocabulary, so the
+    * bpebatchtext probe saturates at 1.75 merges/round and runs dry at
+    * 89 merges — "utilization rises with symbol diversity" stayed an
+    * extrapolation. `ScaleProbe bpezipf [nWords] [numMerges] [batches]`
+    * builds a deterministic Zipf-shaped (word, freq) table — ≥100k
+    * distinct words, English-letter-frequency characters, short words
+    * frequent / long words rare (length grows with log rank), freq ∝
+    * 1/rank^1.07 — and measures strict vs batched merges/round,
+    * wall-clock, and merge-table prefix agreement at a production-shaped
+    * merge count. The word table is driver-generated (bounded, probe
+    * only); everything measured is the engine's own distributed loop. */
+  private def bpeZipfProbe(args: Array[String]): Unit = {
+    val nWords = if (args.length > 1) args(1).toInt else 200000
+    val numMerges = if (args.length > 2) args(2).toInt else 1000
+    val batches = (if (args.length > 3) args(3) else "4,8,16")
+      .split(",").map(_.toInt).toSeq
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // English letter frequencies (per mille, rounded) as a cumulative
+    // lookup — public reference distribution (Lewand's cryptanalysis
+    // tables), enough realism for pair statistics
+    val letterFreq = Seq(
+      'e' -> 127, 't' -> 91, 'a' -> 82, 'o' -> 75, 'i' -> 70, 'n' -> 67,
+      's' -> 63, 'h' -> 61, 'r' -> 60, 'd' -> 43, 'l' -> 40, 'c' -> 28,
+      'u' -> 28, 'm' -> 24, 'w' -> 24, 'f' -> 22, 'g' -> 20, 'y' -> 20,
+      'p' -> 19, 'b' -> 15, 'v' -> 10, 'k' -> 8, 'j' -> 2, 'x' -> 2,
+      'q' -> 1, 'z' -> 1)
+    val cum = letterFreq.scanLeft((' ', 0)) { case ((_, acc), (c, f)) =>
+      (c, acc + f) }.tail
+    val total = cum.last._2
+    def mix64(z0: Long): Long = { // splitmix64 finalizer
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def letter(rank: Long, pos: Int): Char = {
+      val h = math.floorMod(mix64(rank * 31L + pos), total.toLong).toInt
+      cum.find(_._2 > h).get._1
+    }
+    // natural shape: frequent words short, rare words long
+    def wordOf(rank: Long): String = {
+      val len = math.max(2, math.min(12,
+        (1.5 * math.log(rank.toDouble + 1)).round.toInt))
+      (0 until len).map(letter(rank, _)).mkString
+    }
+    val rows = (1 to nWords).map { r =>
+      val freq = math.max(1L, (5e6 / math.pow(r.toDouble, 1.07)).toLong)
+      (wordOf(r.toLong), freq)
+    }
+    // collisions merge naturally (they mimic real homographs); report
+    // the realized distinct vocabulary, which must stay >= 100k
+    val wc = rows.toDF("word", "freq")
+      .groupBy("word").agg(sum("freq").as("freq"))
+      .repartition(cpus * 2)
+      .localCheckpoint(true)
+    val vocab = wc.count()
+    val chars = wc.select(sum(length(col("word")) * col("freq"))).first.getLong(0)
+    println(f"[scale] bpezipf nWords=$nWords distinct_vocab=$vocab " +
+      f"corpus_chars=$chars merges=$numMerges")
+    System.gc()
+    var t0 = System.nanoTime()
+    val strict = ext.Bpe.learnFromWordCounts(wc, numMerges)
+    val strictSec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] bpezipf strict_sec=$strictSec%.1f " +
+      f"(realized=${strict.mergeList.size}, " +
+      f"sec_per_merge=${strictSec / math.max(1, strict.mergeList.size)}%.3f)")
+    batches.foreach { batch =>
+      System.gc()
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+      t0 = System.nanoTime()
+      val batched = ext.Bpe.learnBatchedFromWordCounts(wc, numMerges,
+        batch, rounds += _)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val common = math.min(strict.mergeList.size, batched.mergeList.size)
+      val agree = (0 until common).count(i =>
+        strict.mergeList(i) == batched.mergeList(i))
+      val util =
+        if (rounds.isEmpty) 0.0 else rounds.sum.toDouble / rounds.size
+      println(f"[scale] bpezipf batch=$batch sec=$sec%.1f " +
+        f"speedup=${strictSec / sec}%.2fx rounds=${rounds.size} " +
+        f"merges_per_round=$util%.2f (cap=$batch) " +
+        f"agree_prefix=$agree/$common " +
+        f"(realized=${batched.mergeList.size})")
+      batched.release()
+    }
+    strict.release(); ext.Graph.freeCheckpoint(wc)
+    spark.stop()
+  }
+
   private def bpeBatchTextProbe(args: Array[String]): Unit = {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val numMerges = if (args.length > 2) args(2).toInt else 200

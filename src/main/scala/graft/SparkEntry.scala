@@ -1097,19 +1097,25 @@ object SparkEntry {
     // block through the frozen STRING-boundary range split (engine-sorted
     // md5-sampled boundaries, string `>` composition) — hash-exactness
     // against the string-ordered global oracle IS the r18 de-skew claim
-    // for string keys. budgetFrac = 0.40, NOT 0.25: measured at both
-    // sf0.01 and sf0.1, 0.40 lands the budget boundary INSIDE a quality
-    // tie block (the numeric- and string-ordered selections differ by
-    // 2-6 documents there), so this gate actually distinguishes the
+    // for string keys. budgetFrac = 0.3984375 (= 51/128), NOT 0.25:
+    // measured at both sf0.01 and sf0.1 (r19 DuckDB scan of dyadic
+    // fractions), it lands the budget boundary INSIDE a quality tie
+    // block (the numeric- and string-ordered selections differ by 2-9
+    // documents there), so this gate actually distinguishes the
     // composition orders — at 0.25 the boundary falls on a tie-block
-    // edge and any within-block order would pass.
+    // edge and any within-block order would pass. Binary-exact matters:
+    // DuckDB computes FLOOR(frac*SUM) in exact decimal while Spark
+    // floors a double product; 51/128 times an integer total is exact
+    // in double (51*total < 2^53), so the two budgets agree for ANY
+    // corpus — the r18 0.40 constant could differ by one token when
+    // 0.4*total landed on an integer.
     Q("x_token_budget_select_skew_str",
       Some(s"""WITH t0 AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
               |              $toksSql AS toks, text
               |            FROM documents),
               |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok_n,
               |        ROUND(($qualityScoreSql) + 1e-9, 4) AS rq FROM t0),
-              |b AS (SELECT CAST(FLOOR(0.40 * SUM(tok_n)) AS BIGINT)
+              |b AS (SELECT CAST(FLOOR(0.3984375 * SUM(tok_n)) AS BIGINT)
               |        AS budget FROM t),
               |c AS (SELECT doc_id, tok_n,
               |        CAST(SUM(tok_n) OVER (ORDER BY rq DESC, doc_id)
@@ -1121,7 +1127,7 @@ object SparkEntry {
         .tokenBudgetSelect(
           Tables.documents(s, dir)
             .withColumn("doc_id", col("doc_id").cast("string")),
-          "text", "doc_id", budgetFrac = 0.40, maxBucketRows = 8L)
+          "text", "doc_id", budgetFrac = 0.3984375, maxBucketRows = 8L)
         .orderBy("doc_id")),
 
     // Distribution drift (PSI) per event type between the month's halves:

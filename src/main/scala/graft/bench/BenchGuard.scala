@@ -1,0 +1,134 @@
+package graft.bench
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** The bench's measurement-policy kernel, factored out of [[graft.Bench]]
+  * so the churn guard and the artifact parsing are unit-testable: the
+  * guard's whole value is that a GENUINE regression survives every
+  * decontaminated re-run attempt and still flags, while a noise spike
+  * snaps back — a property that must hold by test, not by reading the
+  * bench's main loop (BenchGuardSpec seeds both cases).
+  */
+object BenchGuard {
+
+  /** Methodology tag carried in every bench artifact. The churn guard
+    * only compares against a prior recorded under the SAME tag: r19
+    * changed what a cell figure MEANS (min-of-2 over two cache-swept
+    * cold runs, vs the r13-r18 min that could land on a persist-reuse
+    * warm mode), so comparing across the boundary would flag every
+    * formerly-bimodal cell as regressed when only the methodology moved.
+    */
+  val Methodology = "min2cold+reprobe+prior-churn-guard (r19+)"
+
+  /** Declared bench-environment bounds (VERDICT r18 #3): two artifacts
+    * are comparable only when both ran inside these. `env_ok` in the
+    * artifact is the loud annotation — the bench still RUNS outside the
+    * bounds (refusing would leave the round with no artifact at all),
+    * but every downstream reader sees the flag next to the figures.
+    * Bounds documented in BASELINE.md; heap is pinned by build.sbt's
+    * run fork (-Xmx from SPARK_DRIVER_MEM, default 16g).
+    */
+  val LoadAvgStartMax = 8.0
+  val HeapBandMb: (Long, Long) = (12288L, 24576L)
+
+  def envOk(loadAvgStart: Double, heapMaxMb: Long): Boolean =
+    loadAvgStart <= LoadAvgStartMax &&
+      heapMaxMb >= HeapBandMb._1 && heapMaxMb <= HeapBandMb._2
+
+  final case class Envelopes(cells: Map[String, Double],
+                             headline: Map[String, String])
+
+  /** Parse bench_envelopes.json. Fails LOUDLY (throws) on a present but
+    * malformed file or a non-numeric cell value: a silent fallback would
+    * drop every declared envelope to the 1.4x default and burn two
+    * futile re-runs per formerly-enveloped cell each session, and a
+    * non-numeric value parsed as 0.0 would make its cell read as
+    * always-regressed (t <= p*0 never holds). Callers distinguish
+    * file-missing (fine — empty envelopes) from file-invalid (throw).
+    */
+  def parseEnvelopes(txt: String): Envelopes = {
+    val root = new ObjectMapper().readTree(txt)
+    if (root == null || !root.isObject)
+      throw new IllegalArgumentException(
+        "bench_envelopes.json: top level is not a JSON object")
+    var headline = Map.empty[String, String]
+    val hn = root.get("headline")
+    if (hn != null) {
+      val hb = Map.newBuilder[String, String]
+      hn.fields().forEachRemaining(e => hb += e.getKey -> e.getValue.toString)
+      headline = hb.result()
+    }
+    var cells = Map.empty[String, Double]
+    val node = root.get("cells")
+    if (node != null) {
+      val b = Map.newBuilder[String, Double]
+      node.fields().forEachRemaining { e =>
+        if (!e.getValue.isNumber)
+          throw new IllegalArgumentException(
+            s"bench_envelopes.json: cell '${e.getKey}' has non-numeric " +
+              s"envelope ${e.getValue} — fix the file (a 0.0 default would " +
+              "flag the cell as permanently regressed)")
+        val v = e.getValue.asDouble()
+        if (v < 1.0)
+          throw new IllegalArgumentException(
+            s"bench_envelopes.json: cell '${e.getKey}' envelope $v < 1.0 " +
+              "(an envelope is a widening multiple of the prior)")
+        b += e.getKey -> v
+      }
+      cells = b.result()
+    }
+    Envelopes(cells, headline)
+  }
+
+  /** Parse a prior BENCH_full.json into per-cell figures, returning
+    * empty (guard inactive) when the prior was measured on a different
+    * scale factor or under a different methodology tag — either would
+    * flag every cell (or none) for reasons that have nothing to do with
+    * the code under test. Non-numeric query values are skipped.
+    */
+  def parsePrior(txt: String, sfDir: String): Map[String, Double] = {
+    val root = new ObjectMapper().readTree(txt)
+    if (root == null || !root.isObject) return Map.empty
+    val priorSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+    val priorMeth =
+      Option(root.get("methodology")).map(_.asText()).getOrElse("")
+    val node = root.get("queries")
+    if (node == null || priorSf != sfDir || priorMeth != Methodology)
+      Map.empty
+    else {
+      val b = Map.newBuilder[String, Double]
+      node.fields().forEachRemaining { e =>
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    }
+  }
+
+  /** The churn-guard decision loop for one cell. `measured` is this
+    * run's figure, `prior` the same cell's figure from the prior
+    * committed artifact (<=0 = no prior), `ratio` the cell's declared
+    * envelope (default 1.4). A cell above its guard gets up to
+    * `maxAttempts` decontaminated re-runs (the caller's `rerun` sweeps
+    * caches + GCs before timing; None = the re-run attempt failed and
+    * must not masquerade as a speedup), keeping the min. Sentinel
+    * failures (<0), no-prior, and sub-noise-floor cells pass through.
+    * A genuine regression stays slow through every attempt and the
+    * returned figure stays above the guard — it still flags downstream.
+    */
+  def guardCell(measured: Double, prior: Double, ratio: Double,
+                rerun: () => Option[Double],
+                noiseFloorSec: Double = 0.3,
+                maxAttempts: Int = 2): Double = {
+    if (measured < 0 || prior <= 0 || measured < noiseFloorSec ||
+        measured <= prior * ratio) measured
+    else {
+      var best = measured
+      var attempt = 0
+      while (attempt < maxAttempts && best > prior * ratio) {
+        rerun().foreach(rt => best = math.min(best, rt))
+        attempt += 1
+      }
+      best
+    }
+  }
+}

@@ -22,6 +22,12 @@ object StreamIngest {
   def buildAgg(spark: SparkSession, sfDir: String): (DataFrame, Long) = {
     import java.nio.file.{Files, Path}
     val streamDir = Files.createTempDirectory("graft-bench-stream")
+    // the staged copy must outlive every rep (the returned frame reads
+    // it lazily), so reclaim it at JVM exit — cellprobe/streamheadline
+    // and the best-of-3 bench otherwise accumulate one events-sized
+    // copy per buildAgg call in /tmp across a session
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(streamDir)))
     Files.copy(Path.of(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val raw = spark.read.parquet(streamDir.toString)
@@ -42,12 +48,27 @@ object StreamIngest {
     * from a FRESH checkpoint (a reused one would mark every file
     * already-processed and measure an empty batch). Returns seconds. */
   def runOnce(agg: DataFrame): Double = {
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft-bench-ckpt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt")
     val t0 = System.nanoTime()
     val q = agg.writeStream.outputMode("update").format("noop")
-      .option("checkpointLocation", ckpt).start()
+      .option("checkpointLocation", ckpt.toString).start()
     try q.processAllAvailable() finally q.stop()
-    (System.nanoTime() - t0) / 1e9
+    val sec = (System.nanoTime() - t0) / 1e9
+    // each rep deliberately discards its checkpoint (a reused one would
+    // measure an empty batch) — reclaim it now rather than leaking one
+    // dir per rep across probes and best-of-3 benches
+    deleteRecursively(ckpt)
+    sec
   }
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] temp cleanup of $root failed: $e")
+    }
 }

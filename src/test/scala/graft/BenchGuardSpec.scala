@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.bench.BenchGuard
+
+/** The churn guard's contract, pinned independently of the bench main
+  * loop (VERDICT r18 #1: "genuinely regressed cells must still flag —
+  * keep one seeded-regression test of the guard"). */
+class BenchGuardSpec extends AnyFunSuite {
+
+  // ---- guardCell -----------------------------------------------------
+
+  test("seeded GENUINE regression stays slow through every re-run " +
+    "attempt and still flags") {
+    var calls = 0
+    // prior 1.0s, envelope default 1.4x, measured 3.0s, and the cell is
+    // REALLY slow now: every decontaminated re-run reads ~3s too
+    val out = BenchGuard.guardCell(3.0, 1.0, 1.4, () => {
+      calls += 1; Some(3.0 + 0.05 * calls)
+    })
+    assert(calls === 2, "guard must spend both re-run attempts")
+    assert(out === 3.0, "a genuine regression keeps its slow figure")
+    assert(out > 1.0 * 1.4, "…and stays above the guard so it flags")
+  }
+
+  test("seeded noise spike snaps back to steady state on re-run") {
+    var calls = 0
+    val out = BenchGuard.guardCell(3.0, 1.0, 1.4, () => {
+      calls += 1; Some(1.05)
+    })
+    assert(calls === 1, "guard stops once the cell is back under guard")
+    assert(out === 1.05)
+  }
+
+  test("failed re-run attempts never masquerade as a speedup") {
+    var calls = 0
+    val out = BenchGuard.guardCell(3.0, 1.0, 1.4, () => {
+      calls += 1; None
+    })
+    assert(calls === 2)
+    assert(out === 3.0, "None re-runs keep the measured figure")
+  }
+
+  test("pass-through cases never invoke a re-run: sentinel, no prior, " +
+    "sub-noise-floor, within-guard, within-declared-envelope") {
+    def noRerun(): Option[Double] =
+      fail("guard must not re-run a pass-through cell")
+    assert(BenchGuard.guardCell(-1.0, 1.0, 1.4, noRerun) === -1.0)
+    assert(BenchGuard.guardCell(3.0, -1.0, 1.4, noRerun) === 3.0)
+    assert(BenchGuard.guardCell(0.25, 0.1, 1.4, noRerun) === 0.25)
+    assert(BenchGuard.guardCell(1.3, 1.0, 1.4, noRerun) === 1.3)
+    // declared 2.8x envelope widens the guard past a 2.5x reading
+    assert(BenchGuard.guardCell(2.5, 1.0, 2.8, noRerun) === 2.5)
+  }
+
+  test("a regression BEYOND a declared envelope still re-runs") {
+    var calls = 0
+    val out = BenchGuard.guardCell(3.0, 1.0, 2.8, () => {
+      calls += 1; Some(2.9)
+    })
+    assert(calls === 2, "3.0 > 1.0*2.8 → guard engages despite envelope")
+    assert(out === 2.9)
+  }
+
+  // ---- parseEnvelopes (ADVICE r18: no silent 0.0 / silent fallback) --
+
+  test("parseEnvelopes: valid file round-trips cells and headline") {
+    val env = BenchGuard.parseEnvelopes(
+      """{"cells":{"a":1.8,"b":2.5},
+        |"headline":{"h":{"baseline":41000,"band":[32000,49000]}}}"""
+        .stripMargin)
+    assert(env.cells === Map("a" -> 1.8, "b" -> 2.5))
+    assert(env.headline.keySet === Set("h"))
+    assert(env.headline("h").contains("41000"))
+  }
+
+  test("parseEnvelopes: non-numeric cell value fails loudly instead of " +
+    "parsing to 0.0 (which would flag the cell as permanently regressed)") {
+    val e = intercept[IllegalArgumentException] {
+      BenchGuard.parseEnvelopes("""{"cells":{"a":"oops"}}""")
+    }
+    assert(e.getMessage.contains("non-numeric"))
+  }
+
+  test("parseEnvelopes: sub-1.0 envelope rejected (it would TIGHTEN the " +
+    "guard, which is not what an envelope means)") {
+    intercept[IllegalArgumentException] {
+      BenchGuard.parseEnvelopes("""{"cells":{"a":0.5}}""")
+    }
+  }
+
+  test("parseEnvelopes: malformed JSON throws (present file must parse)") {
+    intercept[Exception] { BenchGuard.parseEnvelopes("not json at all {") }
+    intercept[IllegalArgumentException] { BenchGuard.parseEnvelopes("42") }
+  }
+
+  // ---- parsePrior (sf + methodology gating) --------------------------
+
+  private def priorJson(sf: String, meth: String) =
+    s"""{"metric":"total","methodology":"$meth","sf":"$sf",
+       |"queries":{"q1":1.5,"q2":0.4}}""".stripMargin
+
+  test("parsePrior: same sf + same methodology activates the guard") {
+    val p = BenchGuard.parsePrior(
+      priorJson("/d/sf0.1", BenchGuard.Methodology), "/d/sf0.1")
+    assert(p === Map("q1" -> 1.5, "q2" -> 0.4))
+  }
+
+  test("parsePrior: different sf OR different methodology deactivates " +
+    "the guard (a cross-methodology compare would flag every formerly-" +
+    "bimodal cell on the r19 transition)") {
+    assert(BenchGuard.parsePrior(
+      priorJson("/d/sf0.01", BenchGuard.Methodology), "/d/sf0.1").isEmpty)
+    assert(BenchGuard.parsePrior(
+      priorJson("/d/sf0.1", "min2+reprobe+prior-churn-guard (r13+)"),
+      "/d/sf0.1").isEmpty)
+  }
+
+  test("parsePrior: non-numeric query values are skipped, not parsed " +
+    "to 0.0") {
+    val p = BenchGuard.parsePrior(
+      s"""{"methodology":"${BenchGuard.Methodology}","sf":"/d",
+         |"queries":{"good":2.0,"bad":"x"}}""".stripMargin, "/d")
+    assert(p === Map("good" -> 2.0))
+  }
+
+  // ---- env bounds ----------------------------------------------------
+
+  test("envOk: declared load + heap bounds") {
+    assert(BenchGuard.envOk(2.0, 16384L))
+    assert(!BenchGuard.envOk(13.0, 16384L), "r18 driver session load")
+    assert(!BenchGuard.envOk(2.0, 91136L), "r18 driver session heap")
+    assert(!BenchGuard.envOk(2.0, 8192L), "undersized heap")
+  }
+}

@@ -449,6 +449,7 @@ class ExtOpsSpec extends SparkTestBase {
     // (the legacy conf only takes effect with ANSI off, so flip both —
     // and restore both — to actually drive size(NULL) to -1)
     val ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    val sizeOfNull0 = spark.conf.get("spark.sql.legacy.sizeOfNull")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
     try {
@@ -458,7 +459,7 @@ class ExtOpsSpec extends SparkTestBase {
       assert(gotLegacy === ref(mixed, 0.6),
         "selection must not depend on spark.sql.legacy.sizeOfNull")
     } finally {
-      spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+      spark.conf.set("spark.sql.legacy.sizeOfNull", sizeOfNull0)
       spark.conf.set("spark.sql.ansi.enabled", ansi0)
     }
   }

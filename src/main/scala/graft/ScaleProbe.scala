@@ -932,6 +932,11 @@ object ScaleProbe {
       val mins = (1 to reps).map { rep =>
         val t0 = System.nanoTime(); fn(spark, sfDir).count()
         val r1 = (System.nanoTime() - t0) / 1e9
+        // sweep between the runs — the bench's r19 cold methodology:
+        // run 2 must not reuse run 1's persisted stage boundaries, so
+        // the probe's min measures the same (data-cold) mode the bench
+        // commits, and run1/run2 is first-run overhead, not persist-reuse
+        GraftSession.sweepCaches(spark)
         val t1 = System.nanoTime(); fn(spark, sfDir).count()
         val r2 = (System.nanoTime() - t1) / 1e9
         println(f"[scale] cellprobe $name rep$rep run1=$r1%.2f run2=$r2%.2f " +
@@ -959,19 +964,42 @@ object ScaleProbe {
     * drifting silently. */
   private def streamHeadlineProbe(args: Array[String]): Unit = {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val reps = if (args.length > 2) args(2).toInt else 4
+    val reps = if (args.length > 2) args(2).toInt else 6
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the SAME buildAgg/runOnce the bench calls — not a copy, so this
     // probe measures exactly what the bench measures by construction
     val (agg, nRows) = bench.StreamIngest.buildAgg(spark, sfDir)
-    (1 to reps).foreach { rep =>
+    // the first reps of a FRESH JVM measure classloading/codegen/page
+    // cache, not engine capability (r19 measured 5.7k -> 22.5k over 4
+    // cold reps vs a 33-39k steady state) — discard a fixed warm-up
+    // prefix so a short probe run can't read as a below-band
+    // "regression" that is really JVM warm-up
+    val warmups = 2
+    val rates = (1 to warmups + reps).map { rep =>
       System.gc()
       val sec = bench.StreamIngest.runOnce(agg)
+      val rate = nRows / sec
+      val tag = if (rep <= warmups) " (warm-up, discarded)" else ""
       println(f"[scale] streamheadline rep$rep rows=$nRows sec=$sec%.2f " +
-        f"events_per_sec=${nRows / sec}%.0f")
-    }
+        f"events_per_sec=$rate%.0f$tag")
+      rate
+    }.drop(warmups)
+    val median = rates.sorted.apply(rates.size / 2)
+    // verdict against the declared band in bench_envelopes.json, so the
+    // below-band protocol (SCALE.md r18) is a printed answer, not a
+    // hand comparison
+    val band = try {
+      val env = bench.BenchGuard.parseEnvelopes(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_envelopes.json")), "UTF-8"))
+      env.headline.get("stream_events_per_sec")
+    } catch { case _: Exception => None }
+    println(f"[scale] streamheadline median=$median%.0f " +
+      f"(post-warmup reps=$reps)" + band.map { b =>
+        s" declared_band=$b"
+      }.getOrElse(" (no declared band found)"))
     spark.stop()
   }
 

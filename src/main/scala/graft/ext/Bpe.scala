@@ -322,6 +322,12 @@ object Bpe {
     * consume. */
   def learnAuto(docs: DataFrame, textCol: String, numMerges: Int,
                 maxVocab: Int = 2000000,
+                // batch=8 is MEASURED, not guessed: on a 200k-word
+                // Zipf vocabulary at 1000 merges (ScaleProbe bpezipf,
+                // SCALE.md r19) realized utilization saturates at
+                // ~3.9 merges/round by batch 8 (4.19x wall-clock vs
+                // strict, merge table byte-identical); batch 16 buys
+                // nothing further (3.94/round, 4.05x)
                 batch: Int = 8): Seq[(Int, String, String, Long)] = {
     val wc = wordCounts(docs, textCol).localCheckpoint(true)
     try {

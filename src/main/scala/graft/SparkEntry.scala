@@ -2496,20 +2496,22 @@ object SparkEntry {
               |ORDER BY p.id_a, p.id_b""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val par = s.sparkContext.defaultParallelism
-        val pre = graft.ext.Par.fanOut(docs, par).select(col("doc_id").as("id"),
-          array_distinct(TextAnalysis.shingles(col("text"), 3)).as("sh"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ONE shingle pipeline for both arms (r19 cold-bench audit): the
+        // pair generator already pins its exploded (id, s) index for the
+        // self-join's two sides — the signature aggregation consumes the
+        // SAME generation instead of re-shingling the corpus, which the
+        // old warm min-of-2 masked (cross-rep persist reuse hid the
+        // second shingle pass's cost entirely).
+        val (pairs, ex, _) = Dedup.ngramJaccardPairsWithIndex(
+          docs, "text", "doc_id", "source", 3, 0.02)
         // Signatures via the exploded numeric-min aggregation (one md5 per
         // shingle), same shape as minhashNearDups — not the per-row array
         // expression, which re-hashes once per permutation.
         val (u, v) = Dedup.uvHalvesPublic(col("s"))
         val mins = (0 until 16).map(p => min(col("u") + lit(p.toLong) * col("v")).as(s"m$p"))
-        val sig = pre.select(col("id"), explode(col("sh")).as("s"))
-          .select(col("id"), u.as("u"), v.as("v"))
+        val sig = ex.select(col("id"), u.as("u"), v.as("v"))
           .groupBy("id").agg(mins.head, mins.tail: _*)
           .select(col("id"), array((0 until 16).map(p => col(s"m$p")): _*).as("sig"))
-        val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", "source", 3, 0.02)
         pairs
           .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
           .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))

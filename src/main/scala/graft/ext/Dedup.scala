@@ -424,6 +424,25 @@ object Dedup {
                                   idCol: String, blockCol: String,
                                   shingleN: Int, threshold: Double)
       : (DataFrame, () => Unit) = {
+    val (pairs, _, release) = ngramJaccardPairsWithIndex(docs, textCol,
+      idCol, blockCol, shingleN, threshold)
+    (pairs, release)
+  }
+
+  /** [[ngramJaccardPairsReleasable]] plus the pinned exploded shingle
+    * index itself (`id`, `blk`, `n`, `s` — one row per distinct shingle
+    * per document). The index is the expensive artifact (normalize +
+    * tokenize + shingle + distinct per document) and is ALREADY
+    * persisted for the self-join's two sides, so a caller that needs
+    * per-shingle rows for anything else — MinHash signatures, IDF
+    * weights, shingle stats — consumes the same generation instead of
+    * re-shingling the corpus (the r19 cold-bench audit caught
+    * `x_minhash_est_vs_exact` paying the shingle pipeline twice this
+    * way). Release once, after all consumers have run. */
+  def ngramJaccardPairsWithIndex(docs: DataFrame, textCol: String,
+                                 idCol: String, blockCol: String,
+                                 shingleN: Int, threshold: Double)
+      : (DataFrame, DataFrame, () => Unit) = {
     require(threshold > 0.0,
       "inverted-index jaccard never materializes zero-overlap pairs; threshold must be > 0")
     // Repartition before tokenization: a single-file corpus otherwise runs
@@ -450,7 +469,7 @@ object Dedup {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (out, () => { ex.unpersist(); () })
+    (out, ex, () => { ex.unpersist(); () })
   }
 
   /** Exact Jaccard pairs by PREFIX FILTERING (the AllPairs/PPJoin family):

@@ -114,17 +114,33 @@ object BenchGuard {
     * failures (<0), no-prior, and sub-noise-floor cells pass through.
     * A genuine regression stays slow through every attempt and the
     * returned figure stays above the guard — it still flags downstream.
+    *
+    * `minDeltaSec`: the guard engages only when the ABSOLUTE excess
+    * over the prior also clears this floor. Rationale (r19, measured):
+    * a cold min-of-2 is an extreme-value statistic, and on sub-second
+    * cells its session-to-session spread is ±40-60% around the
+    * fresh-JVM median (x_srp_lsh_neardups committed 0.44 s in one
+    * session vs a 0.72-1.18 s fresh-JVM spread the same day), so a
+    * pure ratio test keeps flagging cells whose combined movement is
+    * ~3 s against a 200 s total. A regression that can matter to the
+    * total must ADD seconds, and one that adds >minDelta on a small
+    * cell still trips the ratio test by construction — so the
+    * composite guard keeps full sensitivity where it matters and stops
+    * burning re-runs where it can't.
     */
   def guardCell(measured: Double, prior: Double, ratio: Double,
                 rerun: () => Option[Double],
                 noiseFloorSec: Double = 0.3,
+                minDeltaSec: Double = 0.5,
                 maxAttempts: Int = 2): Double = {
     if (measured < 0 || prior <= 0 || measured < noiseFloorSec ||
-        measured <= prior * ratio) measured
+        measured <= prior * ratio || measured - prior <= minDeltaSec)
+      measured
     else {
       var best = measured
       var attempt = 0
-      while (attempt < maxAttempts && best > prior * ratio) {
+      while (attempt < maxAttempts && best > prior * ratio &&
+             best - prior > minDeltaSec) {
         rerun().foreach(rt => best = math.min(best, rt))
         attempt += 1
       }

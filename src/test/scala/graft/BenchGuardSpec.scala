@@ -42,7 +42,8 @@ class BenchGuardSpec extends AnyFunSuite {
   }
 
   test("pass-through cases never invoke a re-run: sentinel, no prior, " +
-    "sub-noise-floor, within-guard, within-declared-envelope") {
+    "sub-noise-floor, within-guard, within-declared-envelope, " +
+    "sub-delta-floor") {
     def noRerun(): Option[Double] =
       fail("guard must not re-run a pass-through cell")
     assert(BenchGuard.guardCell(-1.0, 1.0, 1.4, noRerun) === -1.0)
@@ -51,6 +52,22 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.guardCell(1.3, 1.0, 1.4, noRerun) === 1.3)
     // declared 2.8x envelope widens the guard past a 2.5x reading
     assert(BenchGuard.guardCell(2.5, 1.0, 2.8, noRerun) === 2.5)
+    // 0.44 -> 0.90 is 2x on the ratio test but adds only 0.46 s, under
+    // the 0.5 s delta floor — a sub-second cold cell's session spread
+    // (r19: nine such flags summed ~3 s against a 200 s suite) must not
+    // burn guard re-runs
+    assert(BenchGuard.guardCell(0.9, 0.44, 1.4, noRerun) === 0.9,
+      "2x on a sub-second cell with delta <= 0.5s passes under the guard")
+  }
+
+  test("a small cell with a LARGE absolute regression still flags: the " +
+    "delta floor never hides a regression that adds real seconds") {
+    var calls = 0
+    val out = BenchGuard.guardCell(5.0, 0.5, 1.4, () => {
+      calls += 1; Some(5.1)
+    })
+    assert(calls === 2, "0.5s -> 5.0s clears ratio AND delta floors")
+    assert(out === 5.0)
   }
 
   test("a regression BEYOND a declared envelope still re-runs") {

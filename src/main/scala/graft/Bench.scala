@@ -34,6 +34,58 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Parse the churn-guard inputs BEFORE the measurement loop: the
+    // envelope file's fail-loudly policy (BenchGuard.parseEnvelopes)
+    // must reject a malformed file at zero measurement cost — throwing
+    // AFTER the ~200 s suite would discard every figure and leave the
+    // round with no artifact, the outcome the env_ok design exists to
+    // avoid.
+    //
+    // Prior figures: a prior from a different scale factor OR a
+    // different measurement methodology would flag every cell (or none)
+    // for reasons unrelated to the code under test — parsePrior returns
+    // empty (guard inactive) for both, so the first run after a
+    // methodology change re-baselines instead of burning 2 futile
+    // re-runs per cell.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
+      "BENCH_full.json")
+    val prior: Map[String, Double] = try {
+      val p = graft.bench.BenchGuard.parsePrior(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(priorPath)), "UTF-8"), sfDir)
+      if (p.isEmpty)
+        System.err.println(s"[bench] prior ($priorPath) has different " +
+          "sf/methodology or no queries — churn guard inactive this run")
+      p
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] no prior bench figures ($priorPath): $e" +
+        " — churn guard inactive this run")
+      Map.empty
+    }
+    // Declared variance envelopes (DATA, not code — bench_envelopes.json
+    // fed from SCALE.md adjudications): `cells` widen the per-cell churn
+    // guard past the 1.4x default for cells with a PROBED structural
+    // cause (a regression BEYOND a declared envelope still flags);
+    // `headline` rows are declared bands for the whole-run figures,
+    // carried into the artifact so round-over-round readers compare
+    // against the declared band, not whichever session was committed
+    // last. A MISSING file means empty envelopes (every cell keeps the
+    // 1.4x default); a present-but-malformed file fails the run loudly —
+    // BenchGuard documents why a silent fallback would be worse.
+    val envelopePath = sys.env.getOrElse("SPARK_GRAFT_ENVELOPES",
+      "bench_envelopes.json")
+    val parsedEnv: graft.bench.BenchGuard.Envelopes = {
+      val path = java.nio.file.Paths.get(envelopePath)
+      if (!java.nio.file.Files.exists(path)) {
+        System.err.println(s"[bench] no envelope file ($envelopePath) " +
+          "— every cell keeps the default 1.4x churn guard")
+        graft.bench.BenchGuard.Envelopes(Map.empty, Map.empty)
+      } else graft.bench.BenchGuard.parseEnvelopes(
+        new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+    }
+    val envelope = parsedEnv.cells
+    val headlineEnv = parsedEnv.headline
+
     // min of 2 COLD runs per query (r19): caches are swept BETWEEN the
     // two reps, so run 2 can never reuse run 1's persisted stage
     // boundaries — the very mechanism that made r13-r18 minima bimodal
@@ -127,69 +179,22 @@ object Bench {
     // recovering the next round — shared-JVM noise (ContextCleaner
     // backlog, GC pacing, page-cache state), not real slowdowns. The
     // min-of-2 and the 0.75s re-probe bound but don't eliminate it. So:
-    // read the PRIOR round's committed per-query figures (BENCH_full.json
-    // in the launch cwd — the artifact this run will overwrite at the
-    // end), and give any cell >=1.4x its prior value up to two extra
-    // decontaminated attempts (cache sweep + full GC before each),
+    // give any cell above its COMPOSITE guard vs the prior figures
+    // parsed above (ratio 1.4x/declared envelope AND >0.5 s absolute
+    // excess — BenchGuard.guardCell) up to two extra decontaminated
+    // attempts (cache sweep + GC + cleaner-drain sleep before each),
     // keeping the min. A genuine regression stays slow through every
     // attempt and still surfaces; a noise spike snaps back to steady
     // state instead of burning a round of adjudication.
-    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
-      "BENCH_full.json")
-    // a prior from a different scale factor OR a different measurement
-    // methodology would flag every cell (or none) for reasons unrelated
-    // to the code under test — BenchGuard.parsePrior returns empty (guard
-    // inactive) for both, so the first run after a methodology change
-    // re-baselines instead of burning 2 futile re-runs per cell
-    val prior: Map[String, Double] = try {
-      val p = graft.bench.BenchGuard.parsePrior(
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(priorPath)), "UTF-8"), sfDir)
-      if (p.isEmpty)
-        System.err.println(s"[bench] prior ($priorPath) has different " +
-          "sf/methodology or no queries — churn guard inactive this run")
-      p
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] no prior bench figures ($priorPath): $e" +
-        " — churn guard inactive this run")
-      Map.empty
-    }
-    // Declared per-cell variance envelopes: a cell listed here has a
-    // PROBED, structural reason to read up to the given multiple of its
-    // prior without any code change, so the guard widens its threshold
-    // to the envelope instead of burning re-run attempts every session.
-    // The envelopes are DATA, not code (r18): they live in
-    // bench_envelopes.json next to the prior artifact, fed from SCALE.md
-    // adjudications — adding a probed cell no longer means editing and
-    // recompiling the bench. A cell absent from the file keeps the
-    // default 1.4× guard; a regression BEYOND a declared envelope still
-    // flags. Built-in fallback (file missing/unreadable) carries the one
-    // r17-probed cell so a bare checkout keeps its adjudicated band.
-    val envelopePath = sys.env.getOrElse("SPARK_GRAFT_ENVELOPES",
-      "bench_envelopes.json")
-    // `cells` widen the per-cell churn guard; `headline` rows are
-    // declared bands for the whole-run figures (stream_events_per_sec
-    // etc.) — adjudicated baselines that travel in the artifact so a
-    // round-over-round reader compares against the declared band, not
-    // whichever session happened to be committed last. A MISSING file
-    // means empty envelopes (every cell keeps the 1.4x default); a
-    // present-but-malformed file fails the run loudly — BenchGuard
-    // documents why a silent fallback would be worse.
-    val parsedEnv: graft.bench.BenchGuard.Envelopes = {
-      val path = java.nio.file.Paths.get(envelopePath)
-      if (!java.nio.file.Files.exists(path)) {
-        System.err.println(s"[bench] no envelope file ($envelopePath) " +
-          "— every cell keeps the default 1.4x churn guard")
-        graft.bench.BenchGuard.Envelopes(Map.empty, Map.empty)
-      } else graft.bench.BenchGuard.parseEnvelopes(
-        new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
-    }
-    val envelope = parsedEnv.cells
-    val headlineEnv = parsedEnv.headline
     val guarded = reprobed.map { case (name, t) =>
       val p = prior.getOrElse(name, -1.0)
       val ratio = envelope.getOrElse(name, 1.4)
+      // set by the rerun closure — the post-guard sweep must fire
+      // exactly when a re-run actually happened (a hand-copied second
+      // copy of guardCell's engage predicate drifted once already)
+      var reran = false
       val best = graft.bench.BenchGuard.guardCell(t, p, ratio, () => {
+        reran = true
         GraftSession.sweepCaches(spark)
         System.gc()
         // the guard pass runs at END-OF-SUITE JVM state (234 cells +
@@ -217,8 +222,7 @@ object Bench {
       // a guard re-run leaves this cell's persisted intermediates behind
       // regardless of whether it improved the figure — drop them so the
       // next guarded cell isn't taxed by them
-      if (t >= 0.3 && p > 0 && t > p * ratio)
-        GraftSession.sweepCaches(spark)
+      if (reran) GraftSession.sweepCaches(spark)
       name -> best
     }
 
@@ -316,8 +320,11 @@ object Bench {
     // reader sees the claimed variance band next to the figures
     val envJson = envelope.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // observed persist-reuse signatures this run (run1/run2 ≥ 1.8 inside
-    // one min-of-2) — adjudication DATA for future flags, not a guard
+    // observed first-run-overhead signatures this run (run1/run2 ≥ 1.8
+    // inside one COLD min-of-2 — with the r19 inter-rep sweep this can
+    // no longer mean persist-reuse; it records cells whose first run
+    // carries heavy codegen/JIT/page-cache cost, i.e. the committed min
+    // is run 2's mode) — adjudication DATA for future flags, not a guard
     val bimodalJson = bimodal.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -909,12 +909,14 @@ object ScaleProbe {
     * `ScaleProbe cellprobe <name[,name...]> [sfDir] [reps]` — for each
     * named registry cell, one DISCARDED warm-up rep (absorbs codegen /
     * classloading / page-cache), then `reps` (default 4) replays of the
-    * bench's exact per-cell procedure: two timed counts with NO sweep
-    * between (run 2 may reuse run 1's persisted stage boundaries — the
-    * bimodal signature), then min; cache sweep + full GC between reps.
-    * Per-rep run1/run2 and their ratio print so a persist-reuse bimodal
-    * cell is visible as (run1 >> run2) directly, without re-deriving the
-    * r17 curationvar analysis for every newly flagged cell. */
+    * bench's exact r19 COLD per-cell procedure: two timed counts with a
+    * cache sweep BETWEEN them (run 2 can never reuse run 1's persisted
+    * stage boundaries), then min; cache sweep + full GC between reps.
+    * Per-rep run1/run2 and their ratio print as diagnostics: under the
+    * cold procedure a high ratio means FIRST-RUN overhead (codegen/JIT/
+    * input page-cache) — NOT persist-reuse, which the inter-run sweep
+    * eliminated in r19 — i.e. the committed min (run 2's mode) is the
+    * right comparison baseline for the cell. */
   private def cellProbe(args: Array[String]): Unit = {
     require(args.length > 1 && args(1).nonEmpty,
       "usage: ScaleProbe cellprobe <name[,name...]> [sfDir] [reps]")
@@ -965,6 +967,8 @@ object ScaleProbe {
   private def streamHeadlineProbe(args: Array[String]): Unit = {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 6
+    require(reps >= 1,
+      s"streamheadline needs >= 1 post-warmup rep for a median, got $reps")
     val cpus = GraftSession.defaultParallelism
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -989,13 +993,24 @@ object ScaleProbe {
     val median = rates.sorted.apply(rates.size / 2)
     // verdict against the declared band in bench_envelopes.json, so the
     // below-band protocol (SCALE.md r18) is a printed answer, not a
-    // hand comparison
-    val band = try {
-      val env = bench.BenchGuard.parseEnvelopes(new String(
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_envelopes.json")), "UTF-8"))
-      env.headline.get("stream_events_per_sec")
-    } catch { case _: Exception => None }
+    // hand comparison. File MISSING → quietly no band; file PRESENT but
+    // malformed → loud stderr warning (the same policy the bench
+    // enforces — "no declared band found" must never mean "the file is
+    // broken", or the below-band protocol gets skipped for the wrong
+    // reason)
+    val bandPath = java.nio.file.Paths.get("bench_envelopes.json")
+    val band =
+      if (!java.nio.file.Files.exists(bandPath)) None
+      else try {
+        bench.BenchGuard.parseEnvelopes(new String(
+            java.nio.file.Files.readAllBytes(bandPath), "UTF-8"))
+          .headline.get("stream_events_per_sec")
+      } catch { case e: Exception =>
+        System.err.println(
+          s"[scale] bench_envelopes.json present but UNPARSEABLE: $e — " +
+            "fix the file; the bench will refuse to run with it")
+        None
+      }
     println(f"[scale] streamheadline median=$median%.0f " +
       f"(post-warmup reps=$reps)" + band.map { b =>
         s" declared_band=$b"
@@ -1377,7 +1392,7 @@ object ScaleProbe {
       'u' -> 28, 'm' -> 24, 'w' -> 24, 'f' -> 22, 'g' -> 20, 'y' -> 20,
       'p' -> 19, 'b' -> 15, 'v' -> 10, 'k' -> 8, 'j' -> 2, 'x' -> 2,
       'q' -> 1, 'z' -> 1)
-    val cum = letterFreq.scanLeft((' ', 0)) { case ((_, acc), (c, f)) =>
+    val cum = letterFreq.scanLeft((' ', 0)) { case ((_, acc), (c, f)) =>
       (c, acc + f) }.tail
     val total = cum.last._2
     def mix64(z0: Long): Long = { // splitmix64 finalizer

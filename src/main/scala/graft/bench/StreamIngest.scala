@@ -49,16 +49,19 @@ object StreamIngest {
     * already-processed and measure an empty batch). Returns seconds. */
   def runOnce(agg: DataFrame): Double = {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-ckpt")
-    val t0 = System.nanoTime()
-    val q = agg.writeStream.outputMode("update").format("noop")
-      .option("checkpointLocation", ckpt.toString).start()
-    try q.processAllAvailable() finally q.stop()
-    val sec = (System.nanoTime() - t0) / 1e9
     // each rep deliberately discards its checkpoint (a reused one would
-    // measure an empty batch) — reclaim it now rather than leaking one
-    // dir per rep across probes and best-of-3 benches
-    deleteRecursively(ckpt)
-    sec
+    // measure an empty batch) — reclaim it on BOTH paths (a failing rep
+    // would otherwise leak exactly the dir this cleanup exists to drain;
+    // Bench catches the Throwable and keeps the session going). The
+    // outer finally runs AFTER the timing expression, so the deletion
+    // never lands inside the measured window.
+    try {
+      val t0 = System.nanoTime()
+      val q = agg.writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt.toString).start()
+      try q.processAllAvailable() finally q.stop()
+      (System.nanoTime() - t0) / 1e9
+    } finally deleteRecursively(ckpt)
   }
 
   private def deleteRecursively(root: java.nio.file.Path): Unit =

@@ -9,7 +9,46 @@ import org.apache.spark.sql.SparkSession
   * any timer so the first measured query doesn't absorb JVM/classloader/
   * page-cache costs. */
 object Bench {
+
+  /** The current JVM's launch args (module opens, -D props, heap). */
+  private def inputJvmArgs: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+  }
+
+  private def javaBin: String =
+    java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+
+  /** Make the declared heap band unviolable (VERDICT r19 #5): build.sbt
+    * pins -Xmx16g only as a DEFAULT, and the round driver's launch path
+    * overrides it (the r19 re-run shipped a 91 GiB JVM past it, tripping
+    * env_ok on exactly the bound this exists to hold). When the bench
+    * JVM starts outside the band, re-exec the same main in a child JVM
+    * with the heap pinned and exit with its code — so `env_ok` can only
+    * be falsified by machine load, which is annotation-only by design.
+    * The marker env var stops recursion if the pin itself ever failed. */
+  private def reExecIfHeapOutOfBand(args: Array[String]): Unit = {
+    if (sys.env.contains("GRAFT_BENCH_HEAP_PINNED")) return
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    graft.bench.BenchGuard.relaunchJvmArgs(inputJvmArgs, heapMb).foreach {
+      jvmArgs =>
+        System.err.println(s"[bench] heap_max_mb=$heapMb outside declared " +
+          s"band ${graft.bench.BenchGuard.HeapBandMb} — re-exec with " +
+          "pinned -Xmx16g")
+        val cmd = (Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++
+          args)
+        val pb = new ProcessBuilder(cmd: _*).inheritIO()
+        pb.environment().put("GRAFT_BENCH_HEAP_PINNED", "1")
+        val code = pb.start().waitFor()
+        sys.exit(code)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    reExecIfHeapOutOfBand(args)
     val loadAtStart = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,19 +88,22 @@ object Bench {
     // re-runs per cell.
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
       "BENCH_full.json")
-    val prior: Map[String, Double] = try {
-      val p = graft.bench.BenchGuard.parsePrior(
-        new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(priorPath)), "UTF-8"), sfDir)
-      if (p.isEmpty)
-        System.err.println(s"[bench] prior ($priorPath) has different " +
-          "sf/methodology or no queries — churn guard inactive this run")
-      p
+    val priorTxt: Option[String] = try {
+      Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(priorPath)), "UTF-8"))
     } catch { case e: Exception =>
       System.err.println(s"[bench] no prior bench figures ($priorPath): $e" +
         " — churn guard inactive this run")
-      Map.empty
+      None
     }
+    val prior: Map[String, Double] = priorTxt.map { txt =>
+      val p = graft.bench.BenchGuard.parsePrior(txt, sfDir)
+      if (p.isEmpty)
+        System.err.println(s"[bench] prior ($priorPath) has different " +
+          "sf/methodology, env_ok:false, or no queries — churn guard " +
+          "inactive this run")
+      p
+    }.getOrElse(Map.empty)
     // Declared variance envelopes (DATA, not code — bench_envelopes.json
     // fed from SCALE.md adjudications): `cells` widen the per-cell churn
     // guard past the 1.4x default for cells with a PROBED structural
@@ -234,9 +276,12 @@ object Bench {
     // spread observed on back-to-back invocations.
     GraftSession.sweepCaches(spark)
     System.gc()
-    val chainRows = graft.model.Tables.events(spark, sfDir).count()
+    // the measurement itself lives in bench.ChainMeasure — ONE definition
+    // shared with the ScaleProbe chainheadline adjudication probe, same
+    // single-definition discipline as StreamIngest below
+    val chainRows = graft.bench.ChainMeasure.rows(spark, sfDir)
     val chainSec = (1 to 3).map { _ =>
-      val s = time { Pipeline.gold5Min(spark, sfDir).count(); () }
+      val s = graft.bench.ChainMeasure.runOnce(spark, sfDir)
       System.gc()
       s
     }.min
@@ -267,17 +312,20 @@ object Bench {
       // definition shared with the ScaleProbe streamheadline
       // adjudication probe, so probe and bench cannot diverge when the
       // window width / watermark / ts conversion next changes
-      val (agg, rows) = graft.bench.StreamIngest.buildAgg(spark, sfDir)
-      // Best-of-3, same discipline as the chain: the single-shot reading
-      // swung ±15% round-to-round on identical code. Each run replays the
-      // whole source dir from a FRESH checkpoint (a reused one would mark
-      // every file already-processed and measure an empty batch).
-      val sec = (1 to 3).map { _ =>
-        val s = graft.bench.StreamIngest.runOnce(agg)
-        System.gc()
-        s
-      }.min
-      if (sec > 0) rows / sec else 0.0
+      val (agg, rows, releaseStaged) =
+        graft.bench.StreamIngest.buildAggReleasable(spark, sfDir)
+      try {
+        // Best-of-3, same discipline as the chain: the single-shot reading
+        // swung ±15% round-to-round on identical code. Each run replays the
+        // whole source dir from a FRESH checkpoint (a reused one would mark
+        // every file already-processed and measure an empty batch).
+        val sec = (1 to 3).map { _ =>
+          val s = graft.bench.StreamIngest.runOnce(agg)
+          System.gc()
+          s
+        }.min
+        if (sec > 0) rows / sec else 0.0
+      } finally releaseStaged()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming-ingest measurement failed: $e")
       errors += "stream_events_per_sec"
@@ -286,6 +334,79 @@ object Bench {
     val batchP95Ms = graft.monitoring.Alerts
       .latencyPercentiles(latencyListener.history)
       .getOrElse("batch_duration_ms_p95", -1.0)
+
+    // Fresh-JVM probe medians for the two headline rates (VERDICT r19
+    // #1): the declared in-suite bands are ~1.5-2x wide — honest about
+    // end-of-suite session spread, but too wide to detect a real 30-40%
+    // regression on the medallion path, which has no per-cell guard
+    // covering it end to end. The probes (ScaleProbe chainheadline /
+    // streamheadline — the SAME ChainMeasure/StreamIngest definitions
+    // the bench times above) run in a CHILD JVM with no 234-cell suite
+    // behind them, where the median of >=5 post-warmup reps carries
+    // ~±15% spread (SCALE.md quiet-machine probes). Guarded against the
+    // prior artifact's probe medians: a >1.25x rate drop gets ONE
+    // re-probe (keep max) — a genuine regression stays low and flags.
+    val probePrior = priorTxt
+      .map(t => graft.bench.BenchGuard.parsePriorProbeMedians(t, sfDir))
+      .getOrElse(Map.empty)
+    val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "5")
+    def runProbe(kind: String): Double = {
+      val jvmArgs = graft.bench.BenchGuard.relaunchJvmArgs(inputJvmArgs, 0L)
+        .getOrElse(Seq.empty) // 0 is always out of band → always Some
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"),
+          "graft.ScaleProbe", kind, sfDir, probeReps))
+      try {
+        val pb = new ProcessBuilder(cmd: _*)
+          .redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        // waitFor BEFORE reading: a hung child would block readAllBytes
+        // forever and defeat the timeout. The probe's stdout is a dozen
+        // [scale] lines (stderr is inherited, not piped), far under the
+        // pipe buffer, so the child never blocks on a full pipe either.
+        val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+        if (!done) { proc.destroyForcibly(); proc.waitFor() }
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        val m = s"\\[scale\\] $kind median=(\\d+)".r.findFirstMatchIn(out)
+        m.map(_.group(1).toDouble).getOrElse {
+          System.err.println(s"[bench] $kind probe produced no median " +
+            s"(exit=${if (done) proc.exitValue() else "timeout"}) — " +
+            "probe_medians carries the -1 sentinel")
+          -1.0
+        }
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] $kind probe failed to launch: $e")
+        -1.0
+      }
+    }
+    def guardedProbe(kind: String, key: String): Double = {
+      val measured = runProbe(kind)
+      val p = probePrior.getOrElse(key, -1.0)
+      val best = graft.bench.BenchGuard.guardRate(measured, p, 1.25, () => {
+        System.err.println(f"[bench] $key probe median $measured%.0f " +
+          f"dropped >1.25x below prior $p%.0f — one re-probe")
+        Some(runProbe(kind))
+      })
+      if (best > 0 && p > 0 && best * 1.25 < p)
+        System.err.println(f"[bench] $key probe median REGRESSION: " +
+          f"$best%.0f vs prior $p%.0f persists through the re-probe")
+      best
+    }
+    val probeMedians: Seq[(String, Double)] =
+      if (sys.env.get("SPARK_GRAFT_HEADLINE_PROBES").contains("0")) {
+        System.err.println("[bench] headline probes disabled via " +
+          "SPARK_GRAFT_HEADLINE_PROBES=0 — probe_medians carry the -1 " +
+          "sentinel (a sentinel never anchors the next run's rate guard)")
+        Seq("chain_rows_per_sec" -> -1.0, "stream_events_per_sec" -> -1.0)
+      } else Seq(
+        "chain_rows_per_sec" ->
+          guardedProbe("chainheadline", "chain_rows_per_sec"),
+        "stream_events_per_sec" ->
+          guardedProbe("streamheadline", "stream_events_per_sec"))
+    val probeJson = probeMedians
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
 
     val qs = guarded.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -331,7 +452,7 @@ object Bench {
     val headlineJson = headlineEnv.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"${graft.bench.BenchGuard.Methodology}",$env,"queries":$qs,"errors":$errsJson,"variance_envelopes":$envJson,"bimodal_cells":$bimodalJson,"headline_envelopes":$headlineJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"${graft.bench.BenchGuard.Methodology}",$env,"queries":$qs,"errors":$errsJson,"variance_envelopes":$envJson,"bimodal_cells":$bimodalJson,"headline_envelopes":$headlineJson,"probe_medians":$probeJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
     println(json)
     // stdout gets truncated by callers that keep only a tail; also land
     // the complete per-query JSON as an artifact so round-over-round

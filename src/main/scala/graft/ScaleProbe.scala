@@ -38,6 +38,7 @@ object ScaleProbe {
     if (args.headOption.contains("ingestops")) { ingestOpsProbe(args); return }
     if (args.headOption.contains("cellprobe")) { cellProbe(args); return }
     if (args.headOption.contains("streamheadline")) { streamHeadlineProbe(args); return }
+    if (args.headOption.contains("chainheadline")) { chainHeadlineProbe(args); return }
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val out = if (args.length > 1) args(1) else "/tmp/graft_scale_events"
     val cpus = GraftSession.defaultParallelism
@@ -991,27 +992,70 @@ object ScaleProbe {
       rate
     }.drop(warmups)
     val median = rates.sorted.apply(rates.size / 2)
-    // verdict against the declared band in bench_envelopes.json, so the
-    // below-band protocol (SCALE.md r18) is a printed answer, not a
-    // hand comparison. File MISSING → quietly no band; file PRESENT but
-    // malformed → loud stderr warning (the same policy the bench
-    // enforces — "no declared band found" must never mean "the file is
-    // broken", or the below-band protocol gets skipped for the wrong
-    // reason)
-    val bandPath = java.nio.file.Paths.get("bench_envelopes.json")
-    val band =
-      if (!java.nio.file.Files.exists(bandPath)) None
-      else try {
-        bench.BenchGuard.parseEnvelopes(new String(
-            java.nio.file.Files.readAllBytes(bandPath), "UTF-8"))
-          .headline.get("stream_events_per_sec")
-      } catch { case e: Exception =>
-        System.err.println(
-          s"[scale] bench_envelopes.json present but UNPARSEABLE: $e — " +
-            "fix the file; the bench will refuse to run with it")
-        None
-      }
+    val band = declaredBand("stream_events_per_sec")
     println(f"[scale] streamheadline median=$median%.0f " +
+      f"(post-warmup reps=$reps)" + band.map { b =>
+        s" declared_band=$b"
+      }.getOrElse(" (no declared band found)"))
+    spark.stop()
+  }
+
+  /** Declared headline band from bench_envelopes.json, for the probes'
+    * printed verdicts — so the below-band protocol (SCALE.md r18) is a
+    * printed answer, not a hand comparison. File MISSING → quietly no
+    * band; file PRESENT but malformed → loud stderr warning (the same
+    * policy the bench enforces — "no declared band found" must never
+    * mean "the file is broken", or the below-band protocol gets skipped
+    * for the wrong reason). */
+  private def declaredBand(key: String): Option[String] = {
+    val bandPath = java.nio.file.Paths.get("bench_envelopes.json")
+    if (!java.nio.file.Files.exists(bandPath)) None
+    else try {
+      bench.BenchGuard.parseEnvelopes(new String(
+          java.nio.file.Files.readAllBytes(bandPath), "UTF-8"))
+        .headline.get(key)
+    } catch { case e: Exception =>
+      System.err.println(
+        s"[scale] bench_envelopes.json present but UNPARSEABLE: $e — " +
+          "fix the file; the bench will refuse to run with it")
+      None
+    }
+  }
+
+  /** Medallion-chain headline adjudication:
+    * `ScaleProbe chainheadline [sfDir] [reps]` — the bench's EXACT chain
+    * measurement (bench.ChainMeasure: events → silver flags → gold 5-min
+    * aggs, one materialization per rep) in a FRESH JVM with no 234-cell
+    * registry sweep beforehand. The committed in-suite chain figure
+    * carries a declared ~2x session band (end-of-suite JVM state); this
+    * probe's post-warmup median carries ~±15%, so it is the reading with
+    * the discriminating power to catch a real 30-40% chain regression
+    * (VERDICT r19 #1). [[graft.Bench]] spawns this per closing run and
+    * embeds the median in the artifact's `probe_medians`. */
+  private def chainHeadlineProbe(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 5
+    require(reps >= 1,
+      s"chainheadline needs >= 1 post-warmup rep for a median, got $reps")
+    val cpus = GraftSession.defaultParallelism
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nRows = bench.ChainMeasure.rows(spark, sfDir)
+    // same warm-up discipline as streamheadline: a fresh JVM's first
+    // reps measure classloading/codegen/page cache, not engine capability
+    val warmups = 2
+    val rates = (1 to warmups + reps).map { rep =>
+      System.gc()
+      val sec = bench.ChainMeasure.runOnce(spark, sfDir)
+      val rate = nRows / sec
+      val tag = if (rep <= warmups) " (warm-up, discarded)" else ""
+      println(f"[scale] chainheadline rep$rep rows=$nRows sec=$sec%.2f " +
+        f"rows_per_sec=$rate%.0f$tag")
+      rate
+    }.drop(warmups)
+    val median = rates.sorted.apply(rates.size / 2)
+    val band = declaredBand("chain_rows_per_sec")
+    println(f"[scale] chainheadline median=$median%.0f " +
       f"(post-warmup reps=$reps)" + band.map { b =>
         s" declared_band=$b"
       }.getOrElse(" (no declared band found)"))

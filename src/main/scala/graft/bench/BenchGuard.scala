@@ -82,19 +82,22 @@ object BenchGuard {
 
   /** Parse a prior BENCH_full.json into per-cell figures, returning
     * empty (guard inactive) when the prior was measured on a different
-    * scale factor or under a different methodology tag — either would
+    * scale factor, under a different methodology tag, or OUTSIDE the
+    * declared environment bounds (`env_ok: false`) — any of these would
     * flag every cell (or none) for reasons that have nothing to do with
-    * the code under test. Non-numeric query values are skipped.
+    * the code under test. The env_ok gate is this contract's own rule
+    * applied to itself (ADVICE r19): two artifacts are comparable only
+    * when both ran inside the bounds, so an out-of-bounds prior (e.g.
+    * the r19 driver re-run's 91 GiB-heap/load-13.8 artifact) must not
+    * silently activate the churn guard. Non-numeric query values are
+    * skipped.
     */
   def parsePrior(txt: String, sfDir: String): Map[String, Double] = {
     val root = new ObjectMapper().readTree(txt)
     if (root == null || !root.isObject) return Map.empty
-    val priorSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
-    val priorMeth =
-      Option(root.get("methodology")).map(_.asText()).getOrElse("")
+    if (!priorComparable(root, sfDir)) return Map.empty
     val node = root.get("queries")
-    if (node == null || priorSf != sfDir || priorMeth != Methodology)
-      Map.empty
+    if (node == null) Map.empty
     else {
       val b = Map.newBuilder[String, Double]
       node.fields().forEachRemaining { e =>
@@ -103,6 +106,77 @@ object BenchGuard {
       b.result()
     }
   }
+
+  /** Parse a prior artifact's fresh-JVM probe medians (`probe_medians`
+    * object), under the same comparability gate as [[parsePrior]].
+    * Non-positive values (the -1 probe-failed sentinel) are skipped —
+    * a failed prior probe must not anchor the rate guard at -1. */
+  def parsePriorProbeMedians(txt: String, sfDir: String): Map[String, Double] = {
+    val root = new ObjectMapper().readTree(txt)
+    if (root == null || !root.isObject) return Map.empty
+    if (!priorComparable(root, sfDir)) return Map.empty
+    val node = root.get("probe_medians")
+    if (node == null) Map.empty
+    else {
+      val b = Map.newBuilder[String, Double]
+      node.fields().forEachRemaining { e =>
+        if (e.getValue.isNumber && e.getValue.asDouble() > 0)
+          b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    }
+  }
+
+  private def priorComparable(root: com.fasterxml.jackson.databind.JsonNode,
+                              sfDir: String): Boolean = {
+    val priorSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+    val priorMeth =
+      Option(root.get("methodology")).map(_.asText()).getOrElse("")
+    // absent env_ok (pre-r19 artifact) is already rejected by the
+    // methodology tag; an explicit false is the loud incomparability mark
+    val priorEnvOk =
+      Option(root.get("env_ok")).forall(n => !n.isBoolean || n.asBoolean())
+    priorSf == sfDir && priorMeth == Methodology && priorEnvOk
+  }
+
+  /** The churn-guard decision loop for a THROUGHPUT figure (higher =
+    * better), used on the fresh-JVM probe medians: engage when the
+    * measured rate drops below prior/ratio, re-probe up to `maxAttempts`
+    * times keeping the MAX (a genuine regression stays low through every
+    * attempt and still flags; a noisy probe snaps back). The probe
+    * medians carry ~±15% session spread (SCALE.md quiet-machine probes)
+    * vs ±50% for the in-suite headline, so the default ratio is 1.25 —
+    * tight enough to catch the 30-40% chain regression the declared
+    * in-suite bands cannot (VERDICT r19 #1). Sentinels (<=0 measured —
+    * probe failed) and missing priors pass through. */
+  def guardRate(measured: Double, prior: Double, ratio: Double = 1.25,
+                rerun: () => Option[Double],
+                maxAttempts: Int = 1): Double = {
+    if (measured <= 0 || prior <= 0 || measured * ratio >= prior) measured
+    else {
+      var best = measured
+      var attempt = 0
+      while (attempt < maxAttempts && best * ratio < prior) {
+        rerun().filter(_ > 0).foreach(rt => best = math.max(best, rt))
+        attempt += 1
+      }
+      best
+    }
+  }
+
+  /** JVM args for re-launching a bench/probe fork inside the declared
+    * heap band: None when `heapMaxMb` is already in band (no relaunch),
+    * otherwise the caller's args with every -Xmx/-Xms stripped and the
+    * band's pin appended. build.sbt sets -Xmx16g as a DEFAULT, but the
+    * round driver's launch path overrides it (the r19 re-run shipped a
+    * 91 GiB JVM) — so Bench re-execs itself through this instead of
+    * trusting ambient JVM opts, making the heap bound unviolable
+    * (VERDICT r19 #5). Machine load stays annotation-only by design. */
+  def relaunchJvmArgs(inputArgs: Seq[String],
+                      heapMaxMb: Long): Option[Seq[String]] =
+    if (heapMaxMb >= HeapBandMb._1 && heapMaxMb <= HeapBandMb._2) None
+    else Some(inputArgs.filterNot(a =>
+      a.startsWith("-Xmx") || a.startsWith("-Xms")) :+ "-Xmx16g")
 
   /** The churn-guard decision loop for one cell. `measured` is this
     * run's figure, `prior` the same cell's figure from the prior

@@ -14,20 +14,40 @@ import org.apache.spark.sql.functions.expr
   * with them every re-baselining decision built on the comparison. */
 object StreamIngest {
 
+  // One STATIC shutdown hook draining a shared queue of staged dirs
+  // (ADVICE r19): a hook per buildAgg call would accumulate hooks and
+  // events-sized /tmp copies in a long-lived process until exit.
+  private val staged =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = staged.poll()
+      while (p != null) { deleteRecursively(p); p = staged.poll() }
+    }))
+
   /** Stage `sfDir`'s events table into a fresh temp dir and build the
     * windowed-aggregation streaming frame over it. Returns (agg frame,
     * source row count). The staging copy exists so the streaming source
     * dir contains exactly one immutable file regardless of what else
-    * lives in sfDir. */
+    * lives in sfDir. The copy is reclaimed at JVM exit; a long-lived
+    * caller that is DONE with the frame should use
+    * [[buildAggReleasable]] and release eagerly instead. */
   def buildAgg(spark: SparkSession, sfDir: String): (DataFrame, Long) = {
+    val (agg, rows, _) = buildAggReleasable(spark, sfDir)
+    (agg, rows)
+  }
+
+  /** [[buildAgg]] plus an explicit release handle that deletes the
+    * staged events copy immediately (and removes it from the exit-time
+    * sweep) — for probes/benches that finish with the frame long before
+    * JVM exit. The frame reads the staged dir LAZILY: release only after
+    * the last replay. */
+  def buildAggReleasable(spark: SparkSession, sfDir: String)
+      : (DataFrame, Long, () => Unit) = {
     import java.nio.file.{Files, Path}
     val streamDir = Files.createTempDirectory("graft-bench-stream")
-    // the staged copy must outlive every rep (the returned frame reads
-    // it lazily), so reclaim it at JVM exit — cellprobe/streamheadline
-    // and the best-of-3 bench otherwise accumulate one events-sized
-    // copy per buildAgg call in /tmp across a session
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      deleteRecursively(streamDir)))
+    staged.add(streamDir)
+    hookInstalled
     Files.copy(Path.of(s"$sfDir/events.parquet"),
       streamDir.resolve("events.parquet"))
     val raw = spark.read.parquet(streamDir.toString)
@@ -41,7 +61,7 @@ object StreamIngest {
       else src0
     val agg = graft.streaming.StreamingPipeline.windowedAgg(
       src, "ts", Seq("event_type"), "value", "5 minutes", "10 minutes")
-    (agg, rows)
+    (agg, rows, () => { staged.remove(streamDir); deleteRecursively(streamDir) })
   }
 
   /** One timed replay of the full source through `agg` to a noop sink

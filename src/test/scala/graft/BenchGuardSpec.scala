@@ -141,6 +141,81 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(p === Map("good" -> 2.0))
   }
 
+  test("parsePrior: env_ok:false prior deactivates the guard (ADVICE " +
+    "r19: an out-of-bounds prior would flag cells against incomparable " +
+    "figures — the committed r19 driver re-run is exactly such a prior)") {
+    val bad =
+      s"""{"methodology":"${BenchGuard.Methodology}","sf":"/d",
+         |"env_ok":false,"queries":{"q1":1.5}}""".stripMargin
+    assert(BenchGuard.parsePrior(bad, "/d").isEmpty)
+    // explicit true and absent env_ok both remain comparable
+    val ok =
+      s"""{"methodology":"${BenchGuard.Methodology}","sf":"/d",
+         |"env_ok":true,"queries":{"q1":1.5}}""".stripMargin
+    assert(BenchGuard.parsePrior(ok, "/d") === Map("q1" -> 1.5))
+  }
+
+  // ---- probe medians + rate guard (VERDICT r19 #1) --------------------
+
+  test("parsePriorProbeMedians: gated like parsePrior, skips the -1 " +
+    "probe-failed sentinel") {
+    val txt =
+      s"""{"methodology":"${BenchGuard.Methodology}","sf":"/d","env_ok":true,
+         |"probe_medians":{"chain_rows_per_sec":150000.0,
+         |"stream_events_per_sec":-1.0}}""".stripMargin
+    assert(BenchGuard.parsePriorProbeMedians(txt, "/d") ===
+      Map("chain_rows_per_sec" -> 150000.0))
+    assert(BenchGuard.parsePriorProbeMedians(txt, "/other").isEmpty)
+    assert(BenchGuard.parsePriorProbeMedians(
+      txt.replace("\"env_ok\":true", "\"env_ok\":false"), "/d").isEmpty)
+  }
+
+  test("guardRate: a seeded GENUINE rate regression stays low through " +
+    "the re-probe and still flags (the chain headline's missing " +
+    "discriminating power)") {
+    var calls = 0
+    // prior 150k rows/s, measured 90k — a 40% drop the declared in-suite
+    // band [100k, 200k] would MISS but the 1.25x probe guard catches
+    val out = BenchGuard.guardRate(90000.0, 150000.0, 1.25, () => {
+      calls += 1; Some(92000.0)
+    })
+    assert(calls === 1)
+    assert(out === 92000.0)
+    assert(out * 1.25 < 150000.0, "…still below guard, so it flags")
+  }
+
+  test("guardRate: a noisy probe snaps back on re-probe; pass-throughs " +
+    "never re-probe") {
+    var calls = 0
+    val out = BenchGuard.guardRate(90000.0, 150000.0, 1.25, () => {
+      calls += 1; Some(148000.0)
+    })
+    assert(calls === 1)
+    assert(out === 148000.0)
+    def noRerun(): Option[Double] = fail("must not re-probe")
+    assert(BenchGuard.guardRate(-1.0, 150000.0, 1.25, noRerun) === -1.0,
+      "failed-probe sentinel passes through")
+    assert(BenchGuard.guardRate(140000.0, -1.0, 1.25, noRerun) === 140000.0,
+      "no prior passes through")
+    assert(BenchGuard.guardRate(130000.0, 150000.0, 1.25, noRerun)
+      === 130000.0, "within-guard drop passes through")
+  }
+
+  test("relaunchJvmArgs: out-of-band heap strips ambient sizing and " +
+    "pins the band's -Xmx; in-band heap never relaunches (VERDICT r19 " +
+    "#5 — the driver's 91 GiB launch must still produce an in-band " +
+    "bench JVM)") {
+    val ambient = Seq("--add-opens", "java.base/java.lang=ALL-UNNAMED",
+      "-Xms4g", "-Xmx91g", "-Dspark.ui.enabled=false")
+    val pinned = BenchGuard.relaunchJvmArgs(ambient, 91136L)
+    assert(pinned === Some(Seq("--add-opens",
+      "java.base/java.lang=ALL-UNNAMED", "-Dspark.ui.enabled=false",
+      "-Xmx16g")))
+    assert(BenchGuard.relaunchJvmArgs(ambient, 16384L).isEmpty)
+    assert(BenchGuard.relaunchJvmArgs(ambient, 8192L).isDefined,
+      "undersized heap also relaunches")
+  }
+
   // ---- env bounds ----------------------------------------------------
 
   test("envOk: declared load + heap bounds") {

@@ -2502,6 +2502,14 @@ object SparkEntry {
         // SAME generation instead of re-shingling the corpus, which the
         // old warm min-of-2 masked (cross-rep persist reuse hid the
         // second shingle pass's cost entirely).
+        // The release() handle is DELIBERATELY discarded (ADVICE r19):
+        // a registry cell returns a lazy frame, so there is no
+        // post-consumption hook to release from — this cell (like every
+        // cell built on the persisting pair/CC operators) relies on the
+        // harness sweep between queries (GraftSession.sweepCaches in
+        // Bench/Verify). A RESIDENT pipeline must use the Releasable
+        // variants directly and release after consumption, per the
+        // Dedup scaladoc.
         val (pairs, ex, _) = Dedup.ngramJaccardPairsWithIndex(
           docs, "text", "doc_id", "source", 3, 0.02)
         // Signatures via the exploded numeric-min aggregation (one md5 per
@@ -4150,6 +4158,77 @@ object SparkEntry {
           .orderBy("csize")
       }),
 
+    // One-pass cluster report (VERDICT r19 #2): split + keep-best +
+    // histogram all consuming ONE shingle→pairs→CC artifact
+    // (Curate.clusterReport) instead of rebuilding it per operator the
+    // way the standalone cells above do. The oracle reuses the family's
+    // recursive-CTE cluster construction and derives all three sections
+    // from the same comp table, so a drift in ANY section (split
+    // bucketing, quality ranking, size accounting) breaks the hash.
+    // quality_sum is a ~500-value 4-dp sum — double + epsilon-round is
+    // the repo rule for small sums (DECIMAL is for row-count-scale ones).
+    Q("x_cluster_report",
+      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
+              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |       FROM pre a JOIN pre b
+              |         ON a.source = b.source AND a.doc_id < b.doc_id
+              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
+              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
+              |          UNION ALL SELECT id_b, id_a FROM pj),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+              |d AS MATERIALIZED (SELECT documents.doc_id, text,
+              |        COALESCE(comp.cluster_id, documents.doc_id) AS cluster_id
+              |      FROM documents LEFT JOIN comp ON comp.id = documents.doc_id),
+              |b AS (SELECT doc_id, cluster_id,
+              |       CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+              |      FROM d),
+              |s1 AS (SELECT 'split' AS section,
+              |        CASE WHEN bucket < 80 THEN 'train'
+              |             WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS k,
+              |        COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters,
+              |        CAST(NULL AS DOUBLE) AS quality_sum
+              |      FROM b GROUP BY 1, 2),
+              |sz AS (SELECT cluster_id, COUNT(*) AS csize FROM d GROUP BY 1),
+              |s2 AS (SELECT 'histogram' AS section, CAST(csize AS VARCHAR) AS k,
+              |        CAST(SUM(csize) AS BIGINT) AS n_docs, COUNT(*) AS n_clusters,
+              |        CAST(NULL AS DOUBLE) AS quality_sum
+              |      FROM sz GROUP BY 2),
+              |q AS (SELECT doc_id, cluster_id,
+              |        ROUND(($qualityScoreSql) + 1e-9, 4) AS quality
+              |      FROM (SELECT doc_id, cluster_id, text, $toksSql AS toks
+              |            FROM d)),
+              |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+              |        ORDER BY quality DESC, doc_id) AS rn FROM q),
+              |s3 AS (SELECT 'keep_best' AS section, 'all' AS k,
+              |        COUNT(*) AS n_docs, COUNT(DISTINCT cluster_id) AS n_clusters,
+              |        ROUND(SUM(quality) + 1e-9, 4) AS quality_sum
+              |      FROM r WHERE rn = 1)
+              |SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+              |ORDER BY section, k""".stripMargin),
+      (s, dir) => {
+        val rep = graft.ext.Curate.clusterReport(
+          Tables.documents(s, dir).select("doc_id", "text", "source"))
+        val splitRows = rep.split.select(lit("split").as("section"),
+          col("split").as("k"), col("n_docs"), col("n_clusters"),
+          lit(null).cast("double").as("quality_sum"))
+        val histRows = rep.histogram.select(lit("histogram").as("section"),
+          col("csize").cast("string").as("k"), col("n_docs"),
+          col("n_clusters"), lit(null).cast("double").as("quality_sum"))
+        val kbRows = rep.keepBest
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("cluster_id")).as("n_clusters"),
+            R(sum(col("quality"))).as("quality_sum"))
+          .select(lit("keep_best").as("section"), lit("all").as("k"),
+            col("n_docs"), col("n_clusters"), col("quality_sum"))
+        splitRows.unionByName(histRows).unionByName(kbRows)
+          .orderBy("section", "k")
+      }),
+
     // Training-shard manifest: every doc assigned to an ≈1000-token
     // output shard in epoch-shuffle order (shard = floor(start_offset /
     // budget); a straddling doc belongs to the shard where it STARTS).
@@ -4950,12 +5029,20 @@ object SparkEntry {
     // the engine (Graph.pageRank), which never touches the sink set.
     Q("x_pagerank_dangling",
       Some {
+        // Every per-iteration CTE is MATERIALIZED (VERDICT r19 #3):
+        // r{k-1} is referenced three times per iteration (c_k, m_k's
+        // conservation difference, and r_k itself), and DuckDB inlines
+        // non-materialized CTEs at each reference — the expression tree
+        // grows 3^iters copies of the whole base chain and the sf0.1
+        // oracle OOMs during planning. Materialized, each level is one
+        // O(nodes) table and the sf0.1 oracle completes in ~1 s
+        // (value-identical at sf0.01, verified both forms).
         val iterSql = (1 to 5).map(k =>
-          s"""c$k AS (SELECT t.dst, SUM(r.r * t.p) AS s
+          s"""c$k AS MATERIALIZED (SELECT t.dst, SUM(r.r * t.p) AS s
              |  FROM t JOIN r${k - 1} r ON r.node = t.src GROUP BY t.dst),
-             |m$k AS (SELECT ROUND((SELECT SUM(r) FROM r${k - 1})
+             |m$k AS MATERIALIZED (SELECT ROUND((SELECT SUM(r) FROM r${k - 1})
              |    - COALESCE((SELECT SUM(s) FROM c$k), 0.0), 10) AS m),
-             |r$k AS (SELECT n.node,
+             |r$k AS MATERIALIZED (SELECT n.node,
              |    ROUND((1 - 0.85) / c.n + 0.85 * (COALESCE(cc.s, 0.0) + m.m / c.n), 10) AS r
              |  FROM nodes n CROSS JOIN cnt c CROSS JOIN m$k m
              |  LEFT JOIN c$k cc ON cc.dst = n.node)""".stripMargin).mkString(",\n")

@@ -324,6 +324,71 @@ object Curate {
     def release(): Unit = { cached.foreach(_.unpersist()); () }
   }
 
+  /** The three standard outputs of a near-dup clustering run, all
+    * derived from ONE cluster assignment (see [[clusterReport]]).
+    * `release()` frees the checkpointed assignment blocks — call once
+    * every consumer is materialized/published. */
+  final case class ClusterReport(assignments: DataFrame, split: DataFrame,
+                                 keepBest: DataFrame, histogram: DataFrame,
+                                 private val comp: DataFrame) {
+    def release(): Unit = Graph.freeCheckpoint(comp)
+  }
+
+  /** ONE pair-generation + ONE connected-components pass feeding the
+    * whole cluster-consumer family: leakage-guarded train/valid/test
+    * split (keyed on the CLUSTER id), keep-best-per-cluster retention,
+    * and the duplicate-cluster size histogram. The standalone registry
+    * cells (`x_cluster_split`, `x_cluster_keep_best`,
+    * `x_dup_cluster_histogram`, `x_dedup_clusters`) each rebuild the
+    * shingle→pairs→CC artifact — correct for per-operator benching, but
+    * a real curation run wants the clusters computed once (VERDICT r19
+    * #2; the same one-pass seam [[Dedup.ngramJaccardPairsWithIndex]]
+    * proved out one level down for shingles). Measured: the composed
+    * report costs ~one family member, not four (SCALE.md r20).
+    *
+    * Shape at scale: the pair generator is the blocked inverted-index
+    * join (never cross-source all-pairs); CC is eager (driver union-find
+    * under the size gate, else checkpointed label propagation), so by
+    * the time this returns, the expensive lineage has run exactly once
+    * and the shingle index is already released — the three outputs
+    * re-join only the docs scan against the small assignment table.
+    * Singletons keep their own id as cluster_id, exactly like the
+    * standalone cells. */
+  def clusterReport(docs: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id", blockCol: String = "source",
+                    shingleN: Int = 3, threshold: Double = 0.02,
+                    splits: Seq[(String, Int)] =
+                      Seq("train" -> 80, "valid" -> 90, "test" -> 100))
+      : ClusterReport = {
+    val (pairs, _, releaseIdx) = Dedup.ngramJaccardPairsWithIndex(
+      docs, textCol, idCol, blockCol, shingleN, threshold)
+    val comp = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", idCol)
+    // CC has fully consumed the pair lineage (it is eager on both its
+    // arms), so the pinned shingle index can go NOW — no consumer below
+    // ever re-shingles
+    releaseIdx()
+    val assigned = docs.join(comp, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val split = assigned
+      .withColumn("split",
+        Sampling.deterministicSplit(col("cluster_id"), splits))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    val keepBest = keepBestPerCluster(
+        assigned.select(col(idCol), col(textCol), col("cluster_id")),
+        "cluster_id", textCol, idCol)
+      .select(col("cluster_id"), col(idCol), col("quality"))
+    val histogram = assigned
+      .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("csize").cast("long").as("n_docs"))
+    ClusterReport(assigned.select(col(idCol), col("cluster_id")),
+      split, keepBest, histogram, comp)
+  }
+
   /** ONE gram pass across the k-gram operator family — span-dedup
     * surgery, novelty scoring, and benchmark decontamination all read
     * the SAME persisted (id, pos, md5) gram table, so a curation

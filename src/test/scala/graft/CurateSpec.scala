@@ -262,4 +262,52 @@ class CurateSpec extends SparkTestBase {
     }
     r.release()
   }
+
+  test("clusterReport: ONE pair-gen + ONE CC reproduces every standalone " +
+    "cluster-family output (split, keep-best, histogram, assignments)") {
+    import graft.ext.{Curate, Dedup, Graph, Sampling}
+    val docs = model.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text", "source")
+    val rep = Curate.clusterReport(docs)
+
+    // standalone constructions, rebuilt per operator exactly like the
+    // registry cells they mirror
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      "source", 3, 0.02)
+    val comp = Graph.connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "doc_id")
+    val assigned = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+
+    // assignments: every doc present, singletons self-labeled
+    assert(rep.assignments.count() === docs.count())
+    assert(rep.assignments.orderBy("doc_id").collect().toSeq ===
+      assigned.select("doc_id", "cluster_id").orderBy("doc_id")
+        .collect().toSeq)
+
+    val split0 = assigned.withColumn("split",
+        Sampling.deterministicSplit(col("cluster_id"),
+          Seq("train" -> 80, "valid" -> 90, "test" -> 100)))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    assert(rep.split.orderBy("split").collect().toSeq ===
+      split0.orderBy("split").collect().toSeq)
+
+    val kb0 = Curate.keepBestPerCluster(
+        assigned.select(col("doc_id"), col("text"), col("cluster_id")),
+        "cluster_id")
+      .select("cluster_id", "doc_id", "quality")
+    assert(rep.keepBest.orderBy("cluster_id").collect().toSeq ===
+      kb0.orderBy("cluster_id").collect().toSeq)
+
+    val hist0 = assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("csize"))
+      .groupBy("csize")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("csize").cast("long").as("n_docs"))
+    assert(rep.histogram.orderBy("csize").collect().toSeq ===
+      hist0.orderBy("csize").collect().toSeq)
+    rep.release()
+  }
 }

@@ -10,16 +10,27 @@ import org.apache.spark.sql.SparkSession
   * page-cache costs. */
 object Bench {
 
-  /** The current JVM's launch args (module opens, -D props, heap). */
+  /** The current JVM's launch args (module opens, -D props, heap).
+    * getInputArguments splits a single argument containing spaces into
+    * multiple entries (its own javadoc caveat) — the non-"-" fragments
+    * would be parsed by a re-exec'd child as its main class, so keep
+    * only entries that still look like JVM flags. */
   private def inputJvmArgs: Seq[String] = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
+      .getInputArguments.asScala.toSeq.filter(_.startsWith("-"))
   }
 
   private def javaBin: String =
     java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
+
+  /** One launch recipe for every child JVM this main spawns (the heap
+    * re-exec and the headline probes) so the two cannot drift apart. */
+  private def childJvmCmd(jvmArgs: Seq[String], mainClass: String,
+                          args: Seq[String]): Seq[String] =
+    (Seq(javaBin) ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"), mainClass) ++ args)
 
   /** Make the declared heap band unviolable (VERDICT r19 #5): build.sbt
     * pins -Xmx16g only as a DEFAULT, and the round driver's launch path
@@ -37,9 +48,7 @@ object Bench {
         System.err.println(s"[bench] heap_max_mb=$heapMb outside declared " +
           s"band ${graft.bench.BenchGuard.HeapBandMb} — re-exec with " +
           "pinned -Xmx16g")
-        val cmd = (Seq(javaBin) ++ jvmArgs ++
-          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench") ++
-          args)
+        val cmd = childJvmCmd(jvmArgs, "graft.Bench", args.toSeq)
         val pb = new ProcessBuilder(cmd: _*).inheritIO()
         pb.environment().put("GRAFT_BENCH_HEAP_PINNED", "1")
         val code = pb.start().waitFor()
@@ -99,9 +108,9 @@ object Bench {
     val prior: Map[String, Double] = priorTxt.map { txt =>
       val p = graft.bench.BenchGuard.parsePrior(txt, sfDir)
       if (p.isEmpty)
-        System.err.println(s"[bench] prior ($priorPath) has different " +
-          "sf/methodology, env_ok:false, or no queries — churn guard " +
-          "inactive this run")
+        System.err.println(s"[bench] prior ($priorPath) is malformed or " +
+          "has different sf/methodology, env_ok:false, or no queries — " +
+          "churn guard inactive this run")
       p
     }.getOrElse(Map.empty)
     // Declared variance envelopes (DATA, not code — bench_envelopes.json
@@ -353,9 +362,8 @@ object Bench {
     def runProbe(kind: String): Double = {
       val jvmArgs = graft.bench.BenchGuard.relaunchJvmArgs(inputJvmArgs, 0L)
         .getOrElse(Seq.empty) // 0 is always out of band → always Some
-      val cmd = (Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", System.getProperty("java.class.path"),
-          "graft.ScaleProbe", kind, sfDir, probeReps))
+      val cmd = childJvmCmd(jvmArgs, "graft.ScaleProbe",
+        Seq(kind, sfDir, probeReps))
       try {
         val pb = new ProcessBuilder(cmd: _*)
           .redirectErrorStream(false)
@@ -381,7 +389,19 @@ object Bench {
       }
     }
     def guardedProbe(kind: String, key: String): Double = {
-      val measured = runProbe(kind)
+      // A transient launch failure (fork failure, child OOM at startup)
+      // gets ONE retry before committing the -1 sentinel: a sentinel
+      // never anchors the NEXT run's rate guard, so accepting it on the
+      // first flake would silently disable regression detection for a
+      // whole round (symmetric with the rate-drop re-probe below).
+      val first = runProbe(kind)
+      val measured =
+        if (first > 0) first
+        else {
+          System.err.println(s"[bench] $kind probe failed — one retry " +
+            "before committing the -1 sentinel")
+          runProbe(kind)
+        }
       val p = probePrior.getOrElse(key, -1.0)
       val best = graft.bench.BenchGuard.guardRate(measured, p, 1.25, () => {
         System.err.println(f"[bench] $key probe median $measured%.0f " +
@@ -393,6 +413,14 @@ object Bench {
           f"$best%.0f vs prior $p%.0f persists through the re-probe")
       best
     }
+    // Load at PROBE time, recorded beside the medians: the probes run
+    // after the full suite has pushed load well past load_avg_start
+    // (the committed r19 artifact ends at ~16), and the 1.25x guard is
+    // calibrated on quiet-machine ±15% spread — a reader adjudicating a
+    // probe flag needs the like-for-like context. Annotation-only,
+    // consistent with the load policy (env_ok gates heap, not load).
+    val loadAtProbes = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val probeMedians: Seq[(String, Double)] =
       if (sys.env.get("SPARK_GRAFT_HEADLINE_PROBES").contains("0")) {
         System.err.println("[bench] headline probes disabled via " +
@@ -452,7 +480,7 @@ object Bench {
     val headlineJson = headlineEnv.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"${graft.bench.BenchGuard.Methodology}",$env,"queries":$qs,"errors":$errsJson,"variance_envelopes":$envJson,"bimodal_cells":$bimodalJson,"headline_envelopes":$headlineJson,"probe_medians":$probeJson,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","methodology":"${graft.bench.BenchGuard.Methodology}",$env,"queries":$qs,"errors":$errsJson,"variance_envelopes":$envJson,"bimodal_cells":$bimodalJson,"headline_envelopes":$headlineJson,"probe_medians":$probeJson,"load_avg_at_probes":$loadAtProbes,"sf":"$sfDir","chain_rows":$chainRows,"chain_sec":$chainSec,"chain_rows_per_sec":$chainRps,"stream_events_per_sec":$streamRps,"stream_batch_duration_p95_ms":$batchP95Ms}"""
     println(json)
     // stdout gets truncated by callers that keep only a tail; also land
     // the complete per-query JSON as an artifact so round-over-round

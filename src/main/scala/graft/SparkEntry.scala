@@ -132,6 +132,29 @@ object SparkEntry {
        | ELSE len(list_intersect($a, $b))::DOUBLE
        |      / len(list_distinct(list_concat($a, $b))) END""".stripMargin
 
+  /** Shared oracle CTE chain for the cluster family (requires WITH
+    * RECURSIVE): shingles → same-source Jaccard pairs at the 0.02
+    * threshold → undirected edges → recursive reachability → connected
+    * components as `comp`(id, cluster_id). Seven cells (x_cluster_split,
+    * x_cluster_keep_best, x_dup_cluster_histogram, x_dedup_clusters,
+    * x_cluster_report, x_cc_incremental, x_dedup_keep_best) consume it —
+    * ONE definition, so a threshold or shingle-width change cannot
+    * silently diverge a single oracle. */
+  private lazy val clusterCompSql: String =
+    s"""pre AS MATERIALIZED ($preShinglesSql),
+       |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |       FROM pre a JOIN pre b
+       |         ON a.source = b.source AND a.doc_id < b.doc_id
+       |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
+       |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
+       |          UNION ALL SELECT id_b, id_a FROM pj),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   /** CTE chain producing (doc_id, simhash) — the 64-bit majority-vote
     * signature as a bit string, shared by the signature and near-dup
     * oracles. The LEFT JOIN from pre keeps docs with <3 tokens (empty
@@ -4011,19 +4034,7 @@ object SparkEntry {
     // bounded by ~1/(1−τ)² ≈ 1.04× while its df-ranking pass costs ~7×
     // the whole join (measured, SCALE.md "Cluster-split candidate arm").
     Q("x_cluster_split",
-      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
-              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |       FROM pre a JOIN pre b
-              |         ON a.source = b.source AND a.doc_id < b.doc_id
-              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
-              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
-              |          UNION ALL SELECT id_b, id_a FROM pj),
-              |nodes AS (SELECT DISTINCT a AS id FROM edges),
-              |reach(id, r) AS (
-              |  SELECT id, id FROM nodes
-              |  UNION
-              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $clusterCompSql,
               |d AS (SELECT doc_id, COALESCE(comp.cluster_id, doc_id) AS cluster_id
               |      FROM documents LEFT JOIN comp ON comp.id = documents.doc_id),
               |b AS (SELECT doc_id, cluster_id,
@@ -4055,19 +4066,7 @@ object SparkEntry {
     // highest-quality member (doc-id tie-break) — the FineWeb-style
     // alternative to keep-first dedup. One rank window per cluster.
     Q("x_cluster_keep_best",
-      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
-              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |       FROM pre a JOIN pre b
-              |         ON a.source = b.source AND a.doc_id < b.doc_id
-              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
-              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
-              |          UNION ALL SELECT id_b, id_a FROM pj),
-              |nodes AS (SELECT DISTINCT a AS id FROM edges),
-              |reach(id, r) AS (
-              |  SELECT id, id FROM nodes
-              |  UNION
-              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $clusterCompSql,
               |d AS (SELECT documents.doc_id, text,
               |        COALESCE(comp.cluster_id, documents.doc_id) AS cluster_id
               |      FROM documents LEFT JOIN comp ON comp.id = documents.doc_id),
@@ -4123,19 +4122,7 @@ object SparkEntry {
     // (size, #clusters, #docs). Shares the cluster construction with
     // x_cluster_split / x_cluster_keep_best.
     Q("x_dup_cluster_histogram",
-      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
-              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |       FROM pre a JOIN pre b
-              |         ON a.source = b.source AND a.doc_id < b.doc_id
-              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
-              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
-              |          UNION ALL SELECT id_b, id_a FROM pj),
-              |nodes AS (SELECT DISTINCT a AS id FROM edges),
-              |reach(id, r) AS (
-              |  SELECT id, id FROM nodes
-              |  UNION
-              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $clusterCompSql,
               |d AS (SELECT documents.doc_id,
               |        COALESCE(comp.cluster_id, documents.doc_id) AS cluster_id
               |      FROM documents LEFT JOIN comp ON comp.id = documents.doc_id),
@@ -4168,19 +4155,7 @@ object SparkEntry {
     // quality_sum is a ~500-value 4-dp sum — double + epsilon-round is
     // the repo rule for small sums (DECIMAL is for row-count-scale ones).
     Q("x_cluster_report",
-      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
-              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |       FROM pre a JOIN pre b
-              |         ON a.source = b.source AND a.doc_id < b.doc_id
-              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
-              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
-              |          UNION ALL SELECT id_b, id_a FROM pj),
-              |nodes AS (SELECT DISTINCT a AS id FROM edges),
-              |reach(id, r) AS (
-              |  SELECT id, id FROM nodes
-              |  UNION
-              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $clusterCompSql,
               |d AS MATERIALIZED (SELECT documents.doc_id, text,
               |        COALESCE(comp.cluster_id, documents.doc_id) AS cluster_id
               |      FROM documents LEFT JOIN comp ON comp.id = documents.doc_id),
@@ -5084,19 +5059,7 @@ object SparkEntry {
     // collapsed into connected components (HashMin label propagation), the
     // step that turns pair detection into "keep one doc per cluster".
     Q("x_dedup_clusters",
-      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
-              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |       FROM pre a JOIN pre b
-              |         ON a.source = b.source AND a.doc_id < b.doc_id
-              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
-              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
-              |          UNION ALL SELECT id_b, id_a FROM pj),
-              |nodes AS (SELECT DISTINCT a AS id FROM edges),
-              |reach(id, r) AS (
-              |  SELECT id, id FROM nodes
-              |  UNION
-              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $clusterCompSql,
               |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
               |SELECT comp.id AS doc_id, comp.cluster_id, sz.cluster_size
               |FROM comp JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin),
@@ -5115,20 +5078,8 @@ object SparkEntry {
     // edges; the engine touches only affected components). Pins
     // cluster-merging, extension, and min-id-change batches on real data.
     Q("x_cc_incremental",
-      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
-              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |       FROM pre a JOIN pre b
-              |         ON a.source = b.source AND a.doc_id < b.doc_id
-              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
-              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
-              |          UNION ALL SELECT id_b, id_a FROM pj),
-              |nodes AS (SELECT DISTINCT a AS id FROM edges),
-              |reach(id, r) AS (
-              |  SELECT id, id FROM nodes
-              |  UNION
-              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
-              |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
-              |ORDER BY id""".stripMargin),
+      Some(s"""WITH RECURSIVE $clusterCompSql
+              |SELECT id, cluster_id FROM comp ORDER BY id""".stripMargin),
       (s, dir) => {
         val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, dir), "text",
             "doc_id", "source", 3, 0.02)
@@ -5197,19 +5148,7 @@ object SparkEntry {
     // cluster (ties to the lowest id). This is the operator a curation
     // pipeline actually runs; pairs and clusters are its intermediates.
     Q("x_dedup_keep_best",
-      Some(s"""WITH RECURSIVE pre AS MATERIALIZED ($preShinglesSql),
-              |pj AS MATERIALIZED (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |       FROM pre a JOIN pre b
-              |         ON a.source = b.source AND a.doc_id < b.doc_id
-              |       WHERE (${jaccardSql("a.sh", "b.sh")}) >= 0.02),
-              |edges AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pj
-              |          UNION ALL SELECT id_b, id_a FROM pj),
-              |nodes AS (SELECT DISTINCT a AS id FROM edges),
-              |reach(id, r) AS (
-              |  SELECT id, id FROM nodes
-              |  UNION
-              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
-              |comp AS MATERIALIZED (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $clusterCompSql,
               |scored AS (SELECT comp.id, comp.cluster_id,
               |             ($qualityScoreSql) AS q
               |           FROM comp JOIN (SELECT doc_id, text, $toksSql AS toks

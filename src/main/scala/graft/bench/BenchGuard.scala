@@ -93,8 +93,8 @@ object BenchGuard {
     * skipped.
     */
   def parsePrior(txt: String, sfDir: String): Map[String, Double] = {
-    val root = new ObjectMapper().readTree(txt)
-    if (root == null || !root.isObject) return Map.empty
+    val root = parseRoot(txt).orNull
+    if (root == null) return Map.empty
     if (!priorComparable(root, sfDir)) return Map.empty
     val node = root.get("queries")
     if (node == null) Map.empty
@@ -112,8 +112,8 @@ object BenchGuard {
     * Non-positive values (the -1 probe-failed sentinel) are skipped —
     * a failed prior probe must not anchor the rate guard at -1. */
   def parsePriorProbeMedians(txt: String, sfDir: String): Map[String, Double] = {
-    val root = new ObjectMapper().readTree(txt)
-    if (root == null || !root.isObject) return Map.empty
+    val root = parseRoot(txt).orNull
+    if (root == null) return Map.empty
     if (!priorComparable(root, sfDir)) return Map.empty
     val node = root.get("probe_medians")
     if (node == null) Map.empty
@@ -126,6 +126,14 @@ object BenchGuard {
       b.result()
     }
   }
+
+  /** The prior file is FAIL-SOFT, unlike the envelope file: a corrupt
+    * prior (e.g. a bench killed mid-write) deactivates the guard rather
+    * than crashing the run after warm-up with no artifact. */
+  private def parseRoot(txt: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
+    try Option(new ObjectMapper().readTree(txt)).filter(_.isObject)
+    catch { case _: Exception => None }
 
   private def priorComparable(root: com.fasterxml.jackson.databind.JsonNode,
                               sfDir: String): Boolean = {

@@ -155,6 +155,17 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(BenchGuard.parsePrior(ok, "/d") === Map("q1" -> 1.5))
   }
 
+  test("parsePrior/parsePriorProbeMedians: a MALFORMED prior is " +
+    "fail-soft (guard inactive), unlike the fail-loud envelope file — " +
+    "a bench killed mid-write must not crash the next run after " +
+    "warm-up with no artifact") {
+    for (bad <- Seq("{\"methodology\":\"truncated", "not json at all",
+                    "[1,2,3]", "")) {
+      assert(BenchGuard.parsePrior(bad, "/d").isEmpty)
+      assert(BenchGuard.parsePriorProbeMedians(bad, "/d").isEmpty)
+    }
+  }
+
   // ---- probe medians + rate guard (VERDICT r19 #1) --------------------
 
   test("parsePriorProbeMedians: gated like parsePrior, skips the -1 " +

@@ -25,7 +25,8 @@ class CoverageDocSpec extends AnyFunSuite {
     "SparkEntry registry") {
     val f = coverageFile
     assert(f.exists, s"COVERAGE.md not found at ${f.getAbsolutePath}")
-    val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toList
+    val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+      "UTF-8").linesIterator.toList
     // table rows only (the doc's prose header explains the notation with
     // a literal "oracle: `q`" that is not a cell name)
     val oracleSeg = "oracle:([^|]*)".r

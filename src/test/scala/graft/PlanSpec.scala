@@ -287,6 +287,29 @@ class PlanSpec extends SparkTestBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("clusterReport consumers: assignment table broadcast back to the " +
+    "docs scan (no SortMergeJoin), keep-best rank gets WindowGroupLimit") {
+    // the r20 manual .explain audit of the one-pass report, made durable:
+    // the expensive pair-gen/CC ran ONCE at construction; each consumer
+    // must only re-join the pruned docs scan against the SMALL assignment
+    // table — a de-broadcast here re-shuffles the 100 TB corpus per output
+    val report = graft.ext.Curate.clusterReport(
+      graft.model.Tables.documents(spark, dir))
+    try {
+      for ((label, df) <- Seq("split" -> report.split,
+                              "keepBest" -> report.keepBest,
+                              "histogram" -> report.histogram)) {
+        val p = plan(df)
+        assert(p.contains("BroadcastHashJoin"),
+          s"$label: assignment join not broadcast:\n$p")
+        assert(!p.contains("SortMergeJoin"),
+          s"$label: docs shuffle into a sort-merge join:\n$p")
+      }
+      assert(plan(report.keepBest).contains("WindowGroupLimit"),
+        "keepBest: per-cluster rank-1 filter did not push WindowGroupLimit")
+    } finally report.release()
+  }
+
   test("Par.fanOut: no Exchange on a pre-partitioned input, repartition when starved") {
     val par = spark.sparkContext.defaultParallelism
     // already at/above parallelism → must return the SAME plan (no shuffle):

@@ -33,6 +33,21 @@ object GraftSession {
       // graft_dot / graft_topk / graft_norm_sq SQL functions + the
       // SelfDotToNormSq optimizer rule ship with every engine session.
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // InferFiltersFromGenerate rewrites explode(e) into
+      // Filter(size(e)>0 AND isnotnull(e)) + explode(e); predicate
+      // pushdown then substitutes e through the projection and pushes
+      // the filter below any exchange — so when e is an EXPENSIVE
+      // expression (tokenize→shingle→distinct, the shape of every text
+      // operator here) the whole pipeline is re-evaluated 2-3x per input
+      // row, often below the fan-out repartition (i.e. on the scan's
+      // 1-2 tasks). The filter only saves iterating rows whose array is
+      // empty — which GenerateExec skips in O(1) anyway — so it is pure
+      // loss at any scale (measured r21: the exploded shingle-index
+      // materialization dropped 1.94 s → 0.31 s at sf0.1; plan audit in
+      // plans/r21/). Results are unchanged by construction: the rule
+      // only ever removed rows that generate no output.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

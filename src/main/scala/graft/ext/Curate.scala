@@ -368,7 +368,21 @@ object Curate {
     // arms), so the pinned shingle index can go NOW — no consumer below
     // ever re-shingles
     releaseIdx()
-    val assigned = docs.join(comp, Seq(idCol), "left")
+    // Explicit size-gated broadcast of the assignment table (ADVICE r20):
+    // on the driver-union-find arm comp is a LocalRelation and Spark's
+    // size estimate already broadcasts it, but on the distributed-CC arm
+    // comp is a localCheckpoint-backed LogicalRDD with NO size stats —
+    // the planner would default it to defaultSizeInBytes and fall to
+    // SortMergeJoin on exactly the "small assignment table re-join" this
+    // seam exists for. Gate on a cheap count of the already-materialized
+    // checkpoint (driver arm skips even that); past the gate the
+    // assignment table at 100 TB is genuinely too big to broadcast and
+    // the shuffle join is the right plan.
+    val compIsLocal = comp.queryExecution.analyzed.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val compHint =
+      if (compIsLocal || comp.count() <= 4000000L) broadcast(comp) else comp
+    val assigned = docs.join(compHint, Seq(idCol), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
     val split = assigned
       .withColumn("split",

@@ -59,6 +59,57 @@ object Graph {
     val e = edges.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
+    // Adaptive small-graph fast path — the same adaptivity argument as a
+    // broadcast join: below ~1M nodes the (id,id) edge list is a few MB,
+    // and the distributed loop's per-round scheduling overhead (measured
+    // ~8 s warm for 5 rounds on a 2k-node graph) costs far more than
+    // shipping the edges once. Union-find with path compression, always
+    // hanging the LARGER root under the smaller, reproduces the
+    // distributed fixpoint's min-id labels exactly (spec-pinned).
+    // Gate ORDER (r21): edge count first, then ONE collect, with the
+    // node set derived on the driver from the collected endpoints —
+    // the old shape built a checkpointed distinct-label table and
+    // counted it before the gate, which cost 3 extra jobs (distinct
+    // exchange + checkpoint write, count, second collect) on every
+    // small-graph call; the label table is exactly the endpoint set of
+    // `e`, so nothing but the edge rows ever needs to leave the
+    // executors. Node count bounds the edge list only loosely (a dense
+    // block can be quadratic), so the collect is gated on an ABSOLUTE
+    // edge cap (4M pairs ≈ tens of MB of rows on the driver), not just
+    // the caller's node threshold; a graph that passes the edge cap but
+    // exceeds `smallGraphNodes` endpoints (possible only below 8M
+    // edges: vast disjoint-pair graphs) falls through to the
+    // distributed loop — one bounded, wasted collect in a regime the
+    // loop handles anyway.
+    if (smallGraphNodes > 0 &&
+        e.count() <= math.min(8L * smallGraphNodes, 4000000L)) {
+      import scala.collection.mutable
+      val parent = mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val rows = e.collect()
+      val nodes = mutable.LongMap.empty[Unit]
+      rows.foreach { row =>
+        nodes(row.getLong(0)) = (); nodes(row.getLong(1)) = ()
+      }
+      if (nodes.size <= smallGraphNodes) {
+        rows.foreach { row =>
+          val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val out = nodes.keysIterator.map(id => (id, find(id))).toSeq.sorted
+        e.unpersist()
+        System.err.println(
+          s"[graft.cc] nodes=${nodes.size} driver-uf (threshold=$smallGraphNodes)")
+        import spark.implicits._
+        return out.toDF("id", "cluster_id")
+      }
+    }
     var labels = e.select(col("a").as("id"))
       .union(e.select(col("b").as("id"))).distinct()
       .withColumn("label", col("id"))
@@ -70,41 +121,6 @@ object Graph {
     // overhead (each step re-shuffles the edge cache), at 100 TB
     // nodes/2M partitions is the same rule. Restored after the loop.
     val nNodes = labels.count()
-    // Adaptive small-graph fast path — the same adaptivity argument as a
-    // broadcast join: below ~1M nodes the (id,id) edge list is a few MB,
-    // and the distributed loop's per-round scheduling overhead (measured
-    // ~8 s warm for 5 rounds on a 2k-node graph) costs far more than
-    // shipping the edges once. Union-find with path compression, always
-    // hanging the LARGER root under the smaller, reproduces the
-    // distributed fixpoint's min-id labels exactly (spec-pinned).
-    // Node count bounds the edge list only loosely (a dense block can be
-    // quadratic), so the fast path also requires a sane edge count before
-    // collecting — capped ABSOLUTELY (4M pairs ≈ tens of MB of rows on
-    // the driver), not just relative to the caller's node threshold;
-    // otherwise fall through to the distributed loop.
-    if (nNodes <= smallGraphNodes &&
-        e.count() <= math.min(8L * smallGraphNodes, 4000000L)) {
-      import scala.collection.mutable
-      val parent = mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      e.collect().foreach { row =>
-        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val out = labels.select("id").collect()
-        .map(r => { val id = r.getLong(0); (id, find(id)) }).toSeq
-      freeCheckpoint(labels)
-      e.unpersist()
-      System.err.println(s"[graft.cc] nodes=$nNodes driver-uf (threshold=$smallGraphNodes)")
-      import spark.implicits._
-      return out.toDF("id", "cluster_id")
-    }
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val loopParts = math.max(1L, math.min(nNodes / 2000000L,
@@ -278,17 +294,34 @@ object Graph {
       .select(col("src"), col("dst"),
         round(col("w") / col("ow"), roundTo).as("p"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Small-graph gate, r21 shape (same reorder as
+    // [[connectedComponents]]): count the transition table first, then
+    // ONE collect, with the node set derived on the driver — `trans`
+    // preserves ew's exact (src, dst) edge set (the out-weight join
+    // drops nothing: every src has an out-weight row), so its endpoints
+    // ARE the node set and the old distinct-nodes frame cost a persist,
+    // a count and a collect for information the collected rows already
+    // carry. The driver-side set only works when src and dst share a
+    // type (one `node` column must hold both); mixed-type edge lists
+    // take the distributed path's union coercion as before.
+    val sameType = trans.schema("src").dataType == trans.schema("dst").dataType
+    if (smallGraphNodes > 0 && sameType &&
+        trans.count() <= math.min(8L * smallGraphNodes, 4000000L)) {
+      val rows = trans.collect()
+      val nodeSet = new java.util.LinkedHashSet[Any]()
+      rows.foreach { r => nodeSet.add(r.get(0)); nodeSet.add(r.get(1)) }
+      if (nodeSet.size <= smallGraphNodes) {
+        val out = pageRankDriver(rows, nodeSet,
+          trans.schema("src").dataType, iters, damping, roundTo,
+          redistributeDangling, trans.sparkSession)
+        trans.unpersist()
+        return out
+      }
+    }
     val nodes = ew.select(col("src").as("node"))
       .union(ew.select(col("dst").as("node"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count().toDouble
-    if (n <= smallGraphNodes &&
-        trans.count() <= math.min(8L * smallGraphNodes, 4000000L)) {
-      val out = pageRankDriver(trans, nodes, n, iters, damping, roundTo,
-        redistributeDangling)
-      trans.unpersist(); nodes.unpersist()
-      return out
-    }
     var ranks = nodes.select(col("node"),
       round(lit(1.0 / n), roundTo).as("r"))
     for (_ <- 0 until iters) {
@@ -328,47 +361,54 @@ object Graph {
     ranks
   }
 
-  /** Driver arm of [[pageRank]]'s small-graph gate: one collect of the
-    * already-rounded transition table, then `iters` rounds of array
-    * arithmetic replaying the distributed loop's exact rounding sequence
-    * (HALF_UP at `roundTo`, the semantics of Spark's `round`). Node
-    * values keep their original column type — result rows are rebuilt
-    * under the incoming schema. */
-  private def pageRankDriver(trans: DataFrame, nodes: DataFrame, n: Double,
+  /** Driver arm of [[pageRank]]'s small-graph gate: the already-collected
+    * rounded transition rows, then `iters` rounds of array arithmetic
+    * replaying the distributed loop's exact rounding sequence (HALF_UP at
+    * `roundTo`, the semantics of Spark's `round`). Node values keep the
+    * edge list's column type — the caller guarantees src and dst share
+    * it. `nodeSet` is the insertion-ordered endpoint set of `rows`. */
+  private def pageRankDriver(rows: Array[org.apache.spark.sql.Row],
+                             nodeSet: java.util.LinkedHashSet[Any],
+                             nodeType: org.apache.spark.sql.types.DataType,
                              iters: Int, damping: Double, roundTo: Int,
-                             redistributeDangling: Boolean): DataFrame = {
-    val spark = trans.sparkSession
+                             redistributeDangling: Boolean,
+                             spark: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
     def rd(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
         .setScale(roundTo, java.math.RoundingMode.HALF_UP).doubleValue()
-    val nodeRows = nodes.collect()
-    val idx = new java.util.HashMap[Any, Int](nodeRows.length * 2)
-    nodeRows.zipWithIndex.foreach { case (r, i) => idx.put(r.get(0), i) }
-    val edges = trans.collect().map { r =>
+    val n = nodeSet.size.toDouble
+    val nodeVals = new Array[Any](nodeSet.size)
+    val idx = new java.util.HashMap[Any, Int](nodeSet.size * 2)
+    val it = nodeSet.iterator()
+    var i = 0
+    while (it.hasNext) { val v = it.next(); nodeVals(i) = v; idx.put(v, i); i += 1 }
+    val edges = rows.map { r =>
       (idx.get(r.get(0)), idx.get(r.get(1)), r.getDouble(2))
     }
-    var r = Array.fill(nodeRows.length)(rd(1.0 / n))
+    var r = Array.fill(nodeVals.length)(rd(1.0 / n))
     for (_ <- 0 until iters) {
-      val c = new Array[Double](nodeRows.length)
+      val c = new Array[Double](nodeVals.length)
       edges.foreach { case (s, d, p) => c(d) += r(s) * p }
       r = if (!redistributeDangling)
-        Array.tabulate(nodeRows.length)(i =>
+        Array.tabulate(nodeVals.length)(i =>
           rd((1 - damping) / n + damping * c(i)))
       else {
         val m = rd(r.sum - c.sum)
-        Array.tabulate(nodeRows.length)(i =>
+        Array.tabulate(nodeVals.length)(i =>
           rd((1 - damping) / n + damping * (c(i) + m / n)))
       }
     }
     System.err.println(
-      s"[graft.pagerank] nodes=${nodeRows.length} edges=${edges.length} driver arm")
-    val out = nodeRows.zip(r).map { case (row, rank) =>
-      org.apache.spark.sql.Row(row.get(0), rank)
+      s"[graft.pagerank] nodes=${nodeVals.length} edges=${edges.length} driver arm")
+    val out = nodeVals.zip(r).map { case (v, rank) =>
+      org.apache.spark.sql.Row(v, rank)
     }
     spark.createDataFrame(
       java.util.Arrays.asList(out: _*),
-      org.apache.spark.sql.types.StructType(nodes.schema.fields :+
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", nodeType),
         org.apache.spark.sql.types.StructField("r",
-          org.apache.spark.sql.types.DoubleType)))
+          org.apache.spark.sql.types.DoubleType))))
   }
 }

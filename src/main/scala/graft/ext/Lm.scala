@@ -52,33 +52,47 @@ object Lm {
     * instead of each re-reading the training text; call [[release]]
     * when the model is no longer needed. */
   case class KnModel(bigrams: DataFrame, hist: DataFrame, cont: DataFrame,
-                     totals: DataFrame) {
-    def release(): Unit = { bigrams.unpersist(); () }
+                     totals: DataFrame,
+                     private val cached: Seq[DataFrame] = Nil) {
+    def release(): Unit = {
+      (if (cached.isEmpty) Seq(bigrams) else cached).foreach(_.unpersist())
+      ()
+    }
   }
 
-  /** Count the model tables. TWO passes over the training text (the
-    * bigram pass and the unigram-vocabulary pass); every other table is
-    * an aggregate of the persisted (w1, w2, c2) type table —
-    * vocabulary-sized, never corpus-sized. */
+  /** Count the model tables in ONE pass over the training text (r21):
+    * unigram and bigram TYPE counts share the explode and the hash
+    * aggregation — a whitespace token can never contain the shingle
+    * separator, so "g contains a space" IS the bigram discriminator.
+    * The old shape tokenized the corpus twice (bigram pass + unigram-
+    * vocabulary pass); at 100 TB that is the difference between one
+    * read of the training slice and two. Every other table is an
+    * aggregate of the persisted gram TYPE table — vocabulary-sized,
+    * never corpus-sized. */
   def knBigramTrain(train: DataFrame, textCol: String): KnModel = {
     val par = train.sparkSession.sparkContext.defaultParallelism
     val toks = Par.fanOut(train, par)
       .select(TextAnalysis.tokens(col(textCol)).as("toks"))
-    val bigrams = toks
-      .select(explode(TextAnalysis.shinglesFromTokens(col("toks"), 2)).as("bg"))
-      .groupBy("bg").agg(count(lit(1)).as("c2"))
-      .select(split(col("bg"), " ").getItem(0).as("w1"),
-        split(col("bg"), " ").getItem(1).as("w2"), col("c2"))
+    val grams = toks
+      .select(explode(concat(col("toks"),
+        TextAnalysis.shinglesFromTokens(col("toks"), 2))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isBg = col("g").contains(" ")
+    val bigrams = grams.filter(isBg)
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"), col("c").as("c2"))
     val hist = bigrams.groupBy("w1")
       .agg(sum("c2").as("c1"), count(lit(1)).as("n1p_fwd"))
     val cont = bigrams.groupBy("w2")
       .agg(count(lit(1)).as("n1p_bwd"))
-    val vocab = toks.select(explode(col("toks")).as("w"))
-      .agg(countDistinct("w").as("vv"))
-    val totals = bigrams.agg(count(lit(1)).as("tt"))
-      .crossJoin(vocab)
-    KnModel(bigrams, hist, cont, totals)
+    // tt = bigram types, vv = distinct unigrams — one aggregate of the
+    // shared gram cache (the split/filter re-derivations of `bigrams`
+    // per consumer are string ops over vocabulary-bounded cached rows,
+    // paid so the CORPUS is only ever read once)
+    val totals = grams.agg(count_if(isBg).as("tt"),
+      count_if(!isBg).as("vv"))
+    KnModel(bigrams, hist, cont, totals, cached = Seq(grams))
   }
 
   /** Score every document under the model: (id, n_bigrams, avg_nll)
@@ -130,25 +144,35 @@ object Lm {
     * All are aggregates of the trigram TYPE table — vocabulary-bounded,
     * never corpus-bounded. */
   case class Kn3Model(tri: DataFrame, h3: DataFrame, m2: DataFrame,
-                      h2: DataFrame, cont: DataFrame, totals: DataFrame) {
-    def release(): Unit = { tri.unpersist(); m2.unpersist(); () }
+                      h2: DataFrame, cont: DataFrame, totals: DataFrame,
+                      private val cached: Seq[DataFrame] = Nil) {
+    def release(): Unit = {
+      (if (cached.isEmpty) Seq(tri, m2) else cached).foreach(_.unpersist())
+      ()
+    }
   }
 
   def knTrigramTrain(train: DataFrame, textCol: String): Kn3Model = {
     val par = train.sparkSession.sparkContext.defaultParallelism
     val toks = Par.fanOut(train, par)
       .select(TextAnalysis.tokens(col(textCol)).as("toks"))
-    // persist the TYPE tables (tri, and m2 which h2/cont/totals re-derive)
-    // so the five model aggregates read them from cache instead of each
-    // re-reading + re-exploding the training corpus — at 100 TB that is
-    // the difference between 2 corpus passes and 6
-    val tri = toks
-      .select(explode(TextAnalysis.shinglesFromTokens(col("toks"), 3)).as("tg"))
-      .groupBy("tg").agg(count(lit(1)).as("c3"))
-      .select(split(col("tg"), " ").getItem(0).as("w1"),
-        split(col("tg"), " ").getItem(1).as("w2"),
-        split(col("tg"), " ").getItem(2).as("w3"), col("c3"))
+    // ONE corpus pass (r21, same move as [[knBigramTrain]]): unigram and
+    // trigram TYPE counts share the explode and the aggregation (a
+    // unigram has no space; a trigram has two), where the old shape paid
+    // a second full tokenize pass for the vocabulary countDistinct.
+    // The gram table and m2 (which h2/cont/totals re-derive) stay
+    // persisted so the five model aggregates read cache, not corpus —
+    // at 100 TB that is the difference between 1 corpus pass and 6.
+    val grams = toks
+      .select(explode(concat(col("toks"),
+        TextAnalysis.shinglesFromTokens(col("toks"), 3))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val isTri = col("g").contains(" ")
+    val tri = grams.filter(isTri)
+      .select(split(col("g"), " ").getItem(0).as("w1"),
+        split(col("g"), " ").getItem(1).as("w2"),
+        split(col("g"), " ").getItem(2).as("w3"), col("c").as("c3"))
     val h3 = tri.groupBy("w1", "w2")
       .agg(sum("c3").as("c12"), count(lit(1)).as("fwd3"))
     val m2 = tri.groupBy("w2", "w3")
@@ -157,10 +181,9 @@ object Lm {
     val h2 = m2.groupBy("w2")
       .agg(sum("n1p").as("tot2"), count(lit(1)).as("fwd2"))
     val cont = m2.groupBy("w3").agg(count(lit(1)).as("n1p_bwd"))
-    val vocab = toks.select(explode(col("toks")).as("w"))
-      .agg(countDistinct("w").as("vv"))
+    val vocab = grams.agg(count_if(!isTri).as("vv"))
     val totals = m2.agg(count(lit(1)).as("tt")).crossJoin(vocab)
-    Kn3Model(tri, h3, m2, h2, cont, totals)
+    Kn3Model(tri, h3, m2, h2, cont, totals, cached = Seq(grams, m2))
   }
 
   /** Score documents under the trigram model: (id, n_trigrams, avg_nll),

@@ -2586,14 +2586,19 @@ object SparkEntry {
               |ORDER BY source_a, source_b""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val est = Dedup.sourceOverlapMatrix(docs, "text", "source")
-        // exact ground-truth arm (diagnostic; shingle self-join)
-        val ss = docs
+        // ONE corpus shingle pass feeds BOTH arms (r21): the distinct
+        // (source, s) table drives the exact counts AND the signature
+        // aggregation (per-perm MIN is duplicate-insensitive, so the
+        // distinct'd table yields the identical signature the raw
+        // exploded stream did — the oracle's uv CTE reads from ss too).
+        // The old shape shingled the corpus twice, once per arm.
+        val ss = graft.ext.Par.fanOut(docs)
           .select(col("source"),
             explode(array_distinct(TextAnalysis.shingles(col("text"), 3)))
               .as("s"))
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val est = Dedup.sourceOverlapMatrixFromShingles(ss)
         val sz = ss.groupBy("source").agg(count(lit(1)).as("n"))
         val inter = ss.select(col("source").as("sa"), col("s"))
           .join(ss.select(col("source").as("sb"), col("s")), Seq("s"))
@@ -5844,8 +5849,11 @@ object SparkEntry {
               |FROM r WHERE rn <= 100 ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val w = graft.ext.Sampling.dsirWeights(
-          docs, docs.filter(col("lang") === "en"), "text", 64)
+        // fused single-pass weights (target = filter of raw) — identical
+        // output to dsirWeights(docs, docs.filter(lang='en')), one corpus
+        // featurization instead of two (LmFusionSpec pins the parity)
+        val w = graft.ext.Sampling.dsirWeightsWithin(
+          docs, col("lang") === "en", "text", 64)
         graft.ext.Sampling.dsirScore(docs, "doc_id", "text", w, 64, seed = 41)
           .orderBy(round(col("key") + lit(1e-9), 6).desc, col("id").asc)
           .limit(100)
@@ -5976,8 +5984,8 @@ object SparkEntry {
           .crossJoin(broadcast(med)).filter(col("nll_r") <= col("m"))
         val surv = Dedup.exactDedup(gated, "text", "doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val w = graft.ext.Sampling.dsirWeights(
-          surv, surv.filter(col("lang") === "en"), "text", 64)
+        val w = graft.ext.Sampling.dsirWeightsWithin(
+          surv, col("lang") === "en", "text", 64)
         graft.ext.Sampling.dsirScore(surv, "doc_id", "text", w, 64, seed = 41)
           .orderBy(round(col("key") + lit(1e-9), 6).desc, col("id").asc)
           .limit(50)

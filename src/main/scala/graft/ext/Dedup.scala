@@ -313,14 +313,28 @@ object Dedup {
   def sourceSignatures(docs: DataFrame, textCol: String, sourceCol: String,
                        shingleN: Int = 3, numPerms: Int = 16): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    sourceSignaturesFromShingles(
+      Par.fanOut(docs, par)
+        .select(col(sourceCol).as("source"),
+          explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
+            .as("s")),
+      numPerms)
+  }
+
+  /** [[sourceSignatures]] over an ALREADY-exploded (source, s) shingle
+    * table — the sharing seam for callers that also need the shingle
+    * rows for something else (exact overlap counts, shingle stats): one
+    * corpus shingle pass feeds every consumer, the same discipline as
+    * [[ngramJaccardPairsWithIndex]]. Duplicate (source, s) rows are fine
+    * — the per-permutation MIN is duplicate-insensitive — so both the
+    * raw exploded stream and a distinct'd table produce the identical
+    * signature. */
+  def sourceSignaturesFromShingles(ss: DataFrame,
+                                   numPerms: Int = 16): DataFrame = {
     val (u, v) = uvHalves(col("s"))
     val mins = (0 until numPerms).map(p =>
       min(col("u") + lit(p.toLong) * col("v")).as(s"m$p"))
-    Par.fanOut(docs, par)
-      .select(col(sourceCol).as("source"),
-        explode(array_distinct(TextAnalysis.shingles(col(textCol), shingleN)))
-          .as("s"))
-      .select(col("source"), u.as("u"), v.as("v"))
+    ss.select(col("source"), u.as("u"), v.as("v"))
       .groupBy("source")
       .agg(mins.head, mins.tail: _*)
       .select(col("source"),
@@ -334,8 +348,18 @@ object Dedup {
     * scale. */
   def sourceOverlapMatrix(docs: DataFrame, textCol: String,
                           sourceCol: String, shingleN: Int = 3,
-                          numPerms: Int = 16): DataFrame = {
-    val sigs = sourceSignatures(docs, textCol, sourceCol, shingleN, numPerms)
+                          numPerms: Int = 16): DataFrame =
+    sigOverlapPairs(
+      sourceSignatures(docs, textCol, sourceCol, shingleN, numPerms),
+      numPerms)
+
+  /** [[sourceOverlapMatrix]] over an already-exploded (source, s)
+    * shingle table — see [[sourceSignaturesFromShingles]]. */
+  def sourceOverlapMatrixFromShingles(ss: DataFrame,
+                                      numPerms: Int = 16): DataFrame =
+    sigOverlapPairs(sourceSignaturesFromShingles(ss, numPerms), numPerms)
+
+  private def sigOverlapPairs(sigs: DataFrame, numPerms: Int): DataFrame = {
     val a = sigs.select(col("source").as("source_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("source").as("source_b"), col("sig").as("sig_b"))
     a.join(broadcast(b), col("source_a") < col("source_b"))

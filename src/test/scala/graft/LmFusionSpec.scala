@@ -106,6 +106,27 @@ class LmFusionSpec extends SparkTestBase {
     assert(sel2 === sel, "md5-derived Gumbel keys are run-stable")
   }
 
+  test("DSIR: dsirWeightsWithin == dsirWeights over the filtered frame " +
+    "(incl. null predicate rows)") {
+    val rows = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta zork"),
+      (3L, "de", "zork quux blarg frotz"),
+      (4L, null.asInstanceOf[String], "alpha quux"), // null lang: filter
+      (5L, "de", ""),                                //  drops, count_if 0
+      (6L, "en", "gamma delta gamma delta epsilon"))
+    val raw = rows.toDF("doc_id", "lang", "text")
+    val expected = Sampling
+      .dsirWeights(raw, raw.filter(col("lang") === "en"), "text", 32)
+      .orderBy("bucket").collect().toSeq
+    val fused = Sampling
+      .dsirWeightsWithin(raw, col("lang") === "en", "text", 32)
+      .orderBy("bucket").collect().toSeq
+    assert(fused === expected,
+      "single-pass conditional-count weights must be bit-identical to " +
+        "the two-pass table")
+  }
+
   test("compression ratio: repetition compresses, noise doesn't, empty is neutral") {
     import graft.ext.TextAnalysis
     // high-entropy text from hash hex (incompressible), heavy stutter

@@ -201,7 +201,16 @@ object SparkEntry {
     * [[profileCtes]]: one hash aggregation over events, then a map-based
     * gap-fill to a fixed-width array. NULL ts rows are dropped (a NULL
     * map key throws under ANSI; the oracle's hour-grid join never
-    * matches a NULL-hour group either). */
+    * matches a NULL-hour group either).
+    *
+    * PERSISTED (r21): every consumer references the profile table at
+    * least twice (both sides of the all-pairs join; the SRP arm's
+    * signature pass + exact rescoring; the recall cell runs both arms),
+    * and without the cache each reference re-aggregated the full events
+    * table — the profile table itself is |users| rows, the oracle's
+    * MATERIALIZED prof CTE, and the bench/Verify harness sweeps pinned
+    * state between queries (the registry-wide persist discipline of
+    * ngramJaccardPairsWithIndex). */
   private def userProfiles(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .filter(col("ts").isNotNull)
@@ -213,6 +222,7 @@ object SparkEntry {
       .select(col("user_id"),
         transform(sequence(lit(0), lit(23)),
           h => coalesce(element_at(col("mm"), h), lit(0.0))).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact all-pairs top-3 profile neighbors: (user_id, rnk, other_id, c).
     * Norms are PRE-computed once per profile, not once per pair — the

@@ -116,8 +116,16 @@ object Curate {
                           textCol: String = "text",
                           pct: Double = 0.25): DataFrame = {
     require(pct >= 0.0 && pct < 1.0, s"pct must be in [0, 1), got $pct")
+    // Persisted (r21): `scored` feeds BOTH the cutoff aggregation (built
+    // as a broadcast) and the gated main pass — unpersisted, the
+    // regex-heavy qualityScore ran over the corpus twice. Same
+    // corpus-sized MEMORY_AND_DISK precedent as minhashNearDups' shingle
+    // table; harness contexts sweep pinned state between queries,
+    // resident pipelines release after consumption (see
+    // ngramJaccardPairsReleasable's contract note).
     val scored = docs.withColumn("quality",
-      round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4))
+        round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts = scored.groupBy(col(keyCol))
       .agg(round(expr(s"percentile(quality, $pct)") + lit(1e-9), 4)
         .as("cutoff"))

@@ -317,8 +317,12 @@ object TextAnalysis {
     val lens = Par.fanOut(docs, par)
       .select(col(idCol).as("id"), tokenCount(col(textCol)).as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = docs.count().toDouble
-    val avgdl = lens.agg(avg("dl")).head().getDouble(0)
+    // ONE blocking action for both corpus stats (r21): lens is one row
+    // per doc, so COUNT(dl-rows) == COUNT(docs) — the old shape paid a
+    // separate full docs scan for nDocs plus a second job for avgdl.
+    val st = lens.agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).head()
+    val nDocs = st.getLong(0).toDouble
+    val avgdl = st.getDouble(1)
     val tf = Par.fanOut(docs, par)
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
       .filter(col("term").isin(queryTerms: _*))
@@ -331,10 +335,15 @@ object TextAnalysis {
       .withColumn("_s", col("idf") * (col("tf") * (k1 + 1)) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl)))
       .groupBy("id").agg(sum("_s").as("bm25"))
-    val out = lens.select("id").join(scores, Seq("id"), "left")
+    // lens stays pinned: `out` references it twice (scores join + the
+    // left base) and is returned LAZY, so an unpersist here would drop
+    // the cache before the consumer ever runs and recompute the
+    // tokenization pass twice. Harness contexts sweep pinned state
+    // between queries (GraftSession.sweepCaches); resident pipelines
+    // follow the registry-wide persist discipline (release after
+    // consumption) documented on ngramJaccardPairsReleasable.
+    lens.select("id").join(scores, Seq("id"), "left")
       .select(col("id"), coalesce(col("bm25"), lit(0.0)).as("bm25"))
-    lens.unpersist()
-    out
   }
 
   /** Per-document unigram entropy in bits: H = -Σ p·log2(p) over the

@@ -3797,6 +3797,10 @@ object SparkEntry {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val cents = Similarity.centroids(emb, "label", 64)
+        // NOT shared (r22): persisting the wide residual frame for just
+        // two consumers — one of them a limit-64 codebook sample —
+        // measured WORSE than recomputing (3.1 → 3.4 s); the 6-consumer
+        // sharing that pays lives in x_pq_refined_recall
         val cb = Similarity.pqResidualCodebook(emb, cents, entries = 64)
         val idx = Similarity.pqIndexResidual(emb, cents, cb, m = 4, dim = 64)
         Similarity.ivfPqTopKResidual(idx, emb.filter(col("vec_id") < 5),
@@ -3921,21 +3925,32 @@ object SparkEntry {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val cents = Similarity.centroids(emb, "label", 64)
-        val seedCb = Similarity.pqResidualCodebook(emb, cents, entries = 64)
-        val refCb = Similarity.lloydRefineResidualCodebook(emb, cents,
-          seedCb, m = 4, dim = 64, iters = 1)
+        // shared residual artifacts (r22): the per-vector nearest-cell
+        // assignment + residual slicing behind the codebook sample, the
+        // Lloyd refinement, BOTH arms' index encodes and BOTH arms'
+        // quantization errors ran SIX times as independent lineages;
+        // now the residual frame and its subspace slices compute once
+        // (persisted) and every stage reads them
+        val res = Similarity.residuals(emb, cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val seedCb = Similarity.pqResidualCodebookFromResiduals(res, 64)
+        val sliced = Similarity.residualSlices(res, m = 4, dim = 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val refCb = Similarity.lloydRefineResidualCodebookFromSlices(
+          sliced, seedCb, m = 4, dim = 64, iters = 1)
         val queries = emb.filter(col("vec_id") < 5)
         val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
           .select(col("query_id"), col("corpus_id"))
         def arm(name: String, cb: DataFrame) = {
-          val idx = Similarity.pqIndexResidual(emb, cents, cb, m = 4, dim = 64)
+          val idx = Similarity.pqIndexResidualFromSlices(sliced, cents, cb,
+            m = 4, dim = 64)
           val topk = Similarity.ivfPqTopKResidual(idx, queries, cents, cb,
               k = 5, m = 4, dim = 64, nProbe = 2)
             .select(col("query_id"), col("corpus_id"), lit(1L).as("h"))
           val rec = exact.join(topk, Seq("query_id", "corpus_id"), "left")
             .agg(sum(coalesce(col("h"), lit(0L))).as("hits"),
               count(lit(1)).as("total"))
-          val qe = Similarity.pqQuantizationError(emb, cents, cb,
+          val qe = Similarity.pqQuantizationErrorFromSlices(sliced, cb,
               m = 4, dim = 64)
             .agg(avg("qerr").as("aq"))
           rec.crossJoin(qe).select(lit(name).as("codebook"),
@@ -5648,11 +5663,22 @@ object SparkEntry {
               |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-          .withColumn("toks", TextAnalysis.tokens(col("text")))
-        val db = docs.select(col("doc_id"),
-          explode(TextAnalysis.shinglesFromTokens(col("toks"), 2)).as("bg"))
-        val uni = docs.select(explode(col("toks")).as("w"))
+        // ONE tokenize+explode pass (r22): the instance-level gram table
+        // (unigrams + bigrams per doc) is persisted and feeds the
+        // unigram counts, the bigram counts AND the scoring probe — the
+        // old shape re-ran the tokenizer for each of the three
+        // (fixed-width (long, string) rows; harness sweeps the pin)
+        val toks = TextAnalysis.tokens(col("text"))
+        val par = s.sparkContext.defaultParallelism
+        val g = graft.ext.Par.fanOut(docs, par)
+          .select(col("doc_id"), explode(concat(toks,
+            TextAnalysis.shinglesFromTokens(toks, 2))).as("g"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val isBg = col("g").contains(" ")
+        val uni = g.filter(!isBg)
+          .select(col("g").as("w"))
           .groupBy("w").agg(count(lit(1)).as("c1"))
+        val db = g.filter(isBg).select(col("doc_id"), col("g").as("bg"))
         val bgc = db.groupBy("bg").agg(count(lit(1)).as("c2"))
         db.join(bgc, Seq("bg"))
           .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -5859,12 +5885,18 @@ object SparkEntry {
               |FROM r WHERE rn <= 100 ORDER BY doc_id""".stripMargin),
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        // fused single-pass weights (target = filter of raw) — identical
-        // output to dsirWeights(docs, docs.filter(lang='en')), one corpus
-        // featurization instead of two (LmFusionSpec pins the parity)
-        val w = graft.ext.Sampling.dsirWeightsWithin(
-          docs, col("lang") === "en", "text", 64)
-        graft.ext.Sampling.dsirScore(docs, "doc_id", "text", w, 64, seed = 41)
+        // ONE corpus featurization (r22): the shared (id, _t, bucket)
+        // feature table feeds BOTH the weight counts and the per-doc
+        // score — the weights arm is the r21 fused single-pass form
+        // (LmFusionSpec pins bit-parity of both seams), and the score
+        // arm reads the persisted table instead of re-exploding the
+        // corpus. Mirrors the oracle exactly: its `f` CTE feeds tc, rc
+        // AND ds.
+        val feats = graft.ext.Sampling.dsirFeatureTable(
+            docs, "doc_id", col("lang") === "en", "text", 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val w = graft.ext.Sampling.dsirWeightsFromFeatures(feats, 64)
+        graft.ext.Sampling.dsirScoreFromFeatures(feats, w, seed = 41)
           .orderBy(round(col("key") + lit(1e-9), 6).desc, col("id").asc)
           .limit(100)
           .select(col("id").as("doc_id"), col("n_feats"),
@@ -5994,9 +6026,15 @@ object SparkEntry {
           .crossJoin(broadcast(med)).filter(col("nll_r") <= col("m"))
         val surv = Dedup.exactDedup(gated, "text", "doc_id")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val w = graft.ext.Sampling.dsirWeightsWithin(
-          surv, col("lang") === "en", "text", 64)
-        graft.ext.Sampling.dsirScore(surv, "doc_id", "text", w, 64, seed = 41)
+        // shared DSIR featurization (r22): one explode of the survivor
+        // frame feeds both the weight counts and the score — see
+        // x_dsir_select; surv is already cached, so this removes the
+        // second full tokenize+hash pass over the survivors
+        val feats = graft.ext.Sampling.dsirFeatureTable(
+            surv, "doc_id", col("lang") === "en", "text", 64)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val w = graft.ext.Sampling.dsirWeightsFromFeatures(feats, 64)
+        graft.ext.Sampling.dsirScoreFromFeatures(feats, w, seed = 41)
           .orderBy(round(col("key") + lit(1e-9), 6).desc, col("id").asc)
           .limit(50)
           .join(surv.select(col("doc_id"), col("nll_r")),
@@ -7062,20 +7100,31 @@ object SparkEntry {
              | GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin),
       (s, dir) => {
         tpchViews(s, dir)
-        s.sql("""SELECT s_name, COUNT(*) AS numwait
-                | FROM supplier, lineitem l1, orders
-                | WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
-                |   AND o_orderstatus = 'F'
-                |   AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
-                |   AND EXISTS (SELECT 1 FROM lineitem l2
-                |               WHERE l2.l_orderkey = l1.l_orderkey
-                |                 AND l2.l_suppkey <> l1.l_suppkey)
-                |   AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                |                   WHERE l3.l_orderkey = l1.l_orderkey
-                |                     AND l3.l_suppkey <> l1.l_suppkey
-                |                     AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
-                |
-                | GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
+        // One-pass aggregate form of Q21 (r22): the EXISTS / NOT-EXISTS
+        // arms each re-scanned and re-shuffled the full fact table as
+        // semi/anti joins (3 lineitem passes). For a fixed F-order and
+        // supplier, l1 qualifies iff it is late AND the order has >1
+        // distinct suppliers (the EXISTS) AND no OTHER supplier is late
+        // (the NOT EXISTS) — i.e. the order's distinct-late-supplier
+        // count is exactly 1 (the supplier itself, since n_late > 0).
+        // numwait(s) = Σ n_late over qualifying orders: ONE lineitem ⋈
+        // orders pass + two bounded aggregations, equivalence pinned by
+        // the unchanged oracle (rows + hash identical at 3 SFs).
+        s.sql("""WITH lo AS (
+                |  SELECT l_orderkey, l_suppkey,
+                |         COUNT_IF(l_shipdate > o_orderdate + INTERVAL 30 DAY) AS n_late
+                |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                |  WHERE o_orderstatus = 'F'
+                |  GROUP BY l_orderkey, l_suppkey),
+                |w AS (
+                |  SELECT l_suppkey, n_late,
+                |         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                |         COUNT_IF(n_late > 0) OVER (PARTITION BY l_orderkey) AS n_late_supp
+                |  FROM lo)
+                |SELECT s_name, SUM(n_late) AS numwait
+                |FROM w JOIN supplier ON s_suppkey = l_suppkey
+                |WHERE n_late > 0 AND n_supp > 1 AND n_late_supp = 1
+                |GROUP BY s_name ORDER BY numwait DESC, s_name""".stripMargin)
       }),
 
     Q("sql_correlated_scalar",

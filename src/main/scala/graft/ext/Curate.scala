@@ -114,23 +114,34 @@ object Curate {
     * `quality` and `cutoff` columns attached. */
   def adaptiveQualityGate(docs: DataFrame, keyCol: String,
                           textCol: String = "text",
-                          pct: Double = 0.25): DataFrame = {
+                          pct: Double = 0.25): DataFrame =
+    adaptiveQualityGateReleasable(docs, keyCol, textCol, pct)._1
+
+  /** [[adaptiveQualityGate]] plus the explicit release handle for its
+    * pinned scored frame — which carries the FULL text column, i.e. a
+    * corpus-sized MEMORY_AND_DISK materialization at scale. Harness
+    * contexts sweep pinned state between queries; a RESIDENT pipeline
+    * must materialize the gated output and then call release(), or each
+    * gate invocation leaks a corpus-sized cache generation (the
+    * registry-wide contract documented on
+    * [[Dedup.ngramJaccardPairsReleasable]]). */
+  def adaptiveQualityGateReleasable(docs: DataFrame, keyCol: String,
+                                    textCol: String = "text",
+                                    pct: Double = 0.25)
+      : (DataFrame, () => Unit) = {
     require(pct >= 0.0 && pct < 1.0, s"pct must be in [0, 1), got $pct")
     // Persisted (r21): `scored` feeds BOTH the cutoff aggregation (built
     // as a broadcast) and the gated main pass — unpersisted, the
-    // regex-heavy qualityScore ran over the corpus twice. Same
-    // corpus-sized MEMORY_AND_DISK precedent as minhashNearDups' shingle
-    // table; harness contexts sweep pinned state between queries,
-    // resident pipelines release after consumption (see
-    // ngramJaccardPairsReleasable's contract note).
+    // regex-heavy qualityScore ran over the corpus twice.
     val scored = docs.withColumn("quality",
         round(TextAnalysis.qualityScore(col(textCol)) + lit(1e-9), 4))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cuts = scored.groupBy(col(keyCol))
       .agg(round(expr(s"percentile(quality, $pct)") + lit(1e-9), 4)
         .as("cutoff"))
-    scored.join(broadcast(cuts), Seq(keyCol))
+    val gated = scored.join(broadcast(cuts), Seq(keyCol))
       .filter(col("quality") >= col("cutoff"))
+    (gated, () => { scored.unpersist(); () })
   }
 
   /** Keep the BEST member of each duplicate cluster — the modern

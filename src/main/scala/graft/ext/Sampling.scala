@@ -700,6 +700,57 @@ object Sampling {
             (col("rtot") + lit(alpha * numBuckets)))).as("lw"))
   }
 
+  /** Shared hashed-feature table for the self-trained DSIR shape
+    * (target = filter of raw): ONE explode of the corpus produces
+    * (id, _t, bucket) rows — the single featurization that
+    * [[dsirWeightsFromFeatures]] (bucket counts) and
+    * [[dsirScoreFromFeatures]] (per-doc log-weight sums) both consume.
+    * Without the seam a calibrate-then-select pipeline featurizes the
+    * corpus twice: once inside [[dsirWeightsWithin]] and once inside
+    * [[dsirScore]] — at 100 TB, two full tokenize passes where one
+    * suffices. Callers persist the returned frame (fixed-width
+    * (long, bool, long) rows, MEMORY_AND_DISK) and unpersist once both
+    * consumers are materialized; harness contexts sweep pinned state
+    * between queries. */
+  def dsirFeatureTable(raw: DataFrame, idCol: String, isTarget: Column,
+                       textCol: String, numBuckets: Int): DataFrame = {
+    val par = raw.sparkSession.sparkContext.defaultParallelism
+    Par.fanOut(raw, par)
+      .select(col(idCol).as("id"), isTarget.as("_t"),
+        explode(dsirFeatures(col(textCol), numBuckets)).as("bucket"))
+  }
+
+  /** [[dsirWeightsWithin]] over a precomputed [[dsirFeatureTable]] —
+    * identical arithmetic in the identical evaluation order (LmFusionSpec
+    * pins bit-parity); the only difference is that the explode is read
+    * from the shared table instead of re-run. */
+  def dsirWeightsFromFeatures(feats: DataFrame, numBuckets: Int,
+                              alpha: Double = 1.0): DataFrame = {
+    val spark = feats.sparkSession
+    val counts = feats
+      .groupBy("bucket")
+      .agg(count_if(col("_t")).as("tc"), count(lit(1)).as("rc"))
+    val tot = counts.agg(sum("tc").as("ttot"), sum("rc").as("rtot"))
+    val all = spark.range(numBuckets).select(col("id").as("bucket"))
+    all.join(counts, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(alpha)) /
+          (col("ttot") + lit(alpha * numBuckets)))
+          - log((coalesce(col("rc"), lit(0L)) + lit(alpha)) /
+            (col("rtot") + lit(alpha * numBuckets)))).as("lw"))
+  }
+
+  /** [[dsirScore]] over a precomputed [[dsirFeatureTable]] — same
+    * broadcast-join + per-doc aggregation, reading the shared table. */
+  def dsirScoreFromFeatures(feats: DataFrame, weights: DataFrame,
+                            seed: Int = 41): DataFrame =
+    feats.select("id", "bucket")
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"), sum("lw").as("logw"))
+      .withColumn("key", col("logw") + gumbelKey(col("id"), seed))
+
   /** Gumbel(0,1) noise from row identity: −ln(−ln u) with u the md5
     * uniform of (seed, id) — the deterministic twin of the Gumbel-top-k
     * trick (adding Gumbel noise to log-weights and taking the top-k

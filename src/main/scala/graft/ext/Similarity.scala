@@ -678,8 +678,11 @@ object Similarity {
     val sub = dim / m
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qvec"))
+    // qnorm rides the (tiny) probe table so the ADC table below stays
+    // column-identical across the m joins — the precondition for the
+    // single-build exchange reuse
     val probed = nearestCells(q, cents, "query_id", "qvec", nProbe)
-      .select(col("query_id"), col("cell"))
+      .select(col("query_id"), col("cell"), l2Norm(col("qvec")).as("qnorm"))
     // ADC lookup tables: per (query, subspace, codebook cell) the partial
     // dot ⟨q_j, cb_j⟩ and the sub-centroid's squared norm. Q x m x k rows.
     val subc = cents
@@ -689,20 +692,35 @@ object Similarity {
       .withColumn("scv", slice(col("cv"), col("j") * sub + 1, lit(sub)))
       .select(col("j"), col("code"), col("scv"),
         VectorFunctions.dot(col("scv"), col("scv")).as("cn2"))
-    val qparts = q.withColumn("qnorm", l2Norm(col("qvec")))
+    val qparts = q
       .crossJoin(broadcast(subc))
       .withColumn("qdot", VectorFunctions.dot(
         slice(col("qvec"), col("j") * sub + 1, lit(sub)), col("scv")))
-      .select(col("query_id"), col("qnorm"), col("j"), col("code"),
+      .select(col("query_id"), col("j"), col("code"),
         col("qdot"), col("cn2"))
+    // ONE ADC build for all m subspace joins (r22): the per-j filtered
+    // broadcasts each re-executed the qparts lineage and built their own
+    // BroadcastExchange (m builds per query run); keying the full table
+    // on the composite kj = j·2^32 + code makes the m build subplans
+    // canonically identical — Spark materializes ONE exchange and the
+    // remaining m−1 joins consume a ReusedExchange. Join semantics are
+    // unchanged: (query_id, code_j) matched exactly the (j, code) slice
+    // before, and kj encodes (j, code) injectively (codes are ints).
+    val adc = qparts.select(col("query_id"),
+      (col("j").cast("long") * lit(4294967296L) +
+        col("code").cast("long")).as("kj"),
+      col("qdot"), col("cn2"))
     var cand = pqIdx.join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
     for (j <- 0 until m) {
-      val t = qparts.filter(col("j") === j)
-        .select(Seq(col("query_id"), col("code").cast("int").as(s"code$j"),
-          col("qdot").as(s"qdot$j"), col("cn2").as(s"cn2$j")) ++
-          (if (j == 0) Seq(col("qnorm")) else Nil): _*)
-      cand = cand.join(broadcast(t), Seq("query_id", s"code$j"))
+      val t = adc.select(col("query_id").as(s"_q$j"),
+        col("kj").as(s"_kj$j"),
+        col("qdot").as(s"qdot$j"), col("cn2").as(s"cn2$j"))
+      cand = cand.join(broadcast(t),
+        cand("query_id") === col(s"_q$j") &&
+          (lit(j.toLong * 4294967296L) + col(s"code$j").cast("long"))
+            === col(s"_kj$j"))
+        .drop(s"_q$j", s"_kj$j")
     }
     // fixed-order accumulation (j = 0..m-1) — reproducible across engines
     val ip = (0 until m).map(j => col(s"qdot$j")).reduce(_ + _)
@@ -724,6 +742,38 @@ object Similarity {
         col("centroid").cast("array<double>").as("cv"))), Seq("cell"))
       .withColumn("rv", zip_with(col("v"), col("cv"), (a, b) => a - b))
 
+  /** The shared encode-side residual frame (id, cell, rv, …) — the
+    * artifact every residual-PQ stage starts from. A cell composing
+    * several of them (codebook sampling, Lloyd refinement, index
+    * encode, quantization error) computes and PERSISTS this once and
+    * feeds [[residualSlices]] / [[pqResidualCodebookFromResiduals]]:
+    * the assignment inside (one nearest-cell scan of the corpus) is the
+    * expensive part and was re-executed once per consumer before this
+    * seam (r22; same one-pass discipline as
+    * [[Dedup.ngramJaccardPairsWithIndex]]). */
+  def residuals(vectors: DataFrame, cents: DataFrame,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    withResiduals(vectors, cents, idCol, vecCol)
+
+  /** Per-subspace slices (id, cell, j, sv) of a [[residuals]] frame —
+    * the shared input of [[pqIndexResidualFromSlices]],
+    * [[pqQuantizationErrorFromSlices]] and
+    * [[lloydRefineResidualCodebookFromSlices]]. */
+  def residualSlices(res: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    res.withColumn("j", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("id"), col("cell"), col("j"),
+        slice(col("rv"), col("j") * sub + 1, lit(sub)).as("sv"))
+  }
+
+  /** [[pqResidualCodebook]] over a precomputed [[residuals]] frame. */
+  def pqResidualCodebookFromResiduals(res: DataFrame,
+                                      entries: Int): DataFrame =
+    res.orderBy("id").limit(entries)
+      .select(col("id").cast("int").as("code"), col("rv").as("ev"))
+
   /** Per-subspace (j, code, scv) slices of a residual codebook. */
   private def codebookSlices(codebook: DataFrame, m: Int, sub: Int): DataFrame =
     codebook.select(col("code"), col("ev").cast("array<double>").as("ev"))
@@ -740,9 +790,8 @@ object Similarity {
   def pqResidualCodebook(vectors: DataFrame, cents: DataFrame, entries: Int,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame =
-    withResiduals(vectors, cents, idCol, vecCol)
-      .orderBy("id").limit(entries)
-      .select(col("id").cast("int").as("code"), col("rv").as("ev"))
+    pqResidualCodebookFromResiduals(
+      withResiduals(vectors, cents, idCol, vecCol), entries)
 
   /** Lloyd refinement of a residual PQ codebook at FIXED code budget —
     * standard PQ training (Jégou et al., "Product Quantization for
@@ -770,11 +819,21 @@ object Similarity {
                                   vecCol: String = "embedding",
                                   roundTo: Int = 6): DataFrame = {
     require(dim % m == 0, "dim must divide into m equal subspaces")
+    lloydRefineResidualCodebookFromSlices(
+      residualSlices(withResiduals(vectors, cents, idCol, vecCol), m, dim),
+      seed, m, dim, iters, roundTo)
+  }
+
+  /** [[lloydRefineResidualCodebook]] over precomputed (ideally
+    * persisted) [[residualSlices]] — the refinement itself is
+    * unchanged; only the residual/slice derivation is shared. */
+  def lloydRefineResidualCodebookFromSlices(slices: DataFrame,
+                                            seed: DataFrame, m: Int,
+                                            dim: Int, iters: Int = 1,
+                                            roundTo: Int = 6): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
     val sub = dim / m
-    val sliced = withResiduals(vectors, cents, idCol, vecCol)
-      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .select(col("id"), col("j"),
-        slice(col("rv"), col("j") * sub + 1, lit(sub)).as("sv"))
+    val sliced = slices.select("id", "j", "sv")
     val seedSlices = codebookSlices(seed, m, sub)
     var cbs = seedSlices
     for (_ <- 0 until iters) {
@@ -817,14 +876,18 @@ object Similarity {
   def pqQuantizationError(vectors: DataFrame, cents: DataFrame,
                           codebook: DataFrame, m: Int, dim: Int,
                           idCol: String = "vec_id",
-                          vecCol: String = "embedding"): DataFrame = {
+                          vecCol: String = "embedding"): DataFrame =
+    pqQuantizationErrorFromSlices(
+      residualSlices(withResiduals(vectors, cents, idCol, vecCol), m, dim),
+      codebook, m, dim)
+
+  /** [[pqQuantizationError]] over precomputed [[residualSlices]]. */
+  def pqQuantizationErrorFromSlices(slices: DataFrame, codebook: DataFrame,
+                                    m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, "dim must divide into m equal subspaces")
     val sub = dim / m
     val cbs = codebookSlices(codebook, m, sub)
-    withResiduals(vectors, cents, idCol, vecCol)
-      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .select(col("id"), col("j"),
-        slice(col("rv"), col("j") * sub + 1, lit(sub)).as("sv"))
+    slices.select("id", "j", "sv")
       .join(broadcast(cbs), Seq("j"))
       .withColumn("d2", dot(col("sv"), col("sv"))
         - lit(2.0) * dot(col("sv"), col("scv"))
@@ -849,14 +912,20 @@ object Similarity {
   def pqIndexResidual(vectors: DataFrame, cents: DataFrame,
                       codebook: DataFrame, m: Int, dim: Int,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding"): DataFrame =
+    pqIndexResidualFromSlices(
+      residualSlices(withResiduals(vectors, cents, idCol, vecCol), m, dim),
+      cents, codebook, m, dim)
+
+  /** [[pqIndexResidual]] over precomputed (ideally persisted)
+    * [[residualSlices]] — encode logic unchanged. */
+  def pqIndexResidualFromSlices(slices: DataFrame, cents: DataFrame,
+                                codebook: DataFrame, m: Int,
+                                dim: Int): DataFrame = {
     require(dim % m == 0, "dim must divide into m equal subspaces")
     val sub = dim / m
     val cbs = codebookSlices(codebook, m, sub)
-    val sliced = withResiduals(vectors, cents, idCol, vecCol)
-      .withColumn("j", explode(sequence(lit(0), lit(m - 1))))
-      .select(col("id"), col("cell"), col("j"),
-        slice(col("rv"), col("j") * sub + 1, lit(sub)).as("sv"))
+    val sliced = slices.select("id", "cell", "j", "sv")
     val scored = sliced.join(broadcast(cbs), Seq("j"))
       .withColumn("d2", dot(col("sv"), col("sv"))
         - lit(2.0) * dot(col("sv"), col("scv"))
@@ -925,13 +994,22 @@ object Similarity {
       .withColumn("qrdot", dot(
         slice(col("qvec"), col("j") * sub + 1, lit(sub)), col("scv")))
       .select(col("query_id"), col("j"), col("code"), col("qrdot"))
+    // single composite-keyed ADC build shared by the m subspace joins —
+    // see [[ivfPqTopK]]'s adc note (1 BroadcastExchange + m−1 reuses
+    // instead of m independent builds of the qr lineage)
+    val adc = qr.select(col("query_id"),
+      (col("j").cast("long") * lit(4294967296L) +
+        col("code").cast("long")).as("kj"),
+      col("qrdot"))
     var cand = index.join(broadcast(probed), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
     for (j <- 0 until m)
-      cand = cand.join(broadcast(qr.filter(col("j") === j)
-        .select(col("query_id"), col("code").cast("int").as(s"code$j"),
-          col("qrdot").as(s"_qr$j"))),
-        Seq("query_id", s"code$j"))
+      cand = cand.join(broadcast(adc.select(col("query_id").as(s"_q$j"),
+        col("kj").as(s"_kj$j"), col("qrdot").as(s"_qr$j"))),
+        cand("query_id") === col(s"_q$j") &&
+          (lit(j.toLong * 4294967296L) + col(s"code$j").cast("long"))
+            === col(s"_kj$j"))
+        .drop(s"_q$j", s"_kj$j")
     val ip = col("qcdot") +
       (0 until m).map(j => col(s"_qr$j")).reduce(_ + _)
     val scored = cand.withColumn("score_pq",

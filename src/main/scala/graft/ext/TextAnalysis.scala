@@ -311,7 +311,20 @@ object TextAnalysis {
     * broadcast. Docs matching no term are restored at score 0. */
   def bm25(docs: org.apache.spark.sql.DataFrame, textCol: String,
            idCol: String, queryTerms: Seq[String], k1: Double = 1.2,
-           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+           b: Double = 0.75): org.apache.spark.sql.DataFrame =
+    bm25Releasable(docs, textCol, idCol, queryTerms, k1, b)._1
+
+  /** [[bm25]] plus the explicit release handle for its pinned per-doc
+    * length table (|docs| rows, consumed by the score join AND the
+    * left base) — the registry-wide releasable-seam contract
+    * ([[Dedup.ngramJaccardPairsReleasable]]): harness contexts sweep
+    * pinned state between queries; a RESIDENT pipeline must consume the
+    * scores and then call release(), or each invocation leaks a
+    * |docs|-row cache generation. */
+  def bm25Releasable(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     idCol: String, queryTerms: Seq[String],
+                     k1: Double = 1.2, b: Double = 0.75)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
     import org.apache.spark.sql.functions.broadcast
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val lens = Par.fanOut(docs, par)
@@ -340,10 +353,10 @@ object TextAnalysis {
     // the cache before the consumer ever runs and recompute the
     // tokenization pass twice. Harness contexts sweep pinned state
     // between queries (GraftSession.sweepCaches); resident pipelines
-    // follow the registry-wide persist discipline (release after
-    // consumption) documented on ngramJaccardPairsReleasable.
-    lens.select("id").join(scores, Seq("id"), "left")
+    // call the returned release() after consumption.
+    val out = lens.select("id").join(scores, Seq("id"), "left")
       .select(col("id"), coalesce(col("bm25"), lit(0.0)).as("bm25"))
+    (out, () => { lens.unpersist(); () })
   }
 
   /** Per-document unigram entropy in bits: H = -Σ p·log2(p) over the

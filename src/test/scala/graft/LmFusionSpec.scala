@@ -127,6 +127,38 @@ class LmFusionSpec extends SparkTestBase {
         "the two-pass table")
   }
 
+  test("DSIR: the shared feature-table seam reproduces dsirWeightsWithin " +
+    "and dsirScore bit-exactly") {
+    val rows = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta zork"),
+      (3L, "de", "zork quux blarg frotz"),
+      (4L, null.asInstanceOf[String], "alpha quux"),
+      (5L, "de", ""),
+      (6L, "en", "gamma delta gamma delta epsilon"))
+    val raw = rows.toDF("doc_id", "lang", "text")
+    val feats = Sampling.dsirFeatureTable(
+        raw, "doc_id", col("lang") === "en", "text", 32)
+      .persist()
+    try {
+      val wExpected = Sampling
+        .dsirWeightsWithin(raw, col("lang") === "en", "text", 32)
+        .orderBy("bucket").collect().toSeq
+      val wShared = Sampling.dsirWeightsFromFeatures(feats, 32)
+        .orderBy("bucket").collect().toSeq
+      assert(wShared === wExpected,
+        "weights from the shared feature table must be bit-identical")
+      val w = Sampling.dsirWeightsWithin(raw, col("lang") === "en", "text", 32)
+      val sExpected = Sampling.dsirScore(raw, "doc_id", "text", w, 32)
+        .orderBy("id").collect().toSeq
+      val sShared = Sampling.dsirScoreFromFeatures(feats, w)
+        .orderBy("id").collect().toSeq
+      assert(sShared === sExpected,
+        "scores from the shared feature table must be bit-identical " +
+          "(same rows, same n_feats/logw/key)")
+    } finally { feats.unpersist(); () }
+  }
+
   test("compression ratio: repetition compresses, noise doesn't, empty is neutral") {
     import graft.ext.TextAnalysis
     // high-entropy text from hash hex (incompressible), heavy stutter

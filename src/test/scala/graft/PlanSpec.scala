@@ -162,13 +162,24 @@ class PlanSpec extends SparkTestBase {
     assert(small._2 === Seq(1.0))
   }
 
-  test("Q21 shape: EXISTS/NOT EXISTS decorrelate to broadcast semi/anti joins") {
+  test("Q21 shape: one fact pass — aggregate form, no semi/anti re-scans") {
+    // r22: the EXISTS / NOT-EXISTS arms are computed as per-order
+    // supplier counts over ONE lineitem ⋈ orders pass (the aggregate
+    // form of Q21); the old decorrelated shape re-scanned and
+    // re-shuffled the fact table twice as LeftSemi/LeftAnti joins
     val p = plan(SparkEntry.queries("j21_waiting_suppliers")(spark, dir))
-    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
-    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"correlated subqueries should broadcast at this scale:\n$p")
+    assert("FileScan parquet \\[l_".r.findAllIn(p).length === 1,
+      s"fact table must be scanned exactly once:\n$p")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"semi/anti re-scans crept back into Q21:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"orders/supplier sides should broadcast at this scale:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in Q21 plan:\n$p")
+    // the per-order counts window partitions on l_orderkey — never a
+    // single-partition global window
+    assert(p.contains("Window"), s"per-order counts window missing:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"Q21 funnels rows through a single partition:\n$p")
   }
 
   test("Q8 shape: the fact table never shuffles before aggregation") {

@@ -355,9 +355,22 @@ object Bench {
     // ~±15% spread (SCALE.md quiet-machine probes). Guarded against the
     // prior artifact's probe medians: a >1.25x rate drop gets ONE
     // re-probe (keep max) — a genuine regression stays low and flags.
-    val probePrior = priorTxt
+    // Rate-guard anchors (r22, VERDICT r21 #10): prefer the MEDIAN of
+    // the last k comparable sessions from the append-only probe history
+    // — one noisy env_ok session can no longer move the anchor — and
+    // fall back to the prior artifact's own medians until the history
+    // holds enough comparable entries (BenchGuard.probeHistoryAnchors).
+    val probeHistoryPath = sys.env.getOrElse("SPARK_GRAFT_PROBE_HISTORY",
+      "bench_probe_history.jsonl")
+    val historyAnchors: Map[String, Double] = try {
+      graft.bench.BenchGuard.probeHistoryAnchors(
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(probeHistoryPath)), "UTF-8"), sfDir)
+    } catch { case _: Exception => Map.empty }
+    val artifactPrior = priorTxt
       .map(t => graft.bench.BenchGuard.parsePriorProbeMedians(t, sfDir))
       .getOrElse(Map.empty)
+    val probePrior = artifactPrior ++ historyAnchors
     val probeReps = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPS", "5")
     def runProbe(kind: String): Double = {
       val jvmArgs = graft.bench.BenchGuard.relaunchJvmArgs(inputJvmArgs, 0L)
@@ -435,6 +448,23 @@ object Bench {
     val probeJson = probeMedians
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // append this run's medians to the history so FUTURE runs anchor on
+    // a median of sessions (append-only; a sentinel-only run is skipped
+    // — the parser would drop its values anyway). env_ok travels on the
+    // line so an out-of-bounds session never joins the anchor pool.
+    if (probeMedians.exists(_._2 > 0)) {
+      val envOkNow = graft.bench.BenchGuard.envOk(loadAtStart,
+        Runtime.getRuntime.maxMemory() / (1024 * 1024))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(probeHistoryPath),
+        (graft.bench.BenchGuard.probeHistoryLine(sfDir, envOkNow,
+          probeMedians) + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not append $probeHistoryPath: $e")
+      }
+    }
 
     val qs = guarded.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

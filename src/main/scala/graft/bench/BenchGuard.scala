@@ -127,6 +127,55 @@ object BenchGuard {
     }
   }
 
+  /** Per-key MEDIAN of the last `k` comparable entries of
+    * bench_probe_history.jsonl (one JSON object per line:
+    * {"sf", "methodology", "env_ok", "probe_medians": {...}}), the
+    * rate-guard anchor of VERDICT r20 #5 / r21 #10: a single noisy-but-
+    * env_ok session used to BECOME the whole anchor (its artifact was
+    * the prior), so one bad session could silently re-baseline the
+    * chain/stream guard for a round. Anchoring on the history median
+    * means one outlier among the last `k` comparable sessions cannot
+    * move the anchor (BenchGuardSpec pins it). Returns empty until at
+    * least `minEntries` comparable sessions exist for a key — below
+    * that a median is just the outlier problem again — letting the
+    * caller fall back to the prior artifact's own medians. Lines that
+    * fail to parse, fail the [[parsePrior]] comparability gate (sf /
+    * methodology / env_ok), or carry non-positive sentinel values are
+    * skipped. FAIL-SOFT like the prior file: history is an anchor, not
+    * a gate. */
+  def probeHistoryAnchors(txt: String, sfDir: String, k: Int = 5,
+                          minEntries: Int = 3): Map[String, Double] = {
+    val comparable = txt.linesIterator.flatMap(parseRoot(_))
+      .filter(priorComparable(_, sfDir)).toSeq.takeRight(k)
+    val values = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    comparable.foreach { root =>
+      val node = root.get("probe_medians")
+      if (node != null) node.fields().forEachRemaining { e =>
+        if (e.getValue.isNumber && e.getValue.asDouble() > 0)
+          values.getOrElseUpdate(e.getKey,
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            e.getValue.asDouble()
+      }
+    }
+    values.collect { case (key, vs) if vs.size >= minEntries =>
+      val s = vs.sorted
+      val mid = s.size / 2
+      key -> (if (s.size % 2 == 1) s(mid) else (s(mid - 1) + s(mid)) / 2.0)
+    }.toMap
+  }
+
+  /** One bench_probe_history.jsonl line for THIS run — carries exactly
+    * the fields [[probeHistoryAnchors]]' comparability gate reads.
+    * Sentinel (-1) medians are recorded as-is; the parser skips them. */
+  def probeHistoryLine(sfDir: String, envOk: Boolean,
+                       medians: Seq[(String, Double)]): String = {
+    val ms = medians.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    s"""{"sf":"$sfDir","methodology":"$Methodology","env_ok":$envOk,""" +
+      s""""probe_medians":$ms}"""
+  }
+
   /** The prior file is FAIL-SOFT, unlike the envelope file: a corrupt
     * prior (e.g. a bench killed mid-write) deactivates the guard rather
     * than crashing the run after warm-up with no artifact. */

@@ -198,7 +198,14 @@ object Curate {
                             gateStat: String): IncResult = {
     val obsIn = Observation(); val obsKept = Observation()
     val obsDedup = Observation()
-    val kept = gate(batch.observe(obsIn, nExpr))
+    // fan out before the regex-heavy gate (r22): a single-file daily
+    // batch arrives as 1-3 scan partitions, serializing the gate AND
+    // pinning the cached `kept` at that parallelism for every
+    // downstream narrow stage (Par.fanOut is a no-op once the scan is
+    // already parallel)
+    val fanned = graft.ext.Par.fanOut(batch,
+      batch.sparkSession.sparkContext.defaultParallelism)
+    val kept = gate(fanned.observe(obsIn, nExpr))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deduped = Dedup.incrementalExactDedup(
         kept.observe(obsKept, nExpr), "text", "doc_id", index)
@@ -288,7 +295,11 @@ object Curate {
                       perSourceCap: Int = 15): IncFullResult = {
     val obsIn = Observation(); val obsKept = Observation()
     val obsExact = Observation(); val obsNear = Observation()
-    val kept = batch.observe(obsIn, nExpr)
+    // same single-file fan-out as incrementTail: the quality-gate regex
+    // and the cached survivors otherwise run at the scan's parallelism
+    val kept = graft.ext.Par.fanOut(batch,
+        batch.sparkSession.sparkContext.defaultParallelism)
+      .observe(obsIn, nExpr)
       .filter(TextAnalysis.qualityScore(col("text")) >= minQuality)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = Dedup.incrementalExactDedup(

@@ -682,7 +682,12 @@ object Dedup {
     * The gram stream behind [[duplicatedSpans]]. */
   private[graft] def tokenGramHashes(docs: DataFrame, textCol: String,
                                      idCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    // fan out before the tokenize+hash pipeline (r22): a single-file
+    // corpus arrives as ONE scan partition, serializing the gram fill
+    // of the whole span/novelty family on one task — the documented
+    // Par.fanOut regime (no-op when the scan is already parallel)
+    Par.fanOut(docs, docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("id"), explode(transform(

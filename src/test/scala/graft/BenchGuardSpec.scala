@@ -227,6 +227,49 @@ class BenchGuardSpec extends AnyFunSuite {
       "undersized heap also relaunches")
   }
 
+  // ---- probe history anchors ------------------------------------------
+
+  test("probeHistoryAnchors: one outlier session cannot move the anchor; " +
+    "incomparable and sentinel lines are skipped; below minEntries -> " +
+    "empty (fall back to the prior artifact)") {
+    val sf = "/root/testdata/sf0.1"
+    def line(envOk: Boolean, chain: Double,
+             sfd: String = sf, meth: String = BenchGuard.Methodology) =
+      s"""{"sf":"$sfd","methodology":"$meth","env_ok":$envOk,""" +
+        s""""probe_medians":{"chain_rows_per_sec":$chain}}"""
+    // five comparable sessions, one a 3x-low outlier: the MEDIAN anchor
+    // ignores it — under the old single-prior anchoring the outlier
+    // session's artifact WOULD have become the whole anchor
+    val hist = Seq(line(true, 131000), line(true, 128000),
+      line(true, 40000), line(true, 135000), line(true, 130000))
+      .mkString("\n")
+    val a = BenchGuard.probeHistoryAnchors(hist, sf)
+    assert(a("chain_rows_per_sec") === 130000.0, s"median anchor: $a")
+    // env_ok:false, wrong-sf, wrong-methodology and sentinel lines never
+    // join the pool
+    val dirty = Seq(line(false, 10), line(true, 131000, sfd = "/other"),
+      line(true, 20, meth = "old"), line(true, -1),
+      line(true, 128000), line(true, 130000), "not json at all",
+      line(true, 132000)).mkString("\n")
+    val d = BenchGuard.probeHistoryAnchors(dirty, sf)
+    assert(d("chain_rows_per_sec") === 130000.0, s"dirty pool: $d")
+    // two comparable entries < minEntries: no anchor (a 2-median is the
+    // outlier problem again)
+    val thin = Seq(line(true, 131000), line(true, 40000)).mkString("\n")
+    assert(BenchGuard.probeHistoryAnchors(thin, sf).isEmpty)
+    // only the LAST k entries count: an ancient fast regime ages out
+    val aged = (Seq.fill(4)(line(true, 200000)) ++
+      Seq.fill(5)(line(true, 130000))).mkString("\n")
+    assert(BenchGuard.probeHistoryAnchors(aged, sf)("chain_rows_per_sec")
+      === 130000.0, "window is the last k entries")
+    // round-trip: the writer's line parses back under the same gate
+    val rt = BenchGuard.probeHistoryLine(sf, envOk = true,
+      Seq("chain_rows_per_sec" -> 129000.0))
+    assert(BenchGuard.probeHistoryAnchors(
+      Seq(rt, rt, rt).mkString("\n"), sf)("chain_rows_per_sec")
+      === 129000.0)
+  }
+
   // ---- env bounds ----------------------------------------------------
 
   test("envOk: declared load + heap bounds") {
